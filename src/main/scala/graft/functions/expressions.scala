@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.SalesforceId
+
+/** Static helpers invoked from generated code (must be object-level so the
+  * Java codegen can call them via static forwarders).
+  */
+object ExprUtil {
+  def canonicalId(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val r = SalesforceId.canonicalOrNull(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** 64-bit polynomial rolling hash (base 1000003, seeded) over UTF-8 bytes.
+    * Deterministic document fingerprint primitive; stable across JVMs.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val bytes = s.getBytes
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + bytes(i)
+      i += 1
+    }
+    h
+  }
+}
+
+/** Canonicalize a Salesforce id column to its 18-char form; invalid → null.
+  * Native expression (with codegen) rather than a Scala UDF so it stays
+  * inside whole-stage codegen on the hot path.
+  */
+case class CanonicalId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "canonical_id"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.canonicalId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ExprUtil.canonicalId($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalId =
+    copy(child = newChild)
+}
+
+/** 64-bit rolling hash of a string column (document fingerprinting). */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for graft's custom functions. */
+object GraftFunctions {
+  import org.apache.spark.sql.functions._
+
+  def canonical_id(c: Column): Column =
+    GraftSqlShim.column(CanonicalId(GraftSqlShim.expression(c)))
+
+  def rolling_hash64(c: Column): Column =
+    GraftSqlShim.column(RollingHash64(GraftSqlShim.expression(c)))
+
+  /** 3-char key prefix used for polymorphic-lookup dispatch (SURVEY J5/T8). */
+  def key_prefix(c: Column): Column = substring(c, 1, 3)
+
+  /** Boolean-synonym coercion (reference primitivize, amaxa/amaxa.py:349-375):
+    * null / {no,n,false,f,0,""} → false; {yes,y,true,t,1} → true;
+    * anything else is a row error and yields null here (pair with
+    * [[primitivizeBoolError]] for the error channel).
+    */
+  def primitivizeBool(c: Column): Column = {
+    val l = lower(c)
+    when(c.isNull || l.isin("no", "n", "false", "f", "0", ""), lit(false))
+      .when(l.isin("yes", "y", "true", "t", "1"), lit(true))
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  /** Error message column for values primitivizeBool rejects (else null). */
+  def primitivizeBoolError(c: Column): Column = {
+    val l = lower(c)
+    when(
+      c.isNotNull &&
+        !l.isin("no", "n", "false", "f", "0", "", "yes", "y", "true", "t", "1"),
+      concat(lit("Invalid Boolean value "), c))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Cosine similarity between two array<double> columns, computed with
+    * codegen'd higher-order functions (no UDF): dot / (|a|*|b|).
+    * Deterministic left-to-right accumulation (functions.aggregate folds
+    * in element order), so results are bit-stable across runs/engines that
+    * fold in the same order.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+}

@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Relational parity queries: one per operator row of SURVEY.md §2 that is
+  * expressible over the driver's TPC-H-ish testdata, each with a DuckDB
+  * oracle. Numeric aggregates use exact integer "cents" arithmetic
+  * (`round(x * 10^k)` per row, then integer sum) so Spark and DuckDB agree
+  * bit-for-bit regardless of summation order.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Reference: extraction scan with projection (SURVEY S1/F1,
+    * amaxa/api.py:140-165 + amaxa/amaxa.py:174-175). */
+  private val s1: Q = (s, d) =>
+    Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  private val pointIds: Seq[Long] = 1L to 3000L by 7
+
+  /** Reference: retrieve-by-id-batch (SURVEY S2, amaxa/api.py:167-181) —
+    * explicit id set → broadcast semi join, not chunked REST calls. */
+  private val s2: Q = (s, d) => {
+    import s.implicits._
+    val ids = pointIds.toDF("o_orderkey")
+    Tables.orders(s, d)
+      .join(broadcast(ids), Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  /** Reference: FK-membership query (SURVEY S3/J1, amaxa/api.py:183-196) —
+    * the ≤190-id IN-list chunking becomes a single semi join. */
+  private val s3: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    Tables.lineitem(s, d)
+      .join(o, Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** Reference: CSV sink + source round-trip (SURVEY S4/S5,
+    * loader/extract_operation.py:125-158) with the Id-first-then-sorted
+    * header contract. */
+  private val s4: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val keyFirst = "n_nationkey" +: n.columns.filterNot(_ == "n_nationkey").sorted.toSeq
+    val ordered = n.select(keyFirst.map(col): _*)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    ordered.write.mode("overwrite").option("header", true).csv(out)
+    s.read.schema(ordered.schema).option("header", true).csv(out)
+  }
+
+  /** Reference: user WHERE clause pushed into the scan (SURVEY F2,
+    * amaxa/amaxa.py:669-679). Catalyst pushes both predicates to parquet. */
+  private val f2: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= '1995-01-01 00:00:00' AND l_discount > 0.05"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount")
+
+  private val synthBool =
+    """CASE WHEN o_orderkey % 11 = 0 THEN ''
+      |     WHEN o_orderkey % 7 = 0 THEN 'YES'
+      |     WHEN o_orderkey % 5 = 0 THEN 'T'
+      |     WHEN o_orderkey % 3 = 0 THEN 'No'
+      |     WHEN o_orderkey % 2 = 0 THEN '0'
+      |     ELSE 'true' END""".stripMargin
+
+  /** Reference: boolean-synonym coercion (SURVEY F3, amaxa/amaxa.py:349-375). */
+  private val f3: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("synth", expr(synthBool))
+      .select(col("o_orderkey"), primitivizeBool(col("synth")).as("b"))
+
+  /** Reference: Bulk-API epoch-ms → ISO-8601 datetime fix (SURVEY F4,
+    * amaxa/api.py:148-165). */
+  private val f4: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(
+        timestamp_millis(unix_millis(col("o_orderdate").cast("timestamp"))),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS+0000").as("iso_dt"))
+
+  /** Reference: field↔column renaming (SURVEY F5, amaxa/amaxa.py:857-858). */
+  private val f5: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumnRenamed("c_custkey", "CustomerId")
+      .withColumnRenamed("c_name", "CustomerName")
+      .withColumnRenamed("c_mktsegment", "Segment")
+      .select("CustomerId", "CustomerName", "Segment")
+
+  /** Reference: row dedup on extraction (SURVEY F6, amaxa/amaxa.py:600-613). */
+  private val f6: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")).as("ship_year"))
+      .dropDuplicates()
+
+  /** Reference: resume skip-filter (SURVEY F7, amaxa/amaxa.py:403-405) —
+    * anti join against the already-loaded id map. */
+  private val f7: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val loaded = o.filter(col("o_orderkey") % 5 < 2).select("o_orderkey")
+    o.join(loaded, Seq("o_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus")
+  }
+
+  /** Reference: dependency resolution semi join (SURVEY J2,
+    * amaxa/amaxa.py:805-818) — parents referenced from extracted children. */
+  private val j2: Q = (s, d) => {
+    val refs = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d)
+      .join(refs, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_nationkey")
+  }
+
+  /** Reference: id-map remap on load (SURVEY J3, amaxa/amaxa.py:321-347) —
+    * broadcast left join + coalesce(new, original). */
+  private val j3: Q = (s, d) => {
+    val idMap = Tables.customer(s, d)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("old_id"), (col("c_custkey") + 1000000L).as("new_id"))
+    Tables.orders(s, d)
+      .join(broadcast(idMap), col("o_custkey") === col("old_id"), "left")
+      .select(col("o_orderkey"), coalesce(col("new_id"), col("o_custkey")).as("remapped_custkey"))
+  }
+
+  /** Reference: outside-reference detection, drop-field behavior (SURVEY J4,
+    * amaxa/amaxa.py:776-800): FK values outside the extracted set → null. */
+  private val j4: Q = (s, d) => {
+    val extracted = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey").as("ext_id"))
+    Tables.orders(s, d)
+      .join(broadcast(extracted), col("o_custkey") === col("ext_id"), "left")
+      .select(
+        col("o_orderkey"),
+        when(col("ext_id").isNull, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_custkey_safe"))
+  }
+
+  /** Reference: polymorphic lookup dispatch by 3-char key prefix (SURVEY
+    * J5/T8, amaxa/amaxa.py:749-785 + api.py:63-70). */
+  private val j5: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select(concat(lit("001"), lpad(col("o_orderkey").cast("string"), 12, "0")).as("ref_id"))
+    val c = Tables.customer(s, d)
+      .select(concat(lit("003"), lpad(col("c_custkey").cast("string"), 12, "0")).as("ref_id"))
+    val dim = Seq(("001", "orders"), ("003", "customer")).toDF("prefix", "target_table")
+    o.unionAll(c)
+      .join(broadcast(dim), key_prefix(col("ref_id")) === col("prefix"))
+      .select("ref_id", "target_table")
+  }
+
+  /** Reference: per-table exact counts gating the fixpoint (SURVEY A1,
+    * amaxa/amaxa.py:713-726). */
+  private val a1: Q = (s, d) => {
+    Tables.names.map { t =>
+      Tables.load(s, d, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Reference: id-set algebra — union/difference/intersection (SURVEY A2,
+    * amaxa/amaxa.py:569-591, :615-619). */
+  private val a2: Q = (s, d) => {
+    val withOrders = Tables.orders(s, d).select(col("o_custkey").as("id")).distinct()
+    val negBal = Tables.customer(s, d).filter(col("c_acctbal") < 0.0)
+      .select(col("c_custkey").as("id")).distinct()
+    val onlyOrders = withOrders.except(negBal).withColumn("tag", lit("only_orders"))
+    val both = withOrders.intersect(negBal).withColumn("tag", lit("both"))
+    val onlyNeg = negBal.except(withOrders).withColumn("tag", lit("only_negbal"))
+    onlyOrders.unionAll(both).unionAll(onlyNeg)
+  }
+
+  /** Reference: scalar transform chain T1–T6 (amaxa/transforms.py:52-110,
+    * composition amaxa/amaxa.py:860-861). */
+  private val t1: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      lower(col("c_name")).as("lower_name"),
+      upper(col("c_mktsegment")).as("upper_seg"),
+      trim(col("c_name")).as("trimmed"),
+      concat(lit("cust-"), col("c_name")).as("prefixed"),
+      concat(col("c_name"), lit("-v1")).as("suffixed"),
+      graft.core.Transforms.chain(
+        Seq(
+          graft.core.TransformSpec("strip"),
+          graft.core.TransformSpec("lowercase"),
+          graft.core.TransformSpec("prefix", Map("prefix" -> "x-")),
+          graft.core.TransformSpec("suffix", Map("suffix" -> "-y"))),
+        graft.core.FieldContext("c_name", "xsd:string"))(col("c_name")).as("chained"))
+
+  /** Reference: SalesforceId 15→18 canonicalization (SURVEY T7,
+    * amaxa/amaxa.py:55-91) as a codegen'd Catalyst expression; the oracle
+    * re-derives the checksum in pure SQL. */
+  private val t7: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("id15", id15Expr)
+      .select(col("c_custkey"), col("id15"), canonical_id(col("id15")).as("id18"))
+
+  private def id15Expr =
+    concat(lit("001"),
+      substring(md5(col("c_custkey").cast("string")), 1, 4),
+      upper(substring(md5(col("c_custkey").cast("string")), 5, 4)),
+      lpad(col("c_custkey").cast("string"), 4, "0"))
+
+  private val id15Sql =
+    "'001' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) || " +
+      "upper(substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4)) || " +
+      "lpad(CAST(c_custkey AS VARCHAR), 4, '0')"
+
+  /** Generates DuckDB SQL computing the 15→18 checksum suffix for `c`. */
+  private def sfChecksumSql(c: String): String = {
+    def chunk(i: Int): String = {
+      val bits = (0 until 5).map { j =>
+        val pos = i * 5 + j + 1
+        s"(CASE WHEN substr($c,$pos,1) BETWEEN 'A' AND 'Z' THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ012345', ($bits) + 1, 1)"
+    }
+    s"$c || ${chunk(0)} || ${chunk(1)} || ${chunk(2)}"
+  }
+
+  /** TPC-H Q1-shaped pricing summary (aggregation extension, SURVEY A4). */
+  private val q1: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(expr("l_shipdate <= '1998-09-02 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long")).as("sum_disc_e4"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 1000000).cast("long")).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped top-k (sort/limit extension). */
+  private val q3: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d).filter(expr("o_orderdate < '1995-03-15 00:00:00'"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).filter(expr("l_shipdate > '1995-03-15 00:00:00'"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+        .cast("long")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Rollup aggregation (grouping-sets extension). */
+  private val qRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
+  /** Window functions: ranking + running totals (window extension). */
+  private val w1: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), cents.as("price_cents"),
+        row_number().over(byPrice).as("rn"),
+        sum(cents).over(byDate).as("running_cents"))
+      .filter(col("rn") <= 3)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_scan_project" -> s1,
+    "s2_point_lookup" -> s2,
+    "s3_fk_membership" -> s3,
+    "s4_csv_roundtrip" -> s4,
+    "f2_filter_pushdown" -> f2,
+    "f3_primitivize_bool" -> f3,
+    "f4_datetime_epoch" -> f4,
+    "f5_rename" -> f5,
+    "f6_dedup_distinct" -> f6,
+    "f7_resume_antijoin" -> f7,
+    "j2_dependency_semi" -> j2,
+    "j3_idmap_remap" -> j3,
+    "j4_outside_reference" -> j4,
+    "j5_polymorphic_prefix" -> j5,
+    "a1_counts" -> a1,
+    "a2_idset_ops" -> a2,
+    "t1_transform_chain" -> t1,
+    "t7_canonical_id" -> t7,
+    "q1_pricing_summary" -> q1,
+    "q3_topk_revenue" -> q3,
+    "q_rollup" -> qRollup,
+    "w1_window_topn" -> w1,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "s2_point_lookup" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |WHERE o_orderkey IN (${pointIds.mkString(",")})""".stripMargin,
+    "s3_fk_membership" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "s4_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "f2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount > 0.05""".stripMargin,
+    "f3_primitivize_bool" ->
+      s"""WITH s AS (SELECT o_orderkey, $synthBool AS synth FROM orders)
+         |SELECT o_orderkey,
+         |  CASE WHEN lower(synth) IN ('no','n','false','f','0','') THEN false
+         |       WHEN lower(synth) IN ('yes','y','true','t','1') THEN true
+         |       ELSE NULL END AS b
+         |FROM s""".stripMargin,
+    "f4_datetime_epoch" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%g+0000') AS iso_dt FROM orders",
+    "f5_rename" ->
+      """SELECT c_custkey AS "CustomerId", c_name AS "CustomerName", c_mktsegment AS "Segment" FROM customer""",
+    "f6_dedup_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INTEGER) AS ship_year FROM lineitem",
+    "f7_resume_antijoin" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 < 2)""".stripMargin,
+    "j2_dependency_semi" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)""".stripMargin,
+    "j3_idmap_remap" ->
+      """WITH m AS (SELECT c_custkey AS old_id, c_custkey + 1000000 AS new_id
+        |           FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT o_orderkey, coalesce(m.new_id, o_custkey) AS remapped_custkey
+        |FROM orders LEFT JOIN m ON o_custkey = m.old_id""".stripMargin,
+    "j4_outside_reference" ->
+      """WITH ext AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
+        |SELECT o_orderkey,
+        |  CASE WHEN ext.c_custkey IS NULL THEN NULL ELSE o_custkey END AS o_custkey_safe
+        |FROM orders LEFT JOIN ext ON o_custkey = ext.c_custkey""".stripMargin,
+    "j5_polymorphic_prefix" ->
+      """WITH ids AS (
+        |  SELECT '001' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ref_id FROM orders
+        |  UNION ALL
+        |  SELECT '003' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') FROM customer),
+        |dim(prefix, target_table) AS (VALUES ('001','orders'),('003','customer'))
+        |SELECT ref_id, target_table FROM ids JOIN dim ON substr(ref_id,1,3) = dim.prefix""".stripMargin,
+    "a1_counts" ->
+      Tables.names.map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
+        .mkString(" UNION ALL "),
+    "a2_idset_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS id FROM orders),
+        |     b AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_acctbal < 0.0)
+        |SELECT id, 'only_orders' AS tag FROM (SELECT id FROM a EXCEPT SELECT id FROM b)
+        |UNION ALL
+        |SELECT id, 'both' AS tag FROM (SELECT id FROM a INTERSECT SELECT id FROM b)
+        |UNION ALL
+        |SELECT id, 'only_negbal' AS tag FROM (SELECT id FROM b EXCEPT SELECT id FROM a)""".stripMargin,
+    "t1_transform_chain" ->
+      """SELECT c_custkey,
+        |  lower(c_name) AS lower_name,
+        |  upper(c_mktsegment) AS upper_seg,
+        |  trim(c_name) AS trimmed,
+        |  'cust-' || c_name AS prefixed,
+        |  c_name || '-v1' AS suffixed,
+        |  'x-' || lower(trim(c_name)) || '-y' AS chained
+        |FROM customer""".stripMargin,
+    "t7_canonical_id" ->
+      s"""WITH s AS (SELECT c_custkey, $id15Sql AS id15 FROM customer)
+         |SELECT c_custkey, id15, ${sfChecksumSql("id15")} AS id18 FROM s""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "w1_window_topn" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders)
+        |SELECT o_custkey, o_orderkey, price_cents, rn, running_cents FROM r WHERE rn <= 3""".stripMargin,
+  )
+}
