@@ -13,11 +13,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.EngineOps.queries
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.EngineOps.oracle
 
   /** Queries whose semantics are not expressible in DuckDB SQL (custom
     * hashing etc.) — they get the driver's weaker rows-only check, and

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, LookupSets}
+import graft.functions.GraftFunctions
+import graft.sources.TableStore
+
+import scala.collection.mutable
+
+/** Seeded-reachability extraction over a graph of FK-linked tables — the
+  * Spark-native re-expression of the reference's ExtractOperation /
+  * ExtractionStep (/root/reference/amaxa/amaxa.py:538-845).
+  *
+  * Architecture: all per-table state (extracted rows, extracted-id sets,
+  * required-id sets) lives in DataFrames; traversal passes are semi joins;
+  * the self-lookup recursion (amaxa/amaxa.py:696-726) is a driver-side
+  * fixpoint loop over eagerly-counted, checkpointed DataFrames. Unlike the
+  * reference's insertion-order-dependent row-at-a-time trace, every pass
+  * here is a monotone set operation, so the result is order-free.
+  *
+  * Scale posture: id sets stay distributed (never collected); membership
+  * checks are joins that AQE turns into broadcasts while the sets are
+  * small; `localCheckpoint` bounds plan growth per pass.
+  */
+final class ExtractOperation(
+    store: TableStore,
+    catalog: Catalog,
+    steps: Seq[ExtractStep]) {
+
+  private val order: Seq[String] = steps.map(_.sobject)
+  private val orderIdx: Map[String, Int] = order.zipWithIndex.toMap
+  private def spark = store.spark
+
+  // Per-table accumulated state. Ids are kept as single-column ("__id")
+  // distinct, checkpointed DataFrames.
+  private val extractedRows = mutable.Map.empty[String, DataFrame]
+  private val extractedIds = mutable.Map.empty[String, DataFrame]
+  private val requiredIds = mutable.Map.empty[String, DataFrame]
+  val errors = mutable.Map.empty[String, mutable.Buffer[String]]
+
+  private def emptyIds: DataFrame = {
+    val sp = spark; import sp.implicits._
+    Seq.empty[String].toDF("__id")
+  }
+
+  private def idsOf(df: DataFrame, table: String): DataFrame = {
+    val idf = catalog(table).idField
+    df.select(col(idf).cast("string").as("__id")).where(col("__id").isNotNull).distinct()
+  }
+
+  private def errBuf(t: String) = errors.getOrElseUpdate(t, mutable.Buffer.empty)
+
+  def getExtractedIds(t: String): DataFrame = extractedIds.getOrElse(t, emptyIds)
+  def getExtractedRows(t: String): Option[DataFrame] = extractedRows.get(t)
+  def getRequiredIds(t: String): DataFrame = requiredIds.getOrElse(t, emptyIds)
+
+  /** Canonicalize + column-prune a scan to the step's field scope.
+    * Salesforce-id tables get 15→18 canonicalization on id/reference
+    * columns at ingest, so all set algebra runs on canonical ids
+    * (the reference wraps every comparison in SalesforceId instead).
+    */
+  private def scanScoped(step: ExtractStep): DataFrame = {
+    val sch = catalog(step.sobject)
+    val base = store.scan(step.sobject)
+    val cols = step.fieldScope.map { f =>
+      val c = col(f)
+      if (sch.salesforceIds &&
+          (f == sch.idField || sch.fieldMap.get(f).exists(_.isReference)))
+        GraftFunctions.canonical_id(c.cast("string")).as(f)
+      else c
+    }
+    base.select(cols: _*)
+  }
+
+  /** Reference add_dependency (amaxa/amaxa.py:569-573): required ∪= ids
+    * not already extracted. `ids` must be a single-column "__id" frame.
+    */
+  private def addDependency(table: String, ids: DataFrame): Unit = {
+    val fresh = ids.join(getExtractedIds(table), Seq("__id"), "left_anti")
+    requiredIds(table) = requiredIds.get(table) match {
+      case Some(r) => r.unionByName(fresh).distinct()
+      case None => fresh.distinct()
+    }
+  }
+
+  /** Membership marker: adds boolean column `marker` = value ∈ ids(table),
+    * matching on `valueCol`. */
+  private def withMembership(df: DataFrame, valueCol: Column, table: String,
+      marker: String): DataFrame = {
+    val ids = getExtractedIds(table).withColumnRenamed("__id", marker + "_id")
+    df.join(ids, valueCol.cast("string") === col(marker + "_id"), "left")
+      .withColumn(marker, col(marker + "_id").isNotNull)
+      .drop(marker + "_id")
+  }
+
+  /** The batch analogue of ExtractionStep.store_result
+    * (amaxa/amaxa.py:728-803): dedup against accumulated ids, register
+    * self/dependent-lookup dependencies, apply outside-reference behavior
+    * on descendent lookups, then fold the survivors into the accumulators.
+    */
+  private def storeResult(step: ExtractStep, ls: LookupSets, batch: DataFrame): Unit = {
+    val t = step.sobject
+    val sch = catalog(t)
+    val idf = sch.idField
+    val fm = sch.fieldMap
+
+    val newRows = batch
+      .dropDuplicates(Seq(idf))
+      .join(getExtractedIds(t), col(idf).cast("string") === col("__id"), "left_anti")
+      .localCheckpoint(true)
+    if (newRows.isEmpty) return
+
+    // Self-lookup dependencies (parents of the batch) — amaxa:744-747.
+    ls.self.toSeq.sorted.foreach { f =>
+      if (step.selfBehavior(f) != SelfLookupBehavior.TraceNone)
+        addDependency(t, newRows.select(col(f).cast("string").as("__id"))
+          .where(col("__id").isNotNull).distinct())
+    }
+
+    // Dependent-lookup dependencies — amaxa:749-774.
+    ls.dependent.toSeq.sorted.foreach { f =>
+      val refTo = fm(f).referenceTo
+      val vals = newRows.select(col(f).cast("string").as("__id"))
+        .where(col("__id").isNotNull).distinct()
+      if (refTo.size == 1) addDependency(refTo.head, vals)
+      else refTo.filter(orderIdx.contains).foreach { target =>
+        // Polymorphic: route by 3-char key prefix; targets earlier in the
+        // hierarchy are handled by the descendent (outside-ref) pass.
+        if (orderIdx(target) >= orderIdx(t)) {
+          val prefix = catalog(target).keyPrefix
+          if (prefix.nonEmpty)
+            addDependency(target, vals.where(substring(col("__id"), 1, 3) === prefix))
+        }
+      }
+    }
+
+    // Outside-reference (cross-hierarchy) handling on descendent lookups —
+    // amaxa:776-800. Marker joins compute membership per target table.
+    var out = newRows
+    ls.descendent.toSeq.sorted.foreach { f =>
+      val refTo = fm(f).referenceTo
+      val marker = s"__in_$f"
+      if (refTo.size == 1) {
+        out = withMembership(out, col(f), refTo.head, marker)
+      } else {
+        // Polymorphic: membership = present in the prefix-matched target.
+        var m = out.withColumn(marker, lit(false))
+        refTo.filter(t2 => orderIdx.contains(t2) && catalog(t2).keyPrefix.nonEmpty)
+          .foreach { target =>
+            val tm = s"${marker}_${target}"
+            m = withMembership(m, col(f), target, tm)
+              .withColumn(marker,
+                when(substring(col(f).cast("string"), 1, 3) === catalog(target).keyPrefix,
+                  col(tm)).otherwise(col(marker)))
+              .drop(tm)
+          }
+        out = m
+      }
+      val missing = col(f).isNotNull && !col(marker)
+      step.outsideBehavior(f) match {
+        case OutsideLookupBehavior.Include => ()
+        case OutsideLookupBehavior.DropField =>
+          out = out.withColumn(f, when(missing, lit(null)).otherwise(col(f)))
+        case OutsideLookupBehavior.Error =>
+          val bad = out.where(missing).select(col(idf).cast("string"), col(f).cast("string"))
+            .limit(20).collect()
+          bad.foreach { r =>
+            errBuf(t) += s"$t ${r.getString(0)} has an outside reference in field $f " +
+              s"(${r.getString(1)}), which is not allowed by the extraction configuration."
+          }
+      }
+      out = out.drop(marker)
+    }
+    out = out.localCheckpoint(true)
+
+    // Fold into accumulators — amaxa ExtractOperation.store_result:600-619.
+    extractedRows(t) = extractedRows.get(t) match {
+      case Some(acc) => acc.unionByName(out)
+      case None => out
+    }
+    val outIds = idsOf(out, t).localCheckpoint(true)
+    extractedIds(t) = (extractedIds.get(t) match {
+      case Some(acc) => acc.unionByName(outIds).distinct()
+      case None => outIds
+    }).localCheckpoint(true)
+    requiredIds.get(t).foreach { r =>
+      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").localCheckpoint(true)
+    }
+  }
+
+  /** Reference resolve_registered_dependencies (amaxa/amaxa.py:805-818). */
+  private def resolveRegisteredDependencies(step: ExtractStep, ls: LookupSets): Unit = {
+    val t = step.sobject
+    val pre = getRequiredIds(t).localCheckpoint(true)
+    if (pre.isEmpty) return
+    val idf = catalog(t).idField
+    val fetch = scanScoped(step)
+      .join(pre, col(idf).cast("string") === col("__id"), "left_semi")
+    storeResult(step, ls, fetch)
+    val missing = pre.join(getExtractedIds(t), Seq("__id"), "left_anti")
+      .limit(21).collect().map(_.getString(0))
+    if (missing.nonEmpty)
+      errBuf(t) += s"Unable to resolve dependencies for sObject $t. The " +
+        s"following Ids could not be found: ${missing.take(20).mkString(", ")}"
+  }
+
+  /** Reference perform_lookup_pass (amaxa/amaxa.py:837-844): children whose
+    * FK lands in the extracted-id set of any referent table.
+    */
+  private def performLookupPass(step: ExtractStep, ls: LookupSets, field: String): Unit = {
+    val t = step.sobject
+    val parents = catalog(t).fieldMap(field).referenceTo
+      .filter(extractedIds.contains)
+      .map(getExtractedIds)
+      .reduceOption(_ unionByName _)
+      .map(_.distinct())
+    parents.foreach { p =>
+      val rows = scanScoped(step)
+        .join(p, col(field).cast("string") === col("__id"), "left_semi")
+      storeResult(step, ls, rows)
+    }
+  }
+
+  /** Run all steps in order; stop at the first step with errors (reference
+    * ExtractOperation.execute, amaxa/amaxa.py:545-567). Returns 0 on
+    * success, -1 on error.
+    */
+  def execute(): Int = {
+    steps.foreach { step =>
+      val t = step.sobject
+      val ls = catalog.classifyLookups(order, t, step.fieldScope)
+
+      step.scope match {
+        case ExtractionScope.AllRecords =>
+          storeResult(step, ls, scanScoped(step))
+        case ExtractionScope.Query(where) =>
+          storeResult(step, ls, scanScoped(step).filter(expr(where)))
+        case ExtractionScope.Descendents =>
+          ls.descendent.toSeq.sorted.foreach(f => performLookupPass(step, ls, f))
+        case ExtractionScope.SelectedRecords(ids) =>
+          val sp = spark; import sp.implicits._
+          val sch = catalog(t)
+          val idDf =
+            if (sch.salesforceIds) ids.map(graft.core.SalesforceId.canonicalize).toDF("__id")
+            else ids.toDF("__id")
+          addDependency(t, idDf)
+      }
+
+      resolveRegisteredDependencies(step, ls)
+
+      // Self-lookup fixpoint — amaxa/amaxa.py:696-726.
+      if (ls.self.nonEmpty &&
+          step.selfLookupBehavior == SelfLookupBehavior.TraceAll &&
+          step.scope != ExtractionScope.AllRecords) {
+        var before = getExtractedIds(t).count()
+        var stable = false
+        while (!stable) {
+          ls.self.toSeq.sorted.foreach(f => performLookupPass(step, ls, f))
+          resolveRegisteredDependencies(step, ls)
+          val after = getExtractedIds(t).count()
+          stable = after == before
+          before = after
+        }
+      }
+
+      if (errBuf(t).nonEmpty) return -1
+    }
+    0
+  }
+
+  /** Extracted rows with the reference CSV sink's column contract: id
+    * first, remaining columns sorted (loader/extract_operation.py:139-145),
+    * after applying the table's DataMapper renames/transforms.
+    */
+  def result(table: String, mapper: Option[DataMapper] = None): DataFrame = {
+    val sch = catalog(table)
+    val df0 = extractedRows.getOrElse(table,
+      throw new NoSuchElementException(s"no rows extracted for $table"))
+    val df = mapper match {
+      case Some(m) =>
+        val fm = sch.fieldMap
+        val cols = df0.columns.toSeq.map { f =>
+          val chain = m.fieldTransforms.get(f)
+            .map(sp => graft.core.Transforms.chain(sp,
+              graft.core.FieldContext(f, fm.get(f).map(_.soapType).getOrElse("xsd:string"))))
+            .getOrElse(identity[Column] _)
+          chain(col(f)).as(m.transformKey(f))
+        }
+        df0.select(cols: _*)
+      case None => df0
+    }
+    val idOut = mapper.map(_.transformKey(sch.idField)).getOrElse(sch.idField)
+    val ordered = idOut +: df.columns.filterNot(_ == idOut).sorted.toSeq
+    df.select(ordered.map(col): _*)
+  }
+
+  def writeCsv(table: String, path: String, mapper: Option[DataMapper] = None): Unit =
+    result(table, mapper).write.mode("overwrite").option("header", true).csv(path)
+}

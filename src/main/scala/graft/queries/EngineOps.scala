@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core._
+import graft.operators._
+import graft.sources.InMemoryTableStore
+
+/** Queries that run the actual extract/load ENGINE (not hand-built
+  * DataFrames) over TPC-H-shaped adapters, with plain-SQL oracles — the
+  * driver's DuckDB gate thereby checks the engine's traversal, fixpoint,
+  * and remap semantics end-to-end (SURVEY O1–O3, J1–J3, O2).
+  */
+object EngineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H tables viewed as an sObject graph: FK columns become reference
+    * fields (TESTDATA.md / FIXTURES.md §B mapping).
+    */
+  private val tpchCatalog = new Catalog(Seq(
+    TableSchema("orders", Seq(
+      FieldMeta("o_orderkey", "id", "tns:ID"),
+      FieldMeta("o_custkey", "reference", "tns:ID", Seq("customer")),
+      FieldMeta("o_orderstatus", "string", "xsd:string"),
+      FieldMeta("o_orderpriority", "string", "xsd:string"),
+      FieldMeta("o_totalprice", "double", "xsd:double")),
+      keyPrefix = "00o", idField = "o_orderkey"),
+    TableSchema("lineitem", Seq(
+      FieldMeta("l_id", "id", "tns:ID"),
+      FieldMeta("l_orderkey", "reference", "tns:ID", Seq("orders")),
+      FieldMeta("l_linenumber", "int", "xsd:int"),
+      FieldMeta("l_quantity", "double", "xsd:double")),
+      keyPrefix = "00l", idField = "l_id"),
+    TableSchema("customer", Seq(
+      FieldMeta("c_custkey", "id", "tns:ID"),
+      FieldMeta("c_name", "string", "xsd:string"),
+      FieldMeta("c_mktsegment", "string", "xsd:string"),
+      FieldMeta("c_nationkey", "reference", "tns:ID", Seq("nation"))),
+      keyPrefix = "003", idField = "c_custkey"),
+    TableSchema("nation", Seq(
+      FieldMeta("n_nationkey", "id", "tns:ID"),
+      FieldMeta("n_name", "string", "xsd:string"),
+      FieldMeta("n_regionkey", "reference", "tns:ID", Seq("region"))),
+      keyPrefix = "00n", idField = "n_nationkey"),
+    TableSchema("region", Seq(
+      FieldMeta("r_regionkey", "id", "tns:ID"),
+      FieldMeta("r_name", "string", "xsd:string")),
+      keyPrefix = "00r", idField = "r_regionkey"),
+    TableSchema("node", Seq(
+      FieldMeta("Id", "id", "tns:ID"),
+      FieldMeta("ParentId", "reference", "tns:ID", Seq("node"))),
+      keyPrefix = "00x", idField = "Id"),
+  ))
+
+  private def tpchStore(s: SparkSession, d: String): InMemoryTableStore = {
+    val st = new InMemoryTableStore(s, tpchCatalog.byName)
+    st.register("orders", Tables.orders(s, d))
+    st.register("lineitem", Tables.lineitem(s, d)
+      .withColumn("l_id", expr("l_orderkey * 10 + l_linenumber")))
+    st.register("customer", Tables.customer(s, d))
+    st.register("nation", Tables.nation(s, d))
+    st.register("region", Tables.region(s, d))
+    st
+  }
+
+  /** Self-FK forest derived from order keys: parent = key div 8, kept only
+    * when the parent row exists and key % 5 != 0 (deliberate link breaks →
+    * nontrivial components, bounded depth).
+    */
+  private def nodeTable(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("Id"))
+    val keys = o.select(col("Id").as("__k"))
+    o.withColumn("__p", expr("Id div 8"))
+      .join(keys, col("__p") === col("__k"), "left")
+      .select(col("Id"),
+        when(col("__k").isNotNull && !(col("Id") % 5 === 0) && col("__p") =!= col("Id"),
+          col("__p")).as("ParentId"))
+  }
+
+  /** Multi-step extraction through the engine: seed orders by predicate,
+    * lineitem descendents (J1), then the dependent chain
+    * orders→customer→nation→region (J2, three levels). Output: every
+    * (table, id) the engine extracted.
+    */
+  private val xTraversal: Q = (s, d) => {
+    val op = new ExtractOperation(tpchStore(s, d), tpchCatalog, Seq(
+      ExtractStep("orders", ExtractionScope.Query("o_totalprice > 200000.0"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+      ExtractStep("lineitem", ExtractionScope.Descendents,
+        Seq("l_id", "l_orderkey", "l_quantity")),
+      ExtractStep("customer", ExtractionScope.Descendents,
+        Seq("c_custkey", "c_name", "c_nationkey")),
+      ExtractStep("nation", ExtractionScope.Descendents,
+        Seq("n_nationkey", "n_name", "n_regionkey")),
+      ExtractStep("region", ExtractionScope.Descendents,
+        Seq("r_regionkey", "r_name"))))
+    require(op.execute() == 0, s"extract failed: ${op.errors}")
+    Seq("orders", "lineitem", "customer", "nation", "region").map { t =>
+      op.getExtractedIds(t).select(lit(t).as("tbl"), col("__id").as("id"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Self-lookup fixpoint (O2) on the derived node forest: seeds are
+    * Id % 1000 == 1; the engine alternates child passes and parent
+    * resolution until stable. Oracle: undirected reachability via
+    * WITH RECURSIVE.
+    */
+  private val xFixpoint: Q = (s, d) => {
+    val st = new InMemoryTableStore(s, tpchCatalog.byName)
+    st.register("node", nodeTable(s, d))
+    val op = new ExtractOperation(st, tpchCatalog, Seq(
+      ExtractStep("node", ExtractionScope.Query("Id % 1000 = 1"), Seq("Id", "ParentId"))))
+    require(op.execute() == 0, s"extract failed: ${op.errors}")
+    op.getExtractedIds("node").select(col("__id").as("id"))
+  }
+
+  /** Two-table load through the engine (O3/J3): customers insert first,
+    * then orders with o_custkey remapped to the synthesized new customer
+    * ids. Oracle recomputes the deterministic sha256-based id synthesis.
+    */
+  private val xLoadRemap: Q = (s, d) => {
+    val target = new InMemoryTableStore(s, tpchCatalog.byName)
+    val op = new LoadOperation(target, tpchCatalog, Seq(
+      LoadStepSpec("customer", Seq("c_custkey", "c_name", "c_mktsegment")),
+      LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+      // Ids must be globally unique across tables (the id map is global,
+      // like Salesforce ids are) — prefix the numeric TPC-H keys.
+      Map(
+        "customer" -> Tables.customer(s, d).select(
+          concat(lit("c"), col("c_custkey")).as("c_custkey"), col("c_name"), col("c_mktsegment")),
+        "orders" -> Tables.orders(s, d).select(
+          concat(lit("o"), col("o_orderkey")).as("o_orderkey"),
+          concat(lit("c"), col("o_custkey")).as("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))))
+    require(op.execute() == 0, s"load failed")
+    target.scan("orders")
+      .select(col("o_orderkey").as("new_order_id"), col("o_custkey").as("new_cust_id"),
+        col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_engine_traversal" -> xTraversal,
+    "x_engine_fixpoint" -> xFixpoint,
+    "x_engine_load_remap" -> xLoadRemap,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_engine_traversal" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0),
+        |l AS (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS l_id FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+        |c AS (SELECT c_custkey, c_nationkey FROM customer
+        |      WHERE c_custkey IN (SELECT o_custkey FROM o)),
+        |n AS (SELECT n_nationkey, n_regionkey FROM nation
+        |      WHERE n_nationkey IN (SELECT c_nationkey FROM c)),
+        |r AS (SELECT r_regionkey FROM region
+        |      WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+        |SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS id FROM o
+        |UNION ALL SELECT 'lineitem', CAST(l_id AS VARCHAR) FROM l
+        |UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
+        |UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+        |UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r""".stripMargin,
+    "x_engine_fixpoint" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT o.o_orderkey AS child, o.o_orderkey // 8 AS parent
+        |  FROM orders o
+        |  WHERE o.o_orderkey % 5 <> 0 AND o.o_orderkey // 8 <> o.o_orderkey
+        |    AND EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = o.o_orderkey // 8)
+        |), comp AS (
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 1000 = 1
+        |  UNION
+        |  SELECT CASE WHEN e.child = c.id THEN e.parent ELSE e.child END AS id
+        |  FROM comp c JOIN edges e ON c.id = e.child OR c.id = e.parent
+        |)
+        |SELECT CAST(id AS VARCHAR) AS id FROM comp""".stripMargin,
+    "x_engine_load_remap" ->
+      """SELECT '00o' || substr(sha256('orders' || 'o' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS new_order_id,
+        |       '003' || substr(sha256('customer' || 'c' || CAST(o_custkey AS VARCHAR)), 1, 15) AS new_cust_id,
+        |       o_orderstatus, o_orderpriority
+        |FROM orders""".stripMargin,
+  )
+}

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.operators._
+import graft.sources.InMemoryTableStore
+
+/** Scenario fixtures mirror the reference's integration tests
+  * (/root/reference/test/test_org/test_integration.py:59-303), re-run
+  * against the in-memory store.
+  */
+object Fixture {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  val catalog = new Catalog(Seq(
+    TableSchema("Account", Seq(
+      FieldMeta("Id", "id", "tns:ID"),
+      FieldMeta("Name", "string", "xsd:string"),
+      FieldMeta("ParentId", "reference", "tns:ID", Seq("Account"))),
+      keyPrefix = "001", salesforceIds = true),
+    TableSchema("Contact", Seq(
+      FieldMeta("Id", "id", "tns:ID"),
+      FieldMeta("LastName", "string", "xsd:string"),
+      FieldMeta("IsEmailBounced", "boolean", "xsd:boolean"),
+      FieldMeta("AccountId", "reference", "tns:ID", Seq("Account")),
+      FieldMeta("ReportsToId", "reference", "tns:ID", Seq("Contact"))),
+      keyPrefix = "003", salesforceIds = true),
+    TableSchema("Task", Seq(
+      FieldMeta("Id", "id", "tns:ID"),
+      FieldMeta("Subject", "string", "xsd:string"),
+      FieldMeta("WhatId", "reference", "tns:ID", Seq("Account", "Opportunity"))),
+      keyPrefix = "00T", salesforceIds = true),
+    TableSchema("Opportunity", Seq(
+      FieldMeta("Id", "id", "tns:ID"),
+      FieldMeta("Name", "string", "xsd:string"),
+      FieldMeta("AccountId", "reference", "tns:ID", Seq("Account"))),
+      keyPrefix = "006", salesforceIds = true),
+  ))
+
+  def acct(n: Int): String = f"001000000000$n%03dAAA"
+  def cont(n: Int): String = f"003000000000$n%03dAAA"
+  def task(n: Int): String = f"00T000000000$n%03dAAA"
+  def oppy(n: Int): String = f"006000000000$n%03dAAA"
+
+  /** Account tree: 1 ← 2 ← 3 (parent chain), 3 ← 4, and 5 standalone. */
+  def accounts: DataFrame = Seq(
+    (acct(1), "Root", null.asInstanceOf[String]),
+    (acct(2), "Mid", acct(1)),
+    (acct(3), "Caprica Cosmetics", acct(2)),
+    (acct(4), "Leaf", acct(3)),
+    (acct(5), "Unrelated", null.asInstanceOf[String]),
+  ).toDF("Id", "Name", "ParentId")
+
+  def contacts: DataFrame = Seq(
+    (cont(1), "Adama", "false", acct(3), null.asInstanceOf[String]),
+    (cont(2), "Roslin", "true", acct(3), cont(1)),
+    (cont(3), "Baltar", "false", acct(5), null.asInstanceOf[String]),
+    (cont(4), "Tigh", "false", null.asInstanceOf[String], cont(1)),
+  ).toDF("Id", "LastName", "IsEmailBounced", "AccountId", "ReportsToId")
+
+  def tasks: DataFrame = Seq(
+    (task(1), "Call about Account", acct(3)),
+    (task(2), "Oppy follow-up", oppy(1)),
+    (task(3), "Unrelated acct task", acct(5)),
+  ).toDF("Id", "Subject", "WhatId")
+
+  def oppys: DataFrame = Seq(
+    (oppy(1), "Big Deal", acct(3)),
+    (oppy(2), "Other Deal", acct(5)),
+  ).toDF("Id", "Name", "AccountId")
+
+  def store(tables: (String, DataFrame)*): InMemoryTableStore = {
+    val st = new InMemoryTableStore(spark, catalog.byName)
+    tables.foreach { case (n, df) => st.register(n, df) }
+    st
+  }
+}
+
+class ExtractEngineSpec extends AnyFunSuite {
+  import Fixture._
+  lazy val spark = SparkTestBase.spark
+
+  def ids(df: DataFrame): Set[String] =
+    df.select("Id").collect().map(_.getString(0)).toSet
+
+  test("self-lookup fixpoint traces the whole connected tree (integration.py:59-90)") {
+    val op = new ExtractOperation(store("Account" -> accounts), catalog, Seq(
+      ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+        Seq("Id", "Name", "ParentId"))))
+    assert(op.execute() == 0)
+    assert(ids(op.result("Account")) == Set(acct(1), acct(2), acct(3), acct(4)))
+  }
+
+  test("trace-none stops at the seed") {
+    val op = new ExtractOperation(store("Account" -> accounts), catalog, Seq(
+      ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+        Seq("Id", "Name", "ParentId"),
+        selfLookupBehavior = SelfLookupBehavior.TraceNone)))
+    assert(op.execute() == 0)
+    assert(ids(op.result("Account")) == Set(acct(3)))
+  }
+
+  test("descendents pass pulls children of extracted parents (integration.py:92-128)") {
+    val op = new ExtractOperation(
+      store("Account" -> accounts, "Contact" -> contacts), catalog, Seq(
+        ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+          Seq("Id", "Name", "ParentId"),
+          selfLookupBehavior = SelfLookupBehavior.TraceNone),
+        ExtractStep("Contact", ExtractionScope.Descendents,
+          Seq("Id", "LastName", "AccountId", "ReportsToId"))))
+    assert(op.execute() == 0)
+    // Contacts of acct3 plus the self-lookup fixpoint pulling Tigh's manager
+    // chain: cont1, cont2 (children of acct3); cont4 reports to cont1 →
+    // pulled only if a *child* pass runs on ReportsToId: cont4's ReportsToId
+    // = cont1 which IS extracted → child pass finds cont4.
+    assert(ids(op.result("Contact")) == Set(cont(1), cont(2), cont(4)))
+  }
+
+  test("dependent lookups register parents extracted later (integration.py:130-175)") {
+    val op = new ExtractOperation(
+      store("Account" -> accounts, "Contact" -> contacts), catalog, Seq(
+        ExtractStep("Contact", ExtractionScope.Query("LastName = 'Baltar'"),
+          Seq("Id", "LastName", "AccountId")),
+        ExtractStep("Account", ExtractionScope.Descendents,
+          Seq("Id", "Name", "ParentId"),
+          selfLookupBehavior = SelfLookupBehavior.TraceNone)))
+    assert(op.execute() == 0)
+    assert(ids(op.result("Contact")) == Set(cont(3)))
+    // Baltar's account (acct5) resolved as a dependency.
+    assert(ids(op.result("Account")) == Set(acct(5)))
+  }
+
+  test("missing dependency is an error (amaxa:805-818)") {
+    val contactsBadFk = {
+      import spark.implicits._
+      Seq((cont(9), "Ghost", "001000000000999AAA"))
+        .toDF("Id", "LastName", "AccountId")
+    }
+    val op = new ExtractOperation(
+      store("Account" -> accounts, "Contact" -> contactsBadFk), catalog, Seq(
+        ExtractStep("Contact", ExtractionScope.AllRecords, Seq("Id", "LastName", "AccountId")),
+        ExtractStep("Account", ExtractionScope.Descendents, Seq("Id", "Name", "ParentId"),
+          selfLookupBehavior = SelfLookupBehavior.TraceNone)))
+    assert(op.execute() == -1)
+    assert(op.errors("Account").exists(_.contains("Unable to resolve dependencies")))
+  }
+
+  test("outside reference: drop-field nulls the FK (references.rst:29-45)") {
+    val op = new ExtractOperation(
+      store("Account" -> accounts, "Contact" -> contacts), catalog, Seq(
+        ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+          Seq("Id", "Name", "ParentId"),
+          selfLookupBehavior = SelfLookupBehavior.TraceNone),
+        ExtractStep("Contact", ExtractionScope.Query("LastName = 'Baltar'"),
+          Seq("Id", "LastName", "AccountId"),
+          outsideLookupBehavior = OutsideLookupBehavior.DropField)))
+    assert(op.execute() == 0)
+    val row = op.result("Contact").collect().head
+    assert(row.getAs[String]("AccountId") == null) // acct5 not extracted → dropped
+  }
+
+  test("outside reference: error behavior fails the step") {
+    val op = new ExtractOperation(
+      store("Account" -> accounts, "Contact" -> contacts), catalog, Seq(
+        ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+          Seq("Id", "Name", "ParentId"),
+          selfLookupBehavior = SelfLookupBehavior.TraceNone),
+        ExtractStep("Contact", ExtractionScope.Query("LastName = 'Baltar'"),
+          Seq("Id", "LastName", "AccountId"),
+          outsideLookupBehavior = OutsideLookupBehavior.Error)))
+    assert(op.execute() == -1)
+    assert(op.errors("Contact").exists(_.contains("outside reference")))
+  }
+
+  test("polymorphic dependent lookup routes by key prefix (integration.py:177-203)") {
+    val op = new ExtractOperation(
+      store("Account" -> accounts, "Task" -> tasks, "Opportunity" -> oppys),
+      catalog, Seq(
+        ExtractStep("Task", ExtractionScope.Query("Subject = 'Oppy follow-up'"),
+          Seq("Id", "Subject", "WhatId")),
+        ExtractStep("Opportunity", ExtractionScope.Descendents,
+          Seq("Id", "Name", "AccountId"),
+          outsideLookupBehavior = OutsideLookupBehavior.DropField)))
+    assert(op.execute() == 0)
+    assert(ids(op.result("Task")) == Set(task(2)))
+    // WhatId = oppy1 routed to Opportunity (prefix 006) and resolved.
+    assert(ids(op.result("Opportunity")) == Set(oppy(1)))
+  }
+
+  test("extract output honors the Id-first-sorted column contract (S5)") {
+    val op = new ExtractOperation(store("Account" -> accounts), catalog, Seq(
+      ExtractStep("Account", ExtractionScope.AllRecords, Seq("Id", "Name", "ParentId"))))
+    assert(op.execute() == 0)
+    assert(op.result("Account").columns.toSeq == Seq("Id", "Name", "ParentId"))
+  }
+
+  test("15-char ids canonicalize to 18 at ingest (T7)") {
+    import spark.implicits._
+    val accts15 = Seq(("001000000000001", "A", null.asInstanceOf[String]))
+      .toDF("Id", "Name", "ParentId")
+    val op = new ExtractOperation(store("Account" -> accts15), catalog, Seq(
+      ExtractStep("Account", ExtractionScope.AllRecords, Seq("Id", "Name", "ParentId"))))
+    assert(op.execute() == 0)
+    val out = ids(op.result("Account"))
+    assert(out.head.length == 18 && out.head.startsWith("001000000000001"))
+  }
+}
