@@ -14,15 +14,28 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.EngineOps.queries
+      graft.queries.EngineOps.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.DedupOps.queries ++
+      graft.queries.SimilarityOps.queries ++
+      graft.queries.EventOps.queries ++
+      graft.queries.MultimodalOps.queries
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.EngineOps.oracle
+      graft.queries.EngineOps.oracle ++
+      graft.queries.TextOps.oracle ++
+      graft.queries.DedupOps.oracle ++
+      graft.queries.SimilarityOps.oracle ++
+      graft.queries.EventOps.oracle ++
+      graft.queries.MultimodalOps.oracle
 
   /** Queries whose semantics are not expressible in DuckDB SQL (custom
     * hashing etc.) — they get the driver's weaker rows-only check, and
     * value-level coverage lives in the ScalaTest suites instead. */
-  def rowsOnlyQueries: Set[String] = Set.empty
+  def rowsOnlyQueries: Set[String] =
+    graft.queries.TextOps.rowsOnly ++
+      graft.queries.DedupOps.rowsOnly ++
+      graft.queries.SimilarityOps.rowsOnly
 }

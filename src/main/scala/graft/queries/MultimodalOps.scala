@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Opaque binary payload with typed feature row (multimodal column model:
+  * binary content + typed metadata).
+  */
+final case class MmFeature(
+    doc_id: Long,
+    n_bytes: Int,
+    sha256: String,
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Multimodal-column plumbing: treat content as an opaque `binary` column
+  * and run per-partition batch feature extraction over it with a typed
+  * Dataset pipeline (the Scala analogue of mapInPandas: one iterator per
+  * partition, streaming, no driver involvement).
+  *
+  * The DECODE step is a STUB — image/audio codecs are not in this
+  * container — producing deterministic pseudo-dimensions from the byte
+  * length. The Spark-side plumbing (binary column, partition-batched
+  * iteration, typed schema out, content hashing) is real and
+  * oracle-checked via sha256/octet_length arithmetic.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** STUB decoder: deterministic fake dimensions/format from byte length.
+    * A real deployment swaps this body for an actual codec call; the
+    * signature (bytes in, typed feature out) and the partition-batched
+    * execution shape are what matter.
+    */
+  def decodeStub(docId: Long, payload: Array[Byte]): MmFeature = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val n = payload.length
+    MmFeature(
+      doc_id = docId,
+      n_bytes = n,
+      sha256 = hex,
+      width = 64 + n % 512,
+      height = 64 + (n * 7) % 512,
+      format = (n % 3) match { case 0 => "rgb"; case 1 => "rgba"; case _ => "gray" })
+  }
+
+  /** Binary payloads → per-partition feature extraction → typed rows. */
+  private val features: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+  }
+
+  val queries: Map[String, Q] = Map("mm_features" -> features)
+
+  val oracle: Map[String, String] = Map(
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  CAST(64 + octet_length(text::BLOB) % 512 AS INT) AS width,
+        |  CAST(64 + (octet_length(text::BLOB) * 7) % 512 AS INT) AS height,
+        |  CASE octet_length(text::BLOB) % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'gray' END AS format
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * - Brute-force cosine top-k: the correctness baseline; one broadcast of
+  *   the query vector, a single scan, and a distributed top-k
+  *   (orderBy+limit → TakeOrderedAndProject — no full sort at scale).
+  * - IVF: the 100 TB scale path — coarse quantization into label-derived
+  *   centroids, probe the nprobe nearest cells, search only those
+  *   partitions. At scale the cells become partition keys (partition
+  *   pruning on the probe set); the structure here is the real one.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def vDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Ordered-fold cosine(a, b) — bit-reproducible in DuckDB list_reduce. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-10 cosine neighbors of vec_id 0 (excluded itself). */
+  private val bruteForce: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineCol(col("v"), col("qv")))
+      .select(col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF centroids: per-label mean vector (deterministic coarse quantizer
+    * standing in for k-means; same shape: nlist cells, assign → probe).
+    */
+  def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+
+  /** IVF top-k: probe the 3 nearest centroids, brute-force inside cells. */
+  private val ivf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val cent = centroids(e).localCheckpoint(true)
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).localCheckpoint(true)
+    val probes = cent.crossJoin(broadcast(q))
+      .withColumn("csim", cosineCol(col("centroid"), col("qv")))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(3)
+      .select(col("label"))
+    e.where(col("vec_id") =!= 0)
+      .join(broadcast(probes), Seq("label"), "left_semi") // partition pruning at scale
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineCol(col("v"), col("qv")))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_brute_topk" -> bruteForce,
+    "ann_ivf_topk" -> ivf,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_reduce(list_transform(generate_series(1, len(e.v)),
+        |      i -> e.v[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.v)),
+        |        i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)]), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |        i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), (x, y) -> x + y))) AS cosine
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+  )
+
+  /** IVF centroid averages are not order-reproducible across engines →
+    * rows-only; recall vs brute force is asserted in SimilaritySpec. */
+  val rowsOnly: Set[String] = Set("ann_ivf_topk")
+}

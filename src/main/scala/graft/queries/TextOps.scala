@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID,
+  * fingerprinting, exact dedup. Everything is built from codegen'd
+  * built-ins (split/replace/regexp/md5) — no UDFs — and every query has a
+  * DuckDB oracle with exact-integer or bit-identical arithmetic.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token count: whitespace split of trimmed text. */
+  private val tokens: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+
+  private val StopWords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Quality signals: length, token count, punctuation count, stopword
+    * count/ratio, mean token length — the usual pre-training filters.
+    */
+  private val quality: Q = (s, d) => {
+    val toks = split(trim(col("text")), "\\s+")
+    val stopCnt = size(filter(toks, t => t.isin(StopWords: _*)))
+    val nToks = size(toks)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      nToks.as("n_tokens"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).as("punct_cnt"),
+      stopCnt.as("stop_cnt"),
+      (stopCnt.cast("double") / nToks.cast("double")).as("stop_ratio"))
+  }
+
+  /** Keyword lists for the n-gram/stopword language heuristic. */
+  private val LangKeywords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  /** Occurrences of `kw` via the replace-length trick (identical
+    * non-overlapping-scan semantics in Spark and DuckDB). */
+  private def kwCount(padded: Column, kw: String): Column =
+    ((length(padded) - length(replace(padded, lit(kw), lit("")))) / lit(kw.length))
+      .cast("long")
+
+  /** Language-ID heuristic: stopword occurrence score per language,
+    * argmax with fixed tie order, 'und' when no evidence.
+    */
+  private val langid: Q = (s, d) => {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = LangKeywords.map { case (lang, kws) =>
+      lang -> kws.map(kwCount(padded, _)).reduce(_ + _)
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val pred = when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      en.as("score_en"), es.as("score_es"), de.as("score_de"), fr.as("score_fr"),
+      pred.as("lang_pred"))
+  }
+
+  /** Normalized content fingerprint: lowercase → strip non-alnum →
+    * collapse whitespace → md5. The dedup key for near-identical docs
+    * differing only in case/punctuation/spacing.
+    */
+  private def fingerprintCol: Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+
+  private val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      fingerprintCol.as("fingerprint"))
+
+  /** Custom codegen'd rolling-hash fingerprint (no SQL equivalent →
+    * rows-only check; golden values in ExpressionsSpec). */
+  private val rollingHash: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      GraftFunctions.rolling_hash64(col("text")).as("rolling_hash"))
+
+  /** Exact dedup by content hash: keep min doc_id per group (hash-groupBy;
+    * map-side partial aggregation, one shuffle on the hash).
+    */
+  private val exactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dupes"))
+
+  val queries: Map[String, Q] = Map(
+    "tx_tokens" -> tokens,
+    "tx_quality" -> quality,
+    "tx_langid" -> langid,
+    "tx_fingerprint" -> fingerprint,
+    "tx_rolling_hash" -> rollingHash,
+    "d1_exact_dedup" -> exactDedup,
+  )
+
+  private val fingerprintSql =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
+  private def kwCountSql(kw: String): String =
+    s"CAST((length(p) - length(replace(p, '$kw', ''))) // ${kw.length} AS BIGINT)"
+
+  private val langScoreSqls: Seq[(String, String)] = LangKeywords.map {
+    case (lang, kws) => lang -> kws.map(kwCountSql).mkString(" + ")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "tx_tokens" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "tx_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS INT) AS len,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS punct_cnt,
+         |  CAST(len(list_filter(toks, x -> x IN (${StopWords.map("'" + _ + "'").mkString(",")}))) AS INT) AS stop_cnt,
+         |  CAST(len(list_filter(toks, x -> x IN (${StopWords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stop_ratio
+         |FROM t""".stripMargin,
+    "tx_langid" -> {
+      val scores = langScoreSqls.map { case (l, sql) => s"($sql) AS score_$l" }.mkString(",\n  ")
+      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+        |sc AS (SELECT doc_id,
+        |  SCORES
+        |FROM s)
+        |SELECT doc_id, score_en, score_es, score_de, score_fr,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin.replace("SCORES", scores)
+    },
+    "tx_fingerprint" ->
+      s"SELECT doc_id, $fingerprintSql AS fingerprint FROM documents",
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+  )
+
+  val rowsOnly: Set[String] = Set("tx_rolling_hash")
+}

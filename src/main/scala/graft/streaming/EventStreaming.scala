@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured-Streaming surface of the event operators: the same window
+  * primitives as graft.queries.EventOps, driven from `readStream` with
+  * watermarks, plus custom session state via flatMapGroupsWithState.
+  * Batch/stream parity is asserted in EventStreamingSpec.
+  */
+object EventStreaming {
+
+  /** Parquet file-stream over a directory holding the NORMALIZED events
+    * table (write `graft.Tables.events(...)` out first — the raw testdata
+    * file has nanos timestamps and other tables beside it).
+    */
+  def eventStream(spark: SparkSession, eventsDir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(eventsDir)
+
+  /** Watermarked tumbling-window aggregation (append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Watermarked session windows per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+
+  final case class UserAgg(user_id: Long, n: Long, total_cents: Long)
+
+  /** Custom running state per user via flatMapGroupsWithState — the
+    * mapGroupsWithState surface for state Spark's windows can't express.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").as("user"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0L))
+          var n = prev.n; var total = prev.total_cents
+          rows.foreach { case (_, c) => n += 1; total += c }
+          val next = UserAgg(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame through a memory sink to completion. */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

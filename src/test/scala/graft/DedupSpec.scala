@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupOps
+
+/** Value-level coverage for the hash-based dedup operators whose oracle is
+  * rows-only (custom hashing has no DuckDB equivalent).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("minhash signature: identical docs → identical signatures") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely different content with other words entirely here now")
+    val sigs = DedupOps.minhashSignatures(d)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == DedupOps.NumPerms)
+  }
+
+  test("minhash estimates jaccard: near-dup docs share most signature slots") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " changed words"
+    val d = docs(1L -> base, 2L -> nearDup)
+    val sigs = DedupOps.minhashSignatures(d)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    // true 3-gram jaccard ≈ 0.85+ → expect most of 32 slots to agree
+    assert(agree >= DedupOps.NumPerms / 2, s"only $agree/32 slots agree")
+  }
+
+  test("simhash: identical docs → distance 0; distinct docs → large distance") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten")
+    val sh = DedupOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 10)
+  }
+
+  test("simhash of one changed token moves few bits") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val tweaked = base.replace("word30", "different")
+    val d = docs(1L -> base, 2L -> tweaked)
+    val sh = DedupOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 16)
+  }
+
+  test("LSH candidate generation finds planted near-duplicates end-to-end") {
+    // Plant an exact dup pair + a near-dup pair among noise docs.
+    val noise = (10 to 40).map(i =>
+      (i.toLong, (1 to 30).map(j => s"n${i}_$j").mkString(" ")))
+    val planted = Seq(
+      (1L, "shared tokens one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "shared tokens one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "shared tokens one two three four five six seven eight nine ten eleven changed"))
+    val d = (planted ++ noise).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.queries.DedupOps.queries("d2_minhash_lsh")(spark, tmp)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a >= 10L && b >= 10L }) // no noise pairs
+  }
+}
