@@ -1,0 +1,147 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.OperationConfig
+import graft.core.Catalog
+import graft.operators._
+import graft.sources.FileTableStore
+
+/** CLI mirroring the reference's entry points (amaxa/__main__.py:18-47):
+  *
+  *   runMain graft.cli.Main <op.yml> --describe-dir D [--load]
+  *     [--data-dir D] [--out-dir D] [--state-dir S] [--use-state S]
+  *     [--check-only]
+  *
+  * Extract: read tables from --data-dir, write per-step CSVs (id-first
+  * column order) into --out-dir. Load: read step CSVs from --data-dir,
+  * load into the --out-dir store (parquet tables with synthesized ids),
+  * write `<sobject>-results.csv` (Original Id, New Id, Error) and save
+  * resumable state on failure. --check-only validates and exits
+  * (reference -k flag). Credentials/org auth have no local counterpart —
+  * the describe-dir + data-dir pair IS the org.
+  */
+object Main {
+  private val OriginalId = "Original Id" // reference constants.py:1-3
+  private val NewId = "New Id"
+  private val ErrorCol = "Error"
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int = {
+    if (args.isEmpty) { System.err.println("usage: graft <op.yml> [options]"); return 2 }
+    val opFile = args(0)
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val load = args.contains("--load")
+    val checkOnly = args.contains("--check-only")
+    val describeDir = opt("--describe-dir")
+    val dataDir = opt("--data-dir").getOrElse(".")
+    val outDir = opt("--out-dir").getOrElse(".")
+    val stateDir = opt("--state-dir").getOrElse(s"$outDir/_state")
+    val useState = opt("--use-state")
+
+    val yamlText =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(opFile)))
+      catch { case e: Exception => System.err.println(s"Cannot read $opFile: ${e.getMessage}"); return 2 }
+
+    val catalog = describeDir match {
+      case Some(d) => Catalog.fromDescribeDir(new java.io.File(d))
+      case None => System.err.println("--describe-dir is required"); return 2
+    }
+
+    OperationConfig.parse(yamlText) match {
+      case Left(errs) => errs.foreach(System.err.println); 1
+      case Right(cfg) =>
+        // Only stop the session if we created it (run() is also called
+        // in-process from an existing session).
+        val preexisting = SparkSession.getDefaultSession.isDefined
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try {
+          if (load) runLoad(spark, catalog, cfg, dataDir, outDir, stateDir, useState, checkOnly)
+          else runExtract(spark, catalog, cfg, dataDir, outDir, checkOnly)
+        } finally if (!preexisting) spark.stop()
+    }
+  }
+
+  def runExtract(spark: SparkSession, catalog: Catalog, cfg: OperationConfig,
+      dataDir: String, outDir: String, checkOnly: Boolean): Int = {
+    OperationConfig.toExtractSteps(catalog, cfg) match {
+      case Left(errs) => errs.foreach(System.err.println); 1
+      case Right(steps) =>
+        if (checkOnly) return 0
+        val store = new FileTableStore(spark, dataDir, catalog.byName)
+        val op = new ExtractOperation(store, catalog, steps)
+        val rc = op.execute()
+        op.errors.filter(_._2.nonEmpty).foreach { case (t, errs) =>
+          System.err.println(s"$t: errors took place during extraction:")
+          errs.foreach(e => System.err.println(s"  $e"))
+        }
+        if (rc != 0) return 1
+        new java.io.File(outDir).mkdirs()
+        cfg.steps.foreach { sc =>
+          op.writeCsv(sc.sobject, s"$outDir/${sc.fileName}",
+            OperationConfig.mapper(sc, load = false))
+        }
+        0
+    }
+  }
+
+  def runLoad(spark: SparkSession, catalog: Catalog, cfg: OperationConfig,
+      dataDir: String, outDir: String, stateDir: String,
+      useState: Option[String], checkOnly: Boolean): Int = {
+    OperationConfig.toLoadSteps(catalog, cfg) match {
+      case Left(errs) => errs.foreach(System.err.println); 1
+      case Right(steps) =>
+        val inputs: Map[String, DataFrame] = cfg.steps.map { sc =>
+          sc.sobject -> spark.read.option("header", true)
+            .option("inferSchema", false)
+            .csv(s"$dataDir/${sc.fileName}")
+        }.toMap
+        // Input column validation (reference load_operation.py:151-208).
+        val colErrs = cfg.steps.zip(steps).flatMap { case (sc, st) =>
+          OperationConfig.validateInputColumns(catalog, sc, st.fieldScope,
+            inputs(sc.sobject).columns.toSeq)
+        }
+        if (colErrs.nonEmpty) { colErrs.foreach(System.err.println); return 1 }
+        if (checkOnly) return 0
+
+        val mappers = cfg.steps.flatMap(sc =>
+          OperationConfig.mapper(sc, load = true).map(sc.sobject -> _)).toMap
+        val (initMap, initStage) = useState match {
+          case Some(s) =>
+            val (m, st) = LoadOperation.loadState(spark, s); (Some(m), st)
+          case None => (None, LoadStage.Inserts)
+        }
+        new java.io.File(outDir).mkdirs()
+        val store = new FileTableStore(spark, outDir, catalog.byName)
+        val op = new LoadOperation(store, catalog, steps, inputs, mappers,
+          initMap, initStage)
+        val rc = op.execute()
+        // Result files (reference S6): Original Id, New Id, Error.
+        cfg.steps.foreach { sc =>
+          op.results.get(sc.sobject).foreach { r =>
+            r.select(col("originalId").as(OriginalId), col("newId").as(NewId),
+              col("error").as(ErrorCol))
+              .write.mode("overwrite").option("header", true)
+              .csv(s"$outDir/${sc.resultFileName}")
+          }
+        }
+        if (rc != 0) {
+          op.saveState(stateDir) // resumable checkpoint (reference S7)
+          System.err.println(s"Load failed; state saved to $stateDir")
+          1
+        } else {
+          store.persist()
+          0
+        }
+    }
+  }
+}

@@ -1,0 +1,276 @@
+package graft.config
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.core.{Catalog, TransformSpec}
+import graft.operators._
+
+import scala.jdk.CollectionConverters._
+
+/** One field entry: bare name or {field, column, transforms, behaviors}
+  * (reference schemas.py fields schema).
+  */
+final case class FieldSpec(
+    field: String,
+    column: Option[String] = None,
+    transforms: Seq[String] = Nil,
+    selfLookupBehavior: Option[String] = None,
+    outsideLookupBehavior: Option[String] = None)
+
+/** One operation entry (extract or load step, reference schemas.py). */
+final case class StepConfig(
+    sobject: String,
+    fields: Option[Seq[FieldSpec]] = None,
+    fieldGroup: Option[String] = None,
+    extract: Option[(String, Any)] = None, // (all|descendents|query|ids, payload)
+    selfLookupBehavior: String = "trace-all",
+    outsideLookupBehavior: String = "include",
+    inputValidation: String = "default",
+    file: Option[String] = None,
+    resultFile: Option[String] = None) {
+  def fileName: String = file.getOrElse(sobject + ".csv")
+  def resultFileName: String = resultFile.getOrElse(sobject + "-results.csv")
+}
+
+final case class OperationConfig(version: Int, steps: Seq[StepConfig])
+
+/** YAML operation-definition loader + the 6-phase validation pipeline
+  * (reference loader/core.py:56-70 + schemas.py). Errors accumulate;
+  * any error aborts the build (first-phase-with-errors semantics).
+  */
+object OperationConfig {
+  private val UnsupportedTypes = Set("location", "address", "base64")
+  private val SelfBehaviors = Map(
+    "trace-all" -> SelfLookupBehavior.TraceAll,
+    "trace-none" -> SelfLookupBehavior.TraceNone)
+  private val OutsideBehaviors = Map(
+    "include" -> OutsideLookupBehavior.Include,
+    "drop-field" -> OutsideLookupBehavior.DropField,
+    "error" -> OutsideLookupBehavior.Error)
+
+  /** Phase 1-2: parse YAML + schema-shape validation. */
+  def parse(yamlText: String): Either[Seq[String], OperationConfig] = {
+    val errors = scala.collection.mutable.Buffer.empty[String]
+    val root =
+      try new Yaml().load[java.util.Map[String, Any]](yamlText)
+      catch { case e: Exception => return Left(Seq(s"Invalid YAML: ${e.getMessage}")) }
+    if (root == null) return Left(Seq("Empty configuration"))
+    val m = root.asScala
+    val version = m.get("version") match {
+      case Some(v: Integer) if v == 1 || v == 2 => v.toInt
+      case Some(v) => errors += s"Unsupported version $v"; 0
+      case None => errors += "Missing required key version"; 0
+    }
+    val steps = m.get("operation") match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toSeq.zipWithIndex.flatMap {
+          case (e: java.util.Map[_, _], i) =>
+            parseStep(e.asInstanceOf[java.util.Map[String, Any]].asScala.toMap, i, errors)
+          case (_, i) =>
+            errors += s"operation[$i] is not a mapping"; None
+        }
+      case _ => errors += "Missing required key operation"; Nil
+    }
+    if (errors.nonEmpty) Left(errors.toSeq) else Right(OperationConfig(version, steps))
+  }
+
+  private def parseStep(e: Map[String, Any], i: Int,
+      errors: scala.collection.mutable.Buffer[String]): Option[StepConfig] = {
+    val sobject = e.get("sobject") match {
+      case Some(s: String) => s
+      case _ => errors += s"operation[$i]: missing sobject"; return None
+    }
+    val fieldGroup = e.get("field-group").map(_.toString) match {
+      case Some(g) if !Set("readable", "writeable", "smart").contains(g) =>
+        errors += s"$sobject: invalid field-group $g"; None
+      case g => g
+    }
+    val fields = e.get("fields").map {
+      case l: java.util.List[_] => l.asScala.toSeq.map {
+        case s: String => FieldSpec(s)
+        case fm: java.util.Map[_, _] =>
+          val f = fm.asInstanceOf[java.util.Map[String, Any]].asScala
+          FieldSpec(
+            field = f.getOrElse("field", { errors += s"$sobject: field entry missing 'field'"; "" }).toString,
+            column = f.get("column").map(_.toString),
+            transforms = f.get("transforms").map {
+              case tl: java.util.List[_] => tl.asScala.toSeq.map(_.toString)
+              case _ => Nil
+            }.getOrElse(Nil),
+            selfLookupBehavior = f.get("self-lookup-behavior").map(_.toString),
+            outsideLookupBehavior = f.get("outside-lookup-behavior").map(_.toString))
+        case other =>
+          errors += s"$sobject: invalid field entry $other"; FieldSpec("")
+      }
+      case _ => errors += s"$sobject: fields must be a list"; Nil
+    }
+    if (fields.isDefined && fieldGroup.isDefined)
+      errors += s"$sobject: fields and field-group are mutually exclusive"
+
+    // Duplicate detection (reference core.py:93-131 / SURVEY A3).
+    fields.foreach { fs =>
+      val dupF = fs.groupBy(_.field).collect { case (f, v) if v.size > 1 => f }
+      if (dupF.nonEmpty)
+        errors += s"$sobject: One or more fields is specified multiple times: ${dupF.toSeq.sorted.mkString(", ")}"
+      val dupC = fs.flatMap(_.column).groupBy(identity).collect { case (c, v) if v.size > 1 => c }
+      if (dupC.nonEmpty)
+        errors += s"$sobject: One or more columns is specified multiple times: ${dupC.toSeq.sorted.mkString(", ")}"
+    }
+
+    val extract = e.get("extract").map {
+      case em: java.util.Map[_, _] =>
+        val ex = em.asInstanceOf[java.util.Map[String, Any]].asScala
+        val keys = ex.keySet.intersect(Set("all", "descendents", "query", "ids"))
+        if (keys.size != 1) {
+          errors += s"$sobject: extract must have exactly one of all/descendents/query/ids"
+          ("all", true: Any)
+        } else (keys.head, ex(keys.head))
+      case _ => errors += s"$sobject: extract must be a mapping"; ("all", true: Any)
+    }
+
+    def behavior(key: String, allowed: Set[String], default: String): String =
+      e.get(key).map(_.toString) match {
+        case Some(b) if allowed(b) => b
+        case Some(b) => errors += s"$sobject: invalid $key $b"; default
+        case None => default
+      }
+
+    Some(StepConfig(
+      sobject = sobject,
+      fields = fields,
+      fieldGroup = fieldGroup,
+      extract = extract,
+      selfLookupBehavior = behavior("self-lookup-behavior", SelfBehaviors.keySet, "trace-all"),
+      outsideLookupBehavior = behavior("outside-lookup-behavior", OutsideBehaviors.keySet, "include"),
+      inputValidation = behavior("input-validation", Set("none", "default", "strict"), "default"),
+      file = e.get("file").map(_.toString),
+      resultFile = e.get("result-file").map(_.toString)))
+  }
+
+  /** Field scope for a step against the catalog (reference
+    * extract_operation.py:89-123): explicit list, or field-group expansion
+    * (readable = all supported; writeable = createable/updateable;
+    * smart = readable on extract, writeable on load), id always included.
+    * Unsupported types error when explicit, silently excluded in groups.
+    */
+  def fieldScope(catalog: Catalog, step: StepConfig, load: Boolean,
+      errors: scala.collection.mutable.Buffer[String]): Seq[String] = {
+    val sch = catalog.byName.getOrElse(step.sobject, {
+      errors += s"sObject ${step.sobject} does not exist in the catalog"
+      return Nil
+    })
+    val scope = (step.fields, step.fieldGroup) match {
+      case (Some(fs), _) =>
+        fs.map(_.field).map { f =>
+          sch.fieldMap.get(f) match {
+            case None =>
+              errors += s"Field ${step.sobject}.$f does not exist or is not visible."; f
+            case Some(fm) if UnsupportedTypes(fm.ftype) =>
+              errors += s"Field ${step.sobject}.$f is of an unsupported type (${fm.ftype})"; f
+            case _ => f
+          }
+        }
+      case (None, Some(group)) =>
+        val wantWriteable = group == "writeable" || (group == "smart" && load)
+        sch.fields
+          .filterNot(f => UnsupportedTypes(f.ftype))
+          .filter(f => !wantWriteable || f.createable || f.updateable)
+          .map(_.name)
+      case (None, None) =>
+        errors += s"${step.sobject}: either fields or field-group is required"; Nil
+    }
+    (Seq(sch.idField) ++ scope.filterNot(_ == sch.idField)).distinct
+  }
+
+  /** Per-step DataMapper from column renames + transforms.
+    * Extract direction: field→column (reference extract_operation.py:30);
+    * load direction: column→field (load_operation.py:28).
+    */
+  def mapper(step: StepConfig, load: Boolean): Option[DataMapper] = {
+    val fs = step.fields.getOrElse(return None)
+    val renames = fs.flatMap(f => f.column.map(c => if (load) c -> f.field else f.field -> c)).toMap
+    val transforms = fs.filter(_.transforms.nonEmpty).map { f =>
+      val key = if (load) f.column.getOrElse(f.field) else f.field
+      key -> f.transforms.map(TransformSpec(_))
+    }.toMap
+    if (renames.isEmpty && transforms.isEmpty) None
+    else Some(DataMapper(renames, transforms))
+  }
+
+  /** Build engine ExtractSteps (reference extract_operation.py:20-81). */
+  def toExtractSteps(catalog: Catalog, cfg: OperationConfig)
+      : Either[Seq[String], Seq[ExtractStep]] = {
+    val errors = scala.collection.mutable.Buffer.empty[String]
+    val steps = cfg.steps.map { sc =>
+      val scope = fieldScope(catalog, sc, load = false, errors)
+      val scopeScope = sc.extract match {
+        case Some(("all", _)) => ExtractionScope.AllRecords
+        case Some(("query", q)) => ExtractionScope.Query(q.toString)
+        case Some(("descendents", _)) => ExtractionScope.Descendents
+        case Some(("ids", ids: java.util.List[_])) =>
+          ExtractionScope.SelectedRecords(ids.asScala.toSeq.map(_.toString))
+        case _ =>
+          errors += s"${sc.sobject}: extract clause is required"; ExtractionScope.AllRecords
+      }
+      val perFieldSelf = sc.fields.getOrElse(Nil)
+        .flatMap(f => f.selfLookupBehavior.map(b => f.field -> SelfBehaviors(b))).toMap
+      val perFieldOutside = sc.fields.getOrElse(Nil)
+        .flatMap(f => f.outsideLookupBehavior.map(b => f.field -> OutsideBehaviors(b))).toMap
+      ExtractStep(sc.sobject, scopeScope, scope,
+        SelfBehaviors(sc.selfLookupBehavior), OutsideBehaviors(sc.outsideLookupBehavior),
+        perFieldSelf, perFieldOutside)
+    }
+    if (errors.nonEmpty) Left(errors.toSeq) else Right(steps)
+  }
+
+  /** Build engine LoadStepSpecs with dependent-updateability validation
+    * (reference load_operation.py:139-149). */
+  def toLoadSteps(catalog: Catalog, cfg: OperationConfig)
+      : Either[Seq[String], Seq[LoadStepSpec]] = {
+    val errors = scala.collection.mutable.Buffer.empty[String]
+    val order = cfg.steps.map(_.sobject)
+    val steps = cfg.steps.map { sc =>
+      val scope = fieldScope(catalog, sc, load = true, errors)
+      if (errors.isEmpty) {
+        val ls = catalog.classifyLookups(order, sc.sobject, scope)
+        (ls.dependent ++ ls.self).toSeq.sorted.foreach { f =>
+          if (!catalog(sc.sobject).fieldMap(f).updateable)
+            errors += s"Field ${sc.sobject}.$f is a dependent lookup, but is not updateable."
+        }
+      }
+      val perFieldOutside = sc.fields.getOrElse(Nil)
+        .flatMap(f => f.outsideLookupBehavior.map(b => f.field -> OutsideBehaviors(b))).toMap
+      LoadStepSpec(sc.sobject, scope, OutsideBehaviors(sc.outsideLookupBehavior), perFieldOutside)
+    }
+    if (errors.nonEmpty) Left(errors.toSeq) else Right(steps)
+  }
+
+  /** Input-file column validation (reference load_operation.py:151-208):
+    * none → skip; field-group default → no excess columns; explicit fields
+    * or strict → exact match with the field scope (id excluded).
+    */
+  def validateInputColumns(catalog: Catalog, step: StepConfig,
+      scope: Seq[String], columns: Seq[String], load: Boolean = true): Seq[String] = {
+    if (step.inputValidation == "none") return Nil
+    val sch = catalog(step.sobject)
+    val mapped = mapper(step, load).map(m =>
+      columns.map(m.transformKey)).getOrElse(columns)
+    val fileSet = mapped.toSet - sch.idField
+    val scopeSet = scope.toSet - sch.idField
+    if (step.fieldGroup.isDefined && step.inputValidation == "default") {
+      val comparand =
+        if (step.fieldGroup.contains("smart"))
+          sch.fields.filterNot(f => UnsupportedTypes(f.ftype)).map(_.name).toSet
+        else scopeSet
+      val excess = fileSet -- comparand
+      if (excess.nonEmpty)
+        Seq(s"Input file for sObject ${step.sobject} contains excess columns over " +
+          s"field group '${step.fieldGroup.get}': ${excess.toSeq.sorted.mkString(", ")}")
+      else Nil
+    } else if (fileSet != scopeSet) {
+      Seq(s"Input file for sObject ${step.sobject} does not match specified field scope.\n" +
+        s"Scope: ${scopeSet.toSeq.sorted.mkString(", ")}\n" +
+        s"File Columns: ${fileSet.toSeq.sorted.mkString(", ")}\n")
+    } else Nil
+  }
+}

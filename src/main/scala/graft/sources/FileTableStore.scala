@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TableSchema
+
+/** Directory-backed store for the CLI: tables are `<dir>/<name>.csv`
+  * (header row, all-string wire model — reference S4) or
+  * `<dir>/<name>.parquet`. Inserts/updates accumulate like
+  * [[InMemoryTableStore]]; `persist()` writes the mutated tables back as
+  * parquet (the local stand-in for the target org).
+  */
+final class FileTableStore(
+    val spark: SparkSession,
+    dir: String,
+    schemas: Map[String, TableSchema]) extends TableStore {
+
+  private val mem = new InMemoryTableStore(spark, schemas)
+  private var touched: Set[String] = Set.empty
+
+  def schema(table: String): TableSchema = schemas(table)
+
+  def scan(table: String): DataFrame = {
+    if (touched(table)) return mem.scan(table)
+    val csv = new java.io.File(s"$dir/$table.csv")
+    val pq = new java.io.File(s"$dir/$table.parquet")
+    if (csv.exists())
+      spark.read.option("header", true)
+        .option("inferSchema", false) // strings all the way down (SURVEY §1.2)
+        .csv(csv.getPath)
+    else if (pq.exists()) spark.read.parquet(pq.getPath)
+    else spark.emptyDataFrame
+  }
+
+  private def seed(table: String): Unit = synchronized {
+    if (!touched(table)) {
+      val existing = scan(table)
+      if (!existing.isEmpty) mem.register(table, existing)
+      touched += table
+    }
+  }
+
+  def insert(table: String, rows: DataFrame, originalIdCol: String): DataFrame = {
+    seed(table)
+    mem.insert(table, rows, originalIdCol)
+  }
+
+  def update(table: String, rows: DataFrame, idCol: String): DataFrame = {
+    seed(table)
+    mem.update(table, rows, idCol)
+  }
+
+  /** Write every mutated table back to `<dir>/<name>.parquet`. */
+  def persist(): Unit = touched.foreach { t =>
+    mem.scan(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI round trip mirroring the reference's golden test
+  * (test/test_org/test_end_to_end.py:31-90): extract a two-object network
+  * to CSVs, load it into a fresh target, re-extract from the target, and
+  * compare record counts + name multisets.
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  def writeDescribes(dir: String): Unit = {
+    val account =
+      """{"name": "Account", "keyPrefix": "001", "fields": [
+        |  {"name": "Id", "type": "id", "soapType": "tns:ID", "referenceTo": [], "createable": false, "updateable": false},
+        |  {"name": "Name", "type": "string", "soapType": "xsd:string", "referenceTo": [], "createable": true, "updateable": true},
+        |  {"name": "ParentId", "type": "reference", "soapType": "tns:ID", "referenceTo": ["Account"], "createable": true, "updateable": true}
+        |]}""".stripMargin
+    val contact =
+      """{"name": "Contact", "keyPrefix": "003", "fields": [
+        |  {"name": "Id", "type": "id", "soapType": "tns:ID", "referenceTo": [], "createable": false, "updateable": false},
+        |  {"name": "LastName", "type": "string", "soapType": "xsd:string", "referenceTo": [], "createable": true, "updateable": true},
+        |  {"name": "IsEmailBounced", "type": "boolean", "soapType": "xsd:boolean", "referenceTo": [], "createable": true, "updateable": true},
+        |  {"name": "AccountId", "type": "reference", "soapType": "tns:ID", "referenceTo": ["Account"], "createable": true, "updateable": true},
+        |  {"name": "ReportsToId", "type": "reference", "soapType": "tns:ID", "referenceTo": ["Contact"], "createable": true, "updateable": true}
+        |]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/Account.json"), account)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/Contact.json"), contact)
+  }
+
+  val opYaml =
+    """version: 1
+      |operation:
+      |  - sobject: Account
+      |    field-group: readable
+      |    extract:
+      |      all: True
+      |  - sobject: Contact
+      |    field-group: readable
+      |    extract:
+      |      descendents: True
+      |""".stripMargin
+
+  test("CLI extract → load → re-extract round trip preserves the network") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    Seq("describes", "src", "extracted", "target", "final").foreach(s =>
+      new java.io.File(s"$root/$s").mkdirs())
+    writeDescribes(s"$root/describes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"), opYaml)
+
+    // Source "org" data as CSVs.
+    Fixture.accounts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Account.csv")
+    Fixture.contacts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Contact.csv")
+
+    // 1. Extract.
+    assert(cli.Main.run(Array(s"$root/op.yml",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/src", "--out-dir", s"$root/extracted")) == 0)
+    val extractedAccounts = spark.read.option("header", true)
+      .csv(s"$root/extracted/Account.csv")
+    assert(extractedAccounts.count() == 5)
+    assert(extractedAccounts.columns.toSeq == Seq("Id", "Name", "ParentId"))
+
+    // 2. Load into a fresh target store.
+    assert(cli.Main.run(Array(s"$root/op.yml", "--load",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/extracted", "--out-dir", s"$root/target")) == 0)
+    val results = spark.read.option("header", true)
+      .csv(s"$root/target/Account-results.csv")
+    assert(results.columns.toSeq == Seq("Original Id", "New Id", "Error"))
+    assert(results.where(col("Error").isNotNull).isEmpty)
+
+    // 3. Re-extract from the loaded target and compare.
+    assert(cli.Main.run(Array(s"$root/op.yml",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/target", "--out-dir", s"$root/final")) == 0)
+    val finalAccounts = spark.read.option("header", true).csv(s"$root/final/Account.csv")
+    val finalContacts = spark.read.option("header", true).csv(s"$root/final/Contact.csv")
+    assert(finalAccounts.count() == 5)
+    assert(finalContacts.count() == 4)
+    // Name multisets survive the round trip (ids are re-synthesized).
+    def names(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(c).collect().map(_.getString(0)).sorted.toSeq
+    assert(names(finalAccounts, "Name") == names(Fixture.accounts, "Name"))
+    assert(names(finalContacts, "LastName") == names(Fixture.contacts, "LastName"))
+    // FK graph shape survives: Caprica still has 2 contacts.
+    val caprica = finalAccounts.where(col("Name") === "Caprica Cosmetics")
+      .select("Id").collect().head.getString(0)
+    assert(finalContacts.where(col("AccountId") === caprica).count() == 2)
+    // Self-FK chain: Mid's parent is Root's new id.
+    val rootId = finalAccounts.where(col("Name") === "Root").collect().head.getString(0)
+    val mid = finalAccounts.where(col("Name") === "Mid").collect().head
+    assert(mid.getAs[String]("ParentId") == rootId)
+  }
+
+  test("CLI check-only validates without running") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli2").toString
+    new java.io.File(s"$root/describes").mkdirs()
+    writeDescribes(s"$root/describes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"), opYaml)
+    assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+      "--describe-dir", s"$root/describes")) == 0)
+    // Bad config fails validation.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/bad.yml"),
+      opYaml.replace("sobject: Contact", "sobject: Bogus"))
+    assert(cli.Main.run(Array(s"$root/bad.yml", "--check-only",
+      "--describe-dir", s"$root/describes")) == 1)
+  }
+}

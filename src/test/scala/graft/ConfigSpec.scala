@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.operators._
+
+/** Config parsing + the validation pipeline (reference loader/schemas.py +
+  * core.py; SURVEY O5/A3).
+  */
+class ConfigSpec extends AnyFunSuite {
+  val yaml =
+    """version: 1
+      |operation:
+      |  - sobject: Account
+      |    field-group: smart
+      |    extract:
+      |      all: True
+      |  - sobject: Contact
+      |    fields:
+      |      - LastName
+      |      - field: AccountId
+      |        outside-lookup-behavior: drop-field
+      |      - field: LastName2
+      |        column: Surname
+      |        transforms: [strip, lowercase]
+      |    extract:
+      |      descendents: True
+      |""".stripMargin
+
+  test("parses version, steps, scopes, field specs") {
+    val cfg = OperationConfig.parse(yaml).toOption.get
+    assert(cfg.version == 1)
+    assert(cfg.steps.map(_.sobject) == Seq("Account", "Contact"))
+    assert(cfg.steps(0).fieldGroup.contains("smart"))
+    assert(cfg.steps(0).extract.contains(("all", true)))
+    assert(cfg.steps(1).extract.exists(_._1 == "descendents"))
+    val f = cfg.steps(1).fields.get
+    assert(f(1).outsideLookupBehavior.contains("drop-field"))
+    assert(f(2).column.contains("Surname"))
+    assert(f(2).transforms == Seq("strip", "lowercase"))
+    assert(cfg.steps(0).fileName == "Account.csv")
+    assert(cfg.steps(0).resultFileName == "Account-results.csv")
+  }
+
+  test("invalid YAML / missing keys / bad enums error out") {
+    assert(OperationConfig.parse(": no").isLeft)
+    assert(OperationConfig.parse("operation: []").swap.toOption.get
+      .exists(_.contains("version")))
+    val bad = OperationConfig.parse(
+      """version: 1
+        |operation:
+        |  - sobject: A
+        |    fields: [X]
+        |    extract: {all: true}
+        |    self-lookup-behavior: bogus
+        |""".stripMargin)
+    assert(bad.swap.toOption.get.exists(_.contains("invalid self-lookup-behavior")))
+  }
+
+  test("duplicate fields and columns are flagged (A3)") {
+    val errs = OperationConfig.parse(
+      """version: 1
+        |operation:
+        |  - sobject: A
+        |    fields:
+        |      - Name
+        |      - Name
+        |      - {field: F1, column: C}
+        |      - {field: F2, column: C}
+        |    extract: {all: true}
+        |""".stripMargin).swap.toOption.get
+    assert(errs.exists(_.contains("fields is specified multiple times: Name")))
+    assert(errs.exists(_.contains("columns is specified multiple times: C")))
+  }
+
+  test("field scope expansion: groups, unknown fields, unsupported types") {
+    import scala.collection.mutable
+    val errs = mutable.Buffer.empty[String]
+    val cfg = OperationConfig.parse(yaml).toOption.get
+    val scope = OperationConfig.fieldScope(Fixture.catalog, cfg.steps(0), load = false, errs)
+    assert(scope.head == "Id")
+    assert(scope.contains("Name") && scope.contains("ParentId"))
+    assert(errs.isEmpty)
+
+    val badStep = StepConfig("Account", fields = Some(Seq(FieldSpec("Nope"))))
+    OperationConfig.fieldScope(Fixture.catalog, badStep, load = false, errs)
+    assert(errs.exists(_.contains("Account.Nope does not exist")))
+  }
+
+  test("toExtractSteps builds engine steps with per-field behaviors") {
+    val cfg = OperationConfig.parse(yaml).toOption.get
+    // LastName2 isn't in the fixture catalog — restrict to valid fields.
+    val cfg2 = cfg.copy(steps = Seq(
+      cfg.steps(0),
+      cfg.steps(1).copy(fields = Some(cfg.steps(1).fields.get.take(2)))))
+    val steps = OperationConfig.toExtractSteps(Fixture.catalog, cfg2).toOption.get
+    assert(steps(0).scope == ExtractionScope.AllRecords)
+    assert(steps(1).scope == ExtractionScope.Descendents)
+    assert(steps(1).outsideBehavior("AccountId") == OutsideLookupBehavior.DropField)
+  }
+
+  test("input column validation modes (load_operation.py:151-208)") {
+    val step = StepConfig("Contact",
+      fields = Some(Seq(FieldSpec("LastName"), FieldSpec("AccountId"))))
+    val scope = Seq("Id", "LastName", "AccountId")
+    // exact match ok
+    assert(OperationConfig.validateInputColumns(Fixture.catalog, step, scope,
+      Seq("Id", "LastName", "AccountId")).isEmpty)
+    // missing column fails explicit-fields mode
+    assert(OperationConfig.validateInputColumns(Fixture.catalog, step, scope,
+      Seq("Id", "LastName")).nonEmpty)
+    // none mode skips
+    assert(OperationConfig.validateInputColumns(Fixture.catalog,
+      step.copy(inputValidation = "none"), scope, Seq("Id")).isEmpty)
+    // field-group default tolerates missing but not excess
+    val groupStep = StepConfig("Contact", fieldGroup = Some("smart"))
+    assert(OperationConfig.validateInputColumns(Fixture.catalog, groupStep,
+      scope, Seq("Id", "LastName")).isEmpty)
+    assert(OperationConfig.validateInputColumns(Fixture.catalog, groupStep,
+      scope, Seq("Id", "Bogus")).nonEmpty)
+  }
+
+  test("describe-JSON catalog parsing (FIXTURES A.1 format)") {
+    val json =
+      """{"name": "Widget", "keyPrefix": "w01", "fields": [
+        |  {"name": "Id", "type": "id", "soapType": "tns:ID", "referenceTo": [], "createable": false, "updateable": false},
+        |  {"name": "OwnerId", "type": "reference", "soapType": "tns:ID", "referenceTo": ["User"], "createable": true, "updateable": true},
+        |  {"name": "Blob", "type": "base64", "soapType": "xsd:base64Binary", "referenceTo": [], "createable": true, "updateable": true}
+        |]}""".stripMargin
+    val t = graft.core.Catalog.tableFromDescribeJson(json)
+    assert(t.name == "Widget" && t.keyPrefix == "w01" && t.salesforceIds)
+    assert(t.field("OwnerId").referenceTo == Seq("User"))
+    assert(t.field("Blob").ftype == "base64")
+  }
+}
