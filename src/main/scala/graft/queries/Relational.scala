@@ -264,6 +264,13 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
 
+  /** Cube aggregation (grouping-sets extension, SURVEY A4). */
+  private val qCube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+
   /** Window functions: ranking + running totals (window extension). */
   private val w1: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -302,6 +309,7 @@ object Relational {
     "q1_pricing_summary" -> q1,
     "q3_topk_revenue" -> q3,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
     "w1_window_topn" -> w1,
   )
 
@@ -401,6 +409,11 @@ object Relational {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE(1, 2)""".stripMargin,
     "w1_window_topn" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
