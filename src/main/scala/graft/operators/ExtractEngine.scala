@@ -173,18 +173,25 @@ final class ExtractOperation(
       }
       out = out.drop(marker)
     }
-    out = out.localCheckpoint(true)
+    // newRows is already materialized; re-checkpoint only if the
+    // outside-reference pass actually rewrote columns.
+    if (ls.descendent.nonEmpty) out = out.localCheckpoint(true)
 
     // Fold into accumulators — amaxa ExtractOperation.store_result:600-619.
     extractedRows(t) = extractedRows.get(t) match {
       case Some(acc) => acc.unionByName(out)
       case None => out
     }
-    val outIds = idsOf(out, t).localCheckpoint(true)
+    // outIds derives from the checkpointed `out` (cheap projection; no
+    // extra materialization needed). The id accumulator IS checkpointed:
+    // every subsequent pass joins against it.
+    val outIds = idsOf(out, t)
     extractedIds(t) = (extractedIds.get(t) match {
       case Some(acc) => acc.unionByName(outIds).distinct()
-      case None => outIds
+      case None => outIds.distinct()
     }).localCheckpoint(true)
+    // requiredIds is rebuilt every pass (anti-join chain) — checkpoint it
+    // or the fixpoint's lineage re-executes all prior passes.
     requiredIds.get(t).foreach { r =>
       requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").localCheckpoint(true)
     }

@@ -58,7 +58,39 @@ object MultimodalOps {
       .toDF()
   }
 
-  val queries: Map[String, Q] = Map("mm_features" -> features)
+  /** One frame-sample row (video/audio frame-extraction shape). */
+  final case class MmFrame(doc_id: Long, frame_idx: Int, frame_bytes: Int, byte_sum: Long)
+
+  /** STUB frame sampler: payload → up to 8 pseudo-frames of 256 bytes with
+    * per-frame byte sums — the one-to-many (flatMap) decode shape a real
+    * video frame-sampler has, with deterministic stub features.
+    */
+  def sampleFrames(docId: Long, payload: Array[Byte]): Iterator[MmFrame] = {
+    val n = payload.length
+    val nFrames = math.min(8, (n + 255) / 256)
+    (0 until nFrames).iterator.map { f =>
+      val start = f * 256
+      val end = math.min(n, start + 256)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += payload(i) & 0xff; i += 1 }
+      MmFrame(docId, f, end - start, sum)
+    }
+  }
+
+  /** Binary payloads → per-partition frame sampling (flatMap). */
+  private val frames: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => sampleFrames(id, bytes) })
+      .toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_features" -> features,
+    "mm_frames" -> frames)
 
   val oracle: Map[String, String] = Map(
     "mm_features" ->
@@ -69,5 +101,15 @@ object MultimodalOps {
         |  CAST(64 + (octet_length(text::BLOB) * 7) % 512 AS INT) AS height,
         |  CASE octet_length(text::BLOB) % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'gray' END AS format
         |FROM documents""".stripMargin,
+    // Text is ASCII in the testdata (byte == codepoint), so the oracle can
+    // recompute byte sums with ord(); the Spark side works on raw bytes.
+    "mm_frames" ->
+      """SELECT d.doc_id, CAST(g.f AS INT) AS frame_idx,
+        |  CAST(least(octet_length(d.text::BLOB) - g.f * 256, 256) AS INT) AS frame_bytes,
+        |  CAST(list_reduce(list_transform(
+        |      generate_series(g.f * 256 + 1, least(octet_length(d.text::BLOB), g.f * 256 + 256)),
+        |      i -> ord(substr(d.text, CAST(i AS INT), 1))), (x, y) -> x + y) AS BIGINT) AS byte_sum
+        |FROM documents d, range(0, 8) g(f)
+        |WHERE g.f < least(8, (octet_length(d.text::BLOB) + 255) // 256)""".stripMargin,
   )
 }
