@@ -155,6 +155,8 @@ object DedupOps {
       .withColumn("sz", size(col("sgrams")))
       .withColumn("prefix",
         slice(col("sgrams"), lit(1), (col("sz") - ceil(col("sz") * t) + 1).cast("int")))
+      // Lexicographically sorted copy for the merge-intersect verifier.
+      .withColumn("vgrams", array_sort(col("sgrams")))
       .localCheckpoint(true)
     // Candidate generation: id-only inverted-index join on prefix grams,
     // keeping token positions for the positional filter.
@@ -179,12 +181,14 @@ object DedupOps {
       .withColumn("alpha", ceil((col("sz_a") + col("sz_b")) * (t / (1 + t))))
       .where(lit(1) + least(col("sz_a") - col("pa0") - 1, col("sz_b") - col("pb0") - 1)
         >= col("alpha"))
-    // Exact verification on surviving candidates: J ≥ t ⇔ |A∩B| ≥ α
-    // (|A∪B| = |A|+|B|−|A∩B| — no array_union evaluation needed).
-    val ga = sorted.select(col("doc_id").as("doc_a"), col("sgrams").as("g_a"))
-    val gb = sorted.select(col("doc_id").as("doc_b"), col("sgrams").as("g_b"))
+    // Exact verification on surviving candidates with the codegen'd
+    // merge-intersect over sorted arrays (array_intersect builds a hash
+    // set per row — the merge is allocation-free).
+    val ga = sorted.select(col("doc_id").as("doc_a"), col("vgrams").as("g_a"))
+    val gb = sorted.select(col("doc_id").as("doc_b"), col("vgrams").as("g_b"))
     cand.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("inter",
+        graft.functions.GraftFunctions.sorted_intersect_size(col("g_a"), col("g_b")))
       // Division form must match the oracle exactly (a multiplied-through
       // comparison can flip at the representability boundary of t).
       .where(col("inter").cast("double") /

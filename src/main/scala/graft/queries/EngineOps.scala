@@ -109,7 +109,10 @@ object EngineOps {
     */
   private val xFixpoint: Q = (s, d) => {
     val st = new InMemoryTableStore(s, tpchCatalog.byName)
-    st.register("node", nodeTable(s, d))
+    // Materialize the derived self-FK table once — the fixpoint scans it
+    // every iteration, and recomputing the parent-existence join per pass
+    // would multiply the scan cost by the iteration count.
+    st.register("node", nodeTable(s, d).localCheckpoint(true))
     val op = new ExtractOperation(st, tpchCatalog, Seq(
       ExtractStep("node", ExtractionScope.Query("Id % 1000 = 1"), Seq("Id", "ParentId"))))
     require(op.execute() == 0, s"extract failed: ${op.errors}")

@@ -52,6 +52,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got("nonsense")._2.exists(_.contains("Invalid Boolean value nonsense")))
   }
 
+  test("sorted_intersect_size == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c", "x"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "z"), Seq("b", "y"))).toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.sorted_intersect_size(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b")))).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("transforms are type-gated like the reference (transforms.py:42-47)") {
     val stringField = FieldContext("Name", "xsd:string")
     val boolField = FieldContext("IsActive", "xsd:boolean")
