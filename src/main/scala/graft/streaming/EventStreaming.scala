@@ -37,6 +37,14 @@ object EventStreaming {
         count(lit(1)).as("n"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
 
+  /** Watermarked streaming dedup: duplicate events (same user, type,
+    * timestamp) are dropped with bounded state.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
   final case class UserAgg(user_id: Long, n: Long, total_cents: Long)
 
   /** Custom running state per user via flatMapGroupsWithState — the

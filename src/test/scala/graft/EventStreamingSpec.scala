@@ -45,6 +45,24 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates with bounded state") {
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    // Duplicate the stream source: every event appears twice.
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val ev = Tables.events(spark, SparkTestBase.sf)
+    ev.unionAll(ev).write.mode("overwrite").parquet(dupDir)
+    val stream = EventStreaming.eventStream(spark, dupDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.dedupedEvents(stream), "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val n = spark.table("dedup_out")
+        .select("user_id", "event_type", "ts").distinct().count()
+      val expected = ev.select("user_id", "event_type", "ts").distinct().count()
+      assert(n == expected, s"streamed $n vs batch-distinct $expected")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
