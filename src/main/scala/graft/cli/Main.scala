@@ -67,6 +67,11 @@ object Main {
         try {
           if (load) runLoad(spark, catalog, cfg, dataDir, outDir, stateDir, useState, checkOnly)
           else runExtract(spark, catalog, cfg, dataDir, outDir, checkOnly)
+        } catch {
+          // Transform misconfiguration surfaces as a validation error,
+          // not a stack trace (reference validates options at config time).
+          case e: graft.core.TransformException =>
+            System.err.println(e.getMessage); 1
         } finally if (!preexisting) spark.stop()
     }
   }

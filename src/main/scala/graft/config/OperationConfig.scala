@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
 final case class FieldSpec(
     field: String,
     column: Option[String] = None,
-    transforms: Seq[String] = Nil,
+    transforms: Seq[TransformSpec] = Nil,
     selfLookupBehavior: Option[String] = None,
     outsideLookupBehavior: Option[String] = None)
 
@@ -93,8 +93,23 @@ object OperationConfig {
           FieldSpec(
             field = f.getOrElse("field", { errors += s"$sobject: field entry missing 'field'"; "" }).toString,
             column = f.get("column").map(_.toString),
+            // Bare name or {name, options} (docs/transforms.rst, v2 schema).
             transforms = f.get("transforms").map {
-              case tl: java.util.List[_] => tl.asScala.toSeq.map(_.toString)
+              case tl: java.util.List[_] => tl.asScala.toSeq.map {
+                case s: String => TransformSpec(s)
+                case tm: java.util.Map[_, _] =>
+                  val t = tm.asInstanceOf[java.util.Map[String, Any]].asScala
+                  TransformSpec(
+                    t.getOrElse("name", { errors += s"$sobject: transform missing 'name'"; "" }).toString,
+                    t.get("options").map {
+                      case om: java.util.Map[_, _] =>
+                        om.asInstanceOf[java.util.Map[String, Any]].asScala
+                          .map { case (k, v) => k -> v.toString }.toMap
+                      case _ => Map.empty[String, String]
+                    }.getOrElse(Map.empty))
+                case other =>
+                  errors += s"$sobject: invalid transform entry $other"; TransformSpec("")
+              }
               case _ => Nil
             }.getOrElse(Nil),
             selfLookupBehavior = f.get("self-lookup-behavior").map(_.toString),
@@ -191,7 +206,7 @@ object OperationConfig {
     val renames = fs.flatMap(f => f.column.map(c => if (load) c -> f.field else f.field -> c)).toMap
     val transforms = fs.filter(_.transforms.nonEmpty).map { f =>
       val key = if (load) f.column.getOrElse(f.field) else f.field
-      key -> f.transforms.map(TransformSpec(_))
+      key -> f.transforms
     }.toMap
     if (renames.isEmpty && transforms.isEmpty) None
     else Some(DataMapper(renames, transforms))

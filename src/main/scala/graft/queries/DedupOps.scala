@@ -44,7 +44,8 @@ object DedupOps {
     val sig = array((0 until NumPerms).map { p =>
       array_min(transform(col("shingles"), x => xxhash64(x, lit(p))))
     }: _*)
-    withSh.select(col("doc_id"), col("shingles"), sig.as("sig"))
+    // shingles kept SORTED for the merge-intersect verifier.
+    withSh.select(col("doc_id"), array_sort(col("shingles")).as("shingles"), sig.as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
@@ -72,9 +73,11 @@ object DedupOps {
     val shA = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.GraftFunctions.sorted_intersect_size(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

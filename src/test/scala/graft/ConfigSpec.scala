@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config._
+import graft.core.TransformSpec
 import graft.operators._
 
 /** Config parsing + the validation pipeline (reference loader/schemas.py +
@@ -38,7 +39,7 @@ class ConfigSpec extends AnyFunSuite {
     val f = cfg.steps(1).fields.get
     assert(f(1).outsideLookupBehavior.contains("drop-field"))
     assert(f(2).column.contains("Surname"))
-    assert(f(2).transforms == Seq("strip", "lowercase"))
+    assert(f(2).transforms == Seq(TransformSpec("strip"), TransformSpec("lowercase")))
     assert(cfg.steps(0).fileName == "Account.csv")
     assert(cfg.steps(0).resultFileName == "Account-results.csv")
   }
@@ -98,6 +99,25 @@ class ConfigSpec extends AnyFunSuite {
     assert(steps(0).scope == ExtractionScope.AllRecords)
     assert(steps(1).scope == ExtractionScope.Descendents)
     assert(steps(1).outsideBehavior("AccountId") == OutsideLookupBehavior.DropField)
+  }
+
+  test("v2 transforms with options parse ({name, options} form)") {
+    val cfg = OperationConfig.parse(
+      """version: 2
+        |operation:
+        |  - sobject: Account
+        |    fields:
+        |      - field: Name
+        |        transforms:
+        |          - uppercase
+        |          - name: suffix
+        |            options:
+        |              suffix: "-CLIENT"
+        |    extract: {all: true}
+        |""".stripMargin).toOption.get
+    val t = cfg.steps.head.fields.get.head.transforms
+    assert(t == Seq(TransformSpec("uppercase"),
+      TransformSpec("suffix", Map("suffix" -> "-CLIENT"))))
   }
 
   test("input column validation modes (load_operation.py:151-208)") {
