@@ -212,12 +212,30 @@ object OperationConfig {
     else Some(DataMapper(renames, transforms))
   }
 
+  /** Validate each field's transform chain (type gates + required
+    * options) at config time — the reference does this in its Cerberus
+    * phase (loader/core.py:163-170), not at execution.
+    */
+  private def validateTransforms(catalog: Catalog, sc: StepConfig,
+      errors: scala.collection.mutable.Buffer[String]): Unit =
+    for {
+      sch <- catalog.byName.get(sc.sobject).toSeq
+      f <- sc.fields.getOrElse(Nil) if f.transforms.nonEmpty
+    } try graft.core.Transforms.chain(f.transforms,
+      graft.core.FieldContext(f.field,
+        sch.fieldMap.get(f.field).map(_.soapType).getOrElse("xsd:string")))
+    catch {
+      case e: graft.core.TransformException =>
+        errors += s"${sc.sobject}.${f.field}: ${e.getMessage}"
+    }
+
   /** Build engine ExtractSteps (reference extract_operation.py:20-81). */
   def toExtractSteps(catalog: Catalog, cfg: OperationConfig)
       : Either[Seq[String], Seq[ExtractStep]] = {
     val errors = scala.collection.mutable.Buffer.empty[String]
     val steps = cfg.steps.map { sc =>
       val scope = fieldScope(catalog, sc, load = false, errors)
+      validateTransforms(catalog, sc, errors)
       val scopeScope = sc.extract match {
         case Some(("all", _)) => ExtractionScope.AllRecords
         case Some(("query", q)) => ExtractionScope.Query(q.toString)
@@ -246,6 +264,7 @@ object OperationConfig {
     val order = cfg.steps.map(_.sobject)
     val steps = cfg.steps.map { sc =>
       val scope = fieldScope(catalog, sc, load = true, errors)
+      validateTransforms(catalog, sc, errors)
       if (errors.isEmpty) {
         val ls = catalog.classifyLookups(order, sc.sobject, scope)
         (ls.dependent ++ ls.self).toSeq.sorted.foreach { f =>
