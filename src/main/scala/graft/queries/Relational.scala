@@ -264,6 +264,46 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
 
+  /** TPC-H Q5-shaped six-table join: revenue per nation where customer and
+    * supplier share the nation (multi-way join planning exercise).
+    */
+  private val q5: Q = (s, d) => {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nation = Tables.nation(s, d)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(expr("o_orderdate >= '1995-01-01 00:00:00' AND o_orderdate < '1997-01-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+        .cast("long")).as("revenue_e4"))
+  }
+
+  /** TPC-H Q14-shaped promo-revenue share: ratio of two exact-cents sums
+    * (identical integer operands → bit-identical double division).
+    */
+  private val q14: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= '1995-09-01 00:00:00' AND l_shipdate < '1995-10-01 00:00:00'"))
+    val part = Tables.part(s, d).select("p_partkey", "p_type")
+    val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")
+    joined.agg(
+      sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0L)).as("promo_e4"),
+      sum(rev).as("total_e4"))
+      .select(col("promo_e4"), col("total_e4"),
+        (col("promo_e4").cast("double") / col("total_e4").cast("double")).as("promo_share"))
+  }
+
   /** Cube aggregation (grouping-sets extension, SURVEY A4). */
   private val qCube: Q = (s, d) =>
     Tables.orders(s, d)
@@ -310,6 +350,8 @@ object Relational {
     "q3_topk_revenue" -> q3,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
+    "q5_nation_revenue" -> q5,
+    "q14_promo_share" -> q14,
     "w1_window_topn" -> w1,
   )
 
@@ -414,6 +456,30 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE(1, 2)""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00')
+        |SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS BIGINT) AS promo_e4,
+        |  CAST(sum(rev) AS BIGINT) AS total_e4,
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE) AS promo_share
+        |FROM j""".stripMargin,
     "w1_window_topn" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
