@@ -283,8 +283,16 @@ final class ExtractOperation(
     */
   def result(table: String, mapper: Option[DataMapper] = None): DataFrame = {
     val sch = catalog(table)
-    val df0 = extractedRows.getOrElse(table,
-      throw new NoSuchElementException(s"no rows extracted for $table"))
+    // Zero extracted rows is a legitimate outcome (reference writes an
+    // empty CSV with headers): synthesize an empty frame with the step's
+    // field scope.
+    val df0 = extractedRows.getOrElse(table, {
+      val scope = steps.find(_.sobject == table)
+        .map(_.fieldScope).getOrElse(Seq(sch.idField))
+      val schema = org.apache.spark.sql.types.StructType(scope.map(f =>
+        org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    })
     val df = mapper match {
       case Some(m) =>
         val fm = sch.fieldMap

@@ -21,12 +21,8 @@ object SimilarityOps {
   private def vDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Ordered-fold cosine(a, b) — bit-reproducible in DuckDB list_reduce. */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Brute-force top-10 cosine neighbors of vec_id 0 (excluded itself). */
   private val bruteForce: Q = (s, d) => {

@@ -197,6 +197,16 @@ class ExtractEngineSpec extends AnyFunSuite {
     assert(op.result("Account").columns.toSeq == Seq("Id", "Name", "ParentId"))
   }
 
+  test("zero-match extraction yields an empty result with the field scope") {
+    val op = new ExtractOperation(store("Account" -> accounts), catalog, Seq(
+      ExtractStep("Account", ExtractionScope.Query("Name = 'No Such Account'"),
+        Seq("Id", "Name", "ParentId"))))
+    assert(op.execute() == 0)
+    val r = op.result("Account")
+    assert(r.isEmpty)
+    assert(r.columns.toSeq == Seq("Id", "Name", "ParentId"))
+  }
+
   test("15-char ids canonicalize to 18 at ingest (T7)") {
     import spark.implicits._
     val accts15 = Seq(("001000000000001", "A", null.asInstanceOf[String]))
