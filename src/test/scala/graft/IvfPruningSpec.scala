@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCALE.md's IVF claim, demonstrated: with the embedding table
+  * partitioned by cell (label), probing nprobe cells becomes partition
+  * pruning — the scan reads only the probed partitions.
+  */
+class IvfPruningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("cell-partitioned ANN probe prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Tables.embeddings(spark, SparkTestBase.sf)
+      .write.mode("overwrite").partitionBy("label").parquet(dir)
+
+    val probes = Seq(3, 7) // the "nearest centroids" of some query
+    val cells = spark.read.parquet(dir).where(col("label").isin(probes: _*))
+
+    // Partition pruning shows up as PartitionFilters on the scan and a
+    // partition count smaller than the full table's.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { cells.explain("formatted") }
+    val plan = out.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("label"), plan)
+
+    // Only the probed cells' rows are read.
+    val full = Tables.embeddings(spark, SparkTestBase.sf)
+    val expected = full.where(col("label").isin(probes: _*)).count()
+    assert(cells.count() == expected)
+    assert(expected > 0 && expected < full.count())
+
+    // And the pruned scan feeds the same brute-force top-k as in
+    // SimilarityOps (cosine over the pruned cells only).
+    val q = full.where(col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val topk = cells
+      .select(col("vec_id"), org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", graft.functions.GraftFunctions.cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .collect()
+    assert(topk.length == 5)
+  }
+}
