@@ -15,12 +15,18 @@ import graft.functions.GraftFunctions
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Token count: whitespace split of trimmed text. */
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+    * (the usual byte-pair pre-split shape; identical regex semantics in
+    * Java and RE2 for this ASCII-class pattern). */
+  private val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counts: whitespace split + BPE-ish regex pre-tokenization. */
   private val tokens: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
       col("n_chars"),
-      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_tokens_bpe"))
 
   private val StopWords = Seq("the", "a", "of", "and", "in", "to")
 
@@ -123,7 +129,8 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "tx_tokens" ->
       """SELECT doc_id, n_chars,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
     "tx_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
