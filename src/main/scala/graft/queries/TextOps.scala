@@ -15,18 +15,24 @@ import graft.functions.GraftFunctions
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
-    * (the usual byte-pair pre-split shape; identical regex semantics in
-    * Java and RE2 for this ASCII-class pattern). */
-  private val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  /** Explicit whitespace class: Java's `\s` includes U+000B, RE2's does
+    * not — spelling the set out keeps Spark and DuckDB byte-identical. */
+  private val Ws = "[ \\t\\n\\x0B\\f\\r]"
 
-  /** Token counts: whitespace split + BPE-ish regex pre-tokenization. */
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+    * (the usual byte-pair pre-split shape). One constant, interpolated
+    * into BOTH the Spark query and the oracle SQL. */
+  private val BpeishPattern = s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
+
+  /** Token counts: whitespace split + BPE-ish regex pre-tokenization.
+    * Empty/blank text counts 0 tokens (split would yield [""]). */
   private val tokens: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
       col("n_chars"),
-      size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_tokens_bpe"))
+      when(trim(col("text")) === "", 0)
+        .otherwise(size(split(trim(col("text")), Ws + "+"))).as("n_tokens"),
+      regexp_count(col("text"), lit(BpeishPattern)).as("n_tokens_bpe"))
 
   private val StopWords = Seq("the", "a", "of", "and", "in", "to")
 
@@ -34,7 +40,7 @@ object TextOps {
     * count/ratio, mean token length — the usual pre-training filters.
     */
   private val quality: Q = (s, d) => {
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = split(trim(col("text")), Ws + "+")
     val stopCnt = size(filter(toks, t => t.isin(StopWords: _*)))
     val nToks = size(toks)
     Tables.documents(s, d).select(
@@ -128,12 +134,13 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "tx_tokens" ->
-      """SELECT doc_id, n_chars,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_tokens_bpe
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, n_chars,
+         |  CASE WHEN trim(text) = '' THEN 0
+         |       ELSE CAST(len(string_split_regex(trim(text), '$Ws+')) AS INT) END AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS INT) AS n_tokens_bpe
+         |FROM documents""".stripMargin,
     "tx_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '$Ws+') AS toks FROM documents)
          |SELECT doc_id,
          |  CAST(length(text) AS INT) AS len,
          |  CAST(len(toks) AS INT) AS n_tokens,
