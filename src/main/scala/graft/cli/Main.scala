@@ -108,6 +108,7 @@ object Main {
         val inputs: Map[String, DataFrame] = cfg.steps.map { sc =>
           sc.sobject -> spark.read.option("header", true)
             .option("inferSchema", false)
+            .option("multiLine", true).option("escape", "\"")
             .csv(s"$dataDir/${sc.fileName}")
         }.toMap
         // Input column validation (reference load_operation.py:151-208).
@@ -139,14 +140,15 @@ object Main {
               .csv(s"$outDir/${sc.resultFileName}")
           }
         }
+        // Persist in BOTH outcomes: on failure the already-inserted tables
+        // must survive to the resumed run, or the restored id map would
+        // skip rows that no longer exist anywhere.
+        store.persist()
         if (rc != 0) {
           op.saveState(stateDir) // resumable checkpoint (reference S7)
           System.err.println(s"Load failed; state saved to $stateDir")
           1
-        } else {
-          store.persist()
-          0
-        }
+        } else 0
     }
   }
 }

@@ -61,9 +61,12 @@ final class ExtractOperation(
     * columns at ingest, so all set algebra runs on canonical ids
     * (the reference wraps every comparison in SalesforceId instead).
     */
-  private def scanScoped(step: ExtractStep): DataFrame = {
+  private def scanScoped(step: ExtractStep, where: Option[String] = None): DataFrame = {
     val sch = catalog(step.sobject)
-    val base = store.scan(step.sobject)
+    // User WHERE clauses evaluate against the RAW columns (before 15→18
+    // canonicalization) so 15-char id literals in predicates still match,
+    // like a server-side SOQL WHERE would.
+    val base = where.foldLeft(store.scan(step.sobject))((df, w) => df.filter(expr(w)))
     val cols = step.fieldScope.map { f =>
       val c = col(f)
       if (sch.salesforceIds &&
@@ -137,9 +140,12 @@ final class ExtractOperation(
     }
 
     // Outside-reference (cross-hierarchy) handling on descendent lookups —
-    // amaxa:776-800. Marker joins compute membership per target table.
+    // amaxa:776-800. Marker joins compute membership per target table;
+    // Include behavior needs no marker at all, so skip the joins entirely.
     var out = newRows
-    ls.descendent.toSeq.sorted.foreach { f =>
+    ls.descendent.toSeq.sorted
+      .filter(f => step.outsideBehavior(f) != OutsideLookupBehavior.Include)
+      .foreach { f =>
       val refTo = fm(f).referenceTo
       val marker = s"__in_$f"
       if (refTo.size == 1) {
@@ -160,22 +166,29 @@ final class ExtractOperation(
       }
       val missing = col(f).isNotNull && !col(marker)
       step.outsideBehavior(f) match {
-        case OutsideLookupBehavior.Include => ()
+        case OutsideLookupBehavior.Include => () // filtered out above
         case OutsideLookupBehavior.DropField =>
           out = out.withColumn(f, when(missing, lit(null)).otherwise(col(f)))
         case OutsideLookupBehavior.Error =>
-          val bad = out.where(missing).select(col(idf).cast("string"), col(f).cast("string"))
-            .limit(20).collect()
-          bad.foreach { r =>
-            errBuf(t) += s"$t ${r.getString(0)} has an outside reference in field $f " +
-              s"(${r.getString(1)}), which is not allowed by the extraction configuration."
+          // Deterministic, bounded error sample + exact total (collecting
+          // every offender would not survive scale).
+          val bad = out.where(missing)
+            .select(col(idf).cast("string"), col(f).cast("string"))
+          val total = bad.count()
+          if (total > 0) {
+            bad.orderBy(col(idf)).limit(20).collect().foreach { r =>
+              errBuf(t) += s"$t ${r.getString(0)} has an outside reference in field $f " +
+                s"(${r.getString(1)}), which is not allowed by the extraction configuration."
+            }
+            if (total > 20)
+              errBuf(t) += s"$t: ... and ${total - 20} more outside references in field $f."
           }
       }
       out = out.drop(marker)
     }
     // newRows is already materialized; re-checkpoint only if the
     // outside-reference pass actually rewrote columns.
-    if (ls.descendent.nonEmpty) out = out.localCheckpoint(true)
+    if (out ne newRows) out = out.localCheckpoint(true)
 
     // Fold into accumulators — amaxa ExtractOperation.store_result:600-619.
     extractedRows(t) = extractedRows.get(t) match {
@@ -206,11 +219,16 @@ final class ExtractOperation(
     val fetch = scanScoped(step)
       .join(pre, col(idf).cast("string") === col("__id"), "left_semi")
     storeResult(step, ls, fetch)
-    val missing = pre.join(getExtractedIds(t), Seq("__id"), "left_anti")
-      .limit(21).collect().map(_.getString(0))
-    if (missing.nonEmpty)
+    val missingDf = pre.join(getExtractedIds(t), Seq("__id"), "left_anti")
+      .localCheckpoint(true)
+    val missingTotal = missingDf.count()
+    if (missingTotal > 0) {
+      val sample = missingDf.orderBy(col("__id")).limit(20)
+        .collect().map(_.getString(0))
+      val suffix = if (missingTotal > 20) s" (and ${missingTotal - 20} more)" else ""
       errBuf(t) += s"Unable to resolve dependencies for sObject $t. The " +
-        s"following Ids could not be found: ${missing.take(20).mkString(", ")}"
+        s"following Ids could not be found: ${sample.mkString(", ")}$suffix"
+    }
   }
 
   /** Reference perform_lookup_pass (amaxa/amaxa.py:837-844): children whose
@@ -243,7 +261,7 @@ final class ExtractOperation(
         case ExtractionScope.AllRecords =>
           storeResult(step, ls, scanScoped(step))
         case ExtractionScope.Query(where) =>
-          storeResult(step, ls, scanScoped(step).filter(expr(where)))
+          storeResult(step, ls, scanScoped(step, Some(where)))
         case ExtractionScope.Descendents =>
           ls.descendent.toSeq.sorted.foreach(f => performLookupPass(step, ls, f))
         case ExtractionScope.SelectedRecords(ids) =>

@@ -65,7 +65,12 @@ final class LoadOperation(
   }
 
   /** Reference transform_record (amaxa:377-381): mapper column→field
-    * renames + per-field transform chains, then narrow to field scope. */
+    * renames + per-field transform chains, then narrow to field scope.
+    * Salesforce-id tables additionally canonicalize id/reference columns
+    * (15→18) so the id map, resume filter, and FK-remap joins all compare
+    * canonical forms — the reference wraps every comparison in
+    * SalesforceId instead (amaxa:321-339).
+    */
   private def transformInput(step: LoadStepSpec, input: DataFrame): DataFrame = {
     val sch = catalog(step.sobject)
     val renamed = mappers.get(step.sobject) match {
@@ -82,7 +87,17 @@ final class LoadOperation(
         input.select(cols: _*)
       case None => input
     }
-    renamed.select(step.fieldScope.filter(renamed.columns.contains).map(col): _*)
+    val scoped = renamed.select(
+      step.fieldScope.filter(renamed.columns.contains).map(col): _*)
+    if (!sch.salesforceIds) scoped
+    else scoped.select(scoped.columns.toIndexedSeq.map { f =>
+      if (f == sch.idField || sch.fieldMap.get(f).exists(_.isReference))
+        // Blank stays blank (it means "unpopulated", not an invalid id).
+        when(col(f).isNull || col(f) === "", col(f))
+          .otherwise(graft.functions.GraftFunctions.canonical_id(col(f).cast("string")))
+          .as(f)
+      else col(f)
+    }: _*)
   }
 
   /** Reference get_value_for_lookup (amaxa:321-339) vectorized: remap one
@@ -230,15 +245,18 @@ final class LoadOperation(
     val hasWork = deferred.filter(withErr.columns.contains)
       .map(f => col(f).isNotNull && col(f) =!= "")
       .reduceOption(_ || _).getOrElse(lit(false))
+    // Rewrite the row's own id to the new id (amaxa:493-497), keeping the
+    // original alongside: the RESULT channel is keyed by ORIGINAL id.
     val toUpdate = withErr.drop("__error").where(hasWork)
-      // Rewrite the row's own id to the new id (amaxa:493-497).
       .join(idMap, col(idf).cast("string") === col("originalId"), "inner")
-      .drop(idf).withColumnRenamed("newId", idf).drop("originalId")
+      .drop(idf).withColumnRenamed("newId", idf)
+      .localCheckpoint(true)
     if (toUpdate.isEmpty) return
 
-    val res = store.update(t, toUpdate, idf)
-    appendResult(t, res.select(col("id").as("originalId"),
-      lit(null).cast("string").as("newId"), col("error")))
+    val res = store.update(t, toUpdate.drop("originalId"), idf)
+    val backMap = toUpdate.select(col(idf).cast("string").as("__new"), col("originalId"))
+    appendResult(t, res.join(backMap, col("id") === col("__new"))
+      .select(col("originalId"), lit(null).cast("string").as("newId"), col("error")))
     if (!res.where(col("error").isNotNull).isEmpty) success = false
   }
 

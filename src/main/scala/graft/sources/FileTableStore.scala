@@ -25,18 +25,25 @@ final class FileTableStore(
     if (touched(table)) return mem.scan(table)
     val csv = new java.io.File(s"$dir/$table.csv")
     val pq = new java.io.File(s"$dir/$table.parquet")
-    if (csv.exists())
+    // Parquet first: persist() writes parquet, so after a mutating run the
+    // parquet IS the table — a leftover seed csv must not shadow it.
+    if (pq.exists()) spark.read.parquet(pq.getPath)
+    else if (csv.exists())
       spark.read.option("header", true)
         .option("inferSchema", false) // strings all the way down (SURVEY §1.2)
+        .option("multiLine", true)    // RFC 4180 embedded newlines
+        .option("escape", "\"")
         .csv(csv.getPath)
-    else if (pq.exists()) spark.read.parquet(pq.getPath)
     else spark.emptyDataFrame
   }
 
   private def seed(table: String): Unit = synchronized {
     if (!touched(table)) {
       val existing = scan(table)
-      if (!existing.isEmpty) mem.register(table, existing)
+      // Materialize: persist() later OVERWRITES the same path this frame
+      // lazily reads from — without a checkpoint the write would delete
+      // the files out from under its own input.
+      if (!existing.isEmpty) mem.register(table, existing.localCheckpoint(true))
       touched += table
     }
   }

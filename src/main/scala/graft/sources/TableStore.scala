@@ -75,6 +75,16 @@ final class InMemoryTableStore(
     val idf = schema(table).idField
     val updates = rows.withColumnRenamed(idCol, idf)
     val updCols = updates.columns.filterNot(_ == idf)
+    // Updates against ids that do not exist must surface as row errors,
+    // not silent no-ops (the left-join merge below ignores them).
+    val existing0 = synchronized(data.get(table))
+    val missing = (existing0 match {
+      case Some(e) => updates.join(e.select(col(idf)), Seq(idf), "left_anti")
+      case None => updates
+    }).select(col(idf).cast("string").as("__miss_id")).localCheckpoint(true)
+    if (existing0.isEmpty)
+      return rows.select(col(idCol).cast("string").as("id"),
+        lit(s"Id not found in $table").as("error"))
     synchronized {
       val existing = data(table)
       // Columns the insert stage stripped (deferred FKs) materialize here,
@@ -96,7 +106,11 @@ final class InMemoryTableStore(
         }: _*)
       data += (table -> merged.localCheckpoint(true))
     }
-    rows.select(col(idCol).as("id"), lit(null).cast("string").as("error"))
+    rows.select(col(idCol).cast("string").as("id"))
+      .join(missing, col("id") === col("__miss_id"), "left")
+      .select(col("id"),
+        when(col("__miss_id").isNotNull, lit(s"Id not found in $table"))
+          .otherwise(lit(null).cast("string")).as("error"))
   }
 }
 

@@ -97,6 +97,60 @@ class CliSpec extends AnyFunSuite {
     assert(mid.getAs[String]("ParentId") == rootId)
   }
 
+  test("failed load persists completed tables; resume finishes without loss") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    Seq("describes", "src", "target").foreach(s => new java.io.File(s"$root/$s").mkdirs())
+    writeDescribes(s"$root/describes")
+    val opYml =
+      """version: 1
+        |operation:
+        |  - sobject: Account
+        |    fields: [Name, ParentId]
+        |    extract: {all: true}
+        |  - sobject: Contact
+        |    fields: [LastName, IsEmailBounced, AccountId, ReportsToId]
+        |    extract: {all: true}
+        |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"), opYml)
+    Fixture.accounts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Account.csv")
+    // Contact batch contains one invalid boolean → load stops after Account.
+    Fixture.contacts
+      .withColumn("IsEmailBounced",
+        org.apache.spark.sql.functions.when(col("LastName") === "Tigh",
+          org.apache.spark.sql.functions.lit("broken")).otherwise(col("IsEmailBounced")))
+      .write.mode("overwrite").option("header", true).csv(s"$root/src/Contact.csv")
+
+    assert(cli.Main.run(Array(s"$root/op.yml", "--load",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/src", "--out-dir", s"$root/target")) == 1)
+    // Completed table survived the failure (persist-on-failure).
+    // (Collect eagerly: run 2 will overwrite these files.)
+    val run1AccountIds = spark.read.parquet(s"$root/target/Account.parquet")
+      .select("Id").collect().map(_.getString(0)).toSet
+    assert(run1AccountIds.size == 5)
+    assert(new java.io.File(s"$root/target/_state/stage.json").exists())
+
+    // Fix the data and resume with the saved state.
+    Fixture.contacts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Contact.csv")
+    assert(cli.Main.run(Array(s"$root/op.yml", "--load",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/src", "--out-dir", s"$root/target",
+      "--use-state", s"$root/target/_state")) == 0)
+
+    val accounts2 = spark.read.parquet(s"$root/target/Account.parquet")
+    val contacts2 = spark.read.parquet(s"$root/target/Contact.parquet")
+    assert(accounts2.count() == 5, "accounts re-inserted or lost on resume")
+    assert(contacts2.count() == 4)
+    // Run-1 account ids are still the ids contacts point at (map reused).
+    assert(accounts2.select("Id").collect().map(_.getString(0)).toSet == run1AccountIds)
+    val capricaNew = accounts2.where(col("Name") === "Caprica Cosmetics")
+      .collect().head.getAs[String]("Id")
+    assert(contacts2.where(col("AccountId") === capricaNew).count() == 2)
+  }
+
   test("CLI check-only validates without running") {
     val root = java.nio.file.Files.createTempDirectory("graft_cli2").toString
     new java.io.File(s"$root/describes").mkdirs()
