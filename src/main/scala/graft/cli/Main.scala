@@ -47,7 +47,10 @@ object Main {
       catch { case e: Exception => System.err.println(s"Cannot read $opFile: ${e.getMessage}"); return 2 }
 
     val catalog = describeDir match {
-      case Some(d) => Catalog.fromDescribeDir(new java.io.File(d))
+      case Some(d) =>
+        try Catalog.fromDescribeDir(new java.io.File(d))
+        catch { case e: IllegalArgumentException =>
+          System.err.println(e.getMessage); return 2 }
       case None => System.err.println("--describe-dir is required"); return 2
     }
 
@@ -105,6 +108,12 @@ object Main {
     OperationConfig.toLoadSteps(catalog, cfg) match {
       case Left(errs) => errs.foreach(System.err.println); 1
       case Right(steps) =>
+        // Input files must exist before any Spark read (reference reports
+        // unopenable files as validation errors, not stack traces).
+        val missingFiles = cfg.steps
+          .filterNot(sc => new java.io.File(s"$dataDir/${sc.fileName}").exists())
+          .map(sc => s"Cannot open input file $dataDir/${sc.fileName} for sObject ${sc.sobject}")
+        if (missingFiles.nonEmpty) { missingFiles.foreach(System.err.println); return 1 }
         val inputs: Map[String, DataFrame] = cfg.steps.map { sc =>
           sc.sobject -> spark.read.option("header", true)
             .option("inferSchema", false)

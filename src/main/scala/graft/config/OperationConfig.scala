@@ -241,7 +241,17 @@ object OperationConfig {
         case Some(("query", q)) => ExtractionScope.Query(q.toString)
         case Some(("descendents", _)) => ExtractionScope.Descendents
         case Some(("ids", ids: java.util.List[_])) =>
-          ExtractionScope.SelectedRecords(ids.asScala.toSeq.map(_.toString))
+          val idSeq = ids.asScala.toSeq.map(_.toString)
+          // Shape-validate ids at config time for Salesforce-id tables —
+          // a bad length would otherwise throw mid-extraction.
+          if (catalog.byName.get(sc.sobject).exists(_.salesforceIds))
+            idSeq.filter(graft.core.SalesforceId.canonicalOrNull(_) == null)
+              .foreach(bad => errors += s"${sc.sobject}: invalid id '$bad' " +
+                "(Salesforce Ids must be 15 or 18 characters)")
+          ExtractionScope.SelectedRecords(idSeq)
+        case Some(("ids", other)) =>
+          errors += s"${sc.sobject}: 'ids' must be a list, got $other"
+          ExtractionScope.AllRecords
         case _ =>
           errors += s"${sc.sobject}: extract clause is required"; ExtractionScope.AllRecords
       }

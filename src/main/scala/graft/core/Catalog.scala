@@ -103,9 +103,11 @@ object Catalog {
   }
 
   def fromDescribeDir(dir: java.io.File): Catalog = {
-    val ts = dir.listFiles((_, n) => n.endsWith(".json") && n != "sobjects.json")
-      .toSeq.map(f => tableFromDescribeJson(
-        new String(java.nio.file.Files.readAllBytes(f.toPath))))
-    new Catalog(ts)
+    val files = Option(
+      dir.listFiles((_, n) => n.endsWith(".json") && n != "sobjects.json"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Describe directory ${dir.getPath} does not exist or is not readable"))
+    new Catalog(files.toSeq.map(f => tableFromDescribeJson(
+      new String(java.nio.file.Files.readAllBytes(f.toPath)))))
   }
 }

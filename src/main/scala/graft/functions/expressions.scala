@@ -168,6 +168,10 @@ object GraftFunctions {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
+    // Zero-norm guard: ANSI mode makes 0/0 a DIVIDE_BY_ZERO error, not
+    // NaN — an all-zero vector must yield null (excluded by thresholds),
+    // not abort the query.
+    val den = na * nb
+    when(den === 0.0d, lit(null).cast("double")).otherwise(dot / den)
   }
 }

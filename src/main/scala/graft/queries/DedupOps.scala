@@ -141,9 +141,19 @@ object DedupOps {
     */
   private val ngramJaccard: Q = (s, d) => {
     val t = 0.8
-    val gramsCol = array_distinct(transform(
-      sequence(lit(1), length(col("text")) - 2),
-      i => col("text").substr(i, lit(3))))
+    // t as an exact rational (4/5): threshold arithmetic must be integer-
+    // exact or ceil() of an FP product prunes pairs sitting exactly on the
+    // threshold (63 * 0.444… = 28.000000000000004 → ceil 29, true α 28).
+    val tNum = 4L
+    val tDen = 5L
+    // Short texts (<3 chars) have NO 3-grams. Spark's sequence(1, len-2)
+    // would count DOWN for len<3 ([1,0]) and fabricate phantom grams;
+    // DuckDB's generate_series is empty — match DuckDB.
+    val gramsCol = when(length(col("text")) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), gramsCol.as("grams"))
       .localCheckpoint(true)
@@ -156,8 +166,10 @@ object DedupOps {
         array_sort(collect_list(struct(col("df"), col("gram")))),
         p => p.getField("gram")).as("sgrams"))
       .withColumn("sz", size(col("sgrams")))
+      // Prefix length |g| − ceil(t·|g|) + 1 in exact integer arithmetic.
       .withColumn("prefix",
-        slice(col("sgrams"), lit(1), (col("sz") - ceil(col("sz") * t) + 1).cast("int")))
+        slice(col("sgrams"), lit(1),
+          expr(s"CAST(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1 AS INT)")))
       // Lexicographically sorted copy for the merge-intersect verifier.
       .withColumn("vgrams", array_sort(col("sgrams")))
       .localCheckpoint(true)
@@ -180,8 +192,10 @@ object DedupOps {
         first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
       // Positional filter (PPJoin): no common token precedes the first
       // shared prefix gram, so overlap ≤ 1 + min(remaining suffix lengths);
-      // required overlap for J ≥ t is α = ceil(t/(1+t)·(|A|+|B|)).
-      .withColumn("alpha", ceil((col("sz_a") + col("sz_b")) * (t / (1 + t))))
+      // required overlap for J ≥ t is α = ceil(tNum·(|A|+|B|) / (tNum+tDen)),
+      // computed in exact integer arithmetic.
+      .withColumn("alpha", expr(
+        s"(CAST(sz_a + sz_b AS BIGINT) * $tNum + ${tNum + tDen - 1}) div ${tNum + tDen}"))
       .where(lit(1) + least(col("sz_a") - col("pa0") - 1, col("sz_b") - col("pb0") - 1)
         >= col("alpha"))
     // Exact verification on surviving candidates with the codegen'd
@@ -215,9 +229,12 @@ object DedupOps {
     val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
       lit(0.0d), (acc, x) => acc + x)
+    val den = col("n_a") * col("n_b")
     a.join(b, Seq("label"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (col("n_a") * col("n_b")))
+      // Zero-norm guard (ANSI divide-by-zero; see GraftFunctions.cosine).
+      .withColumn("cosine",
+        when(den === 0.0d, lit(null).cast("double")).otherwise(dot / den))
       .where(col("cosine") >= 0.3)
       .select(col("id_a"), col("id_b"), col("label"))
   }

@@ -50,7 +50,10 @@ object Relational {
     val n = Tables.nation(s, d)
     val keyFirst = "n_nationkey" +: n.columns.filterNot(_ == "n_nationkey").sorted.toSeq
     val ordered = n.select(keyFirst.map(col): _*)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    // Per-process-unique path: a fixed shared path would let concurrent
+    // runs overwrite each other's files mid-read.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      s.sparkContext.applicationId
     ordered.write.mode("overwrite").option("header", true).csv(out)
     s.read.schema(ordered.schema).option("header", true).csv(out)
   }
