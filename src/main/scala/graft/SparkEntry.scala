@@ -12,7 +12,7 @@ object SparkEntry {
     queries("q3_topk_revenue")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.EngineOps.queries ++
       graft.queries.TextOps.queries ++
@@ -22,7 +22,7 @@ object SparkEntry {
       graft.queries.MultimodalOps.queries
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.EngineOps.oracle ++
       graft.queries.TextOps.oracle ++
@@ -34,7 +34,7 @@ object SparkEntry {
   /** Queries whose semantics are not expressible in DuckDB SQL (custom
     * hashing etc.) — they get the driver's weaker rows-only check, and
     * value-level coverage lives in the ScalaTest suites instead. */
-  def rowsOnlyQueries: Set[String] =
+  lazy val rowsOnlyQueries: Set[String] =
     graft.queries.TextOps.rowsOnly ++
       graft.queries.DedupOps.rowsOnly ++
       graft.queries.SimilarityOps.rowsOnly

@@ -18,6 +18,13 @@ object Tables {
   /** events.ts is Parquet TIMESTAMP(NANOS), which Spark reads only as a
     * long (SPARK-40819 legacy conf); normalize it to a microsecond
     * TimestampType column so downstream operators see a real timestamp.
+    *
+    * NOTE deliberate session-wide side effect: nanosAsLong stays set for
+    * the session (the conf is consulted again at execution time, so it
+    * cannot be restored after planning). It only changes how
+    * TIMESTAMP(NANOS) columns read — events.ts is the sole such column in
+    * this dataset — but order-dependence is possible if other code does a
+    * bare read of a nanos parquet.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -10,11 +10,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || args(0).startsWith("--")) {
+      System.err.println("usage: graft.tools.Profile <sfDir> [--explain] <query...|all>")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val explain = args.contains("--explain")
     val names0 = args.drop(1).filterNot(_.startsWith("--")).toSeq
     val names = if (names0 == Seq("all")) graft.SparkEntry.queries.keys.toSeq.sorted
                 else names0
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
