@@ -20,8 +20,11 @@ object EventOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("value_cents"))
+      // timestamp_ntz: every other timestamp in the dataset is NTZ and so
+      // are DuckDB results — keep the output schema uniform (values are
+      // identical under the UTC session zone).
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("value_cents"))
 
   /** Session windows (30-minute gap) per user via session_window; output
     * min/max/count (gap-closure end is engine-specific, min/max are not).
@@ -31,7 +34,9 @@ object EventOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n"))
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"), col("n"))
 
   /** JSON property extraction + sliding 2h/1h windows. */
   private val enriched: Q = (s, d) =>
@@ -39,8 +44,8 @@ object EventOps {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("k_sum"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("k_sum"))
 
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,

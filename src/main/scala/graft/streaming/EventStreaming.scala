@@ -25,8 +25,8 @@ object EventStreaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n"), col("value_cents"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("value_cents"))
 
   /** Watermarked session windows per user. */
   def sessionCounts(events: DataFrame): DataFrame =
@@ -35,7 +35,9 @@ object EventStreaming {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n"))
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"), col("n"))
 
   /** Watermarked streaming dedup: duplicate events (same user, type,
     * timestamp) are dropped with bounded state.
