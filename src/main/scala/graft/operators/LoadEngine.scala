@@ -193,7 +193,17 @@ final class LoadOperation(
       if (populated.columns.contains(f))
         populated = populateLookup(step, populated, f, idf)
     }
-    val prepped = collectErrors(primitivize(step, populated)).localCheckpoint(true)
+    // Duplicate input ids would all map to the same synthesized new id
+    // (newIdExpr is a pure function of table+originalId), silently fanning
+    // out every subsequent remap join — fail the rows instead. The
+    // reference's org hands out distinct ids so it never faces this; with
+    // deterministic ids the input contract is "unique ids per table".
+    val dupChecked = populated.withColumn("__err_dup",
+      when(count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idf))) > 1,
+        concat(lit("Duplicate record id "), col(idf).cast("string")))
+        .otherwise(lit(null).cast("string")))
+    val prepped = collectErrors(primitivize(step, dupChecked)).localCheckpoint(true)
 
     val errRows = prepped.where(col("__error").isNotNull)
     val errCount = errRows.count()
@@ -255,7 +265,11 @@ final class LoadOperation(
 
     val res = store.update(t, toUpdate.drop("originalId"), idf)
     val backMap = toUpdate.select(col(idf).cast("string").as("__new"), col("originalId"))
+    // Reference RESULT contract: the dependents stage registers only
+    // ERRORS (amaxa:505-510) — a success row already exists from the
+    // insert stage, so appending blank success rows here would double up.
     appendResult(t, res.join(backMap, col("id") === col("__new"))
+      .where(col("error").isNotNull)
       .select(col("originalId"), lit(null).cast("string").as("newId"), col("error")))
     if (!res.where(col("error").isNotNull).isEmpty) success = false
   }

@@ -181,9 +181,12 @@ object DedupOps {
         col("sz").as("sz_a"), col("pos").as("pa"))
       .join(pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_b"),
         col("sz").as("sz_b"), col("pos").as("pb")), Seq("lang", "gram"))
+      // Size-ratio filter in the same exact integer arithmetic as alpha:
+      // min·tDen ≥ max·tNum avoids an FP product round-to-even pruning a
+      // pair sitting exactly on the boundary (e.g. 4k vs 5k at t=4/5).
       .where(col("doc_a") < col("doc_b") &&
-        least(col("sz_a"), col("sz_b")).cast("double") >=
-          greatest(col("sz_a"), col("sz_b")).cast("double") * t)
+        least(col("sz_a"), col("sz_b")) * tDen >=
+          greatest(col("sz_a"), col("sz_b")) * tNum)
       // One row per pair, keyed on the FIRST shared prefix gram (positions
       // are monotone in the shared global order, so min(pa) and min(pb)
       // identify the same token).

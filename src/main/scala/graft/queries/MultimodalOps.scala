@@ -44,7 +44,9 @@ object MultimodalOps {
       n_bytes = n,
       sha256 = hex,
       width = 64 + n % 512,
-      height = 64 + (n * 7) % 512,
+      // Long arithmetic: n*7 overflows Int past ~306 MB payloads and Java's
+      // % would go negative, diverging from the oracle's unbounded math.
+      height = 64 + ((n.toLong * 7) % 512).toInt,
       format = (n % 3) match { case 0 => "rgb"; case 1 => "rgba"; case _ => "gray" })
   }
 

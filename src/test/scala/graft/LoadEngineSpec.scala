@@ -76,6 +76,36 @@ class LoadEngineSpec extends AnyFunSuite {
     assert(err.getAs[String]("error").contains("Invalid Boolean value maybe"))
   }
 
+  test("duplicate input ids fail the step (deterministic-id contract)") {
+    import spark.implicits._
+    val dup = Seq(
+      (cont(1), "Adama", "true"), (cont(1), "Adama2", "false"), (cont(2), "Roslin", "true"))
+      .toDF("Id", "LastName", "IsEmailBounced")
+    val target = freshTarget()
+    val op = new LoadOperation(target, catalog,
+      Seq(LoadStepSpec("Contact", Seq("Id", "LastName", "IsEmailBounced"))),
+      Map("Contact" -> dup))
+    assert(op.execute() == -1)
+    assert(!op.success)
+    assert(target.scan("Contact").isEmpty)
+    val errs = op.results("Contact").where(col("error").isNotNull).collect()
+    assert(errs.length == 2)
+    assert(errs.forall(_.getAs[String]("error") == s"Duplicate record id ${cont(1)}"))
+  }
+
+  test("dependents stage registers only errors in results (amaxa:505-510)") {
+    val target = freshTarget()
+    val op = new LoadOperation(target, catalog, loadSteps,
+      Map("Account" -> accounts, "Contact" -> contacts))
+    assert(op.execute() == 0)
+    // One row per input record: success rows come only from the insert
+    // stage, so every result row carries a newId (no blank dependent rows).
+    assert(op.results("Account").count() == 5)
+    assert(op.results("Account").where(col("newId").isNull).isEmpty)
+    assert(op.results("Contact").count() == 4)
+    assert(op.results("Contact").where(col("newId").isNull).isEmpty)
+  }
+
   test("boolean synonyms normalize on load (amaxa:349-363)") {
     import spark.implicits._
     val c = Seq(
