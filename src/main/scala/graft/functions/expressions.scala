@@ -38,6 +38,27 @@ object ExprUtil {
     n
   }
 
+  /** Ordered left-fold dot product over two double arrays: acc += a[i]*b[i]
+    * for i = 0..n-1 — bit-identical to functions.aggregate(zip_with(a,b,_*_))
+    * and to DuckDB's list_reduce over the same element order, but a tight
+    * primitive loop instead of per-element interpreted lambda evaluation
+    * (HigherOrderFunctions do not participate in codegen, so on a pair-join
+    * hot path the HOF form dominates the query cost).
+    * Preconditions: equal lengths, no null elements (enforced by callers
+    * that build the arrays with transform(…, cast)).
+    */
+  def dotFold(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** 64-bit polynomial rolling hash (base 1000003, seeded) over UTF-8 bytes.
     * Deterministic document fingerprint primitive; stable across JVMs.
     */
@@ -118,6 +139,28 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Ordered-fold dot product of two array<double> columns (codegen'd; see
+  * [[ExprUtil.dotFold]] for the FP-order contract).
+  */
+case class DotFold(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_fold"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprUtil.dotFold(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprUtil.dotFold($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFold =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for graft's custom functions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions._
@@ -131,6 +174,14 @@ object GraftFunctions {
   /** Requires both arrays sorted + distinct. */
   def sorted_intersect_size(a: Column, b: Column): Column =
     GraftSqlShim.column(SortedIntersectSize(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Ordered-fold dot product of two array<double> columns — same FP
+    * result as aggregate(zip_with(a, b, _*_), 0.0, _+_), but codegen'd.
+    * Requires equal lengths and no null elements.
+    */
+  def dot_fold(a: Column, b: Column): Column =
+    GraftSqlShim.column(DotFold(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
   /** 3-char key prefix used for polymorphic-lookup dispatch (SURVEY J5/T8). */

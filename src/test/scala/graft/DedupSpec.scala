@@ -57,6 +57,23 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 16)
   }
 
+  test("d5 tile-blocked all-pairs is lossless: multi-tile == single-tile result") {
+    val d = "/root/testdata/sf0.001"
+    def run(tile: String) = {
+      spark.conf.set("spark.graft.neardup.tile", tile)
+      try DedupOps.queries("d5_embedding_neardup")(spark, d)
+        .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong,
+          r.get(2).toString)).toSeq
+      finally spark.conf.unset("spark.graft.neardup.tile")
+    }
+    val single = run("1000000") // G = 1: plain per-label self-join
+    val tiled = run("8")        // ~50 rows/label → G = 7, 28 tile-pairs/label
+    assert(tiled.size == tiled.distinct.size, "tile join produced duplicate pairs")
+    assert(tiled.toSet == single.toSet)
+    assert(single.nonEmpty)
+    assert(single.forall { case (a, b, _) => a < b })
+  }
+
   test("LSH candidate generation finds planted near-duplicates end-to-end") {
     // Plant an exact dup pair + a near-dup pair among noise docs.
     val noise = (10 to 40).map(i =>
