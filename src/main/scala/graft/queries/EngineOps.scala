@@ -143,10 +143,130 @@ object EngineOps {
         col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Catalog for the error-channel / resume loads: orders carries a
+    * boolean field (primitivize errors) and an Error-behavior FK.
+    */
+  private val loadErrCatalog = new Catalog(Seq(
+    TableSchema("customer", Seq(
+      FieldMeta("c_custkey", "id", "tns:ID"),
+      FieldMeta("c_name", "string", "xsd:string")),
+      keyPrefix = "003", idField = "c_custkey"),
+    TableSchema("orders", Seq(
+      FieldMeta("o_orderkey", "id", "tns:ID"),
+      FieldMeta("o_custkey", "reference", "tns:ID", Seq("customer")),
+      FieldMeta("o_flag", "boolean", "xsd:boolean"),
+      FieldMeta("o_orderstatus", "string", "xsd:string")),
+      keyPrefix = "00o", idField = "o_orderkey"),
+  ))
+
+  /** Load inputs with globally-unique prefixed ids; `flag` evaluates
+    * against the RAW orders columns (before the prefix projection).
+    */
+  private def custInput(s: SparkSession, d: String,
+      keep: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    Tables.customer(s, d).where(keep).select(
+      concat(lit("c"), col("c_custkey")).as("c_custkey"), col("c_name"))
+
+  private def ordersInput(s: SparkSession, d: String, flag: org.apache.spark.sql.Column): DataFrame =
+    Tables.orders(s, d).select(
+      concat(lit("o"), col("o_orderkey")).as("o_orderkey"),
+      concat(lit("c"), col("o_custkey")).as("o_custkey"),
+      flag.as("o_flag"), col("o_orderstatus"))
+
+  /** O4 row-level error channel, oracle-gated: load only EVEN customers,
+    * then orders whose o_custkey FK has Error outside-lookup behavior
+    * (odd custkeys → outside references) and whose o_flag is an invalid
+    * boolean except when o_orderkey % 3 = 0. Output = the RESULT channel:
+    * customer success rows (with synthesized ids) + orders error rows,
+    * first-error-wins per row (outside reference before bad boolean),
+    * exactly the reference's register_error semantics
+    * (/root/reference/amaxa/amaxa.py:435-450, test_LoadStep.py:736-813).
+    */
+  private val xErrorRows: Q = (s, d) => {
+    val target = new InMemoryTableStore(s, loadErrCatalog.byName)
+    val customers = custInput(s, d, col("c_custkey") % 2 === 0)
+    val orders = ordersInput(s, d,
+      when(col("o_orderkey") % 3 === 0, lit("yes"))
+        .otherwise(col("o_orderpriority")))
+    val op = new LoadOperation(target, loadErrCatalog, Seq(
+      LoadStepSpec("customer", Seq("c_custkey", "c_name")),
+      LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_flag", "o_orderstatus"),
+        outsideBehaviors = Map("o_custkey" -> OutsideLookupBehavior.Error))),
+      Map("customer" -> customers, "orders" -> orders))
+    require(op.execute() == -1, "orders step must fail by design")
+    op.results("customer").withColumn("tbl", lit("customer"))
+      .unionByName(op.results("orders").withColumn("tbl", lit("orders")))
+      .select(col("tbl"), col("originalId"), col("newId"), col("error"))
+  }
+
+  /** O1 SelectedRecords scope, oracle-gated: a Salesforce-id table whose
+    * ids are deterministic 15-char synthetics; seeds are custkeys 1–40,
+    * alternating raw 15-char and pre-canonicalized 18-char forms — the
+    * engine canonicalizes both (reference test_ExtractionStep.py:212-303).
+    * The seed collect is 40 user-provided ids, not data.
+    */
+  private val xSelected: Q = (s, d) => {
+    val sfCat = new Catalog(Seq(TableSchema("sfcustomer", Seq(
+      FieldMeta("Id", "id", "tns:ID"),
+      FieldMeta("Name", "string", "xsd:string")),
+      keyPrefix = "001", idField = "Id", salesforceIds = true)))
+    val st = new InMemoryTableStore(s, sfCat.byName)
+    st.register("sfcustomer", Tables.customer(s, d)
+      .select(Relational.id15Expr.as("Id"), col("c_name").as("Name")))
+    val seeds = Tables.customer(s, d).where(col("c_custkey") <= 40)
+      .select(col("c_custkey").cast("long"), Relational.id15Expr.as("id15"))
+      .collect().sortBy(_.getLong(0))
+      .zipWithIndex.map { case (r, i) =>
+        val id15 = r.getString(1)
+        if (i % 2 == 0) id15 else graft.core.SalesforceId.canonicalize(id15)
+      }.toSeq
+    val op = new ExtractOperation(st, sfCat, Seq(
+      ExtractStep("sfcustomer", ExtractionScope.SelectedRecords(seeds), Seq("Id", "Name"))))
+    require(op.execute() == 0, s"extract failed: ${op.errors}")
+    op.result("sfcustomer")
+  }
+
+  /** S7 checkpoint/resume, oracle-gated: load #1 inserts all customers but
+    * fails on orders (every o_flag invalid); its state (id map + stage) is
+    * saved, restored, and handed to load #2 with corrected orders input.
+    * Resume must SKIP the already-loaded customers (re-inserting would
+    * double the customer rows and break the compare) and insert orders
+    * with FKs remapped through the restored id map
+    * (/root/reference/amaxa/loader/state.py:10-32).
+    */
+  private val xResume: Q = (s, d) => {
+    val target = new InMemoryTableStore(s, loadErrCatalog.byName)
+    val steps = Seq(
+      LoadStepSpec("customer", Seq("c_custkey", "c_name")),
+      LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_flag", "o_orderstatus")))
+    val op1 = new LoadOperation(target, loadErrCatalog, steps,
+      Map("customer" -> custInput(s, d),
+        "orders" -> ordersInput(s, d, col("o_orderpriority"))))
+    require(op1.execute() == -1, "first load must fail on orders by design")
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    op1.saveState(dir)
+    val (idMap2, stage2) = LoadOperation.loadState(s, dir)
+    val op2 = new LoadOperation(target, loadErrCatalog, steps,
+      Map("customer" -> custInput(s, d),
+        "orders" -> ordersInput(s, d,
+          when(col("o_orderkey") % 3 === 0, lit("yes")).otherwise(lit("no")))),
+      initialIdMap = Some(idMap2), initialStage = stage2)
+    require(op2.execute() == 0, "resumed load must succeed")
+    target.scan("customer").select(lit("customer").as("tbl"),
+      col("c_custkey").as("id"), lit(null).cast("string").as("ref"),
+      col("c_name").as("val"))
+      .unionByName(target.scan("orders").select(lit("orders").as("tbl"),
+        col("o_orderkey").as("id"), col("o_custkey").as("ref"),
+        col("o_flag").as("val")))
+  }
+
   val queries: Map[String, Q] = Map(
     "x_engine_traversal" -> xTraversal,
     "x_engine_fixpoint" -> xFixpoint,
     "x_engine_load_remap" -> xLoadRemap,
+    "x_engine_error_rows" -> xErrorRows,
+    "x_engine_selected" -> xSelected,
+    "x_engine_resume" -> xResume,
   )
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +302,36 @@ object EngineOps {
       """SELECT '00o' || substr(sha256('orders' || 'o' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS new_order_id,
         |       '003' || substr(sha256('customer' || 'c' || CAST(o_custkey AS VARCHAR)), 1, 15) AS new_cust_id,
         |       o_orderstatus, o_orderpriority
+        |FROM orders""".stripMargin,
+    "x_engine_error_rows" ->
+      """SELECT 'customer' AS tbl, 'c' || CAST(c_custkey AS VARCHAR) AS "originalId",
+        |       '003' || substr(sha256('customer' || 'c' || CAST(c_custkey AS VARCHAR)), 1, 15) AS "newId",
+        |       CAST(NULL AS VARCHAR) AS error
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 'orders', 'o' || CAST(o_orderkey AS VARCHAR), CAST(NULL AS VARCHAR),
+        |  CASE WHEN o_custkey % 2 = 1 THEN
+        |         'orders o' || CAST(o_orderkey AS VARCHAR) ||
+        |         ' has an outside reference in field o_custkey (c' || CAST(o_custkey AS VARCHAR) ||
+        |         '), which is not allowed by the extraction configuration.'
+        |       WHEN o_orderkey % 3 <> 0 THEN 'Invalid Boolean value ' || o_orderpriority
+        |  END AS error
+        |FROM orders
+        |WHERE o_custkey % 2 = 1 OR o_orderkey % 3 <> 0""".stripMargin,
+    "x_engine_selected" ->
+      s"""WITH s AS (SELECT c_custkey, ${Relational.id15Sql} AS id15, c_name FROM customer
+         |           WHERE c_custkey <= 40)
+         |SELECT ${Relational.sfChecksumSql("id15")} AS "Id", c_name AS "Name" FROM s""".stripMargin,
+    "x_engine_resume" ->
+      """SELECT 'customer' AS tbl,
+        |       '003' || substr(sha256('customer' || 'c' || CAST(c_custkey AS VARCHAR)), 1, 15) AS id,
+        |       CAST(NULL AS VARCHAR) AS ref, c_name AS val
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders',
+        |       '00o' || substr(sha256('orders' || 'o' || CAST(o_orderkey AS VARCHAR)), 1, 15),
+        |       '003' || substr(sha256('customer' || 'c' || CAST(o_custkey AS VARCHAR)), 1, 15),
+        |       CASE WHEN o_orderkey % 3 = 0 THEN 'true' ELSE 'false' END
         |FROM orders""".stripMargin,
   )
 }

@@ -207,19 +207,19 @@ object Relational {
       .withColumn("id15", id15Expr)
       .select(col("c_custkey"), col("id15"), canonical_id(col("id15")).as("id18"))
 
-  private def id15Expr =
+  private[queries] def id15Expr =
     concat(lit("001"),
       substring(md5(col("c_custkey").cast("string")), 1, 4),
       upper(substring(md5(col("c_custkey").cast("string")), 5, 4)),
       lpad(col("c_custkey").cast("string"), 4, "0"))
 
-  private val id15Sql =
+  private[queries] val id15Sql =
     "'001' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) || " +
       "upper(substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4)) || " +
       "lpad(CAST(c_custkey AS VARCHAR), 4, '0')"
 
   /** Generates DuckDB SQL computing the 15→18 checksum suffix for `c`. */
-  private def sfChecksumSql(c: String): String = {
+  private[queries] def sfChecksumSql(c: String): String = {
     def chunk(i: Int): String = {
       val bits = (0 until 5).map { j =>
         val pos = i * 5 + j + 1
