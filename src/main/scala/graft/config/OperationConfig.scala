@@ -22,6 +22,7 @@ final case class StepConfig(
     sobject: String,
     fields: Option[Seq[FieldSpec]] = None,
     fieldGroup: Option[String] = None,
+    excludeFields: Seq[String] = Nil,
     extract: Option[(String, Any)] = None, // (all|descendents|query|ids, payload)
     selfLookupBehavior: String = "trace-all",
     outsideLookupBehavior: String = "include",
@@ -32,7 +33,8 @@ final case class StepConfig(
   def resultFileName: String = resultFile.getOrElse(sobject + "-results.csv")
 }
 
-final case class OperationConfig(version: Int, steps: Seq[StepConfig])
+final case class OperationConfig(version: Int, steps: Seq[StepConfig],
+    pluginModules: Seq[String] = Nil)
 
 /** YAML operation-definition loader + the 6-phase validation pipeline
   * (reference loader/core.py:56-70 + schemas.py). Errors accumulate;
@@ -48,7 +50,11 @@ object OperationConfig {
     "drop-field" -> OutsideLookupBehavior.DropField,
     "error" -> OutsideLookupBehavior.Error)
 
-  /** Phase 1-2: parse YAML + schema-shape validation. */
+  /** Phase 1-2: parse YAML + schema-shape validation. Unknown keys are
+    * rejected at every level (Cerberus parity, reference loader/core.py:
+    * 56-70) — a typo'd `outside-lookup-behaviour` must error, not silently
+    * fall back to defaults.
+    */
   def parse(yamlText: String): Either[Seq[String], OperationConfig] = {
     val errors = scala.collection.mutable.Buffer.empty[String]
     val root =
@@ -61,25 +67,77 @@ object OperationConfig {
       case Some(v) => errors += s"Unsupported version $v"; 0
       case None => errors += "Missing required key version"; 0
     }
+    // plugin-modules is a v2 schema addition (reference schemas.py:377-380);
+    // under v1 it falls out as an unknown key like any other.
+    val topAllowed = Set("version", "operation") ++
+      (if (version == 2) Set("plugin-modules") else Set.empty)
+    val unknownTop = m.keySet.filterNot(topAllowed)
+    if (unknownTop.nonEmpty)
+      errors += s"Unrecognized key(s) in operation definition: ${unknownTop.toSeq.sorted.mkString(", ")}"
+    val plugins = m.get("plugin-modules") match {
+      case Some(l: java.util.List[_]) if version == 2 =>
+        val names = l.asScala.toSeq.map(_.toString)
+        names.foreach { n =>
+          try loadPluginModule(n).foreach(graft.core.Transforms.register)
+          catch { case e: Exception =>
+            errors += s"Unable to load plugin module $n (${e.getClass.getSimpleName})" }
+        }
+        names
+      case Some(_) if version == 2 => errors += "plugin-modules must be a list"; Nil
+      case _ => Nil
+    }
     val steps = m.get("operation") match {
       case Some(l: java.util.List[_]) =>
         l.asScala.toSeq.zipWithIndex.flatMap {
           case (e: java.util.Map[_, _], i) =>
-            parseStep(e.asInstanceOf[java.util.Map[String, Any]].asScala.toMap, i, errors)
+            parseStep(e.asInstanceOf[java.util.Map[String, Any]].asScala.toMap, i, version, errors)
           case (_, i) =>
             errors += s"operation[$i] is not a mapping"; None
         }
       case _ => errors += "Missing required key operation"; Nil
     }
-    if (errors.nonEmpty) Left(errors.toSeq) else Right(OperationConfig(version, steps))
+    if (errors.nonEmpty) Left(errors.toSeq)
+    else Right(OperationConfig(version, steps, plugins))
   }
 
-  private def parseStep(e: Map[String, Any], i: Int,
+  /** Reflectively resolve a plugin class/object name to its providers —
+    * the JVM analogue of the reference's importlib.import_module check
+    * (loader/schemas.py:37-43). Accepts a Scala `object` or a no-arg
+    * class, implementing either TransformProvider (one transform) or
+    * TransformProviderModule (several).
+    */
+  private def loadPluginModule(name: String): Seq[graft.core.TransformProvider] = {
+    val instance =
+      try Class.forName(name + "$").getField("MODULE$").get(null)
+      catch {
+        case _: ClassNotFoundException | _: NoSuchFieldException =>
+          Class.forName(name).getDeclaredConstructor().newInstance()
+      }
+    instance match {
+      case p: graft.core.TransformProvider => Seq(p)
+      case mod: graft.core.TransformProviderModule => mod.providers
+      case other => throw new IllegalArgumentException(
+        s"${other.getClass.getName} implements neither TransformProvider nor TransformProviderModule")
+    }
+  }
+
+  private val StepKeys = Set("sobject", "fields", "field-group", "extract",
+    "self-lookup-behavior", "outside-lookup-behavior", "input-validation",
+    "file", "result-file")
+  private val FieldKeys = Set("field", "column", "transforms",
+    "self-lookup-behavior", "outside-lookup-behavior")
+
+  private def parseStep(e: Map[String, Any], i: Int, version: Int,
       errors: scala.collection.mutable.Buffer[String]): Option[StepConfig] = {
     val sobject = e.get("sobject") match {
       case Some(s: String) => s
       case _ => errors += s"operation[$i]: missing sobject"; return None
     }
+    // exclude-fields is v2-only (reference v2 schema, schemas.py:474).
+    val stepAllowed = StepKeys ++ (if (version == 2) Set("exclude-fields") else Set.empty)
+    val unknown = e.keySet.filterNot(stepAllowed)
+    if (unknown.nonEmpty)
+      errors += s"$sobject: unrecognized key(s): ${unknown.toSeq.sorted.mkString(", ")}"
     val fieldGroup = e.get("field-group").map(_.toString) match {
       case Some(g) if !Set("readable", "writeable", "smart").contains(g) =>
         errors += s"$sobject: invalid field-group $g"; None
@@ -90,6 +148,9 @@ object OperationConfig {
         case s: String => FieldSpec(s)
         case fm: java.util.Map[_, _] =>
           val f = fm.asInstanceOf[java.util.Map[String, Any]].asScala
+          val unknownF = f.keySet.filterNot(FieldKeys)
+          if (unknownF.nonEmpty)
+            errors += s"$sobject: unrecognized field-entry key(s): ${unknownF.toSeq.sorted.mkString(", ")}"
           FieldSpec(
             field = f.getOrElse("field", { errors += s"$sobject: field entry missing 'field'"; "" }).toString,
             column = f.get("column").map(_.toString),
@@ -99,6 +160,9 @@ object OperationConfig {
                 case s: String => TransformSpec(s)
                 case tm: java.util.Map[_, _] =>
                   val t = tm.asInstanceOf[java.util.Map[String, Any]].asScala
+                  val unknownT = t.keySet.filterNot(Set("name", "options"))
+                  if (unknownT.nonEmpty)
+                    errors += s"$sobject: unrecognized transform key(s): ${unknownT.toSeq.sorted.mkString(", ")}"
                   TransformSpec(
                     t.getOrElse("name", { errors += s"$sobject: transform missing 'name'"; "" }).toString,
                     t.get("options").map {
@@ -119,8 +183,17 @@ object OperationConfig {
       }
       case _ => errors += s"$sobject: fields must be a list"; Nil
     }
-    if (fields.isDefined && fieldGroup.isDefined)
+    // v1 schema: `excludes` between fields and field-group; the v2 schema
+    // drops the exclusion and the scopes UNION (reference
+    // extract_operation.py:88-122 builds field-group ∪ fields, then
+    // discards exclude-fields).
+    if (version == 1 && fields.isDefined && fieldGroup.isDefined)
       errors += s"$sobject: fields and field-group are mutually exclusive"
+    val excludeFields = e.get("exclude-fields") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case Some(_) => errors += s"$sobject: exclude-fields must be a list"; Nil
+      case None => Nil
+    }
 
     // Duplicate detection (reference core.py:93-131 / SURVEY A3).
     fields.foreach { fs =>
@@ -135,7 +208,11 @@ object OperationConfig {
     val extract = e.get("extract").map {
       case em: java.util.Map[_, _] =>
         val ex = em.asInstanceOf[java.util.Map[String, Any]].asScala
-        val keys = ex.keySet.intersect(Set("all", "descendents", "query", "ids"))
+        val known = Set("all", "descendents", "query", "ids")
+        val unknownX = ex.keySet.filterNot(known)
+        if (unknownX.nonEmpty)
+          errors += s"$sobject: unrecognized extract key(s): ${unknownX.toSeq.sorted.mkString(", ")}"
+        val keys = ex.keySet.intersect(known)
         if (keys.size != 1) {
           errors += s"$sobject: extract must have exactly one of all/descendents/query/ids"
           ("all", true: Any)
@@ -154,6 +231,7 @@ object OperationConfig {
       sobject = sobject,
       fields = fields,
       fieldGroup = fieldGroup,
+      excludeFields = excludeFields,
       extract = extract,
       selfLookupBehavior = behavior("self-lookup-behavior", SelfBehaviors.keySet, "trace-all"),
       outsideLookupBehavior = behavior("outside-lookup-behavior", OutsideBehaviors.keySet, "include"),
@@ -174,27 +252,36 @@ object OperationConfig {
       errors += s"sObject ${step.sobject} does not exist in the catalog"
       return Nil
     })
-    val scope = (step.fields, step.fieldGroup) match {
-      case (Some(fs), _) =>
-        fs.map(_.field).map { f =>
-          sch.fieldMap.get(f) match {
-            case None =>
-              errors += s"Field ${step.sobject}.$f does not exist or is not visible."; f
-            case Some(fm) if UnsupportedTypes(fm.ftype) =>
-              errors += s"Field ${step.sobject}.$f is of an unsupported type (${fm.ftype})"; f
-            case _ => f
-          }
+    def explicitScope(fs: Seq[FieldSpec]): Seq[String] =
+      fs.map(_.field).map { f =>
+        sch.fieldMap.get(f) match {
+          case None =>
+            errors += s"Field ${step.sobject}.$f does not exist or is not visible."; f
+          case Some(fm) if UnsupportedTypes(fm.ftype) =>
+            errors += s"Field ${step.sobject}.$f is of an unsupported type (${fm.ftype})"; f
+          case _ => f
         }
-      case (None, Some(group)) =>
-        val wantWriteable = group == "writeable" || (group == "smart" && load)
-        sch.fields
-          .filterNot(f => UnsupportedTypes(f.ftype))
-          .filter(f => !wantWriteable || f.createable || f.updateable)
-          .map(_.name)
+      }
+    def groupScope(group: String): Seq[String] = {
+      val wantWriteable = group == "writeable" || (group == "smart" && load)
+      sch.fields
+        .filterNot(f => UnsupportedTypes(f.ftype))
+        .filter(f => !wantWriteable || f.createable || f.updateable)
+        .map(_.name)
+    }
+    val scope = (step.fields, step.fieldGroup) match {
+      case (Some(fs), None) => explicitScope(fs)
+      case (None, Some(group)) => groupScope(group)
+      // v2 union (reference extract_operation.py:88-117; v1 already errored
+      // on the combination at parse time).
+      case (Some(fs), Some(group)) => (explicitScope(fs) ++ groupScope(group)).distinct
       case (None, None) =>
         errors += s"${step.sobject}: either fields or field-group is required"; Nil
     }
-    (Seq(sch.idField) ++ scope.filterNot(_ == sch.idField)).distinct
+    // exclude-fields discards from the derived scope (reference
+    // extract_operation.py:119-121); the id field is never excludable.
+    val excluded = scope.filterNot(step.excludeFields.toSet)
+    (Seq(sch.idField) ++ excluded.filterNot(_ == sch.idField)).distinct
   }
 
   /** Per-step DataMapper from column renames + transforms.

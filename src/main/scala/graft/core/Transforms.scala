@@ -33,6 +33,15 @@ trait TransformProvider {
   }
 }
 
+/** A plugin module exposing several providers at once — the analogue of a
+  * reference plugin-modules Python module defining multiple
+  * TransformProvider subclasses (loader/schemas.py:377-380 names modules,
+  * and importing one registers everything it defines).
+  */
+trait TransformProviderModule {
+  def providers: Seq[TransformProvider]
+}
+
 /** One step of a per-field transform pipeline. */
 final case class TransformSpec(name: String, options: Map[String, String] = Map.empty)
 

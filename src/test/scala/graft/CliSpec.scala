@@ -97,6 +97,41 @@ class CliSpec extends AnyFunSuite {
     assert(mid.getAs[String]("ParentId") == rootId)
   }
 
+  test("v2 config: plugin transform + exclude-fields apply through the CLI") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_v2").toString
+    Seq("describes", "src", "extracted").foreach(s => new java.io.File(s"$root/$s").mkdirs())
+    writeDescribes(s"$root/describes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"),
+      """version: 2
+        |plugin-modules:
+        |  - graft.testplugins.MultiplyTransform
+        |operation:
+        |  - sobject: Account
+        |    field-group: readable
+        |    exclude-fields: [ParentId]
+        |    fields:
+        |      - field: Name
+        |        transforms:
+        |          - name: multiply
+        |            options: {count: 2}
+        |    extract:
+        |      all: True
+        |""".stripMargin)
+    Fixture.accounts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Account.csv")
+    assert(cli.Main.run(Array(s"$root/op.yml",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/src", "--out-dir", s"$root/extracted")) == 0)
+    val out = spark.read.option("header", true).csv(s"$root/extracted/Account.csv")
+    // exclude-fields removed ParentId from the readable ∪ fields scope.
+    assert(out.columns.toSeq == Seq("Id", "Name"))
+    // Plugin transform applied: every Name doubled.
+    val names = out.select("Name").collect().map(_.getString(0)).sorted.toSeq
+    val expected = Fixture.accounts.select("Name").collect()
+      .map(_.getString(0)).map(n => n + n).sorted.toSeq
+    assert(names == expected)
+  }
+
   test("failed load persists completed tables; resume finishes without loss") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_resume").toString

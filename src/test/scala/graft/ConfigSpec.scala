@@ -141,6 +141,103 @@ class ConfigSpec extends AnyFunSuite {
       scope, Seq("Id", "Bogus")).nonEmpty)
   }
 
+  test("unknown keys are rejected at every level (Cerberus parity, core.py:56-70)") {
+    val errs = OperationConfig.parse(
+      """version: 1
+        |plugin-modules: [foo]
+        |operation:
+        |  - sobject: A
+        |    typo-key: x
+        |    fields:
+        |      - {field: Name, outside-lookup-behaviour: error}
+        |    extract: {all: true, bogus: 1}
+        |""".stripMargin).swap.toOption.get
+    assert(errs.exists(_.contains("Unrecognized key(s) in operation definition: plugin-modules")))
+    assert(errs.exists(_.contains("A: unrecognized key(s): typo-key")))
+    assert(errs.exists(_.contains("unrecognized field-entry key(s): outside-lookup-behaviour")))
+    assert(errs.exists(_.contains("unrecognized extract key(s): bogus")))
+  }
+
+  test("exclude-fields: v2 subtracts from the scope; v1 rejects the key") {
+    val cfg = OperationConfig.parse(
+      """version: 2
+        |operation:
+        |  - sobject: Contact
+        |    field-group: readable
+        |    exclude-fields: [IsEmailBounced, ReportsToId]
+        |    extract: {all: true}
+        |""".stripMargin).toOption.get
+    val errs = scala.collection.mutable.Buffer.empty[String]
+    val scope = OperationConfig.fieldScope(Fixture.catalog, cfg.steps.head, load = false, errs)
+    assert(errs.isEmpty)
+    assert(scope.head == "Id")
+    assert(!scope.contains("IsEmailBounced") && !scope.contains("ReportsToId"))
+    assert(scope.contains("LastName") && scope.contains("AccountId"))
+
+    val v1 = OperationConfig.parse(
+      """version: 1
+        |operation:
+        |  - sobject: Contact
+        |    field-group: readable
+        |    exclude-fields: [IsEmailBounced]
+        |    extract: {all: true}
+        |""".stripMargin)
+    assert(v1.swap.toOption.get.exists(_.contains("unrecognized key(s): exclude-fields")))
+  }
+
+  test("fields+field-group: v1 mutually exclusive, v2 unions (extract_operation.py:88-122)") {
+    val step =
+      """  - sobject: Contact
+        |    field-group: writeable
+        |    fields: [LastName]
+        |    extract: {all: true}
+        |""".stripMargin
+    assert(OperationConfig.parse(s"version: 1\noperation:\n$step").swap.toOption.get
+      .exists(_.contains("mutually exclusive")))
+    val cfg = OperationConfig.parse(s"version: 2\noperation:\n$step").toOption.get
+    val errs = scala.collection.mutable.Buffer.empty[String]
+    val scope = OperationConfig.fieldScope(Fixture.catalog, cfg.steps.head, load = false, errs)
+    assert(errs.isEmpty)
+    assert(scope.contains("LastName") && scope.contains("AccountId"))
+  }
+
+  test("plugin-modules loads provider objects, classes, and bundles (schemas.py:377-380)") {
+    val cfg = OperationConfig.parse(
+      """version: 2
+        |plugin-modules:
+        |  - graft.testplugins.MultiplyTransform
+        |  - graft.testplugins.PluginBundle
+        |operation:
+        |  - sobject: Account
+        |    fields:
+        |      - field: Name
+        |        transforms:
+        |          - name: multiply
+        |            options: {count: 2}
+        |          - reverse_text
+        |    extract: {all: true}
+        |""".stripMargin).toOption.get
+    assert(cfg.pluginModules ==
+      Seq("graft.testplugins.MultiplyTransform", "graft.testplugins.PluginBundle"))
+    // Both transforms resolve from the registry post-parse.
+    val chain = graft.core.Transforms.chain(cfg.steps.head.fields.get.head.transforms,
+      graft.core.FieldContext("Name", "xsd:string"))
+    val spark = SparkTestBase.spark; import spark.implicits._
+    val out = Seq("ab").toDF("Name").select(chain(org.apache.spark.sql.functions.col("Name")))
+      .collect().head.getString(0)
+    assert(out == "baba") // repeat ×2 then reverse
+
+    val bad = OperationConfig.parse(
+      """version: 2
+        |plugin-modules: [no.such.Cls]
+        |operation:
+        |  - sobject: A
+        |    fields: [Name]
+        |    extract: {all: true}
+        |""".stripMargin)
+    assert(bad.swap.toOption.get.exists(_.contains("Unable to load plugin module no.such.Cls")))
+  }
+
   test("describe-JSON catalog parsing (FIXTURES A.1 format)") {
     val json =
       """{"name": "Widget", "keyPrefix": "w01", "fields": [
