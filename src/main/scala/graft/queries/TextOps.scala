@@ -98,8 +98,11 @@ object TextOps {
       col("doc_id"),
       fingerprintCol.as("fingerprint"))
 
-  /** Custom codegen'd rolling-hash fingerprint (no SQL equivalent →
-    * rows-only check; golden values in ExpressionsSpec). */
+  /** Custom codegen'd rolling-hash fingerprint. Oracle-checked: DuckDB
+    * reproduces the signed-64-bit wraparound with HUGEINT arithmetic mod
+    * 2^64 over the UTF-8 bytes (hex-decoded by hand — BLOB→INT casts are
+    * unimplemented there), mapping back to signed at the end. Golden
+    * values also in ExpressionsSpec. */
   private val rollingHash: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -165,11 +168,31 @@ object TextOps {
     },
     "tx_fingerprint" ->
       s"SELECT doc_id, $fingerprintSql AS fingerprint FROM documents",
+    // Signed-64-bit wraparound (h = h*1000003 + signed_byte) reproduced in
+    // HUGEINT arithmetic mod 2^64; UTF-8 bytes come from hand-parsing the
+    // hex dump (DuckDB has no BLOB→INT cast), signed-byte adjustment for
+    // bytes ≥ 128, signed remap at the end.
+    "tx_rolling_hash" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_transform(generate_series(1, octet_length(encode(text))),
+        |    i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT)-1, 1)) - 1)
+        |         + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT), 1)) - 1)) AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rolling_hash
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT, list_transform(bytes,
+        |        x -> CAST(CASE WHEN x >= 128 THEN x - 256 ELSE x END AS HUGEINT))),
+        |      (acc, x) -> ((acc * 1000003 + x) % 18446744073709551616::HUGEINT
+        |                   + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM b)""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
   )
 
-  val rowsOnly: Set[String] = Set("tx_rolling_hash")
+  val rowsOnly: Set[String] = Set.empty
 }
