@@ -46,7 +46,17 @@ object SimilarityOps {
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
-  /** IVF top-k: probe the 3 nearest centroids, brute-force inside cells. */
+  /** IVF top-k: probe the 3 nearest centroids, brute-force inside cells.
+    *
+    * The probe set is COLLECTED (nprobe = 3 cell ids — bounded metadata,
+    * not data) and applied as a static `isin` filter: with the table laid
+    * out partitioned-by-cell, a literal partition-column predicate prunes
+    * at PLANNING time (PartitionFilters on the scan), which a runtime
+    * semi join only achieves if dynamic partition pruning fires — DPP
+    * needs a selective build-side predicate and never triggers for this
+    * probe shape. graft.tools.IvfPruneDemo / docs/IVF_PRUNING.md show the
+    * pruned scan; IvfPruningSpec asserts it.
+    */
   private val ivf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
@@ -57,8 +67,9 @@ object SimilarityOps {
       .orderBy(col("csim").desc, col("label"))
       .limit(3)
       .select(col("label"))
+      .collect().map(_.get(0)).toSeq
     e.where(col("vec_id") =!= 0)
-      .join(broadcast(probes), Seq("label"), "left_semi") // partition pruning at scale
+      .where(col("label").isin(probes: _*)) // partition pruning at scale
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineCol(col("v"), col("qv")))
       .select(col("vec_id"), col("label"), col("cosine"))

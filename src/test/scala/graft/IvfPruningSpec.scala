@@ -32,6 +32,23 @@ class IvfPruningSpec extends AnyFunSuite {
     assert(cells.count() == expected)
     assert(expected > 0 && expected < full.count())
 
+    // Runtime proof, not just plan text: the scan's numPartitions metric
+    // must equal the probe count (AQE wraps the plan; unwrap stages).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case qs: QueryStageExec => scansOf(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val executed = cells.where(lit(true)) // fresh execution to read metrics from
+    executed.collect()
+    val scanMetrics = scansOf(executed.queryExecution.executedPlan)
+    assert(scanMetrics.nonEmpty)
+    assert(scanMetrics.head.metrics("numPartitions").value == probes.size.toLong)
+
     // And the pruned scan feeds the same brute-force top-k as in
     // SimilarityOps (cosine over the pruned cells only).
     val q = full.where(col("vec_id") === 0)
