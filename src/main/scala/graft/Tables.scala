@@ -19,18 +19,31 @@ object Tables {
     * long (SPARK-40819 legacy conf); normalize it to a microsecond
     * TimestampType column so downstream operators see a real timestamp.
     *
-    * NOTE deliberate session-wide side effect: nanosAsLong stays set for
-    * the session (the conf is consulted again at execution time, so it
-    * cannot be restored after planning). It only changes how
-    * TIMESTAMP(NANOS) columns read — events.ts is the sole such column in
-    * this dataset — but order-dependence is possible if other code does a
-    * bare read of a nanos parquet.
+    * The nanosAsLong conf is SCOPED, not session-wide: it is consulted at
+    * execution time, so the normalized frame is materialized (lineage cut)
+    * inside the conf window and the previous value restored — no
+    * order-dependence for later bare reads of nanos parquet. The result is
+    * memoized per (session, dir): every events query shares one
+    * materialization instead of re-reading + re-converting.
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    eventsCache.computeIfAbsent((spark, dir), { _ =>
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        graft.core.Lineage.cut(
+          spark.read.parquet(s"$dir/events.parquet")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

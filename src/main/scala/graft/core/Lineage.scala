@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** The engine's single lineage-cut seam.
+  *
+  * Fixpoint loops, id-map accumulators, and signature materialization all
+  * need their plan lineage truncated (otherwise every pass re-executes all
+  * prior passes). Locally the right tool is an eager `localCheckpoint` —
+  * no cluster store round-trip — but on a real cluster localCheckpoint
+  * pins blocks to executors and LOSES them on executor death, killing a
+  * long fixpoint. Set `spark.graft.checkpoint.reliable=true` (plus
+  * `spark.graft.checkpoint.dir`, or a sparkContext checkpoint dir set by
+  * the application) and every cut becomes a reliable `checkpoint` on the
+  * cluster store instead. One conf, one call site.
+  */
+object Lineage {
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+          throw new IllegalStateException(
+            "spark.graft.checkpoint.reliable=true requires spark.graft.checkpoint.dir " +
+              "or a SparkContext checkpoint dir"))
+        spark.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** `.cutLineage` postfix form so call sites read like the checkpoint
+    * calls they replace. */
+  implicit class LineageOps(private val df: DataFrame) extends AnyVal {
+    def cutLineage: DataFrame = Lineage.cut(df)
+  }
+}

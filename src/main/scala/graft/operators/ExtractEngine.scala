@@ -8,6 +8,7 @@ import graft.functions.GraftFunctions
 import graft.sources.TableStore
 
 import scala.collection.mutable
+import graft.core.Lineage.LineageOps
 
 /** Seeded-reachability extraction over a graph of FK-linked tables — the
   * Spark-native re-expression of the reference's ExtractOperation /
@@ -22,7 +23,9 @@ import scala.collection.mutable
   *
   * Scale posture: id sets stay distributed (never collected); membership
   * checks are joins that AQE turns into broadcasts while the sets are
-  * small; `localCheckpoint` bounds plan growth per pass.
+  * small; `Lineage.cut` (localCheckpoint locally, reliable checkpoint on
+  * a cluster via spark.graft.checkpoint.reliable) bounds plan growth per
+  * pass.
   */
 final class ExtractOperation(
     store: TableStore,
@@ -112,7 +115,7 @@ final class ExtractOperation(
     val newRows = batch
       .dropDuplicates(Seq(idf))
       .join(getExtractedIds(t), col(idf).cast("string") === col("__id"), "left_anti")
-      .localCheckpoint(true)
+      .cutLineage
     if (newRows.isEmpty) return
 
     // Self-lookup dependencies (parents of the batch) — amaxa:744-747.
@@ -188,7 +191,7 @@ final class ExtractOperation(
     }
     // newRows is already materialized; re-checkpoint only if the
     // outside-reference pass actually rewrote columns.
-    if (out ne newRows) out = out.localCheckpoint(true)
+    if (out ne newRows) out = out.cutLineage
 
     // Fold into accumulators — amaxa ExtractOperation.store_result:600-619.
     extractedRows(t) = extractedRows.get(t) match {
@@ -202,25 +205,25 @@ final class ExtractOperation(
     extractedIds(t) = (extractedIds.get(t) match {
       case Some(acc) => acc.unionByName(outIds).distinct()
       case None => outIds.distinct()
-    }).localCheckpoint(true)
+    }).cutLineage
     // requiredIds is rebuilt every pass (anti-join chain) — checkpoint it
     // or the fixpoint's lineage re-executes all prior passes.
     requiredIds.get(t).foreach { r =>
-      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").localCheckpoint(true)
+      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").cutLineage
     }
   }
 
   /** Reference resolve_registered_dependencies (amaxa/amaxa.py:805-818). */
   private def resolveRegisteredDependencies(step: ExtractStep, ls: LookupSets): Unit = {
     val t = step.sobject
-    val pre = getRequiredIds(t).localCheckpoint(true)
+    val pre = getRequiredIds(t).cutLineage
     if (pre.isEmpty) return
     val idf = catalog(t).idField
     val fetch = scanScoped(step)
       .join(pre, col(idf).cast("string") === col("__id"), "left_semi")
     storeResult(step, ls, fetch)
     val missingDf = pre.join(getExtractedIds(t), Seq("__id"), "left_anti")
-      .localCheckpoint(true)
+      .cutLineage
     val missingTotal = missingDf.count()
     if (missingTotal > 0) {
       val sample = missingDf.orderBy(col("__id")).limit(20)

@@ -7,6 +7,7 @@ import graft.core.Catalog
 import graft.sources.TableStore
 
 import scala.collection.mutable
+import graft.core.Lineage.LineageOps
 
 /** Topologically-staged load with global id remapping — the Spark-native
   * re-expression of the reference's LoadOperation / LoadStep
@@ -203,7 +204,7 @@ final class LoadOperation(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idf))) > 1,
         concat(lit("Duplicate record id "), col(idf).cast("string")))
         .otherwise(lit(null).cast("string")))
-    val prepped = collectErrors(primitivize(step, dupChecked)).localCheckpoint(true)
+    val prepped = collectErrors(primitivize(step, dupChecked)).cutLineage
 
     val errRows = prepped.where(col("__error").isNotNull)
     val errCount = errRows.count()
@@ -216,13 +217,13 @@ final class LoadOperation(
 
     val ok = prepped.drop("__error")
     if (ok.isEmpty) return
-    val res = store.insert(t, ok, idf).localCheckpoint(true)
+    val res = store.insert(t, ok, idf).cutLineage
     appendResult(t, res)
     if (!res.where(col("error").isNotNull).isEmpty) success = false
     idMap = idMap.unionByName(
       res.where(col("error").isNull).select(
         col("originalId").cast("string"), col("newId").cast("string")))
-      .localCheckpoint(true)
+      .cutLineage
   }
 
   /** Stage-DEPENDENTS body for one table (reference
@@ -241,7 +242,7 @@ final class LoadOperation(
     deferred.filter(ext.columns.contains).foreach { f =>
       populated = populateLookup(step, populated, f, idf)
     }
-    val withErr = collectErrors(populated).localCheckpoint(true)
+    val withErr = collectErrors(populated).cutLineage
 
     val errRows = withErr.where(col("__error").isNotNull)
     if (errRows.count() > 0) {
@@ -260,7 +261,7 @@ final class LoadOperation(
     val toUpdate = withErr.drop("__error").where(hasWork)
       .join(idMap, col(idf).cast("string") === col("originalId"), "inner")
       .drop(idf).withColumnRenamed("newId", idf)
-      .localCheckpoint(true)
+      .cutLineage
     if (toUpdate.isEmpty) return
 
     val res = store.update(t, toUpdate.drop("originalId"), idf)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Lineage.LineageOps
 
 /** Near-duplicate detection for the training-data pipeline: MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup. All pipelines
@@ -55,7 +56,7 @@ object DedupOps {
     // Materialize signatures ONCE (the hash fan-out is the expensive part;
     // without this the self-join would recompute 32×|shingles| hashes per
     // side and per band).
-    val sigs = minhashSignatures(Tables.documents(s, d)).localCheckpoint(true)
+    val sigs = minhashSignatures(Tables.documents(s, d)).cutLineage
     // Candidate generation on (band, bucket, id) only — no array payloads
     // through the shuffle.
     val banded = sigs.select(
@@ -108,7 +109,7 @@ object DedupOps {
     * chunks (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks equal).
     */
   private val simhashPairs: Q = (s, d) => {
-    val sh = simhash(Tables.documents(s, d)).localCheckpoint(true)
+    val sh = simhash(Tables.documents(s, d)).cutLineage
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("chunk_idx"),
@@ -156,7 +157,7 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), gramsCol.as("grams"))
-      .localCheckpoint(true)
+      .cutLineage
     // Global (per-lang) gram document frequencies → rare-first ordering.
     val ex = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
     val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
@@ -172,7 +173,7 @@ object DedupOps {
           expr(s"CAST(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1 AS INT)")))
       // Lexicographically sorted copy for the merge-intersect verifier.
       .withColumn("vgrams", array_sort(col("sgrams")))
-      .localCheckpoint(true)
+      .cutLineage
     // Candidate generation: id-only inverted-index join on prefix grams,
     // keeping token positions for the positional filter.
     val pidx = sorted.select(col("lang"), col("doc_id"), col("sz"),
@@ -251,7 +252,7 @@ object DedupOps {
       // join; dot_fold(v, v) folds x*x in element order, same FP result as
       // the aggregate-HOF form.
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot_fold(col("v"), col("v"))))
-      .localCheckpoint(true)
+      .cutLineage
     // Tiles per label: a label-column-only count (cheap next to the pair
     // join; at scale this is a column-pruned scan + partial agg).
     val maxLabelRows = e0.groupBy("label").count()

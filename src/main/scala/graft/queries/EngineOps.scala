@@ -7,6 +7,7 @@ import graft.Tables
 import graft.core._
 import graft.operators._
 import graft.sources.InMemoryTableStore
+import graft.core.Lineage.LineageOps
 
 /** Queries that run the actual extract/load ENGINE (not hand-built
   * DataFrames) over TPC-H-shaped adapters, with plain-SQL oracles — the
@@ -112,7 +113,7 @@ object EngineOps {
     // Materialize the derived self-FK table once — the fixpoint scans it
     // every iteration, and recomputing the parent-existence join per pass
     // would multiply the scan cost by the iteration count.
-    st.register("node", nodeTable(s, d).localCheckpoint(true))
+    st.register("node", nodeTable(s, d).cutLineage)
     val op = new ExtractOperation(st, tpchCatalog, Seq(
       ExtractStep("node", ExtractionScope.Query("Id % 1000 = 1"), Seq("Id", "ParentId"))))
     require(op.execute() == 0, s"extract failed: ${op.errors}")

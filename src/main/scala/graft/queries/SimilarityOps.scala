@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Lineage.LineageOps
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -60,8 +61,8 @@ object SimilarityOps {
   private val ivf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
-    val cent = centroids(e).localCheckpoint(true)
-    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).localCheckpoint(true)
+    val cent = centroids(e).cutLineage
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
     val probes = cent.crossJoin(broadcast(q))
       .withColumn("csim", cosineCol(col("centroid"), col("qv")))
       .orderBy(col("csim").desc, col("label"))

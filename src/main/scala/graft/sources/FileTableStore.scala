@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TableSchema
+import graft.core.Lineage.LineageOps
 
 /** Directory-backed store for the CLI: tables are `<dir>/<name>.csv`
   * (header row, all-string wire model — reference S4) or
@@ -43,7 +44,7 @@ final class FileTableStore(
       // Materialize: persist() later OVERWRITES the same path this frame
       // lazily reads from — without a checkpoint the write would delete
       // the files out from under its own input.
-      if (!existing.isEmpty) mem.register(table, existing.localCheckpoint(true))
+      if (!existing.isEmpty) mem.register(table, existing.cutLineage)
       touched += table
     }
   }

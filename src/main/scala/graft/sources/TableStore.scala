@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TableSchema
+import graft.core.Lineage.LineageOps
 
 /** The engine's I/O seam — the role `api.Connection` plays in the reference
   * (/root/reference/amaxa/api.py). The reference's five connection methods
@@ -63,7 +64,7 @@ final class InMemoryTableStore(
       data += (table -> (data.get(table) match {
         case Some(existing) => existing.unionByName(stored, allowMissingColumns = true)
         case None => stored
-      }).localCheckpoint(true))
+      }).cutLineage)
     }
     withNew.select(
       col(originalIdCol).as("originalId"),
@@ -81,7 +82,7 @@ final class InMemoryTableStore(
     val missing = (existing0 match {
       case Some(e) => updates.join(e.select(col(idf)), Seq(idf), "left_anti")
       case None => updates
-    }).select(col(idf).cast("string").as("__miss_id")).localCheckpoint(true)
+    }).select(col(idf).cast("string").as("__miss_id")).cutLineage
     if (existing0.isEmpty)
       return rows.select(col(idCol).cast("string").as("id"),
         lit(s"Id not found in $table").as("error"))
@@ -104,7 +105,7 @@ final class InMemoryTableStore(
             else lit(null).cast("string")
           fromUpd.otherwise(fromOld).as(c)
         }: _*)
-      data += (table -> merged.localCheckpoint(true))
+      data += (table -> merged.cutLineage)
     }
     rows.select(col(idCol).cast("string").as("id"))
       .join(missing, col("id") === col("__miss_id"), "left")

@@ -94,6 +94,27 @@ class ExtractEngineSpec extends AnyFunSuite {
     assert(ids(op.result("Account")) == Set(acct(1), acct(2), acct(3), acct(4)))
   }
 
+  test("reliable checkpointing: extract fixpoint green with checkpoint() cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val op = new ExtractOperation(store("Account" -> accounts), catalog, Seq(
+        ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+          Seq("Id", "Name", "ParentId"))))
+      assert(op.execute() == 0)
+      assert(ids(op.result("Account")) == Set(acct(1), acct(2), acct(3), acct(4)))
+      // The cuts really went through the reliable path: checkpoint files
+      // exist under the configured dir.
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+
   test("trace-none stops at the seed") {
     val op = new ExtractOperation(store("Account" -> accounts), catalog, Seq(
       ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),

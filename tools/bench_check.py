@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Compare a graft.Bench JSON line against the committed per-query baseline.
+
+Usage: python3 tools/bench_check.py <file-with-bench-json-line> [ratio]
+
+Flags queries slower than ratio x baseline (default 1.5), failures (-1),
+and prints new/removed queries. Exit 1 on any regression or failure.
+Baseline: BENCH_BASELINE.json (round-1 driver numbers; update it when a
+round's bench is accepted as the new reference).
+"""
+import json
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    base = json.load(open("BENCH_BASELINE.json"))["queries"]
+    line = next(l for l in open(sys.argv[1]) if '"metric":"total"' in l)
+    cur = json.loads(line[line.index("{"):])
+    rc = 0
+    for name, t in sorted(cur["queries"].items()):
+        if t < 0:
+            print(f"FAIL {name}: bench recorded failure sentinel -1")
+            rc = 1
+        elif name not in base:
+            print(f"new  {name}: {t:.2f}s (no baseline)")
+        elif t > base[name] * ratio and t - base[name] > 0.5:
+            print(f"REGR {name}: {t:.2f}s vs baseline {base[name]:.2f}s "
+                  f"({t / base[name]:.1f}x)")
+            rc = 1
+        elif t < base[name] / ratio and base[name] - t > 0.5:
+            print(f"win  {name}: {t:.2f}s vs baseline {base[name]:.2f}s")
+    for name in sorted(set(base) - set(cur["queries"])):
+        print(f"gone {name}: in baseline but not in this run")
+        rc = 1
+    tb = sum(v for v in base.values() if v >= 0)
+    print(f"total {cur['value']:.1f}s vs baseline {tb:.1f}s")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
