@@ -243,7 +243,7 @@ object DedupOps {
     * - Verification is the codegen'd dot fold — no interpreted HOF on the
     *   O(pairs) hot path.
     */
-  private val embeddingNearDup: Q = (s, d) => {
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val tile = s.conf.getOption("spark.graft.neardup.tile").map(_.toInt).getOrElse(8192)
     val e0 = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -280,15 +280,72 @@ object DedupOps {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("label"))
   }
 
+  private val embeddingNearDup: Q = (s, d) => embeddingPairs(s, d)
+
+  /** Near-dup DEDUP CLUSTERS — the step a training pipeline actually runs
+    * on pair output: connected components over the d5 near-dup graph, one
+    * canonical representative (min id) per cluster, singletons included.
+    *
+    * Distributed min-label propagation to fixpoint: per iteration, each
+    * node takes the min of its own rep and its neighbors' reps (one
+    * equality join + map-side-combining min agg), lineage cut per pass.
+    * Iterations are bounded by the cluster diameter (near-dup clusters are
+    * shallow in practice); reps only ever decrease, so the rep-sum is a
+    * strictly decreasing convergence witness — one aggregate per pass, no
+    * change-count join. The driver holds only that scalar. At 100 TB every
+    * step is a hash join on id — no per-component state on any single
+    * task (the classic large-star contraction is the constant-factor
+    * upgrade if diameters ever get deep).
+    */
+  private val neardupComponents: Q = (s, d) => {
+    val pairs = embeddingPairs(s, d).select(col("id_a"), col("id_b")).cutLineage
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cutLineage
+    var lab = nodes.withColumn("rep", col("id")).cutLineage
+    def repSum(df: DataFrame) =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = repSum(lab)
+    var stable = false
+    while (!stable) {
+      val nmin = edges
+        .join(lab.select(col("id").as("dst"), col("rep").as("nrep")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nrep")).as("nmin"))
+        .withColumnRenamed("src", "id")
+      lab = lab.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .cutLineage
+      val s2 = repSum(lab)
+      stable = s2.compareTo(prevSum) == 0
+      prevSum = s2
+    }
+    lab.select(col("id").as("vec_id"), col("rep").as("cluster_rep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
     "d5_embedding_neardup" -> embeddingNearDup,
+    "d6_neardup_components" -> neardupComponents,
   )
 
   private def gramsSql(t: String) =
     s"list_distinct(list_transform(generate_series(1, len($t)-2), i -> substr($t, CAST(i AS INT), 3)))"
+
+  private val d5PairsSql =
+    """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(generate_series(1, len(a.v)),
+      |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
+      |            i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]), (x, y) -> x + y))
+      |         * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
+      |            i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)))
+      |      >= 0.3""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d4_ngram_jaccard" ->
@@ -297,17 +354,20 @@ object DedupOps {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""".stripMargin,
-    "d5_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_reduce(list_transform(generate_series(1, len(a.v)),
-        |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
-        |            i -> a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]), (x, y) -> x + y))
-        |         * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
-        |            i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)))
-        |      >= 0.3""".stripMargin,
+    "d5_embedding_neardup" -> d5PairsSql,
+    // Connected components as full transitive closure (fine at oracle
+    // scale) with min reachable id per node.
+    "d6_neardup_components" ->
+      s"""WITH RECURSIVE pairs AS ($d5PairsSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
+         |)
+         |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |FROM walk GROUP BY id""".stripMargin,
   )
 
   val rowsOnly: Set[String] = Set("d2_minhash_lsh", "d3_simhash")

@@ -108,6 +108,25 @@ object TextOps {
       col("doc_id"),
       GraftFunctions.rolling_hash64(col("text")).as("rolling_hash"))
 
+  /** Deterministic train/valid/test split — the assignment step of a
+    * training-data pipeline. Hash-based (first md5 byte of "doc_id:text"
+    * → bucket 0–255; <205 train ≈80%, <230 valid ≈10%, rest test), NOT a
+    * per-stratum row_number: a window split serializes each stratum into
+    * one task at 100 TB, while a pure hash is embarrassingly parallel,
+    * stable under data growth, and reproducible across engines. The hex
+    * digit pair parses identically in Spark (conv) and DuckDB (strpos).
+    */
+  private val splitAssign: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 2),
+        16, 10).cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "valid")
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("split"))
+
   /** Exact dedup by content hash: keep min doc_id per group (hash-groupBy;
     * map-side partial aggregation, one shuffle on the hash).
     */
@@ -122,6 +141,7 @@ object TextOps {
     "tx_langid" -> langid,
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
+    "tx_split" -> splitAssign,
     "d1_exact_dedup" -> exactDedup,
   )
 
@@ -188,6 +208,15 @@ object TextOps {
         |      (acc, x) -> ((acc * 1000003 + x) % 18446744073709551616::HUGEINT
         |                   + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS h
         |  FROM b)""".stripMargin,
+    "tx_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        16 * (strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)) - 1)
+        |        + (strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
+        |      FROM documents)""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_dupes

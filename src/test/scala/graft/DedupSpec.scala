@@ -74,6 +74,26 @@ class DedupSpec extends AnyFunSuite {
     assert(single.forall { case (a, b, _) => a < b })
   }
 
+  test("d6 components: pair endpoints share a rep; reps are cluster minima") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = DedupOps.embeddingPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rep = DedupOps.queries("d6_neardup_components")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.nonEmpty && pairs.nonEmpty)
+    // Every near-dup pair landed in the same cluster.
+    pairs.foreach { case (a, b) => assert(rep(a) == rep(b), s"$a/$b split across clusters") }
+    // Reps are minima and are members of their own cluster.
+    rep.foreach { case (id, r) => assert(r <= id && rep(r) == r) }
+    // Transitivity sanity: the number of clusters equals nodes minus the
+    // spanning edges of the pair graph (union-find ground truth).
+    val uf = scala.collection.mutable.Map(rep.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { if (uf(x) != x) uf(x) = find(uf(x)); uf(x) }
+    pairs.foreach { case (a, b) => uf(find(a)) = find(b) }
+    val expected = rep.keys.groupBy(find).keys.size
+    assert(rep.values.toSet.size == expected)
+  }
+
   test("LSH candidate generation finds planted near-duplicates end-to-end") {
     // Plant an exact dup pair + a near-dup pair among noise docs.
     val noise = (10 to 40).map(i =>
