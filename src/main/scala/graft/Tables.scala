@@ -20,30 +20,38 @@ object Tables {
     * TimestampType column so downstream operators see a real timestamp.
     *
     * The nanosAsLong conf is SCOPED, not session-wide: it is consulted at
-    * execution time, so the normalized frame is materialized (lineage cut)
-    * inside the conf window and the previous value restored — no
-    * order-dependence for later bare reads of nanos parquet. The result is
-    * memoized per (session, dir): every events query shares one
-    * materialization instead of re-reading + re-converting.
+    * execution time, so the one-time fix is a NORMALIZING REWRITE — the
+    * raw table is copied once per (session, dir) to a micros-typed parquet
+    * under the session temp dir inside the conf window, and every events
+    * query then reads that copy lazily. Unlike an in-memory lineage cut,
+    * this keeps the parquet scan columnar (column pruning + pushdown
+    * intact) and pins nothing in executor storage; it is exactly the
+    * one-time normalization a 100 TB pipeline would run on such a
+    * producer quirk.
     */
   private val eventsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    eventsCache.computeIfAbsent((spark, dir), { _ =>
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val normPath = eventsCache.computeIfAbsent((spark, dir), { _ =>
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try {
-        graft.core.Lineage.cut(
-          spark.read.parquet(s"$dir/events.parquet")
-            .withColumn("ts",
-              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_events_norm").toString
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          .write.mode("overwrite").parquet(out)
+        out
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     })
+    spark.read.parquet(normPath)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

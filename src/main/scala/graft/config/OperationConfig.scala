@@ -74,13 +74,21 @@ object OperationConfig {
     val unknownTop = m.keySet.filterNot(topAllowed)
     if (unknownTop.nonEmpty)
       errors += s"Unrecognized key(s) in operation definition: ${unknownTop.toSeq.sorted.mkString(", ")}"
+    // Providers are RESOLVED here (so load failures become config errors)
+    // but REGISTERED only after the whole config validates — a rejected
+    // config must not leave transforms behind in the global registry.
+    // LinkageError covers NoClassDefFoundError / ExceptionInInitializerError,
+    // which plain `case e: Exception` would let crash the parse.
+    val pendingProviders = scala.collection.mutable.Buffer.empty[graft.core.TransformProvider]
     val plugins = m.get("plugin-modules") match {
       case Some(l: java.util.List[_]) if version == 2 =>
         val names = l.asScala.toSeq.map(_.toString)
         names.foreach { n =>
-          try loadPluginModule(n).foreach(graft.core.Transforms.register)
-          catch { case e: Exception =>
-            errors += s"Unable to load plugin module $n (${e.getClass.getSimpleName})" }
+          try pendingProviders ++= loadPluginModule(n)
+          catch {
+            case e @ (_: Exception | _: LinkageError) =>
+              errors += s"Unable to load plugin module $n (${e.getClass.getSimpleName})"
+          }
         }
         names
       case Some(_) if version == 2 => errors += "plugin-modules must be a list"; Nil
@@ -97,7 +105,10 @@ object OperationConfig {
       case _ => errors += "Missing required key operation"; Nil
     }
     if (errors.nonEmpty) Left(errors.toSeq)
-    else Right(OperationConfig(version, steps, plugins))
+    else {
+      pendingProviders.foreach(graft.core.Transforms.register)
+      Right(OperationConfig(version, steps, plugins))
+    }
   }
 
   /** Reflectively resolve a plugin class/object name to its providers —

@@ -44,19 +44,22 @@ object ExprUtil {
     * primitive loop instead of per-element interpreted lambda evaluation
     * (HigherOrderFunctions do not participate in codegen, so on a pair-join
     * hot path the HOF form dominates the query cost).
-    * Preconditions: equal lengths, no null elements (enforced by callers
-    * that build the arrays with transform(…, cast)).
+    * Null semantics MATCH the HOF form: a null element on either side, or
+    * unequal lengths (zip_with pads with null), yields NULL — not a
+    * silently-zeroed term.
     */
   def dotFold(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** 64-bit polynomial rolling hash (base 1000003, seeded) over UTF-8 bytes.
@@ -145,16 +148,23 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 case class DotFold(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_fold"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    ExprUtil.dotFold(
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = ExprUtil.dotFold(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprUtil.dotFold($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.ExprUtil.dotFold($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotFold =

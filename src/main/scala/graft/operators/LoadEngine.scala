@@ -199,11 +199,19 @@ final class LoadOperation(
     // out every subsequent remap join — fail the rows instead. The
     // reference's org hands out distinct ids so it never faces this; with
     // deterministic ids the input contract is "unique ids per table".
-    val dupChecked = populated.withColumn("__err_dup",
-      when(count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idf))) > 1,
-        concat(lit("Duplicate record id "), col(idf).cast("string")))
-        .otherwise(lit(null).cast("string")))
+    // Detection is a groupBy on the id COLUMN (map-side partial agg; the
+    // dup frame is normally empty and AQE broadcasts it) — not a window,
+    // which would shuffle and sort-buffer every full row on every load.
+    val dupIds = populated.groupBy(col(idf).as("__dup_id"))
+      .agg(count(lit(1)).as("__dup_n")).where(col("__dup_n") > 1)
+      .select(col("__dup_id"))
+    val dupChecked = populated
+      .join(dupIds, populated(idf) === col("__dup_id"), "left")
+      .withColumn("__err_dup",
+        when(col("__dup_id").isNotNull,
+          concat(lit("Duplicate record id "), col(idf).cast("string")))
+          .otherwise(lit(null).cast("string")))
+      .drop("__dup_id")
     val prepped = collectErrors(primitivize(step, dupChecked)).cutLineage
 
     val errRows = prepped.where(col("__error").isNotNull)

@@ -254,9 +254,10 @@ object DedupOps {
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot_fold(col("v"), col("v"))))
       .cutLineage
     // Tiles per label: a label-column-only count (cheap next to the pair
-    // join; at scale this is a column-pruned scan + partial agg).
-    val maxLabelRows = e0.groupBy("label").count()
-      .agg(max(col("count"))).head.getLong(0)
+    // join; at scale this is a column-pruned scan + partial agg). Null on
+    // an empty table (max over zero groups) → one tile.
+    val maxLabelRows = Option(e0.groupBy("label").count()
+      .agg(max(col("count"))).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val numTiles = math.max(1L, (maxLabelRows + tile - 1) / tile).toInt
     val e = e0.withColumn("g",
       pmod(xxhash64(col("vec_id")), lit(numTiles)).cast("int"))
@@ -304,8 +305,10 @@ object DedupOps {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cutLineage
     var lab = nodes.withColumn("rep", col("id")).cutLineage
-    def repSum(df: DataFrame) =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      // sum over zero rows is null → ZERO (empty table converges instantly).
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = repSum(lab)
     var stable = false
     while (!stable) {

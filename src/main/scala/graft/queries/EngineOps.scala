@@ -253,6 +253,14 @@ object EngineOps {
           when(col("o_orderkey") % 3 === 0, lit("yes")).otherwise(lit("no")))),
       initialIdMap = Some(idMap2), initialStage = stage2)
     require(op2.execute() == 0, "resumed load must succeed")
+    // The restored id map was materialized (lineage cut) during execute;
+    // drop the state dir so repeated runs don't litter the temp space.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     target.scan("customer").select(lit("customer").as("tbl"),
       col("c_custkey").as("id"), lit(null).cast("string").as("ref"),
       col("c_name").as("val"))

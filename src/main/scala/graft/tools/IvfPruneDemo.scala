@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: demonstrate SCALE.md's IVF partition-pruning claim with the
   * REAL query shape — embeddings written partitioned by cell id, then the
-  * centroid-probe semi join from ann_ivf_topk run against the partitioned
-  * layout. Prints the formatted plan (expect the scan's PartitionFilters
-  * to carry a dynamicpruning expression fed by the broadcast probe set)
-  * and the scan metrics after execution (partitions/files actually read).
+  * ann_ivf_topk probe (nprobe centroid ids collected and applied as a
+  * literal isin predicate) run against the partitioned layout. Expect the
+  * scan's PartitionFilters to show `label IN (…)` — static pruning at
+  * planning time — and the post-execution scan metrics to show only the
+  * probed partitions read. (A runtime semi join was tried first and does
+  * NOT trigger dynamic partition pruning for this probe shape.)
   *
   * Usage: runMain graft.tools.IvfPruneDemo [sfDir]
   * Committed output: docs/IVF_PRUNING.md

@@ -17,8 +17,14 @@ def main() -> int:
         print(__doc__, file=sys.stderr)
         return 2
     ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
-    base = json.load(open("BENCH_BASELINE.json"))["queries"]
-    line = next(l for l in open(sys.argv[1]) if '"metric":"total"' in l)
+    # A -1 failure sentinel in the baseline is "no baseline", not a bar to
+    # clear: comparing against it would flag every passing run forever.
+    base = {k: v for k, v in
+            json.load(open("BENCH_BASELINE.json"))["queries"].items() if v >= 0}
+    line = next((l for l in open(sys.argv[1]) if '"metric":"total"' in l), None)
+    if line is None:
+        print(f"no bench total line found in {sys.argv[1]}", file=sys.stderr)
+        return 2
     cur = json.loads(line[line.index("{"):])
     rc = 0
     for name, t in sorted(cur["queries"].items()):
