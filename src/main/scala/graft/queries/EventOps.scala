@@ -47,10 +47,43 @@ object EventOps {
       .select(col("window.start").cast("timestamp_ntz").as("w_start"),
         col("event_type"), col("n"), col("k_sum"))
 
+  /** AS-OF JOIN — each click matched to the latest view of the same user
+    * at-or-before its timestamp. Spark has no asof operator; the
+    * scale-correct distributed form is the UNION + ordered-window trick:
+    * tag reference rows 0 and probe rows 1, sort within user by (ts, tag)
+    * — one shuffle, one sort, no per-key loop and no range cross join —
+    * and carry the reference columns forward with last(..., ignoreNulls)
+    * over the unbounded-preceding frame. Probe rows then hold exactly the
+    * as-of match (ties impossible: (user_id, ts) is unique in this data).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  private val asof: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view").select(
+      col("user_id"), col("ts"), lit(0).as("tag"),
+      col("event_id").as("ref_id"), col("value").as("ref_value"),
+      lit(null).cast("long").as("probe_id"), lit(null).cast("double").as("probe_value"))
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      lit(null).cast("long").as("ref_id"), lit(null).cast("double").as("ref_value"),
+      col("event_id").as("probe_id"), col("value").as("probe_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("view_id", last(col("ref_id"), ignoreNulls = true).over(w))
+      .withColumn("view_value", last(col("ref_value"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("probe_id").as("click_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("probe_value").as("click_value"), col("view_id"), col("view_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
+    "ev_asof_join" -> asof,
   )
 
   val oracle: Map[String, String] = Map(
@@ -82,5 +115,14 @@ object EventOps {
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(k) AS BIGINT) AS k_sum
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "ev_asof_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        value AS view_value
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, c.ts, c.click_value, v.view_id, v.view_value
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
   )
 }
