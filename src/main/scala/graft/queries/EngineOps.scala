@@ -269,16 +269,101 @@ object EngineOps {
         col("o_flag").as("val")))
   }
 
+  /** S6 result-sink contract, oracle-gated: a clean two-table load, its
+    * per-table result frames written as CSVs with the reference's
+    * "Original Id, New Id, Error" headers (cli.Main's writer path), read
+    * back, and emitted — the full DataFrame → RESULT CSV → DataFrame round
+    * trip the reference's result files make
+    * (/root/reference/amaxa/loader/load_operation.py:103-132).
+    */
+  private val xResultsCsv: Q = (s, d) => {
+    val target = new InMemoryTableStore(s, loadErrCatalog.byName)
+    val op = new LoadOperation(target, loadErrCatalog, Seq(
+      LoadStepSpec("customer", Seq("c_custkey", "c_name")),
+      LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_flag", "o_orderstatus"))),
+      Map("customer" -> custInput(s, d),
+        "orders" -> ordersInput(s, d,
+          when(col("o_orderkey") % 3 === 0, lit("yes")).otherwise(lit("no")))))
+    require(op.execute() == 0, "load must succeed")
+    val dir = java.nio.file.Files.createTempDirectory("graft_results_csv").toString
+    val out = Seq("customer", "orders").map { t =>
+      val p = s"$dir/$t-results.csv"
+      op.results(t).select(col("originalId").as("Original Id"),
+        col("newId").as("New Id"), col("error").as("Error"))
+        .write.mode("overwrite").option("header", true).csv(p)
+      s.read.option("header", true).csv(p)
+        .select(lit(t).as("tbl"), col("Original Id").as("originalId"),
+          col("New Id").as("newId"), col("Error").as("error"))
+    }.reduce(_ unionByName _).cutLineage
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    out
+  }
+
+  /** O5 + A3 config-validation pipeline, oracle-gated: parse a canonical
+    * defective config (unknown step key, duplicate field, unknown extract
+    * key, invalid behavior enum) and emit the accumulated error list; the
+    * oracle is the literal expected messages. Covers the reference's
+    * Cerberus phase + duplicate detection (loader/core.py:56-131).
+    */
+  private val xConfigErrors: Q = (s, d) => {
+    val bad =
+      """version: 1
+        |operation:
+        |  - sobject: A
+        |    typo-key: x
+        |    fields: [Name, Name]
+        |    extract: {all: true, bogus: 1}
+        |    self-lookup-behavior: sometimes
+        |""".stripMargin
+    val errs = graft.config.OperationConfig.parse(bad).swap.getOrElse(Nil)
+    import s.implicits._
+    errs.toDF("error")
+  }
+
+  /** §2.8 plugin API, oracle-gated end-to-end: a v2 config names the
+    * shipped sample plugin ([[graft.plugins.ReverseText]]); the parsed
+    * mapper's transform chain is applied to customer names through the
+    * SAME chain-building path the extract/load engines use. Oracle:
+    * SQL reverse().
+    */
+  private val xPluginTransform: Q = (s, d) => {
+    val cfgText =
+      """version: 2
+        |plugin-modules: [graft.plugins.ReverseText]
+        |operation:
+        |  - sobject: customer
+        |    fields:
+        |      - field: c_name
+        |        transforms: [reverse_text]
+        |    extract: {all: true}
+        |""".stripMargin
+    val cfg = graft.config.OperationConfig.parse(cfgText)
+      .getOrElse(throw new IllegalStateException("sample plugin config must parse"))
+    val chain = graft.core.Transforms.chain(
+      cfg.steps.head.fields.get.head.transforms,
+      graft.core.FieldContext("c_name", "xsd:string"))
+    Tables.customer(s, d).select(col("c_custkey"), chain(col("c_name")).as("c_name_rev"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x_engine_plugin_transform" -> xPluginTransform,
     "x_engine_traversal" -> xTraversal,
     "x_engine_fixpoint" -> xFixpoint,
     "x_engine_load_remap" -> xLoadRemap,
     "x_engine_error_rows" -> xErrorRows,
     "x_engine_selected" -> xSelected,
     "x_engine_resume" -> xResume,
+    "x_engine_results_csv" -> xResultsCsv,
+    "x_engine_config_errors" -> xConfigErrors,
   )
 
   val oracle: Map[String, String] = Map(
+    "x_engine_plugin_transform" ->
+      "SELECT c_custkey, reverse(c_name) AS c_name_rev FROM customer",
     "x_engine_traversal" ->
       """WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0),
         |l AS (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS l_id FROM lineitem
@@ -331,6 +416,22 @@ object EngineOps {
       s"""WITH s AS (SELECT c_custkey, ${Relational.id15Sql} AS id15, c_name FROM customer
          |           WHERE c_custkey <= 40)
          |SELECT ${Relational.sfChecksumSql("id15")} AS "Id", c_name AS "Name" FROM s""".stripMargin,
+    "x_engine_results_csv" ->
+      """SELECT 'customer' AS tbl, 'c' || CAST(c_custkey AS VARCHAR) AS "originalId",
+        |       '003' || substr(sha256('customer' || 'c' || CAST(c_custkey AS VARCHAR)), 1, 15) AS "newId",
+        |       CAST(NULL AS VARCHAR) AS error
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', 'o' || CAST(o_orderkey AS VARCHAR),
+        |       '00o' || substr(sha256('orders' || 'o' || CAST(o_orderkey AS VARCHAR)), 1, 15),
+        |       CAST(NULL AS VARCHAR)
+        |FROM orders""".stripMargin,
+    "x_engine_config_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('A: unrecognized key(s): typo-key'),
+        |  ('A: One or more fields is specified multiple times: Name'),
+        |  ('A: unrecognized extract key(s): bogus'),
+        |  ('A: invalid self-lookup-behavior sometimes')) t(error)""".stripMargin,
     "x_engine_resume" ->
       """SELECT 'customer' AS tbl,
         |       '003' || substr(sha256('customer' || 'c' || CAST(c_custkey AS VARCHAR)), 1, 15) AS id,
