@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale-correct must survive refactors, not just their row values.
+  * Each assertion pins a plan feature the 100 TB posture depends on.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("f2: filter is pushed to the parquet scan") {
+    val p = planOf("f2_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("GreaterThan(l_discount") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      "expected lineitem predicates in PushedFilters")
+  }
+
+  test("s1: projection prunes the read schema to selected columns") {
+    val p = planOf("s1_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"),
+      readSchema)
+  }
+
+  test("q3 and ANN top-k use TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q3_topk_revenue").contains("TakeOrderedAndProject"))
+    assert(planOf("ann_brute_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q5: small dimension joins broadcast") {
+    val p = planOf("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("d5: pair verify is the codegen'd dot_fold, not interpreted HOFs") {
+    val p = planOf("d5_embedding_neardup")
+    assert(p.contains("dot_fold"), "expected dot_fold in d5 plan")
+    // The pair-join filter must not fall back to the aggregate() HOF form.
+    val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
+    assert(!joinSection.contains("zip_with"), "pair verify regressed to HOF zip_with")
+  }
+
+  test("engine semi joins: traversal uses LeftSemi joins, no cartesian") {
+    val p = planOf("s3_fk_membership")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
