@@ -70,6 +70,54 @@ object EventStreaming {
       }.toDF()
   }
 
+  final case class AsofMatch(click_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, click_value: Double,
+      view_id: java.lang.Long, view_value: java.lang.Double)
+
+  final case class LastView(ts: java.sql.Timestamp, id: Long, value: Double)
+
+  /** Streaming AS-OF join — the stateful counterpart of the batch
+    * ev_asof_join query: per user, each click is matched to the latest
+    * view at-or-before its timestamp. State per user is ONE row (the last
+    * view seen), maintained with flatMapGroupsWithState — the shape
+    * Spark's built-in stream-stream joins can't express (they need a
+    * bounded time-interval condition, not "latest prior").
+    *
+    * Within a micro-batch the group's rows are sorted by event time
+    * before folding, so replaying a finite dataset in one batch
+    * reproduces the batch semantics exactly (asserted in
+    * EventStreamingSpec); across batches the single-row state carries the
+    * last view forward, which is correct whenever micro-batches arrive in
+    * event-time order per user.
+    */
+  def asofMatches(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[LastView, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long, Double)],
+            state: GroupState[LastView]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[AsofMatch]
+          // Views sort before clicks on an (impossible here) ts tie, matching
+          // the batch union-trick's (ts, tag) order.
+          rows.toSeq.sortBy(r => (r._2.getTime, if (r._3 == "view") 0 else 1)).foreach {
+            case (_, ts, "view", id, v) => last = Some(LastView(ts, id, v))
+            case (_, ts, "click", id, v) =>
+              out += AsofMatch(id, user, ts, v,
+                last.map(l => java.lang.Long.valueOf(l.id)).orNull,
+                last.map(l => java.lang.Double.valueOf(l.value)).orNull)
+            case _ => ()
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete): StreamingQuery = {

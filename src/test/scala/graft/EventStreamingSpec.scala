@@ -63,6 +63,23 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of matches == batch ev_asof_join") {
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.asofMatches(spark, stream), "asof_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("asof_out")
+        .select(col("click_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("click_value"), col("view_id"), col("view_value"))
+      val batch = graft.queries.EventOps.queries("ev_asof_join")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch as-of mismatch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
