@@ -40,6 +40,14 @@ object Tables {
       try {
         val out = java.nio.file.Files
           .createTempDirectory("graft_events_norm").toString
+        // The copy is session-scoped scratch: remove it when the JVM exits
+        // so repeated driver runs don't accumulate normalized copies.
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          try java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+            .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: Exception => () }
+        }))
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
