@@ -43,9 +43,7 @@ object Tables {
         // The copy is session-scoped scratch: remove it when the JVM exits
         // so repeated driver runs don't accumulate normalized copies.
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          import scala.jdk.CollectionConverters._
-          try java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
-            .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          try graft.core.Fs.deleteRecursively(out)
           catch { case _: Exception => () }
         }))
         spark.read.parquet(s"$dir/events.parquet")

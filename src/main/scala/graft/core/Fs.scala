@@ -1,0 +1,16 @@
+package graft.core
+
+/** Small filesystem helpers shared by scratch-dir users. */
+object Fs {
+  /** Delete a directory tree (children before parents); missing entries
+    * and races are tolerated. Does not follow symlinks (walk reports the
+    * link itself, which is deleted, not its target's contents).
+    */
+  def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}

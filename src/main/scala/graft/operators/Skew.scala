@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
 object Skew {
   /** Inner equi-join of `probe` and `build` on `key`, salted `salts` ways.
     * Column sets must be disjoint apart from `key`.
+    *
+    * The salt comes from `monotonically_increasing_id`, not a row hash:
+    * hot-key rows are often byte-identical (a keys-only probe frame), and
+    * hashing columns would send every copy to ONE salt bucket — paying
+    * the build replication for zero spread. The salt is purely a
+    * distribution choice (every assignment produces the same join rows),
+    * so its task-retry nondeterminism cannot change the result.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltCol: Column = pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts))
+    val saltCol: Column = pmod(monotonically_increasing_id(), lit(salts))
     val salted = probe.withColumn("__salt", saltCol.cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -237,9 +237,7 @@ object EngineOps {
     */
   private val xResume: Q = (s, d) => {
     val target = new InMemoryTableStore(s, loadErrCatalog.byName)
-    val steps = Seq(
-      LoadStepSpec("customer", Seq("c_custkey", "c_name")),
-      LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_flag", "o_orderstatus")))
+    val steps = cleanLoadSteps
     val op1 = new LoadOperation(target, loadErrCatalog, steps,
       Map("customer" -> custInput(s, d),
         "orders" -> ordersInput(s, d, col("o_orderpriority"))))
@@ -249,18 +247,12 @@ object EngineOps {
     val (idMap2, stage2) = LoadOperation.loadState(s, dir)
     val op2 = new LoadOperation(target, loadErrCatalog, steps,
       Map("customer" -> custInput(s, d),
-        "orders" -> ordersInput(s, d,
-          when(col("o_orderkey") % 3 === 0, lit("yes")).otherwise(lit("no")))),
+        "orders" -> ordersInput(s, d, validFlag)),
       initialIdMap = Some(idMap2), initialStage = stage2)
     require(op2.execute() == 0, "resumed load must succeed")
     // The restored id map was materialized (lineage cut) during execute;
     // drop the state dir so repeated runs don't litter the temp space.
-    locally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.core.Fs.deleteRecursively(dir)
     target.scan("customer").select(lit("customer").as("tbl"),
       col("c_custkey").as("id"), lit(null).cast("string").as("ref"),
       col("c_name").as("val"))
@@ -268,6 +260,17 @@ object EngineOps {
         col("o_orderkey").as("id"), col("o_custkey").as("ref"),
         col("o_flag").as("val")))
   }
+
+  /** The clean (all-valid) two-table load shape shared by the resume and
+    * result-CSV queries: same steps, same valid yes/no flag convention —
+    * one definition so the oracles can't drift apart.
+    */
+  private def cleanLoadSteps = Seq(
+    LoadStepSpec("customer", Seq("c_custkey", "c_name")),
+    LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_flag", "o_orderstatus")))
+
+  private def validFlag: org.apache.spark.sql.Column =
+    when(col("o_orderkey") % 3 === 0, lit("yes")).otherwise(lit("no"))
 
   /** S6 result-sink contract, oracle-gated: a clean two-table load, its
     * per-table result frames written as CSVs with the reference's
@@ -278,12 +281,9 @@ object EngineOps {
     */
   private val xResultsCsv: Q = (s, d) => {
     val target = new InMemoryTableStore(s, loadErrCatalog.byName)
-    val op = new LoadOperation(target, loadErrCatalog, Seq(
-      LoadStepSpec("customer", Seq("c_custkey", "c_name")),
-      LoadStepSpec("orders", Seq("o_orderkey", "o_custkey", "o_flag", "o_orderstatus"))),
+    val op = new LoadOperation(target, loadErrCatalog, cleanLoadSteps,
       Map("customer" -> custInput(s, d),
-        "orders" -> ordersInput(s, d,
-          when(col("o_orderkey") % 3 === 0, lit("yes")).otherwise(lit("no")))))
+        "orders" -> ordersInput(s, d, validFlag)))
     require(op.execute() == 0, "load must succeed")
     val dir = java.nio.file.Files.createTempDirectory("graft_results_csv").toString
     val out = Seq("customer", "orders").map { t =>
@@ -295,11 +295,7 @@ object EngineOps {
         .select(lit(t).as("tbl"), col("Original Id").as("originalId"),
           col("New Id").as("newId"), col("Error").as("error"))
     }.reduce(_ unionByName _).cutLineage
-    locally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.core.Fs.deleteRecursively(dir)
     out
   }
 

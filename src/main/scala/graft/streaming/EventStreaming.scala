@@ -103,9 +103,13 @@ object EventStreaming {
             state: GroupState[LastView]) =>
           var last = state.getOption
           val out = Seq.newBuilder[AsofMatch]
-          // Views sort before clicks on an (impossible here) ts tie, matching
-          // the batch union-trick's (ts, tag) order.
-          rows.toSeq.sortBy(r => (r._2.getTime, if (r._3 == "view") 0 else 1)).foreach {
+          // Full-precision event-time order (epoch seconds + nanos — a
+          // bare getTime would truncate to milliseconds and misorder
+          // sub-millisecond-distinct events vs the batch window's ts
+          // ordering); views sort before clicks on a ts tie, matching the
+          // batch union-trick's (ts, tag) order.
+          rows.toSeq.sortBy(r => (r._2.toInstant.getEpochSecond, r._2.getNanos,
+            if (r._3 == "view") 0 else 1)).foreach {
             case (_, ts, "view", id, v) => last = Some(LastView(ts, id, v))
             case (_, ts, "click", id, v) =>
               out += AsofMatch(id, user, ts, v,

@@ -28,10 +28,14 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("hot key spreads across salt buckets") {
-    val probe = spark.range(8000).select(lit(0L).as("k"), col("id").as("payload"))
+  test("hot key spreads across salt buckets even for byte-identical rows") {
+    // Identical probe rows — the degenerate case a row-hash salt gets wrong.
+    val probe = spark.range(8000).select(lit(0L).as("k"), lit(1L).as("payload"))
+    val build = Seq((0L, "hot")).toDF("k", "name")
+    val joined = Skew.saltedJoin(probe, build, "k", salts = 8)
+    assert(joined.count() == 8000)
     val saltCounts = probe
-      .withColumn("__salt", pmod(xxhash64(col("k"), col("payload")), lit(8)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(saltCounts.length == 8, "hot key must occupy every salt bucket")
     assert(saltCounts.max < 8000 * 0.25, s"skewed salt distribution: ${saltCounts.toSeq}")
