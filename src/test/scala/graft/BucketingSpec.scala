@@ -3,49 +3,48 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SCALE.md's bucketing claim, demonstrated: two tables bucketed on the
-  * join key join WITHOUT a shuffle exchange (the repeated-id-map-remap /
-  * co-located fact-join path at 100 TB).
+/** SCALE.md's bucketing claim, demonstrated: orders and lineitem written
+  * bucketed by the join key join WITHOUT a shuffle on either side — the
+  * co-located join layout for repeated large-table joins at 100 TB.
   */
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
-  def planOf(df: org.apache.spark.sql.DataFrame): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
-    out.toString
-  }
-
   test("bucketed tables join with no shuffle exchange") {
-    val orders = Tables.orders(spark, SparkTestBase.sf)
-    val lineitem = Tables.lineitem(spark, SparkTestBase.sf)
-    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
-    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
-    orders.write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_b")
-    lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_lineitem_b")
+    val sf = SparkTestBase.sf
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // Force the sort-merge path: at test scale the planner would broadcast
+    // the small side (at 100 TB neither side broadcasts — SMJ is the shape
+    // bucketing exists for).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("graft_lineitem_b")
-        .join(spark.table("graft_orders_b"), Seq("o_orderkey"))
-        .groupBy("o_orderstatus").agg(sum(col("l_quantity")).as("q"))
-      val plan = planOf(joined)
-      // The join itself must not re-partition bucketed inputs.
-      val joinSection = plan.split("HashAggregate").head
-      assert(!joinSection.contains("Exchange hashpartitioning"),
-        s"bucketed join still shuffles:\n$plan")
-      // Still correct.
-      val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val direct = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus").agg(sum(col("l_quantity")).as("q"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      assert(viaBuckets == direct)
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { joined.explain("formatted") }
+      val plan = out.toString
+      // Co-located: the sort-merge join reads both bucketed layouts
+      // directly — no Exchange (shuffle) feeds the join.
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + plan.take(1200))
+      assert(plan.contains("SelectedBucketsCount"), plan.take(1200))
+      // And it is still correct.
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() == expected)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
-      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
 }
