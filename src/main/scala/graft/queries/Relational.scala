@@ -307,6 +307,23 @@ object Relational {
         (col("promo_e4").cast("double") / col("total_e4").cast("double")).as("promo_share"))
   }
 
+  /** Exact percentiles per group — the length/score-percentile filter
+    * shape a training-data pipeline runs constantly. Inputs are exact
+    * integer cents; the interpolated outputs are quantized (×1000 →
+    * BIGINT) so the one-ulp difference between Spark's and DuckDB's
+    * interpolation formulas cannot flip the compare.
+    */
+  private val qPercentiles: Q = (s, d) => {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(cents, array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .select(col("l_returnflag"),
+        round(col("p")(0) * 1000).cast("long").as("p50_milli"),
+        round(col("p")(1) * 1000).cast("long").as("p90_milli"),
+        round(col("p")(2) * 1000).cast("long").as("p99_milli"))
+  }
+
   /** Cube aggregation (grouping-sets extension, SURVEY A4). */
   private val qCube: Q = (s, d) =>
     Tables.orders(s, d)
@@ -355,6 +372,7 @@ object Relational {
     "q_cube" -> qCube,
     "q5_nation_revenue" -> q5,
     "q14_promo_share" -> q14,
+    "q_percentiles" -> qPercentiles,
     "w1_window_topn" -> w1,
   )
 
@@ -472,6 +490,14 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q_percentiles" ->
+      """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(round(quantile_cont(cents, 0.5) * 1000) AS BIGINT) AS p50_milli,
+        |  CAST(round(quantile_cont(cents, 0.9) * 1000) AS BIGINT) AS p90_milli,
+        |  CAST(round(quantile_cont(cents, 0.99) * 1000) AS BIGINT) AS p99_milli
+        |FROM c GROUP BY l_returnflag""".stripMargin,
     "q14_promo_share" ->
       """WITH j AS (
         |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS rev, p_type

@@ -90,17 +90,29 @@ object EventStreaming {
     * last view forward, which is correct whenever micro-batches arrive in
     * event-time order per user.
     */
-  def asofMatches(spark: SparkSession, events: DataFrame): DataFrame = {
+  def asofMatches(spark: SparkSession, events: DataFrame,
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val typed = events
+    // With a TTL, idle users' single-row state is evicted once the event-
+    // time watermark passes their last activity + TTL — the knob that
+    // bounds total state at scale (users × 1 row, minus the idle tail).
+    // Without it (the parity-test default) state is NoTimeout.
+    val src = stateTtl.fold(events)(ttl => events.withWatermark("ts", ttl))
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.EventTimeTimeout)
+    val typed = src
       .where(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"), col("value"))
       .as[(Long, java.sql.Timestamp, String, Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[LastView, AsofMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long, Double)],
             state: GroupState[LastView]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var last = state.getOption
           val out = Seq.newBuilder[AsofMatch]
           // Full-precision event-time order (epoch seconds + nanos — a
@@ -117,8 +129,15 @@ object EventStreaming {
                 last.map(l => java.lang.Double.valueOf(l.value)).orNull)
             case _ => ()
           }
-          last.foreach(state.update)
+          last.foreach { l =>
+            state.update(l)
+            // Arm eviction: drop this user's state once the watermark
+            // passes their last view + TTL.
+            if (stateTtl.isDefined && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(l.ts.getTime, stateTtl.get)
+          }
           out.result().iterator
+          }
       }.toDF()
   }
 

@@ -80,6 +80,22 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of with state TTL still matches batch on replay") {
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.asofMatches(spark, stream, stateTtl = Some("10 hours")), "asof_ttl_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("asof_ttl_out")
+        .select(col("click_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("click_value"), col("view_id"), col("view_value"))
+      val batch = graft.queries.EventOps.queries("ev_asof_join")(spark, SparkTestBase.sf)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "TTL'd stream/batch as-of mismatch")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals match batch aggregation") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
