@@ -307,6 +307,37 @@ object Relational {
         (col("promo_e4").cast("double") / col("total_e4").cast("double")).as("promo_share"))
   }
 
+  /** JSONL source/sink round-trip over documents — the serialization
+    * format training-data pipelines actually exchange. Schema-enforced
+    * re-read (JSON escaping covers embedded newlines/quotes in text).
+    */
+  private val s5Jsonl: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_" +
+      s.sparkContext.applicationId
+    docs.write.mode("overwrite").json(out)
+    s.read.schema(docs.schema).json(out)
+  }
+
+  /** Sliding ROWS-frame window: lag + 4-row moving aggregate per customer
+    * in date order. Moving sum/count are exact integers; the average is
+    * one double division of identical integer operands on both engines.
+    */
+  private val w2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val moving = byDate.rowsBetween(-3, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), cents.as("price_cents"),
+        lag(cents, 1).over(byDate).as("prev_cents"),
+        sum(cents).over(moving).as("mov4_cents"),
+        count(lit(1)).over(moving).as("mov4_n"))
+      .withColumn("mov4_avg",
+        col("mov4_cents").cast("double") / col("mov4_n").cast("double"))
+  }
+
   /** Exact percentiles per group — the length/score-percentile filter
     * shape a training-data pipeline runs constantly. Inputs are exact
     * integer cents; the interpolated outputs are quantized (×1000 →
@@ -373,6 +404,8 @@ object Relational {
     "q5_nation_revenue" -> q5,
     "q14_promo_share" -> q14,
     "q_percentiles" -> qPercentiles,
+    "s5_jsonl_roundtrip" -> s5Jsonl,
+    "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
   )
 
@@ -490,6 +523,19 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "s5_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, n_chars, text FROM documents",
+    "w2_moving_window" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, cents AS price_cents,
+        |  lag(cents, 1) OVER w AS prev_cents,
+        |  CAST(sum(cents) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov4_cents,
+        |  CAST(count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov4_n,
+        |  CAST(sum(cents) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov4_avg
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_percentiles" ->
       """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |           FROM lineitem)
