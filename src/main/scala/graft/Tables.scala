@@ -42,10 +42,7 @@ object Tables {
           .createTempDirectory("graft_events_norm").toString
         // The copy is session-scoped scratch: remove it when the JVM exits
         // so repeated driver runs don't accumulate normalized copies.
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try graft.core.Fs.deleteRecursively(out)
-          catch { case _: Exception => () }
-        }))
+        graft.core.Fs.deleteOnExit(out)
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

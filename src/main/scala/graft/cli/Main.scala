@@ -65,6 +65,9 @@ object Main {
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
+          // graft's optimizer rules (no-op on a preexisting session —
+          // extensions apply at session construction only).
+          .withExtensions(new graft.plans.GraftExtensions())
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         try {

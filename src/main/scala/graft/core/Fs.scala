@@ -13,4 +13,16 @@ object Fs {
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
+
+  private val exitPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    exitPaths.forEach(p => try deleteRecursively(p) catch { case _: Exception => () })))
+
+  /** Register a scratch path for JVM-exit cleanup (idempotent; one hook
+    * total, so repeated query invocations don't accumulate hooks). */
+  def deleteOnExit(path: String): Unit = {
+    exitHook
+    exitPaths.add(path)
+    ()
+  }
 }

@@ -8,11 +8,12 @@ import graft.functions.CanonicalId
 
 /** canonical_id is idempotent (an 18-char canonical form maps to itself,
   * an invalid inner value yields null which the outer propagates), so
-  * nested applications collapse to one. The nesting arises naturally when
-  * loading previously-extracted data: extraction canonicalizes id columns
-  * at ingest and the load path canonicalizes its input again
-  * (ExtractEngine.scanScoped + LoadEngine.transformInput), so without this
-  * rule a round-trip pays the checksum twice per id cell.
+  * nested applications collapse to one. The engine itself never nests the
+  * expression in a single plan (extract output is materialized before load
+  * re-canonicalizes, and the load path guards the inner expression behind
+  * a CASE) — the rule targets USER-authored queries that compose
+  * GraftFunctions.canonical_id over helpers which already canonicalize,
+  * and it documents the library's extension-point wiring.
   */
 object CanonicalIdIdempotence extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

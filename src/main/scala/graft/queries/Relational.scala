@@ -46,14 +46,22 @@ object Relational {
   /** Reference: CSV sink + source round-trip (SURVEY S4/S5,
     * loader/extract_operation.py:125-158) with the Id-first-then-sorted
     * header contract. */
+  /** Per-process AND per-data-dir unique scratch path (a shared path
+    * would let a second data dir's write clobber a lazy frame still
+    * reading the first), registered for JVM-exit cleanup.
+    */
+  private def roundTripDir(s: SparkSession, name: String, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
+      s"${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+    graft.core.Fs.deleteOnExit(out)
+    out
+  }
+
   private val s4: Q = (s, d) => {
     val n = Tables.nation(s, d)
     val keyFirst = "n_nationkey" +: n.columns.filterNot(_ == "n_nationkey").sorted.toSeq
     val ordered = n.select(keyFirst.map(col): _*)
-    // Per-process-unique path: a fixed shared path would let concurrent
-    // runs overwrite each other's files mid-read.
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
-      s.sparkContext.applicationId
+    val out = roundTripDir(s, "csv_roundtrip", d)
     ordered.write.mode("overwrite").option("header", true).csv(out)
     s.read.schema(ordered.schema).option("header", true).csv(out)
   }
@@ -313,8 +321,7 @@ object Relational {
     */
   private val s5Jsonl: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_roundtrip_" +
-      s.sparkContext.applicationId
+    val out = roundTripDir(s, "jsonl_roundtrip", d)
     docs.write.mode("overwrite").json(out)
     s.read.schema(docs.schema).json(out)
   }

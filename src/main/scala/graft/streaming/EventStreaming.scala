@@ -91,14 +91,19 @@ object EventStreaming {
     * event-time order per user.
     */
   def asofMatches(spark: SparkSession, events: DataFrame,
-      stateTtl: Option[String] = None): DataFrame = {
+      stateTtlMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     // With a TTL, idle users' single-row state is evicted once the event-
     // time watermark passes their last activity + TTL — the knob that
     // bounds total state at scale (users × 1 row, minus the idle tail).
-    // Without it (the parity-test default) state is NoTimeout.
-    val src = stateTtl.fold(events)(ttl => events.withWatermark("ts", ttl))
-    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+    // Since Spark 3.4 eviction uses the CURRENT batch's watermark, so
+    // state dies in the same batch that advances the clock past the TTL.
+    // The watermark delay is a small constant (the TTL is an eviction
+    // knob, not a lateness policy — using the TTL itself as the delay
+    // would double effective retention). Without a TTL (the parity-test
+    // default) state is NoTimeout.
+    val src = stateTtlMs.fold(events)(_ => events.withWatermark("ts", "1 second"))
+    val timeout = stateTtlMs.fold(GroupStateTimeout.NoTimeout)(_ =>
       GroupStateTimeout.EventTimeTimeout)
     val typed = src
       .where(col("event_type").isin("view", "click"))
@@ -131,10 +136,16 @@ object EventStreaming {
           }
           last.foreach { l =>
             state.update(l)
-            // Arm eviction: drop this user's state once the watermark
-            // passes their last view + TTL.
-            if (stateTtl.isDefined && state.getCurrentWatermarkMs() >= 0)
-              state.setTimeoutTimestamp(l.ts.getTime, stateTtl.get)
+            // Arm eviction at lastView + TTL, clamped past the current
+            // watermark: Spark REJECTS a timeout at or before the
+            // watermark (IllegalArgumentException kills the query). Under
+            // current-watermark eviction a carried-over state always has
+            // timeout > watermark, so the clamp is defensive — it protects
+            // against the older previous-watermark eviction semantics.
+            stateTtlMs.foreach { ttl =>
+              state.setTimeoutTimestamp(
+                math.max(l.ts.getTime + ttl, state.getCurrentWatermarkMs() + 1L))
+            }
           }
           out.result().iterator
           }

@@ -36,11 +36,18 @@ class BucketingSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         "bucketed join must not shuffle:\n" + plan.take(1200))
       assert(plan.contains("SelectedBucketsCount"), plan.take(1200))
-      // And it is still correct.
-      val expected = Tables.lineitem(spark, sf)
-        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
-        .count()
-      assert(joined.count() == expected)
+      // Value-level correctness, not just cardinality: a pairing-sensitive
+      // checksum (sum of per-row products) catches rows matched to wrong
+      // partners even when the join count is preserved.
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum((round(col("o_totalprice") * 100) * round(col("l_quantity"))).cast("long")))
+          .head
+        (r.getLong(0), r.getLong(1))
+      }
+      val expected = checksum(Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey")))
+      assert(checksum(joined) == expected)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS b_orders")

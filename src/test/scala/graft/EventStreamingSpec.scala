@@ -80,14 +80,51 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming as-of with state TTL still matches batch on replay") {
+  test("as-of state TTL: idle state evicts once the watermark passes; recent state survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_ttl").toString
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L) // 2024-01-01 + min
+    def write(rows: (Long, java.sql.Timestamp, Long, String, Double)*): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // Batch 1: user 1 views at t0; filler user 9 keeps the clock.
+    write((100L, t(0), 1L, "view", 1.0), (102L, t(0), 9L, "click", 0.0))
+    val schema = spark.read.parquet(dir).schema
+    val stream = EventStreaming.eventStream(spark, dir, schema)
+    val ttlMs = 60L * 60000L // 1 hour
+    val q = EventStreaming.runToMemory(
+      EventStreaming.asofMatches(spark, stream, stateTtlMs = Some(ttlMs)), "asof_ttl_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      // Batch 2: the clock jumps to t0+3h (> view + TTL); since Spark 3.4
+      // state eviction uses the CURRENT batch's watermark, user 1's state
+      // dies at the end of this very batch. User 7 views at t0+2:50 —
+      // within TTL of the new watermark, so that state survives.
+      write((103L, t(180), 9L, "click", 0.0), (106L, t(170), 7L, "view", 7.0))
+      q.processAllAvailable()
+      // Batch 3: user 7's click matches its recent view; user 1's click
+      // finds nothing — the TTL evicted that state.
+      write((104L, t(200), 7L, "click", 7.5), (105L, t(210), 1L, "click", 1.5))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val out = spark.table("asof_ttl_out")
+        .select("click_id", "user_id", "view_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString.toLong)).toMap
+      assert(out(104L).contains(106L), s"within-TTL state must match: $out")
+      assert(out(105L).isEmpty, s"evicted state must yield no match: $out")
+    } finally q.stop()
+  }
+
+  test("streaming as-of with state TTL matches batch on a single-batch replay") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
     val q = EventStreaming.runToMemory(
-      EventStreaming.asofMatches(spark, stream, stateTtl = Some("10 hours")), "asof_ttl_out",
+      EventStreaming.asofMatches(spark, stream, stateTtlMs = Some(10L * 3600000L)),
+      "asof_ttl_parity_out",
       org.apache.spark.sql.streaming.OutputMode.Append)
     try {
-      val streamed = spark.table("asof_ttl_out")
+      val streamed = spark.table("asof_ttl_parity_out")
         .select(col("click_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("click_value"), col("view_id"), col("view_value"))
       val batch = graft.queries.EventOps.queries("ev_asof_join")(spark, SparkTestBase.sf)
