@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.EngineOps.queries ++
       graft.queries.TextOps.queries ++
+      graft.queries.PipelineOps.queries ++
       graft.queries.DedupOps.queries ++
       graft.queries.SimilarityOps.queries ++
       graft.queries.EventOps.queries ++
@@ -26,6 +27,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.EngineOps.oracle ++
       graft.queries.TextOps.oracle ++
+      graft.queries.PipelineOps.oracle ++
       graft.queries.DedupOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
       graft.queries.EventOps.oracle ++

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators beyond the dedup/text families:
+  * benchmark contamination detection, intra-document repetition scoring
+  * (the Gopher-style quality filter), and deterministic sequence packing.
+  * Everything is codegen'd built-ins/HOFs — no UDFs — and every query has
+  * an exact DuckDB oracle.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Explicit whitespace class — Java `\s` ⊃ RE2 `\s` (U+000B); spelled
+    * out so Spark and DuckDB tokenize byte-identically. */
+  private val Ws = "[ \\t\\n\\x0B\\f\\r]"
+
+  private def toks(text: Column): Column = split(trim(text), Ws + "+")
+
+  /** Word n-grams as a per-row HOF chain (split → sliding slice →
+    * concat). Docs shorter than n yield one gram: the whole doc. The
+    * construction is mirrored token-for-token in the oracle SQL. */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val t = toks(text)
+    transform(
+      sequence(lit(1), greatest(size(t) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  /** The n-gram width for contamination checks: long enough (8 words)
+    * that cross-document collisions mean real shared passages. */
+  val ContamGramWidth = 8
+
+  /** The held-out "benchmark" slice of the corpus: one source. In a real
+    * pipeline this is the eval benchmark's text, which is always tiny
+    * relative to the training corpus — hence the broadcast below. */
+  val BenchmarkSource = "src0"
+
+  /** Benchmark contamination detection — for every candidate document,
+    * how many of its distinct word-8-grams also appear anywhere in the
+    * benchmark set, and the contaminated fraction. This is the standard
+    * pre-training decontamination pass (strip eval-set passages from the
+    * training corpus).
+    *
+    * Scale shape: the benchmark gram set is distinct-collapsed and
+    * BROADCAST (a benchmark is KBs–MBs even when the corpus is 100 TB),
+    * so candidate grams never shuffle — the hit count is a map-side
+    * broadcast-hash semi join followed by one groupBy on doc_id, and the
+    * left join back to per-doc totals is doc_id-to-doc_id.
+    */
+  def contaminationOf(docs: DataFrame): DataFrame = {
+    val withG = docs.select(
+      col("doc_id"), col("source"),
+      array_distinct(wordGrams(col("text"), ContamGramWidth)).as("grams"))
+    val bench = withG.where(col("source") === BenchmarkSource)
+      .select(explode(col("grams")).as("gr")).distinct()
+    val cand = withG.where(col("source") =!= BenchmarkSource)
+    val hits = cand.select(col("doc_id"), explode(col("grams")).as("gr"))
+      .join(broadcast(bench), Seq("gr"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    cand.select(col("doc_id"), col("source"), size(col("grams")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  private val contamination: Q = (s, d) =>
+    contaminationOf(Tables.documents(s, d))
+
+  /** Intra-document repetition scoring (the Gopher repetition filters):
+    * duplicate-2-gram and duplicate-3-gram fractions plus the most
+    * frequent token's share. Entirely per-row HOF arithmetic — zero
+    * shuffles, embarrassingly parallel at any scale. The top-token scan
+    * is O(distinct·len) per row, which is the right trade below ~10k
+    * tokens/doc; beyond that a sort-based per-row count would win.
+    */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    def dupFrac(g: Column): Column =
+      (size(g) - size(array_distinct(g))).cast("double") /
+        size(g).cast("double")
+    val topCnt = array_max(transform(array_distinct(t),
+      tk => size(filter(t, x => x === tk))))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      dupFrac(wordGrams(col("text"), 2)).as("dup2_frac"),
+      dupFrac(wordGrams(col("text"), 3)).as("dup3_frac"),
+      (topCnt.cast("double") / size(t).cast("double")).as("top_tok_frac"))
+  }
+
+  private val repetition: Q = (s, d) =>
+    repetitionOf(Tables.documents(s, d))
+
+  /** Token budget per packed chunk (a short training-sequence length). */
+  val ChunkTokens = 256
+
+  /** Number of independent packing shards per language. */
+  val PackShards = 16
+
+  /** Deterministic sequence packing — the "concat the corpus and cut it
+    * into fixed-token windows" step before training. Documents are laid
+    * end-to-end in doc_id order within a (lang, shard) stream; each doc
+    * gets the chunk its first token falls in plus its offset there.
+    *
+    * Scale shape: a single global ordering would serialize into one task,
+    * so the stream key is (lang, doc_id % 16) — `PackShards` independent
+    * streams per language, each a parallel window partition. At 100 TB
+    * you raise PackShards to O(cluster cores); determinism is unaffected
+    * because the shard assignment is a pure function of doc_id.
+    */
+  private val pack: Q = (s, d) => {
+    val nTok = when(trim(col("text")) === "", 0)
+      .otherwise(size(toks(col("text"))))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        nTok.as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_off div $ChunkTokens"))
+      .withColumn("chunk_off", col("start_off") % ChunkTokens)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "tx_contamination" -> contamination,
+    "tx_repetition" -> repetition,
+    "tx_pack" -> pack,
+  )
+
+  /** Word n-grams in DuckDB, mirroring [[wordGrams]] exactly (1-based
+    * inclusive list_slice == Spark's slice(start, length) clipping). */
+  private def gramsSql(n: Int) =
+    s"""list_transform(generate_series(1, greatest(len(toks)-${n - 1}, 1)),
+       |    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+${n - 1}), ' '))""".stripMargin
+
+  private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
+
+  val oracle: Map[String, String] = Map(
+    "tx_contamination" ->
+      s"""WITH g AS (SELECT doc_id, source, list_distinct(${gramsSql(ContamGramWidth)}) AS grams
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE source = '$BenchmarkSource'),
+         |cand AS (SELECT * FROM g WHERE source <> '$BenchmarkSource'),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM (SELECT doc_id, unnest(grams) AS gr FROM cand) c JOIN bench USING (gr)
+         |  GROUP BY 1)
+         |SELECT c.doc_id, c.source, CAST(len(c.grams) AS INT) AS n_grams,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE) AS contamination
+         |FROM cand c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM t)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) AS dup2_frac,
+         |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) AS dup3_frac,
+         |  CAST(list_max(list_transform(list_distinct(toks),
+         |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS top_tok_frac
+         |FROM g""".stripMargin,
+    "tx_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % $PackShards AS shard,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE CAST(len($toksSql) AS INT) END AS n_tokens
+         |  FROM documents),
+         |o AS (SELECT doc_id, lang, shard, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, lang, shard, n_tokens, start_off,
+         |  start_off // $ChunkTokens AS chunk_id,
+         |  start_off % $ChunkTokens AS chunk_off
+         |FROM o""".stripMargin,
+  )
+
+  val rowsOnly: Set[String] = Set.empty
+}
