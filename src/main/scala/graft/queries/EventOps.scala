@@ -79,11 +79,30 @@ object EventOps {
         col("probe_value").as("click_value"), col("view_id"), col("view_value"))
   }
 
+  /** First-touch attribution: the earliest event per (user, type), with
+    * event_id as the deterministic tie-break. One shuffle on the group
+    * key; row_number + filter lowers to a partial top-1 per key under
+    * AQE, never a global sort.
+    */
+  private val firstTouch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        col("ts").cast("timestamp_ntz").as("first_ts"),
+        col("value").as("first_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
     "ev_asof_join" -> asof,
+    "ev_first_touch" -> firstTouch,
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,5 +143,11 @@ object EventOps {
         |      FROM events WHERE event_type = 'view')
         |SELECT c.click_id, c.user_id, c.ts, c.click_value, v.view_id, v.view_value
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "ev_first_touch" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  CAST(ts AS TIMESTAMP) AS first_ts, value AS first_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) = 1""".stripMargin,
   )
 }

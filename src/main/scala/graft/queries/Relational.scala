@@ -369,6 +369,43 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
 
+  /** Status × year pivot via conditional aggregation — the portable (and
+    * Catalyst-preferred) pivot form: one scan, one hash aggregate, no
+    * pivot-value discovery pass. Exact-cents sums per status column. */
+  private val qPivot: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    def statusSum(st: String) = sum(when(col("o_orderstatus") === st, cents))
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(statusSum("O").as("open_cents"),
+        statusSum("F").as("filled_cents"),
+        statusSum("P").as("pending_cents"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Non-hierarchical GROUPING SETS ((returnflag), (linestatus)) — the
+    * one grouping-sets shape rollup/cube cannot express. Uses the
+    * Dataset.groupingSets API (Spark 4); both sets compute in one pass
+    * with partial aggregation, same as rollup. */
+  private val qGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+
+  /** ORC source/sink round-trip over supplier — the second columnar
+    * format a Spark shop actually exchanges (native vectorized reader,
+    * same pushdown/pruning surface as parquet). Oracle reads the
+    * original parquet: a lossless round-trip is exactly value equality. */
+  private val srcOrc: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+    val out = roundTripDir(s, "orc_roundtrip", d)
+    sup.write.mode("overwrite").orc(out)
+    s.read.schema(sup.schema).orc(out)
+  }
+
   /** Window functions: ranking + running totals (window extension). */
   private val w1: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -412,6 +449,9 @@ object Relational {
     "q14_promo_share" -> q14,
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
+    "src_orc_roundtrip" -> srcOrc,
+    "q_pivot" -> qPivot,
+    "q_grouping_sets" -> qGroupingSets,
     "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
   )
@@ -532,6 +572,20 @@ object Relational {
         |GROUP BY n_name""".stripMargin,
     "s5_jsonl_roundtrip" ->
       "SELECT doc_id, lang, n_chars, text FROM documents",
+    "src_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS open_cents,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS filled_cents,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS pending_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "w2_moving_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
