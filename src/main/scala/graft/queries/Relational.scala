@@ -406,6 +406,24 @@ object Relational {
     s.read.schema(sup.schema).orc(out)
   }
 
+  /** Hive-style partitioned parquet layout: documents written
+    * `partitionBy(lang)`, then read with a partition predicate. The
+    * filter never touches row data — it prunes whole directories at
+    * planning time (PartitionFilters in the scan, guarded by PlanSpec).
+    * This is THE layout lever for a 100 TB corpus: per-language jobs
+    * read only their partition's files. */
+  private val srcPartitioned: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val out = roundTripDir(s, "partitioned_docs", d)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .where(col("lang").isin("en", "fr"))
+      // lang comes back as a partition column; re-select to fix both the
+      // column order and the partition-value string type.
+      .select(col("doc_id"), col("lang").cast("string").as("lang"),
+        col("n_chars"))
+  }
+
   /** Window functions: ranking + running totals (window extension). */
   private val w1: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -450,6 +468,7 @@ object Relational {
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
+    "src_partitioned_pruning" -> srcPartitioned,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "w2_moving_window" -> w2,
@@ -574,6 +593,8 @@ object Relational {
       "SELECT doc_id, lang, n_chars, text FROM documents",
     "src_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "src_partitioned_pruning" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'fr')",
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS open_cents,

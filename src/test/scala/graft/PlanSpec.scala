@@ -49,6 +49,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!joinSection.contains("zip_with"), "pair verify regressed to HOF zip_with")
   }
 
+  test("tx_contamination: benchmark gram set joins broadcast, corpus never self-joins") {
+    val p = planOf("tx_contamination")
+    assert(p.contains("BroadcastHashJoin Inner"), p.take(800))
+    assert(!p.contains("SortMergeJoin Inner"), "benchmark hit join must not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx_pack: exactly one shuffle (the (lang, shard) window), no join") {
+    val p = planOf("tx_pack")
+    assert(p.contains("Window"))
+    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.startsWith("Exchange"))
+    assert(exchanges == 1, s"expected 1 Exchange, plan:\n${p.take(1200)}")
+  }
+
+  test("q_pivot: partial+final aggregate, no Expand (conditional agg, not pivot op)") {
+    val p = planOf("q_pivot")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Expand"), "pivot must not expand rows")
+  }
+
+  test("q_grouping_sets: one Expand + one aggregate pass for both sets") {
+    val p = planOf("q_grouping_sets")
+    assert(p.contains("Expand"))
+    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.startsWith("Exchange"))
+    assert(exchanges == 1, s"both grouping sets must aggregate in one pass, plan:\n${p.take(1200)}")
+  }
+
+  test("ev_first_touch: rank filter lowers to map-side WindowGroupLimit") {
+    val p = planOf("ev_first_touch")
+    // Partial WindowGroupLimit before the Exchange means each input split
+    // forwards at most one row per key — the 100 TB top-1 shape.
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("src_partitioned_pruning: lang predicate prunes partitions, not rows") {
+    val p = planOf("src_partitioned_pruning")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("lang") && pf.contains("IN (en,fr)"), s"got: $pf")
+  }
+
   test("engine semi joins: traversal uses LeftSemi joins, no cartesian") {
     val p = planOf("s3_fk_membership")
     assert(p.contains("LeftSemi"), p.take(800))
