@@ -152,6 +152,50 @@ object EventStreaming {
       }.toDF()
   }
 
+  final case class FirstTouch(user_id: Long, event_type: String,
+      first_event_id: Long, first_ts: java.sql.Timestamp, first_value: Double)
+
+  /** Streaming first-touch attribution — the stateful counterpart of the
+    * batch ev_first_touch query. State per (user, type) is ONE row (the
+    * best-so-far earliest event). Emission is watermark-FINALIZED: a key
+    * emits exactly once, when the event-time watermark passes its
+    * first-touch time — at that point any event that could still beat the
+    * candidate would be beyond-watermark late and dropped anyway, so the
+    * answer is provably final. This is the Append-mode pattern for
+    * "emit-once top-1 per key" that Update-mode retraction can't give.
+    */
+  def firstTouches(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.withWatermark("ts", "1 second")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .as[(Long, String, Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[FirstTouch, FirstTouch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, typ), rows, state) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator(out)
+          } else {
+            // Full-precision (seconds, nanos, id) order — same tie-break
+            // as the batch window's ORDER BY (ts, event_id).
+            val best = (rows.map(r => FirstTouch(user, typ, r._3, r._4, r._5))
+              ++ state.getOption.iterator)
+              .minBy(f => (f.first_ts.toInstant.getEpochSecond,
+                f.first_ts.getNanos, f.first_event_id))
+            state.update(best)
+            // Finalize when the watermark passes the candidate's time
+            // (clamped past the current watermark — Spark rejects a
+            // timeout at or before it).
+            state.setTimeoutTimestamp(math.max(best.first_ts.getTime + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete): StreamingQuery = {

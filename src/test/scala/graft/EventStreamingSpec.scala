@@ -63,6 +63,33 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming first-touch: finalized keys exactly match batch ev_first_touch") {
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.firstTouches(spark, stream), "ft_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("ft_out")
+        .select(col("user_id"), col("event_type"), col("first_event_id"),
+          col("first_ts").cast("timestamp_ntz").as("first_ts"), col("first_value"))
+      val batch = graft.queries.EventOps.queries("ev_first_touch")(spark, SparkTestBase.sf)
+      // Every emitted row is watermark-finalized, so it must be bit-equal
+      // to a batch row (no false or duplicate emissions)...
+      assert(streamed.count() == streamed.distinct().count(), "duplicate emission")
+      assert(streamed.exceptAll(batch).isEmpty, "streamed row not in batch result")
+      // ...and every key whose first touch is clearly behind the final
+      // watermark (max ts − 1 s delay, 2 s margin) must have emitted.
+      val maxTs = Tables.events(spark, SparkTestBase.sf)
+        .agg(max(col("ts"))).head.getTimestamp(0)
+      val horizon = new java.sql.Timestamp(maxTs.getTime - 2000L)
+      val mustHave = batch.where(col("first_ts") < lit(horizon).cast("timestamp_ntz"))
+      assert(mustHave.exceptAll(streamed).isEmpty,
+        "finalized key missing from stream output")
+      assert(streamed.count() > 0, "no key finalized")
+    } finally q.stop()
+  }
+
   test("streaming as-of matches == batch ev_asof_join") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
