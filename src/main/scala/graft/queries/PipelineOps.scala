@@ -23,8 +23,9 @@ object PipelineOps {
 
   /** Word n-grams as a per-row HOF chain (split → sliding slice →
     * concat). Docs shorter than n yield one gram: the whole doc. The
-    * construction is mirrored token-for-token in the oracle SQL. */
-  private def wordGrams(text: Column, n: Int): Column = {
+    * construction is mirrored token-for-token in the oracle SQL. Public:
+    * the streaming contamination surface (DocStreaming) reuses it. */
+  def wordGrams(text: Column, n: Int): Column = {
     val t = toks(text)
     transform(
       sequence(lit(1), greatest(size(t) - lit(n - 1), lit(1))),

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineOps
+
+/** Streaming-ingest surface of the document pipeline: documents arrive as
+  * a file stream and are scored against STATIC reference data with a
+  * stream–static join — the Spark-native shape for "enrich a firehose
+  * against curated side data". The static side is broadcast into every
+  * micro-batch, so the stream side never shuffles for the join; the only
+  * stateful operator is the per-doc aggregation. Batch/stream parity is
+  * asserted in DocStreamingSpec.
+  */
+object DocStreaming {
+
+  /** Parquet file-stream over a directory of document files. */
+  def docStream(spark: SparkSession, docsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(docsDir)
+
+  /** Streaming contamination scoring: each arriving document's distinct
+    * word-8-grams are LEFT-joined against the static benchmark gram set
+    * (stream–static broadcast join: map-side, no stream shuffle), then a
+    * single streaming aggregation folds the hit indicators back to one
+    * row per doc. A stream–stream join-back would be unsupported after
+    * aggregation, so per-doc totals ride along the exploded rows instead
+    * (n_grams is a group key, constant per doc). Mirrors batch
+    * tx_contamination exactly for non-benchmark docs.
+    */
+  def contaminationScores(stream: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val withG = stream
+      .where(col("source") =!= PipelineOps.BenchmarkSource)
+      .select(col("doc_id"), col("source"),
+        array_distinct(PipelineOps.wordGrams(col("text"),
+          PipelineOps.ContamGramWidth)).as("grams"))
+    withG
+      .select(col("doc_id"), col("source"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gr"))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gr"), "left")
+      .groupBy(col("doc_id"), col("source"), col("n_grams"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** The static benchmark gram set for [[contaminationScores]], built
+    * from the batch documents table (distinct-collapsed, tiny). */
+  def benchmarkGrams(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .where(col("source") === PipelineOps.BenchmarkSource)
+      .select(explode(array_distinct(PipelineOps.wordGrams(col("text"),
+        PipelineOps.ContamGramWidth))).as("gr"))
+      .distinct()
+}
