@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the file-count hygiene pass every long-running
+  * ingest (streaming sinks, per-batch appends) needs: a parquet directory
+  * of N tiny files is rewritten as ceil(totalBytes / targetBytes) files.
+  *
+  * Sizing reads the FILE footprint (not row count) so the result tracks
+  * the on-disk reality, and the rewrite is a `repartition(k)` — a single
+  * round-robin shuffle with no skew sensitivity. Row values are
+  * untouched; CompactionSpec asserts set equality and the file-count
+  * bound. Usable as a library call or CLI main.
+  */
+object Compact {
+  /** @return number of output files written */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = new java.io.File(inDir)
+    val bytes = Option(fs.listFiles())
+      .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum)
+      .getOrElse(0L)
+    val k = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(k)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    k
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.tools.Compact <inDir> <outDir> [targetBytes]")
+      sys.exit(2)
+    }
+    val target = if (args.length > 2) args(2).toLong else 128L * 1024 * 1024
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val k = compact(spark, args(0), args(1), target)
+    println(s"[compact] ${args(0)} -> ${args(1)}: $k file(s)")
+    spark.stop()
+  }
+}
