@@ -51,6 +51,7 @@ object SparkEntry {
     */
   lazy val rowsOnlyQueries: Set[String] =
     graft.queries.TextOps.rowsOnly ++
+      graft.queries.PipelineOps.rowsOnly ++
       graft.queries.DedupOps.rowsOnly ++
       graft.queries.SimilarityOps.rowsOnly
 }

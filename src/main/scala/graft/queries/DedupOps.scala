@@ -349,12 +349,32 @@ object DedupOps {
       .select(col("id").as("vec_id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
   }
 
+  /** Incremental ingest dedup — the arriving batch (one source) checked
+    * against the existing corpus by content fingerprint: the "don't
+    * re-ingest what's already in the lake" gate that runs on every
+    * delivery. One hash-partitioned left join on the fingerprint; the
+    * corpus side pre-aggregates to (hash, min doc_id) so the join input
+    * is one row per distinct content, never the raw corpus.
+    */
+  private val incrementalDedup: Q = (s, d) => {
+    val IncomingSource = "src19"
+    val docs = Tables.documents(s, d)
+    val corpus = docs.where(col("source") =!= IncomingSource)
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("dup_of"))
+    docs.where(col("source") === IncomingSource)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus, Seq("h"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
     "d5_embedding_neardup" -> embeddingNearDup,
     "d6_neardup_components" -> neardupComponents,
+    "d7_incremental_dedup" -> incrementalDedup,
   )
 
   private def gramsSql(t: String) =
@@ -393,6 +413,12 @@ object DedupOps {
          |)
          |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_rep
          |FROM walk GROUP BY id""".stripMargin,
+    "d7_incremental_dedup" ->
+      """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+        |  FROM documents WHERE source <> 'src19' GROUP BY 1),
+        |nw AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src19')
+        |SELECT nw.doc_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
+        |FROM nw LEFT JOIN corpus c USING (h)""".stripMargin,
   )
 
   val rowsOnly: Set[String] = Set("d2_minhash_lsh", "d3_simhash")

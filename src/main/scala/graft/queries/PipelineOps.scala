@@ -53,12 +53,20 @@ object PipelineOps {
     * broadcast-hash semi join followed by one groupBy on doc_id, and the
     * left join back to per-doc totals is doc_id-to-doc_id.
     */
+  /** The distinct benchmark gram set — ONE derivation shared by the batch
+    * query and the streaming twin (DocStreaming), so the parity the spec
+    * asserts can't drift apart. */
+  def benchGramsOf(docs: DataFrame): DataFrame =
+    docs.where(col("source") === BenchmarkSource)
+      .select(explode(array_distinct(
+        wordGrams(col("text"), ContamGramWidth))).as("gr"))
+      .distinct()
+
   def contaminationOf(docs: DataFrame): DataFrame = {
     val withG = docs.select(
       col("doc_id"), col("source"),
       array_distinct(wordGrams(col("text"), ContamGramWidth)).as("grams"))
-    val bench = withG.where(col("source") === BenchmarkSource)
-      .select(explode(col("grams")).as("gr")).distinct()
+    val bench = benchGramsOf(docs)
     val cand = withG.where(col("source") =!= BenchmarkSource)
     val hits = cand.select(col("doc_id"), explode(col("grams")).as("gr"))
       .join(broadcast(bench), Seq("gr"))

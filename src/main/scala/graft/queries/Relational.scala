@@ -369,6 +369,15 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
 
+  /** Fixed-width histogram over order totals ($10k bins) — the value-
+    * distribution profile every quality dashboard needs. One hash
+    * aggregate; bins are floor-exact in both engines. */
+  private val qHistogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 10000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+
   /** Status × year pivot via conditional aggregation — the portable (and
     * Catalyst-preferred) pivot form: one scan, one hash aggregate, no
     * pivot-value discovery pass. Exact-cents sums per status column. */
@@ -471,6 +480,7 @@ object Relational {
     "src_partitioned_pruning" -> srcPartitioned,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
+    "q_histogram" -> qHistogram,
     "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
   )
@@ -607,6 +617,11 @@ object Relational {
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
     "w2_moving_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

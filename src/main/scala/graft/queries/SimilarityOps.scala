@@ -78,9 +78,32 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the embedding
+    * compression step before ANN index build (4× memory cut). Per vector:
+    * scale = 127/max|v|, q_i = floor(v_i·scale + 0.5) — floor(x+0.5)
+    * spelled identically in the oracle, so no engine rounding-mode can
+    * differ. Output is integer-exact summaries (sum, sum of squares,
+    * saturation count) plus the scale quantized to 1e-6 — scalars only,
+    * because the driver's compare stringifies columns and array renderings
+    * differ between engines. Entirely per-row: zero shuffles.
+    */
+  private val quantize: Q = (s, d) => {
+    val v = vDouble(col("embedding"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / nullif(maxAbs, lit(0.0))
+    val q = transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      floor(scale * 1e6 + lit(0.5)).cast("long").as("scale_e6"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      aggregate(q, lit(0L), (acc, x) => acc + x * x).as("q_sq_sum"),
+      size(filter(q, x => abs(x) === 127L)).as("n_sat"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_brute_topk" -> bruteForce,
     "ann_ivf_topk" -> ivf,
+    "vq_quantize" -> quantize,
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +119,20 @@ object SimilarityOps {
         |        i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), (x, y) -> x + y))) AS cosine
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "vq_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    127.0 / NULLIF(list_max(list_transform(v, x -> abs(x))), 0.0) AS sc
+        |  FROM e),
+        |q AS (SELECT vec_id, sc,
+        |    list_transform(v, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(floor(sc * 1e6 + 0.5) AS BIGINT) AS scale_e6,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, qv), (a, x) -> a + x) AS BIGINT) AS q_sum,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(qv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS q_sq_sum,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+        |FROM q""".stripMargin,
   )
 
   /** IVF centroid averages are not order-reproducible across engines →

@@ -46,11 +46,9 @@ object DocStreaming {
   }
 
   /** The static benchmark gram set for [[contaminationScores]], built
-    * from the batch documents table (distinct-collapsed, tiny). */
+    * from the batch documents table by the SAME derivation the batch
+    * query uses (PipelineOps.benchGramsOf — shared so parity can't
+    * drift). */
   def benchmarkGrams(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables.documents(spark, sfDir)
-      .where(col("source") === PipelineOps.BenchmarkSource)
-      .select(explode(array_distinct(PipelineOps.wordGrams(col("text"),
-        PipelineOps.ContamGramWidth))).as("gr"))
-      .distinct()
+    PipelineOps.benchGramsOf(graft.Tables.documents(spark, sfDir))
 }

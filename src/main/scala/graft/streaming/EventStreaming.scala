@@ -155,6 +155,9 @@ object EventStreaming {
   final case class FirstTouch(user_id: Long, event_type: String,
       first_event_id: Long, first_ts: java.sql.Timestamp, first_value: Double)
 
+  /** firstTouches state: best-so-far candidate + emitted tombstone. */
+  final case class FtState(best: FirstTouch, emitted: Boolean)
+
   /** Streaming first-touch attribution — the stateful counterpart of the
     * batch ev_first_touch query. State per (user, type) is ONE row (the
     * best-so-far earliest event). Emission is watermark-FINALIZED: a key
@@ -171,21 +174,29 @@ object EventStreaming {
         col("ts"), col("value"))
       .as[(Long, String, Long, java.sql.Timestamp, Double)]
     typed.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[FirstTouch, FirstTouch](
+      .flatMapGroupsWithState[FtState, FirstTouch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((user, typ), rows, state) =>
           if (state.hasTimedOut) {
-            val out = state.get
-            state.remove()
+            val out = state.get.best
+            // TOMBSTONE, not remove(): a later non-late event for this key
+            // would otherwise re-open the group and emit a second, wrong
+            // "first" touch. One emitted-flag row per key is the
+            // irreducible state of exactly-once first-touch semantics
+            // (same cardinality as the batch result itself).
+            state.update(FtState(out, emitted = true))
             Iterator(out)
+          } else if (state.getOption.exists(_.emitted)) {
+            // Key already finalized — later events can't be the first.
+            Iterator.empty
           } else {
             // Full-precision (seconds, nanos, id) order — same tie-break
             // as the batch window's ORDER BY (ts, event_id).
             val best = (rows.map(r => FirstTouch(user, typ, r._3, r._4, r._5))
-              ++ state.getOption.iterator)
+              ++ state.getOption.map(_.best).iterator)
               .minBy(f => (f.first_ts.toInstant.getEpochSecond,
                 f.first_ts.getNanos, f.first_event_id))
-            state.update(best)
+            state.update(FtState(best, emitted = false))
             // Finalize when the watermark passes the candidate's time
             // (clamped past the current watermark — Spark rejects a
             // timeout at or before it).

@@ -17,11 +17,26 @@ object Compact {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val fs = new java.io.File(inDir)
-    val bytes = Option(fs.listFiles())
-      .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.length()).sum)
-      .getOrElse(0L)
+    // Size via the Hadoop FileSystem of the INPUT path (recursive): works
+    // for hdfs://s3a:// URIs and Hive-partitioned subdirectory layouts,
+    // where a java.io.File listing would see 0 bytes and silently
+    // repartition(1) the whole dataset.
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = inPath.getFileSystem(hadoopConf)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outQ = outPath.getFileSystem(hadoopConf).makeQualified(outPath)
+    // Overwrite deletes the output before tasks read the lazy input — an
+    // in-place call would destroy the data it is compacting.
+    require(fs.makeQualified(inPath) != outQ,
+      s"in-place compaction would delete the input ($inDir); write to a staging dir")
+    val it = fs.listFiles(inPath, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    require(bytes > 0, s"no parquet files found under $inDir")
     val k = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(k)

@@ -90,6 +90,52 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("first-touch tombstone: a key returning after finalization never re-emits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ft_multi").toString
+    graft.core.Fs.deleteOnExit(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // One parquet file per micro-batch (maxFilesPerTrigger=1), mtime/path
+    // ordered. Watermark delay is 1 s.
+    val files = Seq(
+      // b1: the key's true first touch + a watermark pusher.
+      Seq((1L, ts("2020-01-01 10:00:00"), 1L, "click", 1.0),
+        (90L, ts("2020-01-01 23:00:00"), 90L, "view", 0.0)),
+      // b2: pusher → key 1 has no data, its timeout fires → emit+tombstone.
+      Seq((91L, ts("2020-01-01 23:30:00"), 91L, "view", 0.0)),
+      // b3: key 1 RETURNS with a non-late event (>= watermark 23:29:59).
+      Seq((2L, ts("2020-01-01 23:45:00"), 1L, "click", 2.0)),
+      // b4: pusher far enough that a (buggy) re-armed timeout would fire.
+      Seq((92L, ts("2020-01-02 01:00:00"), 92L, "view", 0.0)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val staging = java.nio.file.Files.createTempDirectory("graft_ft_stage").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit(null).cast("string"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, f"file_$i%02d.parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.firstTouches(spark, stream), "ft_multi_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      q.processAllAvailable() // drain no-data batches' timeout emissions
+      val rows = spark.table("ft_multi_out")
+        .where(col("user_id") === 1L).collect()
+      assert(rows.length == 1,
+        s"key must emit exactly once, got ${rows.mkString("; ")}")
+      assert(rows.head.getAs[Long]("first_event_id") == 1L,
+        "the ORIGINAL first touch must be the one emitted")
+    } finally q.stop()
+  }
+
   test("streaming as-of matches == batch ev_asof_join") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)

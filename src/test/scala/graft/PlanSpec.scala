@@ -17,6 +17,12 @@ class PlanSpec extends AnyFunSuite {
     out.toString
   }
 
+  /** Count nodes of a given name via the formatted plan's numbered node
+    * detail list ("(3) Exchange") — immune to tree-art prefixes (`+-`
+    * vs `:-`) that a branch position change would introduce. */
+  private def countNodes(plan: String, node: String): Int =
+    plan.linesIterator.count(_.matches(s"""\\(\\d+\\) $node.*"""))
+
   test("f2: filter is pushed to the parquet scan") {
     val p = planOf("f2_filter_pushdown")
     assert(p.contains("PushedFilters:"), p.take(800))
@@ -59,7 +65,7 @@ class PlanSpec extends AnyFunSuite {
   test("tx_pack: exactly one shuffle (the (lang, shard) window), no join") {
     val p = planOf("tx_pack")
     assert(p.contains("Window"))
-    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.startsWith("Exchange"))
+    val exchanges = countNodes(p, "Exchange")
     assert(exchanges == 1, s"expected 1 Exchange, plan:\n${p.take(1200)}")
   }
 
@@ -72,7 +78,7 @@ class PlanSpec extends AnyFunSuite {
   test("q_grouping_sets: one Expand + one aggregate pass for both sets") {
     val p = planOf("q_grouping_sets")
     assert(p.contains("Expand"))
-    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.startsWith("Exchange"))
+    val exchanges = countNodes(p, "Exchange")
     assert(exchanges == 1, s"both grouping sets must aggregate in one pass, plan:\n${p.take(1200)}")
   }
 
