@@ -139,10 +139,37 @@ object PipelineOps {
       .withColumn("chunk_off", col("start_off") % ChunkTokens)
   }
 
+  /** Per-source sampling rates out of 256 — the "data mixing" weights a
+    * pre-training corpus assigns per provenance (upsample curated
+    * sources, downsample scrapes). */
+  val MixWeights: Seq[(String, Int)] = Seq(
+    "src1" -> 256, "src2" -> 192, "src3" -> 64)
+  val DefaultMixWeight = 128
+
+  /** Deterministic stratified sampling by data-mixing weight: a document
+    * survives iff its hash bucket (first md5 byte of doc_id:text — the
+    * SAME keyed hash as tx_split, so sampling and splitting stay
+    * independent-looking but reproducible) falls under its source's
+    * rate. Pure per-row predicate — no windows, no shuffles, stable
+    * under data growth; exactly the tx_split scale argument.
+    */
+  private val sampleMix: Q = (s, d) => {
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#"), col("text"))), 1, 2), 16, 10).cast("int")
+    val rate = MixWeights.foldRight(lit(DefaultMixWeight): Column) {
+      case ((src, w), acc) => when(col("source") === src, w).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket).withColumn("rate", rate)
+      .where(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("rate"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx_contamination" -> contamination,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
+    "tx_sample_mix" -> sampleMix,
   )
 
   /** Word n-grams in DuckDB, mirroring [[wordGrams]] exactly (1-based
@@ -176,6 +203,19 @@ object PipelineOps {
          |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS top_tok_frac
          |FROM g""".stripMargin,
+    "tx_sample_mix" -> {
+      val rateCase = MixWeights.map { case (src, w) =>
+        s"WHEN source = '$src' THEN $w"
+      }.mkString("CASE ", " ", s" ELSE $DefaultMixWeight END")
+      s"""SELECT doc_id, source, CAST($rateCase AS INT) AS rate
+         |FROM (SELECT doc_id, source, text,
+         |        16 * (strpos('0123456789abcdef',
+         |               substr(md5(CAST(doc_id AS VARCHAR) || '#' || text), 1, 1)) - 1)
+         |        + (strpos('0123456789abcdef',
+         |               substr(md5(CAST(doc_id AS VARCHAR) || '#' || text), 2, 1)) - 1) AS bucket
+         |      FROM documents)
+         |WHERE bucket < $rateCase""".stripMargin
+    },
     "tx_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % $PackShards AS shard,
          |    CASE WHEN trim(text) = '' THEN 0

@@ -378,6 +378,28 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
 
+  /** Pearson correlation per group WITHOUT the cross-engine FP trap:
+    * `corr()` aggregates doubles in partition order, so no two engines
+    * (or two runs) agree bit-for-bit. Instead the five moments are exact
+    * integer sums (cents), and the textbook formula is ONE double
+    * expression over identical integers — deterministic on both sides.
+    * Also the scale-correct shape: moments combine associatively, so
+    * partial aggregation stays map-side. */
+  private val qCorr: Q = (s, d) => {
+    val x = round(col("l_quantity") * 100).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy")))
+          / (sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx")))
+            * sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
+          .as("corr_qty_price"))
+  }
+
   /** Status × year pivot via conditional aggregation — the portable (and
     * Catalyst-preferred) pivot form: one scan, one hash aggregate, no
     * pivot-value discovery pass. Exact-cents sums per status column. */
@@ -481,6 +503,7 @@ object Relational {
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "q_histogram" -> qHistogram,
+    "q_corr" -> qCorr,
     "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
   )
@@ -622,6 +645,22 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_corr" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM v GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+        |FROM m""".stripMargin,
     "w2_moving_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
