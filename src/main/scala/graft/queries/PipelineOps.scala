@@ -165,11 +165,39 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("rate"))
   }
 
+  /** End-to-end corpus cleaning — the composed pipeline (quality gate →
+    * exact dedup keep-min → split assignment) as ONE declarative chain.
+    * Each stage reuses the standalone operators' exact expressions, so
+    * Catalyst fuses the quality predicate and gram arithmetic into the
+    * scan projection, and the only shuffles are the dedup groupBy + the
+    * keep-set semi join. This is the composability claim made concrete:
+    * operators are Columns/DataFrames, so pipelines are plans, not
+    * materialized hand-offs.
+    */
+  private val cleanCorpus: Q = (s, d) => {
+    val t = toks(col("text"))
+    val g2 = wordGrams(col("text"), 2)
+    val dup2 = (size(g2) - size(array_distinct(g2))).cast("double") /
+      size(g2).cast("double")
+    val clean = Tables.documents(s, d)
+      .where(size(t) >= 20 && dup2 < 0.05)
+    val keep = clean.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("text"))), 1, 2), 16, 10).cast("int")
+    clean.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 205, "train").when(bucket < 230, "valid")
+          .otherwise(lit("test")).as("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx_contamination" -> contamination,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_sample_mix" -> sampleMix,
+    "pipe_clean_corpus" -> cleanCorpus,
   )
 
   /** Word n-grams in DuckDB, mirroring [[wordGrams]] exactly (1-based
@@ -203,6 +231,22 @@ object PipelineOps {
          |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS top_tok_frac
          |FROM g""".stripMargin,
+    "pipe_clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, lang, text, toks, ${gramsSql(2)} AS g2 FROM t),
+         |c AS (SELECT doc_id, lang, text FROM g
+         |      WHERE len(toks) >= 20
+         |        AND CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |            / CAST(len(g2) AS DOUBLE) < 0.05),
+         |k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY md5(text))
+         |SELECT doc_id, lang,
+         |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'valid' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        16 * (strpos('0123456789abcdef',
+         |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)) - 1)
+         |        + (strpos('0123456789abcdef',
+         |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
+         |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin,
     "tx_sample_mix" -> {
       val rateCase = MixWeights.map { case (src, w) =>
         s"WHEN source = '$src' THEN $w"
