@@ -28,6 +28,40 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits the skewed sort-merge-join partition at runtime (skew=true)") {
+    // The other half of the skew story: salting is the manual lever,
+    // AQE's OptimizeSkewedJoin is the runtime one SCALE.md leans on.
+    // Thresholds lowered so local data trips the same code path a 100 TB
+    // hot key would.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val probe = spark.range(300000)
+        .select(when(col("id") % 100 === 0, col("id") % 7 + 1)
+          .otherwise(lit(0L)).as("k"), col("id").as("p"))
+      val build = spark.range(8).select(col("id").as("k"), (col("id") * 10).as("q"))
+      val j = probe.join(build, Seq("k"))
+      // Materialize through THIS Dataset's QueryExecution (count() plans a
+      // separate aggregate and would leave this plan isFinalPlan=false).
+      val n = j.collect().length
+      assert(n == 300000, s"inner join must keep every probe row, got $n")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in plan:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("hot key spreads across salt buckets even for byte-identical rows") {
     // Identical probe rows — the degenerate case a row-hash salt gets wrong.
     val probe = spark.range(8000).select(lit(0L).as("k"), lit(1L).as("payload"))
