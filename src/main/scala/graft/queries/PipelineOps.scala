@@ -192,11 +192,28 @@ object PipelineOps {
           .otherwise(lit("test")).as("split"))
   }
 
+  /** Corpus vocabulary top-k: the 50 most frequent tokens with counts and
+    * corpus share — the vocab/Zipf profile run before tokenizer training.
+    * explode → hash-groupBy (map-side partial combine collapses each
+    * split to its distinct tokens) → TakeOrderedAndProject top-k with a
+    * deterministic (count desc, token) tie-break — never a global sort.
+    */
+  private val vocabTopK: Q = (s, d) => {
+    val tokens = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("token"))
+    val total = tokens.count()
+    tokens.groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "tx_contamination" -> contamination,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_sample_mix" -> sampleMix,
+    "tx_vocab_topk" -> vocabTopK,
     "pipe_clean_corpus" -> cleanCorpus,
   )
 
@@ -231,6 +248,13 @@ object PipelineOps {
          |      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS top_tok_frac
          |FROM g""".stripMargin,
+    "tx_vocab_topk" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok)
+         |SELECT token, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) AS DOUBLE) / (SELECT total FROM tot) AS share
+         |FROM tok GROUP BY token
+         |ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "pipe_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, lang, text, toks, ${gramsSql(2)} AS g2 FROM t),
