@@ -97,12 +97,36 @@ object EventOps {
         col("value").as("first_value"))
   }
 
+  /** Time-interval join: each click paired with EVERY view of the same
+    * user in the preceding hour — the bounded-window variant of the as-of
+    * join (all candidates, not just the latest). Equi key (user_id) +
+    * range predicate: one shuffle per side on the key, range filtered
+    * inside the sorted join — never a cross join. This is also exactly
+    * the shape Structured Streaming's stream-stream join supports
+    * (equality + time bound ⇒ bounded state), see
+    * EventStreaming.intervalJoin + the parity spec.
+    */
+  private val intervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val views = ev.where(col("event_type") === "view").select(
+      col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    clicks.join(views, Seq("user_id"))
+      .where(col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
     "ev_asof_join" -> asof,
     "ev_first_touch" -> firstTouch,
+    "ev_interval_join" -> intervalJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,5 +173,14 @@ object EventOps {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |                           ORDER BY ts, event_id) = 1""".stripMargin,
+    "ev_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.click_id, v.view_id, c.click_ts, v.view_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        | AND v.view_ts <= c.click_ts
+        | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
   )
 }

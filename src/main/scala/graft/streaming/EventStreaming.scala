@@ -207,6 +207,29 @@ object EventStreaming {
       }.toDF()
   }
 
+  /** Stream–stream time-interval join — the twin of the batch
+    * ev_interval_join query, using Spark's native stream-stream join:
+    * equality on user_id plus a bounded time condition, which is exactly
+    * what lets the state store discard rows once the watermark passes the
+    * interval (views older than click-watermark − 1 h can never match
+    * again). No custom state needed — this is the operator Spark built
+    * for the job.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click").select(
+      col("user_id").as("c_user"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 second")
+    val views = events.where(col("event_type") === "view").select(
+      col("user_id").as("v_user"), col("event_id").as("view_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", "1 second")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete): StreamingQuery = {

@@ -136,6 +136,24 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch ev_interval_join") {
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.intervalJoin(stream), "ivj_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("ivj_out")
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("view_ts").cast("timestamp_ntz").as("view_ts"))
+      val batch = graft.queries.EventOps.queries("ev_interval_join")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch interval-join mismatch")
+    } finally q.stop()
+  }
+
   test("streaming as-of matches == batch ev_asof_join") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
