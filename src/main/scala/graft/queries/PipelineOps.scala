@@ -175,20 +175,37 @@ object PipelineOps {
     * materialized hand-offs.
     */
   private val cleanCorpus: Q = (s, d) => {
+    import graft.core.Lineage.LineageOps
     val t = toks(col("text"))
-    val g2 = wordGrams(col("text"), 2)
-    val dup2 = (size(g2) - size(array_distinct(g2))).cast("double") /
-      size(g2).cast("double")
-    val clean = Tables.documents(s, d)
-      .where(size(t) >= 20 && dup2 < 0.05)
-    val keep = clean.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    // Gate metrics + hashes computed ONCE, with the expensive subtrees
+    // (split, gram transform) STAGED through intermediate columns so each
+    // evaluates once per row — inlined into a single Filter condition the
+    // HOF lambdas leave codegen and every repeated subtree re-evaluates
+    // (measured ~25× slower at sf0.1). CollapseProject keeps the stages
+    // apart (multi-referenced non-cheap aliases are not inlined), and the
+    // lineage cut fences filter pushdown from substituting the
+    // expressions back into the scan; text is dropped so the
+    // materialized frame is a few scalar columns.
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), t.as("__toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("__toks")).as("n_tok"),
+        transform(
+          sequence(lit(1), greatest(size(col("__toks")) - 1, lit(1))),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(2)))).as("__g2"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ((size(col("__g2")) - size(array_distinct(col("__g2")))).cast("double") /
+          size(col("__g2")).cast("double")).as("dup2"),
+        md5(col("text")).as("h"),
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text"))), 1, 2), 16, 10).cast("int").as("b"))
+      .cutLineage
+    val clean = scored.where(col("n_tok") >= 20 && col("dup2") < 0.05)
+    val keep = clean.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":"), col("text"))), 1, 2), 16, 10).cast("int")
     clean.join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"),
-        when(bucket < 205, "train").when(bucket < 230, "valid")
+        when(col("b") < 205, "train").when(col("b") < 230, "valid")
           .otherwise(lit("test")).as("split"))
   }
 
