@@ -357,15 +357,24 @@ object DedupOps {
     * is one row per distinct content, never the raw corpus.
     */
   private val incrementalDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val IncomingSource = "src19"
     val docs = Tables.documents(s, d)
     val corpus = docs.where(col("source") =!= IncomingSource)
-      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("dup_of"))
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("corpus_dup"))
+    // A delivery can also duplicate ITSELF — without the intra-batch
+    // window, two identical new docs both pass the corpus check and
+    // become lake duplicates on the next delivery. Corpus match wins the
+    // attribution; otherwise the batch's own min doc_id does.
+    val intraMin = min(col("doc_id")).over(Window.partitionBy("h"))
     docs.where(col("source") === IncomingSource)
       .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("intra_min", intraMin)
       .join(corpus, Seq("h"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        col("dup_of").isNotNull.as("is_dup"))
+      .select(col("doc_id"),
+        coalesce(col("corpus_dup"),
+          when(col("intra_min") < col("doc_id"), col("intra_min"))).as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
   val queries: Map[String, Q] = Map(
@@ -414,10 +423,16 @@ object DedupOps {
          |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_rep
          |FROM walk GROUP BY id""".stripMargin,
     "d7_incremental_dedup" ->
-      """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+      """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS corpus_dup
         |  FROM documents WHERE source <> 'src19' GROUP BY 1),
-        |nw AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src19')
-        |SELECT nw.doc_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
+        |nw AS (SELECT doc_id, md5(text) AS h,
+        |         min(doc_id) OVER (PARTITION BY md5(text)) AS intra_min
+        |       FROM documents WHERE source = 'src19')
+        |SELECT nw.doc_id,
+        |  coalesce(c.corpus_dup,
+        |    CASE WHEN nw.intra_min < nw.doc_id THEN nw.intra_min END) AS dup_of,
+        |  coalesce(c.corpus_dup,
+        |    CASE WHEN nw.intra_min < nw.doc_id THEN nw.intra_min END) IS NOT NULL AS is_dup
         |FROM nw LEFT JOIN corpus c USING (h)""".stripMargin,
   )
 

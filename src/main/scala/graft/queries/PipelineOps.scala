@@ -147,11 +147,13 @@ object PipelineOps {
   val DefaultMixWeight = 128
 
   /** Deterministic stratified sampling by data-mixing weight: a document
-    * survives iff its hash bucket (first md5 byte of doc_id:text — the
-    * SAME keyed hash as tx_split, so sampling and splitting stay
-    * independent-looking but reproducible) falls under its source's
-    * rate. Pure per-row predicate — no windows, no shuffles, stable
-    * under data growth; exactly the tx_split scale argument.
+    * survives iff its hash bucket (first md5 byte of "doc_id#text" —
+    * DELIBERATELY a different key separator than tx_split's
+    * "doc_id:text", so the sampling and split buckets are independent;
+    * sharing the hash would correlate them and e.g. funnel every rate-64
+    * survivor into 'train') falls under its source's rate. Pure per-row
+    * predicate — no windows, no shuffles, stable under data growth;
+    * exactly the tx_split scale argument.
     */
   private val sampleMix: Q = (s, d) => {
     val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
@@ -166,13 +168,12 @@ object PipelineOps {
   }
 
   /** End-to-end corpus cleaning — the composed pipeline (quality gate →
-    * exact dedup keep-min → split assignment) as ONE declarative chain.
-    * Each stage reuses the standalone operators' exact expressions, so
-    * Catalyst fuses the quality predicate and gram arithmetic into the
-    * scan projection, and the only shuffles are the dedup groupBy + the
-    * keep-set semi join. This is the composability claim made concrete:
-    * operators are Columns/DataFrames, so pipelines are plans, not
-    * materialized hand-offs.
+    * exact dedup keep-min → split assignment) built from the standalone
+    * operators' exact column expressions. Execution is TWO stages by
+    * design: one scoring pass materializes a few scalar columns per doc
+    * behind a lineage cut (see below for why the fence is load-bearing),
+    * then the filter + dedup + semi join + split run as one fused plan
+    * over those scalars.
     */
   private val cleanCorpus: Q = (s, d) => {
     import graft.core.Lineage.LineageOps
@@ -216,11 +217,17 @@ object PipelineOps {
     * deterministic (count desc, token) tie-break — never a global sort.
     */
   private val vocabTopK: Q = (s, d) => {
-    val tokens = Tables.documents(s, d)
+    val grouped = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("token"))
-    val total = tokens.count()
-    tokens.groupBy("token").agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // Corpus total = Σ per-token counts, derived from the (tiny) grouped
+    // frame via a broadcast cross join — ONE tokenization pass and no
+    // eager action at query-construction time (a separate count() would
+    // scan and explode the whole corpus twice).
+    val total = grouped.agg(sum(col("n")).as("__total"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__total").cast("double"))
+      .drop("__total")
       .orderBy(col("n").desc, col("token"))
       .limit(50)
   }

@@ -386,18 +386,28 @@ object Relational {
     * Also the scale-correct shape: moments combine associatively, so
     * partial aggregation stays map-side. */
   private val qCorr: Q = (s, d) => {
-    val x = round(col("l_quantity") * 100).cast("long")
-    val y = round(col("l_extendedprice") * 100).cast("long")
+    // Moments accumulate in DECIMAL, not LONG: sum(y²) over price-cents
+    // longs is already at 80% of Long.MaxValue at sf0.1 and would wrap
+    // silently just above it. decimal(12,0) per-row values → products and
+    // sums stay well inside 38 digits at any SF; DuckDB's HUGEINT sums
+    // match. The single decimal→double conversion per moment is the same
+    // correctly-rounded IEEE value on both engines.
+    val x = round(col("l_quantity") * 100).cast("decimal(12,0)")
+    val y = round(col("l_extendedprice") * 100).cast("decimal(12,0)")
     def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))
+    val den = sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))) *
+      sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      // Degenerate groups (n=1 or constant column) have den = 0: Spark's
+      // non-ANSI division yields NULL while DuckDB IEEE division yields
+      // NaN — make "undefined correlation" an explicit NULL on both.
       .select(col("l_returnflag"), col("n"),
-        ((d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy")))
-          / (sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx")))
-            * sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
-          .as("corr_qty_price"))
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(num / den).as("corr_qty_price"))
   }
 
   /** Status × year pivot via conditional aggregation — the portable (and
@@ -651,16 +661,19 @@ object Relational {
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
         |  FROM lineitem),
         |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM v GROUP BY 1)
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM v GROUP BY 1),
+        |f AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) AS den
+        |  FROM m)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
-        |FROM m""".stripMargin,
+        |  CASE WHEN den = 0.0 THEN NULL ELSE num / den END AS corr_qty_price
+        |FROM f""".stripMargin,
     "w2_moving_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -92,7 +92,10 @@ object SimilarityOps {
     val maxAbs = array_max(transform(v, x => abs(x)))
     val scale = lit(127.0) / nullif(maxAbs, lit(0.0))
     val q = transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
-    Tables.embeddings(s, d).select(
+    // Null vectors are excluded in BOTH engines: on a null array Spark's
+    // size() returns -1 (legacy sizeOfNull) where DuckDB's len() is NULL,
+    // so letting them through would silently diverge from the oracle.
+    Tables.embeddings(s, d).where(col("embedding").isNotNull).select(
       col("vec_id"),
       floor(scale * 1e6 + lit(0.5)).cast("long").as("scale_e6"),
       aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
@@ -120,7 +123,8 @@ object SimilarityOps {
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "vq_quantize" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |s AS (SELECT vec_id, v,
         |    127.0 / NULLIF(list_max(list_transform(v, x -> abs(x))), 0.0) AS sc
         |  FROM e),

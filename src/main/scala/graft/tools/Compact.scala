@@ -26,10 +26,17 @@ object Compact {
     val fs = inPath.getFileSystem(hadoopConf)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val outQ = outPath.getFileSystem(hadoopConf).makeQualified(outPath)
+    val inQ = fs.makeQualified(inPath)
     // Overwrite deletes the output before tasks read the lazy input — an
-    // in-place call would destroy the data it is compacting.
-    require(fs.makeQualified(inPath) != outQ,
-      s"in-place compaction would delete the input ($inDir); write to a staging dir")
+    // in-place or ANCESTOR output would destroy the data it is
+    // compacting (deleting /lake/events also deletes /lake/events/08).
+    def contains(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(!contains(outQ, inQ) && !contains(inQ, outQ),
+      s"output $outDir overlaps input $inDir; Overwrite would delete the input — write to a disjoint staging dir")
     val it = fs.listFiles(inPath, true)
     var bytes = 0L
     while (it.hasNext) {

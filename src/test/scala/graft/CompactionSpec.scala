@@ -35,6 +35,22 @@ class CompactionSpec extends AnyFunSuite {
       "compaction changed row values")
   }
 
+  test("compact refuses overlapping input/output (in-place and ancestor)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    graft.core.Fs.deleteOnExit(base)
+    intercept[IllegalArgumentException] {
+      graft.tools.Compact.compact(spark, base, base)
+    }
+    intercept[IllegalArgumentException] {
+      // Output is an ANCESTOR of the input: Overwrite would delete the
+      // input subtree before the lazy read runs.
+      graft.tools.Compact.compact(spark, s"$base/sub", base)
+    }
+    intercept[IllegalArgumentException] {
+      graft.tools.Compact.compact(spark, base, s"$base/out")
+    }
+  }
+
   test("compact of an already-right-sized dir yields one file") {
     val src = Tables.nation(spark, SparkTestBase.sf)
     val inDir = java.nio.file.Files.createTempDirectory("graft_small").toString

@@ -109,6 +109,7 @@ class EventStreamingSpec extends AnyFunSuite {
       Seq((92L, ts("2020-01-02 01:00:00"), 92L, "view", 0.0)))
     files.zipWithIndex.foreach { case (rows, i) =>
       val staging = java.nio.file.Files.createTempDirectory("graft_ft_stage").toString
+      graft.core.Fs.deleteOnExit(staging)
       rows.toDF("event_id", "ts", "user_id", "event_type", "value")
         .withColumn("props", lit(null).cast("string"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
