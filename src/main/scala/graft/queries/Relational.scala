@@ -369,6 +369,28 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
 
+  /** Blocked fuzzy join — approximate-key matching (the "recover the
+    * canonical record for a misspelled reference" ETL step). Dirty
+    * variants (every 3rd customer's name with its 3rd character dropped)
+    * are matched back to the canonical names with Levenshtein ≤ 1,
+    * BLOCKED on the last-3-char key so the edit distance only runs
+    * within small equi-join groups — the scale-correct shape (block join
+    * + verify) rather than an all-pairs cross join.
+    */
+  private val f8FuzzyMatch: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val dirty = base.where(col("id") % 3 === 0)
+      .select(col("id").as("dirty_id"),
+        concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
+          .as("dirty_name"))
+    dirty.withColumn("bk", expr("right(dirty_name, 3)"))
+      .join(base.withColumn("bk", expr("right(name, 3)")), Seq("bk"))
+      .withColumn("distance", levenshtein(col("dirty_name"), col("name")))
+      .where(col("distance") <= 1)
+      .select(col("dirty_id"), col("id").as("matched_id"), col("distance"))
+  }
+
   /** Fixed-width histogram over order totals ($10k bins) — the value-
     * distribution profile every quality dashboard needs. One hash
     * aggregate; bins are floor-exact in both engines. */
@@ -514,6 +536,7 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_histogram" -> qHistogram,
     "q_corr" -> qCorr,
+    "f8_fuzzy_match" -> f8FuzzyMatch,
     "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
   )
@@ -674,6 +697,14 @@ object Relational {
         |SELECT l_returnflag, n,
         |  CASE WHEN den = 0.0 THEN NULL ELSE num / den END AS corr_qty_price
         |FROM f""".stripMargin,
+    "f8_fuzzy_match" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |dirty AS (SELECT id AS dirty_id, substr(name, 1, 2) || substr(name, 4) AS dirty_name
+        |          FROM base WHERE id % 3 = 0)
+        |SELECT d.dirty_id, b.id AS matched_id,
+        |  CAST(levenshtein(d.dirty_name, b.name) AS INT) AS distance
+        |FROM dirty d JOIN base b ON right(d.dirty_name, 3) = right(b.name, 3)
+        |WHERE levenshtein(d.dirty_name, b.name) <= 1""".stripMargin,
     "w2_moving_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
