@@ -120,6 +120,25 @@ object EventOps {
         col("view_ts").cast("timestamp_ntz").as("view_ts"))
   }
 
+  /** Session funnel: per 30-minute session, view/click volumes and
+    * whether the session CONVERTED (some click at-or-after the first
+    * view). One session_window aggregate; the conversion flag is pure
+    * conditional aggregation — first-view and last-click extremes
+    * compared after the fold, no ordering dependence.
+    */
+  private val funnel: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        max(when(col("event_type") === "click", col("ts"))).as("last_click"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n_views"), col("n_clicks"),
+        coalesce(col("last_click") >= col("first_view"), lit(false)).as("converted"))
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
     "ev_sessions" -> sessions,
@@ -127,6 +146,7 @@ object EventOps {
     "ev_asof_join" -> asof,
     "ev_first_touch" -> firstTouch,
     "ev_interval_join" -> intervalJoin,
+    "ev_funnel" -> funnel,
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,6 +193,21 @@ object EventOps {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |                           ORDER BY ts, event_id) = 1""".stripMargin,
+    "ev_funnel" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP)
+        |            >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        |  coalesce(max(CASE WHEN event_type = 'click' THEN ts END)
+        |           >= min(CASE WHEN event_type = 'view' THEN ts END), false) AS converted
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "ev_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
         |           FROM events WHERE event_type = 'click'),
