@@ -95,6 +95,13 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("lang") && pf.contains("IN (en,fr)"), s"got: $pf")
   }
 
+  test("f8_fuzzy_match: blocked equi join, never a cartesian distance scan") {
+    val p = planOf("f8_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy match must block on the equi key before running edit distance")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("engine semi joins: traversal uses LeftSemi joins, no cartesian") {
     val p = planOf("s3_fk_membership")
     assert(p.contains("LeftSemi"), p.take(800))
