@@ -356,10 +356,12 @@ object DedupOps {
     * corpus side pre-aggregates to (hash, min doc_id) so the join input
     * is one row per distinct content, never the raw corpus.
     */
-  private val incrementalDedup: Q = (s, d) => {
+  /** See [[incrementalDedupOf]]; the registered query binds it to the
+    * documents table with `src19` as the arriving delivery. */
+  val IncomingSource = "src19"
+
+  def incrementalDedupOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val IncomingSource = "src19"
-    val docs = Tables.documents(s, d)
     val corpus = docs.where(col("source") =!= IncomingSource)
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("corpus_dup"))
     // A delivery can also duplicate ITSELF — without the intra-batch
@@ -376,6 +378,9 @@ object DedupOps {
           when(col("intra_min") < col("doc_id"), col("intra_min"))).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  private val incrementalDedup: Q = (s, d) =>
+    incrementalDedupOf(Tables.documents(s, d))
 
   val queries: Map[String, Q] = Map(
     "d2_minhash_lsh" -> minhashPairs,

@@ -369,13 +369,23 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
 
+  /** Suffix width of the fuzzy-join block key. The key's ENTROPY must
+    * scale with the data: pick k so that ~10^k distinct suffixes keep
+    * blocks at a bounded size (k=6 bounds blocks to ~n/10^6 — at sf100's
+    * ~15M customers that is ~15 canonical rows per block). A fixed-narrow
+    * key (k=3) caps at 1000 blocks and block size — hence total work —
+    * grows linearly with data, turning the join quadratic overall. */
+  val FuzzyBlockSuffix = 6
+
   /** Blocked fuzzy join — approximate-key matching (the "recover the
     * canonical record for a misspelled reference" ETL step). Dirty
     * variants (every 3rd customer's name with its 3rd character dropped)
     * are matched back to the canonical names with Levenshtein ≤ 1,
-    * BLOCKED on the last-3-char key so the edit distance only runs
-    * within small equi-join groups — the scale-correct shape (block join
-    * + verify) rather than an all-pairs cross join.
+    * BLOCKED on the last-[[FuzzyBlockSuffix]]-char key so the edit
+    * distance only runs within small equi-join groups — block + verify,
+    * never an all-pairs cross join. (The mangled character sits outside
+    * the suffix, so the block key is edit-invariant for this error
+    * model; a general deletion model blocks on several keys.)
     */
   private val f8FuzzyMatch: Q = (s, d) => {
     val base = Tables.customer(s, d)
@@ -384,8 +394,8 @@ object Relational {
       .select(col("id").as("dirty_id"),
         concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
           .as("dirty_name"))
-    dirty.withColumn("bk", expr("right(dirty_name, 3)"))
-      .join(base.withColumn("bk", expr("right(name, 3)")), Seq("bk"))
+    dirty.withColumn("bk", expr(s"right(dirty_name, $FuzzyBlockSuffix)"))
+      .join(base.withColumn("bk", expr(s"right(name, $FuzzyBlockSuffix)")), Seq("bk"))
       .withColumn("distance", levenshtein(col("dirty_name"), col("name")))
       .where(col("distance") <= 1)
       .select(col("dirty_id"), col("id").as("matched_id"), col("distance"))
@@ -418,18 +428,22 @@ object Relational {
     val y = round(col("l_extendedprice") * 100).cast("decimal(12,0)")
     def d2(c: org.apache.spark.sql.Column) = c.cast("double")
     val num = d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))
-    val den = sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))) *
-      sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))
+    val disc1 = d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))
+    val disc2 = d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy"))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-      // Degenerate groups (n=1 or constant column) have den = 0: Spark's
-      // non-ANSI division yields NULL while DuckDB IEEE division yields
-      // NaN — make "undefined correlation" an explicit NULL on both.
+      // Degenerate groups are guarded on the DISCRIMINANTS, before any
+      // sqrt: for a constant column the rounded doubles can land at a
+      // tiny negative instead of exact 0, where Spark's sqrt gives NaN
+      // but DuckDB ABORTS (sqrt-of-negative is an error there). <= 0 on
+      // both engines makes "undefined correlation" an explicit NULL and
+      // keeps sqrt's domain positive; CASE/when evaluate lazily so the
+      // guarded branch never runs sqrt.
       .select(col("l_returnflag"), col("n"),
-        when(den === 0.0, lit(null).cast("double"))
-          .otherwise(num / den).as("corr_qty_price"))
+        when(disc1 <= 0.0 || disc2 <= 0.0, lit(null).cast("double"))
+          .otherwise(num / (sqrt(disc1) * sqrt(disc2))).as("corr_qty_price"))
   }
 
   /** Status × year pivot via conditional aggregation — the portable (and
@@ -691,11 +705,12 @@ object Relational {
         |  FROM v GROUP BY 1),
         |f AS (SELECT l_returnflag, n,
         |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
-        |    sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) AS den
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS disc1,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS disc2
         |  FROM m)
         |SELECT l_returnflag, n,
-        |  CASE WHEN den = 0.0 THEN NULL ELSE num / den END AS corr_qty_price
+        |  CASE WHEN disc1 <= 0.0 OR disc2 <= 0.0 THEN NULL
+        |       ELSE num / (sqrt(disc1) * sqrt(disc2)) END AS corr_qty_price
         |FROM f""".stripMargin,
     "f8_fuzzy_match" ->
       """WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
@@ -703,7 +718,7 @@ object Relational {
         |          FROM base WHERE id % 3 = 0)
         |SELECT d.dirty_id, b.id AS matched_id,
         |  CAST(levenshtein(d.dirty_name, b.name) AS INT) AS distance
-        |FROM dirty d JOIN base b ON right(d.dirty_name, 3) = right(b.name, 3)
+        |FROM dirty d JOIN base b ON right(d.dirty_name, 6) = right(b.name, 6)
         |WHERE levenshtein(d.dirty_name, b.name) <= 1""".stripMargin,
     "w2_moving_window" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,

@@ -113,4 +113,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists { case (a, b) => a >= 10L && b >= 10L }) // no noise pairs
   }
+
+  test("incremental dedup: corpus match wins, intra-batch dups attributed to batch min") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    val d = Seq(
+      (1L, "already in the lake", "srcA"),
+      (10L, "already in the lake", DedupOps.IncomingSource),   // corpus dup
+      (11L, "fresh delivery text", DedupOps.IncomingSource),   // first of an intra pair
+      (12L, "fresh delivery text", DedupOps.IncomingSource),   // intra-batch dup of 11
+      (13L, "unique new content here", DedupOps.IncomingSource))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.incrementalDedupOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.get(r.fieldIndex("dup_of"))).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(10L) == (Some(1L), true), "corpus duplicate must attribute to the lake doc")
+    assert(out(11L) == (None, false), "first copy in the batch is the keeper")
+    assert(out(12L) == (Some(11L), true), "second copy must attribute to the batch min")
+    assert(out(13L) == (None, false))
+    assert(!out.contains(1L), "corpus docs are not re-emitted")
+  }
 }
