@@ -139,8 +139,29 @@ object EventOps {
         col("n_views"), col("n_clicks"),
         coalesce(col("last_click") >= col("first_view"), lit(false)).as("converted"))
 
+  /** Weekly cohort retention — the user-lifecycle matrix behind every
+    * growth dashboard: users grouped by first-seen ISO week, counted in
+    * each later week they were active. Shapes: first-seen is a
+    * hash-groupBy min; the (user, week) activity grid is a distinct
+    * (map-side partial dedup); the join back is user-keyed — the same
+    * key both inputs were just shuffled on, so it co-locates without a
+    * new exchange. The distinct-user count re-shuffles by cohort cell,
+    * which Spark plans as the standard two-phase distinct aggregate. */
+  private val retention: Q = (s, d) => {
+    val active = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
+    "ev_retention" -> retention,
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
     "ev_asof_join" -> asof,
@@ -208,6 +229,15 @@ object EventOps {
         |  coalesce(max(CASE WHEN event_type = 'click' THEN ts END)
         |           >= min(CASE WHEN event_type = 'view' THEN ts END), false) AS converted
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    "ev_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+        |SELECT cohort_wk,
+        |  CAST(datediff('day', cohort_wk, wk) // 7 AS INT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "ev_interval_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
         |           FROM events WHERE event_type = 'click'),

@@ -232,8 +232,83 @@ object PipelineOps {
       .limit(50)
   }
 
+  /** Token width of a boilerplate chunk and the cross-document frequency
+    * at which a chunk counts as boilerplate. */
+  val BoilerChunkWidth = 8
+  val BoilerDocFreq = 2
+
+  /** Corpus-level boilerplate removal — the RefinedWeb/CCNet "drop lines
+    * that repeat across documents" pass, on this corpus' newline-free
+    * text applied to non-overlapping [[BoilerChunkWidth]]-token chunks.
+    * Every document is cut into chunks; a chunk appearing in ≥
+    * [[BoilerDocFreq]] DISTINCT documents (headers, footers, full
+    * duplicates) is boilerplate, and each doc is re-assembled from its
+    * surviving chunks in position order.
+    *
+    * Scale shape: chunk document-frequency is one hash-groupBy with
+    * map-side partial aggregation; the removal is an anti join on the
+    * chunk value (the boilerplate side is the df-filtered minority, so
+    * AQE broadcasts it when small); the reassembly groups by doc_id with
+    * a position-sorted fold — never a global sort, never a self-join of
+    * the corpus.
+    */
+  def lineDedupOf(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nChunks = floor((size(t) - lit(1)) / lit(BoilerChunkWidth)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks),
+      i => concat_ws(" ", slice(t, i * lit(BoilerChunkWidth) + lit(1),
+        lit(BoilerChunkWidth))))
+    val ex = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+    val boiler = ex.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= lit(BoilerDocFreq)).select("chunk")
+    val kept = ex.join(boiler, Seq("chunk"), "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        x => x.getField("chunk")))).as("cleaned_hash"))
+    ex.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
+  }
+
+  private val lineDedup: Q = (s, d) => lineDedupOf(Tables.documents(s, d))
+
+  /** Per-document keyword extraction: the top-3 "most frequent, least
+    * common" tokens — ranked by term frequency desc, then corpus
+    * document-frequency asc (rarer wins the tie), then token. All
+    *-integer ordering: deterministic across engines, no FP tf-idf.
+    *
+    * Scale shape: tf is one (doc, token) hash-groupBy; df derives from
+    * tf (already distinct per doc) by a second groupBy; the join back is
+    * token-keyed (vocabulary ≪ corpus, Zipf-bounded); the final top-3 is
+    * a rank-filter window that lowers to per-key group limits — no
+    * global sort anywhere.
+    */
+  def keywordsOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
+  }
+
+  private val keywords: Q = (s, d) => keywordsOf(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "tx_contamination" -> contamination,
+    "tx_line_dedup" -> lineDedup,
+    "tx_keywords" -> keywords,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_sample_mix" -> sampleMix,
@@ -250,6 +325,36 @@ object PipelineOps {
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
 
   val oracle: Map[String, String] = Map(
+    "tx_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    unnest(generate_series(0, (len(toks)-1)//$BoilerChunkWidth)) AS pos,
+         |    unnest(list_transform(generate_series(0, (len(toks)-1)//$BoilerChunkWidth),
+         |      i -> array_to_string(list_slice(toks,
+         |             $BoilerChunkWidth*CAST(i AS INT)+1,
+         |             $BoilerChunkWidth*CAST(i AS INT)+$BoilerChunkWidth), ' '))) AS chunk
+         |  FROM t),
+         |b AS (SELECT chunk FROM c GROUP BY chunk
+         |      HAVING count(DISTINCT doc_id) >= $BoilerDocFreq),
+         |k AS (SELECT * FROM c WHERE chunk NOT IN (SELECT chunk FROM b)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |        md5(string_agg(chunk, ' ' ORDER BY pos)) AS cleaned_hash
+         |      FROM k GROUP BY 1),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM c GROUP BY 1)
+         |SELECT n.doc_id, n.n_chunks,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.cleaned_hash, md5('')) AS cleaned_hash
+         |FROM n LEFT JOIN a USING (doc_id)""".stripMargin,
+    "tx_keywords" ->
+      s"""WITH tf AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |f AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |      FROM tf GROUP BY 1, 2),
+         |d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY 1)
+         |SELECT doc_id, token, tf, df,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY tf DESC, df, token) AS INT) AS rank
+         |FROM f JOIN d USING (token)
+         |QUALIFY rank <= 3""".stripMargin,
     "tx_contamination" ->
       s"""WITH g AS (SELECT doc_id, source, list_distinct(${gramsSql(ContamGramWidth)}) AS grams
          |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),

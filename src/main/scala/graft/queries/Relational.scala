@@ -377,6 +377,9 @@ object Relational {
     * grows linearly with data, turning the join quadratic overall. */
   val FuzzyBlockSuffix = 6
 
+  /** Salt fan-out for the two-phase skewed aggregate (a3_skew_agg). */
+  val SkewAggSalt = 64
+
   /** Blocked fuzzy join — approximate-key matching (the "recover the
     * canonical record for a misspelled reference" ETL step). Dirty
     * variants (every 3rd customer's name with its 3rd character dropped)
@@ -501,6 +504,59 @@ object Relational {
         col("n_chars"))
   }
 
+  /** Two-phase SALTED aggregation — the skew-proof form of a grouped
+    * sum. A direct groupBy on a heavy-hitter key funnels that key's
+    * whole partition through one reducer; salting the key with a
+    * deterministic shard (order key mod [[SkewAggSalt]]) first spreads
+    * each group over 64 reducers, and the second, tiny aggregate merges
+    * the per-shard partials. Both phases are associative integer sums,
+    * so the result is bit-identical to the direct aggregate the oracle
+    * runs — this is the shape to reach for when one group holds 10% of
+    * 100 TB. (Spark's map-side partial aggregation already de-skews
+    * pure sums; the explicit salt stage is the pattern for the cases it
+    * cannot — e.g. collect-style or distinct aggregates.) */
+  private val a3SkewAgg: Q = (s, d) => {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(SkewAggSalt)).as("__salt"))
+      .agg(sum(cents).as("c"), count(lit(1)).as("m"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("c")).as("price_cents"), sum(col("m")).as("n_items"))
+  }
+
+  /** TPC-H Q4-shaped EXISTS: orders with at least one returned line,
+    * counted by priority. The subquery is a LEFT SEMI join — each order
+    * emits at most once regardless of how many lines match, and Spark
+    * never materializes the match pairs. */
+  private val q4Exists: Q = (s, d) => {
+    val returned = Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Incremental snapshot merge (SCD-1 upsert): a base snapshot merged
+    * with a delta of changed rows (every 3rd order re-priced +$100),
+    * last-writer-wins. The delta in a real pipeline is orders of
+    * magnitude smaller than the base, so the scale-correct plan is the
+    * one used here: BROADCAST the delta's keys, anti-join the base
+    * (map-side, zero shuffle of the 100 TB side), and union the delta
+    * rows back — not a windowed row_number over the union, which would
+    * shuffle and sort the full base on every merge. */
+  private val srcUpsert: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents.as("price_cents"), lit(0).as("version"))
+    val delta = Tables.orders(s, d)
+      .where(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), (cents + 10000).as("price_cents"),
+        lit(1).as("version"))
+    base.join(broadcast(delta.select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
+      .unionByName(delta)
+  }
+
   /** Window functions: ranking + running totals (window extension). */
   private val w1: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -553,6 +609,9 @@ object Relational {
     "f8_fuzzy_match" -> f8FuzzyMatch,
     "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
+    "a3_skew_agg" -> a3SkewAgg,
+    "q4_priority_exists" -> q4Exists,
+    "src_upsert_merge" -> srcUpsert,
   )
 
   val oracle: Map[String, String] = Map(
@@ -759,5 +818,27 @@ object Relational {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders)
         |SELECT o_custkey, o_orderkey, price_cents, rn, running_cents FROM r WHERE rn <= 3""".stripMargin,
+    // The oracle is the DIRECT aggregate — the salted two-phase plan must
+    // be value-identical to it (associative integer sums).
+    "a3_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "src_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 0 AS version
+        |  FROM orders),
+        |delta AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS price_cents, 1 AS version
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |UNION ALL SELECT * FROM delta""".stripMargin,
   )
 }

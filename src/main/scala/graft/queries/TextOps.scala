@@ -127,6 +127,45 @@ object TextOps {
           .otherwise(lit("test")))
       .select(col("doc_id"), col("lang"), col("split"))
 
+  /** PII patterns, spelled in the Java-regex ∩ RE2 common dialect so
+    * Spark and DuckDB match byte-identically. Public: the value-level
+    * spec asserts redaction on hand-written PII strings. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the scrubbing pass every training corpus runs:
+    * count and replace emails / NANP phones / IPv4s. Pure per-row
+    * regexp work, embarrassingly parallel, zero shuffles.
+    *
+    * The synthetic corpus contains no natural PII, which would make the
+    * query vacuously green — so PII is INJECTED first as a deterministic
+    * pure function of doc_id, mirrored token-for-token in the oracle;
+    * every row then has exactly one of each to find. (Redaction on
+    * adversarial hand-written strings is asserted in PipelineOpsSpec.)
+    */
+  /** The redaction chain itself, as a column function (tested on
+    * hand-written adversarial strings in PipelineOpsSpec). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
+  private val piiScrub: Q = (s, d) => {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+      lit(" or call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"))
+    val scrubbed = scrubPii(aug)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(aug, lit(EmailRe)).as("n_emails"),
+      regexp_count(aug, lit(PhoneRe)).as("n_phones"),
+      regexp_count(aug, lit(IpRe)).as("n_ips"),
+      length(scrubbed).as("scrub_len"),
+      md5(scrubbed).as("scrub_hash"))
+  }
+
   /** Exact dedup by content hash: keep min doc_id per group (hash-groupBy;
     * map-side partial aggregation, one shuffle on the hash).
     */
@@ -142,6 +181,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
     "tx_split" -> splitAssign,
+    "tx_pii_scrub" -> piiScrub,
     "d1_exact_dedup" -> exactDedup,
   )
 
@@ -217,6 +257,24 @@ object TextOps {
         |        + (strpos('0123456789abcdef',
         |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
         |      FROM documents)""".stripMargin,
+    "tx_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |    || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS aug
+         |  FROM documents),
+         |s AS (SELECT doc_id, aug,
+         |    regexp_replace(regexp_replace(regexp_replace(aug,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+         |      '$IpRe', '<IP>', 'g') AS scrubbed
+         |  FROM a)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(aug, '$IpRe')) AS INT) AS n_ips,
+         |  CAST(length(scrubbed) AS INT) AS scrub_len,
+         |  md5(scrubbed) AS scrub_hash
+         |FROM s""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_dupes

@@ -91,4 +91,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     val b = q("tx_pack").collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("pii scrub: redacts adversarial hand-written strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("two mails first.last+tag@sub.domain.org and x@y.io here",
+        "two mails <EMAIL> and <EMAIL> here"),
+      ("call +1-800-1234 or +1-555-0000 now", "call <PHONE> or <PHONE> now"),
+      ("srv at 192.168.1.250 and 8.8.8.8", "srv at <IP> and <IP>"),
+      ("not pii: 1.2.3 or user@nodot or +1-55-0000", "not pii: 1.2.3 or user@nodot or +1-55-0000"),
+      ("mixed a@b.co 10.0.0.1 +1-555-9999", "mixed <EMAIL> <IP> <PHONE>"))
+    val out = cases.map(_._1).toDF("s")
+      .select(queries.TextOps.scrubPii(col("s")).as("r"))
+      .collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got '$got', want '$want'")
+    }
+  }
+
+  test("pii scrub on sf0.001: every injected row found and scrubbed") {
+    val rows = q("tx_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1)
+      assert(r.getAs[Int]("n_phones") >= 1)
+      assert(r.getAs[Int]("n_ips") >= 1)
+    }
+  }
+
+  test("line dedup: planted cross-document chunk removed, unique text kept") {
+    import spark.implicits._
+    // Chunks are non-overlapping 8-token windows: docs 1 and 2 share their
+    // FIRST chunk exactly; their second chunks differ.
+    val boiler = "all rights reserved terms of service apply here"
+    val d = Seq(
+      (1L, s"$boiler unique one content tail"),
+      (2L, s"$boiler different second chunk in this doc"),
+      (3L, "a fully unique document with no shared chunks at all"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.lineDedupOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("cleaned_hash"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1, "doc 1 loses its boilerplate chunk")
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)
+    assert(out(3L)._1 == 2 && out(3L)._2 == 2, "unique doc keeps everything")
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md5Hex("unique one content tail"),
+      "doc 1 reassembles to exactly its surviving chunk")
+    assert(out(3L)._3 == md5Hex("a fully unique document with no shared chunks at all"))
+  }
+
+  test("line dedup: doc that is all boilerplate ends empty") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val d = Seq((1L, shared), (2L, shared), (3L, s"$shared but with a unique tail"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.lineDedupOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_hash"))).toMap
+    assert(out(1L)._1 == 0)
+    assert(out(1L)._2 == "d41d8cd98f00b204e9800998ecf8427e", "md5 of empty string")
+    assert(out(3L)._1 == 1, "doc 3's tail chunk differs → survives")
+  }
+
+  test("keywords: tf desc, df asc, token ordering") {
+    import spark.implicits._
+    // doc 1: 'zz' tf=3; 'yy' and 'bb' tf=2 each. 'bb' also appears in
+    // doc 2 (df=2) while 'yy' is unique to doc 1 (df=1) — the rarer 'yy'
+    // outranks 'bb' even though 'bb' sorts first alphabetically, proving
+    // the df tie-break (not token order) decides. 'cc' tf=1 is cut.
+    val d = Seq(
+      (1L, "zz zz zz yy yy bb bb cc"),
+      (2L, "bb dd dd")).toDF("doc_id", "text")
+    val out = PipelineOps.keywordsOf(d).collect()
+      .filter(_.getAs[Long]("doc_id") == 1L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Int]("rank")))
+    assert(out.toSeq == Seq(("zz", 3L, 1L, 1), ("yy", 2L, 1L, 2), ("bb", 2L, 2L, 3)))
+  }
 }

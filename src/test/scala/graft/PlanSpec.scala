@@ -107,4 +107,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q4_priority_exists: the EXISTS lowers to a LeftSemi join") {
+    val p = planOf("q4_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("src_upsert_merge: base anti-joins the broadcast delta keys — no base shuffle") {
+    val p = planOf("src_upsert_merge")
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the 100 TB base must never shuffle for an upsert merge")
+  }
+
+  test("a3_skew_agg: two aggregate levels, salt fans the first exchange out") {
+    val p = planOf("a3_skew_agg")
+    // partial+final for each of the two groupBys = 4 HashAggregates.
+    assert(countNodes(p, "HashAggregate") == 4, p.take(1200))
+    assert(p.contains("__salt") || p.contains("pmod"), "salted key missing from plan")
+  }
+
+  test("tx_line_dedup and tx_keywords: shuffle joins only, never cartesian") {
+    Seq("tx_line_dedup", "tx_keywords").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n plan has a non-equi join")
+    }
+  }
+
+  test("tx_pii_scrub: pure per-row work — zero exchanges") {
+    val p = planOf("tx_pii_scrub")
+    assert(countNodes(p, "Exchange") == 0, p.take(1200))
+  }
 }

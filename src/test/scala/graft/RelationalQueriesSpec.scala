@@ -31,4 +31,49 @@ class RelationalQueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("a3_skew_agg: salted two-phase equals the direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val direct = Tables.lineitem(spark, SparkTestBase.sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = SparkEntry.queries("a3_skew_agg")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("src_upsert_merge: delta wins, base-only rows untouched") {
+    val rows = SparkEntry.queries("src_upsert_merge")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[Long]("price_cents"), r.getAs[Int]("version")))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per key")
+    rows.foreach { case (k, _, v) =>
+      assert(v == (if (k % 3 == 0) 1 else 0), s"key $k has version $v")
+    }
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0))
+  }
+
+  test("ev_retention: offset-0 diagonal covers every user exactly once") {
+    val rows = SparkEntry.queries("ev_retention")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_wk").toString,
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_users")))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, cells) =>
+      val base = cells.find(_._2 == 0)
+      assert(base.isDefined, s"cohort $c missing its offset-0 cell")
+      cells.foreach { case (_, off, n) =>
+        assert(off >= 0 && n <= base.get._3,
+          s"cohort $c offset $off retains more users than its base")
+      }
+    }
+    // Each user belongs to exactly one cohort → the offset-0 diagonal
+    // sums to the total distinct-user count.
+    import org.apache.spark.sql.functions._
+    val totalUsers = Tables.events(spark, SparkTestBase.sf)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.filter(_._2 == 0).map(_._3).sum == totalUsers)
+  }
 }
