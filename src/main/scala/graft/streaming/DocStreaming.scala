@@ -51,4 +51,24 @@ object DocStreaming {
     * drift). */
   def benchmarkGrams(spark: SparkSession, sfDir: String): DataFrame =
     PipelineOps.benchGramsOf(graft.Tables.documents(spark, sfDir))
+
+  /** Streaming exact dedup with BOUNDED state — the ingest-side twin of
+    * batch d1_exact_dedup. A plain `dropDuplicates` on a stream keeps
+    * every content hash in state forever (state grows with the corpus —
+    * fatal for an unbounded 100 TB firehose);
+    * `dropDuplicatesWithinWatermark` instead evicts a hash's state once
+    * the event-time watermark passes its expiry (first-seen ts + the
+    * delay), bounding state to the late-data horizon. The contract
+    * weakens from "dedup forever" to "dedup within the horizon" — the
+    * periodic batch d1 pass collapses longer-range duplicates, which is
+    * exactly how production ingest pipelines split the work. Expects an
+    * `ingest_ts` timestamp column on the stream; emits the surviving
+    * row per hash in Append mode as soon as it arrives.
+    */
+  def dedupStream(stream: DataFrame, delay: String): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("content_hash"), col("ingest_ts"))
 }

@@ -32,6 +32,65 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits exactly the batch-distinct hash set") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    // One file → one micro-batch: every duplicate is inside the horizon.
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.dedupStream(stream, "10 minutes"), "dedup_stream_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("dedup_stream_out")
+      val perHash = streamed.groupBy("content_hash").count().collect()
+      assert(perHash.nonEmpty && perHash.forall(_.getLong(1) == 1L),
+        "each hash must be emitted exactly once")
+      val batchHashes = SparkEntry.queries("d1_exact_dedup")(spark, SparkTestBase.sf)
+        .select("content_hash")
+      assert(streamed.select("content_hash").exceptAll(batchHashes).isEmpty &&
+        batchHashes.exceptAll(streamed.select("content_hash")).isEmpty,
+        "streamed hash set must equal the batch-distinct set")
+    } finally q.stop()
+  }
+
+  test("streaming dedup state is bounded: expired hashes re-emit, in-horizon dupes do not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ttl").toString
+    graft.core.Fs.deleteOnExit(dir)
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    def write(rows: (Long, String, java.sql.Timestamp)*): Unit =
+      rows.toDF("doc_id", "text", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write((1L, "dup text", t(0)), (3L, "filler", t(0)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = DocStreaming.docStream(spark, dir, schema)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.dedupStream(stream, "10 minutes"), "dedup_ttl_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      // In-horizon duplicate: suppressed by existing state.
+      write((4L, "dup text", t(2)))
+      q.processAllAvailable()
+      // Clock jump far past the hash's expiry (t0+10min) evicts its state
+      // in the batch that advances the watermark (Spark 3.4+ semantics)...
+      write((5L, "clock advance", t(60)))
+      q.processAllAvailable()
+      // ...so the same text arriving after the horizon is NEW again.
+      write((6L, "dup text", t(61)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val dupRows = spark.table("dedup_ttl_out")
+        .where(col("doc_id").isin(1L, 4L, 6L)).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(dupRows == Set(1L, 6L),
+        s"got $dupRows: in-horizon dup must be suppressed, post-horizon dup must re-emit")
+    } finally q.stop()
+  }
+
   test("stream side of the contamination join does not shuffle for the join") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val bench = DocStreaming.benchmarkGrams(spark, SparkTestBase.sf)

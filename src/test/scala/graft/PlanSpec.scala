@@ -140,4 +140,33 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("tx_pii_scrub")
     assert(countNodes(p, "Exchange") == 0, p.take(1200))
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB the big win on a selective dim-filter join is Spark's
+    // runtime BLOOM FILTER: the filtered dim side builds a bloom filter
+    // whose might_contain() is injected into the fact scan, dropping
+    // non-joining fact rows BEFORE the shuffle. Local datasets sit under
+    // the application-side size threshold, so lower it to observe the
+    // plan Spark would pick at scale; broadcast is disabled to force the
+    // shuffle join the filter exists for.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      val joined = Tables.lineitem(spark, sf)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact scan:\n${p.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
