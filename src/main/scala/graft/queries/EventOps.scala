@@ -159,9 +159,37 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Rate-anomaly detection over hourly event counts — flag hours where
+    * a type's volume exceeds mean + 2σ of its own hourly series. The
+    * z-score test is kept INTEGER-EXACT: with per-type moments n_h, s1,
+    * s2 (count / sum / sum-of-squares of hourly counts), n > μ + 2σ ⇔
+    * lhs = n·n_h − s1 > 0 ∧ lhs² > 4·(n_h·s2 − s1²) — no division, no
+    * sqrt, no FP anywhere, so both engines flag identical hours even on
+    * exact boundaries. (Long headroom: hourly counts of 10⁶ at 100 TB
+    * put lhs² ≈ 5·10¹⁷, inside int64.)
+    *
+    * Scale shape: hourly counts are one hash-groupBy; per-type moments
+    * aggregate that (tiny) frame; the join back broadcasts the handful
+    * of per-type stat rows to every hourly partition.
+    */
+  private val rateAnomaly: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_h"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val lhs = col("n") * col("n_h") - col("s1")
+    val disc = lit(4L) * (col("n_h") * col("s2") - col("s1") * col("s1"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"),
+        col("n"), (lhs > 0 && lhs * lhs > disc).as("anomalous"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
     "ev_retention" -> retention,
+    "ev_rate_anomaly" -> rateAnomaly,
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
     "ev_asof_join" -> asof,
@@ -229,6 +257,19 @@ object EventOps {
         |  coalesce(max(CASE WHEN event_type = 'click' THEN ts END)
         |           >= min(CASE WHEN event_type = 'view' THEN ts END), false) AS converted
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    "ev_rate_anomaly" ->
+      """WITH hourly AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.h, h.n,
+        |  (h.n * s.n_h - s.s1 > 0 AND
+        |   (h.n * s.n_h - s.s1) * (h.n * s.n_h - s.s1)
+        |     > 4 * (s.n_h * s.s2 - s.s1 * s.s1)) AS anomalous
+        |FROM hourly h JOIN stats s USING (event_type)""".stripMargin,
     "ev_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk

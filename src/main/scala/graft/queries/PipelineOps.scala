@@ -305,10 +305,46 @@ object PipelineOps {
 
   private val keywords: Q = (s, d) => keywordsOf(Tables.documents(s, d))
 
+  /** Rarity cutoff for [[lmScoreOf]]: a token is rare when its corpus
+    * share is under 1/[[RareDenom]]. */
+  val RareDenom = 100
+
+  /** Unigram-LM commonness scoring — the integer-exact core of the
+    * "perplexity filter" every pre-training pipeline runs: score each
+    * document by how common its tokens are corpus-wide. Instead of
+    * cross-engine-fragile log-prob sums, the per-doc aggregates are the
+    * exact integer unigram-count sum and the count of rare tokens
+    * (corpus share < 1/[[RareDenom]], an integer cross-multiplication);
+    * the single mean-commonness double derives from identical integers
+    * on both engines.
+    *
+    * Scale shape: unigram counts are one hash-groupBy; the token→count
+    * join is vocabulary-keyed (Zipf-bounded, broadcastable when the
+    * vocab fits — left to AQE); the corpus total rides a 1-row broadcast
+    * cross join, and the per-doc fold is one more hash aggregate.
+    */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val counts = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    tokens.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("common_sum"),
+        sum(when(col("cnt") * lit(RareDenom) < col("__total"), 1L)
+          .otherwise(0L)).as("rare_cnt"))
+      .withColumn("mean_commonness",
+        col("common_sum").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  private val lmScore: Q = (s, d) => lmScoreOf(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "tx_contamination" -> contamination,
     "tx_line_dedup" -> lineDedup,
     "tx_keywords" -> keywords,
+    "tx_lm_score" -> lmScore,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_sample_mix" -> sampleMix,
@@ -355,6 +391,16 @@ object PipelineOps {
          |         ORDER BY tf DESC, df, token) AS INT) AS rank
          |FROM f JOIN d USING (token)
          |QUALIFY rank <= 3""".stripMargin,
+    "tx_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(cnt) AS BIGINT) AS common_sum,
+         |  CAST(sum(CASE WHEN cnt * $RareDenom < (SELECT total FROM t)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt,
+         |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_commonness
+         |FROM tok JOIN c USING (token) GROUP BY doc_id""".stripMargin,
     "tx_contamination" ->
       s"""WITH g AS (SELECT doc_id, source, list_distinct(${gramsSql(ContamGramWidth)}) AS grams
          |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),

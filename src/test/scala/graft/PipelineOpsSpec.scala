@@ -158,6 +158,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L)._1 == 1, "doc 3's tail chunk differs → survives")
   }
 
+  test("lm score: rare tokens counted, commonness reflects corpus counts") {
+    import spark.implicits._
+    // Corpus: 'common' appears 200×, 'rare' once → share 1/201 < 1/100.
+    val filler = Seq.fill(199)("common").mkString(" ")
+    val d = Seq((1L, s"common $filler"), (2L, "rare")).toDF("doc_id", "text")
+    val out = PipelineOps.lmScoreOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("common_sum"),
+          r.getAs[Long]("rare_cnt"), r.getAs[Double]("mean_commonness"))).toMap
+    assert(out(1L) == ((200L, 200L * 200L, 0L, 200.0)))
+    assert(out(2L) == ((1L, 1L, 1L, 1.0)), "the rare token is its doc's whole mass")
+  }
+
   test("keywords: tf desc, df asc, token ordering") {
     import spark.implicits._
     // doc 1: 'zz' tf=3; 'yy' and 'bb' tf=2 each. 'bb' also appears in

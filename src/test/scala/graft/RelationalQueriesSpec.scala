@@ -55,6 +55,25 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0))
   }
 
+  test("ev_rate_anomaly: integer flags agree with a double z-score check") {
+    val rows = SparkEntry.queries("ev_rate_anomaly")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Boolean]("anomalous")))
+    assert(rows.nonEmpty && rows.exists(_._3), "expected some flagged hours")
+    rows.groupBy(_._1).foreach { case (_, hours) =>
+      val ns = hours.map(_._2.toDouble)
+      val mean = ns.sum / ns.length
+      val sd = math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / ns.length)
+      hours.foreach { case (t, n, flagged) =>
+        // Exact boundary cases are what the integer form exists for;
+        // away from the boundary the double check must agree.
+        val z = if (sd == 0) 0.0 else (n - mean) / sd
+        if (math.abs(z - 2.0) > 1e-9)
+          assert(flagged == (z > 2.0), s"$t n=$n z=$z flagged=$flagged")
+      }
+    }
+  }
+
   test("ev_retention: offset-0 diagonal covers every user exactly once") {
     val rows = SparkEntry.queries("ev_retention")(spark, SparkTestBase.sf)
       .collect().map(r => (r.getAs[java.sql.Date]("cohort_wk").toString,
