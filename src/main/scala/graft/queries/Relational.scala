@@ -537,20 +537,25 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** Modulus selecting the upsert delta: ~5% of keys, matching the
+    * real-pipeline regime where the delta is a small fraction of the
+    * base (that asymmetry is what justifies the broadcast below). */
+  val UpsertDeltaMod = 20
+
   /** Incremental snapshot merge (SCD-1 upsert): a base snapshot merged
-    * with a delta of changed rows (every 3rd order re-priced +$100),
-    * last-writer-wins. The delta in a real pipeline is orders of
-    * magnitude smaller than the base, so the scale-correct plan is the
-    * one used here: BROADCAST the delta's keys, anti-join the base
-    * (map-side, zero shuffle of the 100 TB side), and union the delta
-    * rows back — not a windowed row_number over the union, which would
-    * shuffle and sort the full base on every merge. */
+    * with a delta of changed rows (re-priced +$100), last-writer-wins.
+    * The delta in a real pipeline is orders of magnitude smaller than
+    * the base, so the scale-correct plan is the one used here:
+    * BROADCAST the delta's keys, anti-join the base (map-side, zero
+    * shuffle of the 100 TB side), and union the delta rows back — not a
+    * windowed row_number over the union, which would shuffle and sort
+    * the full base on every merge. */
   private val srcUpsert: Q = (s, d) => {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), cents.as("price_cents"), lit(0).as("version"))
     val delta = Tables.orders(s, d)
-      .where(pmod(col("o_orderkey"), lit(3)) === 0)
+      .where(pmod(col("o_orderkey"), lit(UpsertDeltaMod)) === 0)
       .select(col("o_orderkey"), (cents + 10000).as("price_cents"),
         lit(1).as("version"))
     base.join(broadcast(delta.select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
@@ -832,13 +837,13 @@ object Relational {
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
     "src_upsert_merge" ->
-      """WITH base AS (SELECT o_orderkey,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 0 AS version
-        |  FROM orders),
-        |delta AS (SELECT o_orderkey,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS price_cents, 1 AS version
-        |  FROM orders WHERE o_orderkey % 3 = 0)
-        |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
-        |UNION ALL SELECT * FROM delta""".stripMargin,
+      s"""WITH base AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 0 AS version
+         |  FROM orders),
+         |delta AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS price_cents, 1 AS version
+         |  FROM orders WHERE o_orderkey % $UpsertDeltaMod = 0)
+         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+         |UNION ALL SELECT * FROM delta""".stripMargin,
   )
 }

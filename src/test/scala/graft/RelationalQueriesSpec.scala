@@ -49,8 +49,9 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("o_orderkey"),
         r.getAs[Long]("price_cents"), r.getAs[Int]("version")))
     assert(rows.map(_._1).distinct.length == rows.length, "one row per key")
+    val mod = graft.queries.Relational.UpsertDeltaMod
     rows.foreach { case (k, _, v) =>
-      assert(v == (if (k % 3 == 0) 1 else 0), s"key $k has version $v")
+      assert(v == (if (k % mod == 0) 1 else 0), s"key $k has version $v")
     }
     assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0))
   }
