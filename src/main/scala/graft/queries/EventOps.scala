@@ -141,19 +141,22 @@ object EventOps {
 
   /** Weekly cohort retention — the user-lifecycle matrix behind every
     * growth dashboard: users grouped by first-seen ISO week, counted in
-    * each later week they were active. Shapes: first-seen is a
-    * hash-groupBy min; the (user, week) activity grid is a distinct
-    * (map-side partial dedup); the join back is user-keyed — the same
-    * key both inputs were just shuffled on, so it co-locates without a
-    * new exchange. The distinct-user count re-shuffles by cohort cell,
-    * which Spark plans as the standard two-phase distinct aggregate. */
+    * each later week they were active. Shapes: the (user, week) grid is
+    * a distinct (map-side partial dedup, shuffle on (user, wk)); the
+    * cohort week is a per-user window MIN — not a self-join back to a
+    * groupBy, which would re-shuffle the grid a third time — costing one
+    * user_id exchange; the final distinct-user count per (cohort,
+    * offset) cell is Spark's standard two-phase distinct aggregate. A
+    * user's weeks are at most a few hundred rows, so the window
+    * partition can never skew. */
   private val retention: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val active = Tables.events(s, d)
       .select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("wk"))
       .distinct()
-    val cohort = active.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-    active.join(cohort, Seq("user_id"))
+    val cohortWk = min(col("wk")).over(Window.partitionBy("user_id"))
+    active.withColumn("cohort_wk", cohortWk)
       .groupBy(col("cohort_wk"),
         (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
@@ -165,8 +168,11 @@ object EventOps {
     * s2 (count / sum / sum-of-squares of hourly counts), n > μ + 2σ ⇔
     * lhs = n·n_h − s1 > 0 ∧ lhs² > 4·(n_h·s2 − s1²) — no division, no
     * sqrt, no FP anywhere, so both engines flag identical hours even on
-    * exact boundaries. (Long headroom: hourly counts of 10⁶ at 100 TB
-    * put lhs² ≈ 5·10¹⁷, inside int64.)
+    * exact boundaries. The moments and products are DECIMAL, not LONG
+    * (same overflow posture as q_corr): s1² already passes int64 once a
+    * type's total event count clears ~3·10⁹ — i.e. exactly the 100 TB
+    * regime — while decimal(38) keeps every product ≤ ~10²⁰ exact;
+    * DuckDB's HUGEINT sums match.
     *
     * Scale shape: hourly counts are one hash-groupBy; per-type moments
     * aggregate that (tiny) frame; the join back broadcasts the handful
@@ -176,11 +182,13 @@ object EventOps {
     val hourly = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
+    val nDec = col("n").cast("decimal(18,0)")
     val stats = hourly.groupBy("event_type")
-      .agg(count(lit(1)).as("n_h"), sum(col("n")).as("s1"),
-        sum(col("n") * col("n")).as("s2"))
-    val lhs = col("n") * col("n_h") - col("s1")
-    val disc = lit(4L) * (col("n_h") * col("s2") - col("s1") * col("s1"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("n_h"),
+        sum(nDec).as("s1"), sum(nDec * nDec).as("s2"))
+    val lhs = nDec * col("n_h") - col("s1")
+    val disc = lit(4).cast("decimal(18,0)") *
+      (col("n_h") * col("s2") - col("s1") * col("s1"))
     hourly.join(broadcast(stats), Seq("event_type"))
       .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"),
         col("n"), (lhs > 0 && lhs * lhs > disc).as("anomalous"))
@@ -257,17 +265,21 @@ object EventOps {
         |  coalesce(max(CASE WHEN event_type = 'click' THEN ts END)
         |           >= min(CASE WHEN event_type = 'view' THEN ts END), false) AS converted
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // Moments/products in HUGEINT (int128) to mirror the Spark side's
+    // decimal arithmetic — plain BIGINT would overflow at scale.
     "ev_rate_anomaly" ->
       """WITH hourly AS (SELECT event_type,
         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2),
-        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
-        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+        |stats AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n_h,
+        |    CAST(sum(n) AS HUGEINT) AS s1,
+        |    CAST(sum(n*n) AS HUGEINT) AS s2
         |  FROM hourly GROUP BY 1)
         |SELECT h.event_type, h.h, h.n,
-        |  (h.n * s.n_h - s.s1 > 0 AND
-        |   (h.n * s.n_h - s.s1) * (h.n * s.n_h - s.s1)
+        |  (CAST(h.n AS HUGEINT) * s.n_h - s.s1 > 0 AND
+        |   (CAST(h.n AS HUGEINT) * s.n_h - s.s1)
+        |     * (CAST(h.n AS HUGEINT) * s.n_h - s.s1)
         |     > 4 * (s.n_h * s.s2 - s.s1 * s.s1)) AS anomalous
         |FROM hourly h JOIN stats s USING (event_type)""".stripMargin,
     "ev_retention" ->

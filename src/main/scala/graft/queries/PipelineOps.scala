@@ -270,7 +270,11 @@ object PipelineOps {
       md5(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("chunk")))),
         x => x.getField("chunk")))).as("cleaned_hash"))
-    ex.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    // Chunk totals come straight from the token count (nChunks+1 per
+    // row) — NOT from re-aggregating `ex`, which would tokenize and
+    // explode the whole corpus a third time for a number the row already
+    // knows.
+    docs.select(col("doc_id"), (nChunks + lit(1)).cast("long").as("n_chunks"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -134,6 +134,12 @@ object TextOps {
   val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
   val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** The redaction chain itself, as a column function (tested on
+    * hand-written adversarial strings in PipelineOpsSpec). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
   /** PII redaction — the scrubbing pass every training corpus runs:
     * count and replace emails / NANP phones / IPv4s. Pure per-row
     * regexp work, embarrassingly parallel, zero shuffles.
@@ -144,12 +150,6 @@ object TextOps {
     * every row then has exactly one of each to find. (Redaction on
     * adversarial hand-written strings is asserted in PipelineOpsSpec.)
     */
-  /** The redaction chain itself, as a column function (tested on
-    * hand-written adversarial strings in PipelineOpsSpec). */
-  def scrubPii(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
-
   private val piiScrub: Q = (s, d) => {
     val aug = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),

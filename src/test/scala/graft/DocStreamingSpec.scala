@@ -76,7 +76,8 @@ class DocStreamingSpec extends AnyFunSuite {
       write((4L, "dup text", t(2)))
       q.processAllAvailable()
       // Clock jump far past the hash's expiry (t0+10min) evicts its state
-      // in the batch that advances the watermark (Spark 3.4+ semantics)...
+      // in the batch that advances the watermark (the operator exists
+      // since Spark 3.5; eviction uses the CURRENT batch's watermark)...
       write((5L, "clock advance", t(60)))
       q.processAllAvailable()
       // ...so the same text arriving after the horizon is NEW again.
