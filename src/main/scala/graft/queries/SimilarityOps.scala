@@ -38,6 +38,34 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Size of the query batch for [[batchTopK]]. */
+  val BatchQueries = 8
+
+  /** Batched ANN — top-10 neighbors for a BATCH of query vectors in ONE
+    * corpus scan. The retrieval workload is never one query: the batch
+    * (tiny — queries ≪ corpus) is broadcast, every corpus split scores
+    * all queries in a single pass, and the per-query top-k is a
+    * rank-filter window on (query_id) that lowers to WindowGroupLimit —
+    * each task forwards at most k rows per query to the shuffle, so the
+    * cost is one scan + a k·|batch|-row exchange, not |batch| separate
+    * TakeOrderedAndProject scans of 100 TB.
+    */
+  private val batchTopK: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v"))
+    val qs = e.where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineCol(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF centroids: per-label mean vector (deterministic coarse quantizer
     * standing in for k-means; same shape: nlist cells, assign → probe).
     */
@@ -105,6 +133,7 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "ann_brute_topk" -> bruteForce,
+    "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
     "vq_quantize" -> quantize,
   )
@@ -122,6 +151,21 @@ object SimilarityOps {
         |        i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), (x, y) -> x + y))) AS cosine
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    "ann_batch_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $BatchQueries),
+         |c AS (SELECT q.query_id, e.vec_id,
+         |  list_reduce(list_transform(generate_series(1, len(e.v)),
+         |      i -> e.v[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.v)),
+         |        i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)]), (x, y) -> x + y))
+         |     * sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)),
+         |        i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]), (x, y) -> x + y))) AS cosine
+         |FROM e, q WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |FROM c QUALIFY rank <= 10""".stripMargin,
     "vq_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
