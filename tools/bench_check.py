@@ -26,6 +26,15 @@ def main() -> int:
         print(f"no bench total line found in {sys.argv[1]}", file=sys.stderr)
         return 2
     cur = json.loads(line[line.index("{"):])
+    # The stdout line keeps only the slowest queries (driver tail-buffer
+    # budget); full per-query times live in the detail file it names.
+    detail = cur.get("detail")
+    if detail:
+        try:
+            cur = json.load(open(detail))
+        except OSError:
+            print(f"warn: detail file {detail} unreadable; "
+                  "checking the compact line only", file=sys.stderr)
     rc = 0
     for name, t in sorted(cur["queries"].items()):
         if t < 0:
