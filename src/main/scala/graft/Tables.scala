@@ -29,11 +29,25 @@ object Tables {
     * one-time normalization a 100 TB pipeline would run on such a
     * producer quirk.
     */
-  private val eventsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // Weak keys: a strong (SparkSession, dir) key would pin every stopped
+  // session (and its normalized copy path) for the JVM's life in a
+  // session-churning driver. The inner per-dir map holds only strings, so
+  // nothing retains the session once callers drop it.
+  //
+  // Concurrency note: the nanosAsLong conf window inside the one-time
+  // normalization is session-global. A concurrent thread reading a
+  // DIFFERENT nanos-timestamp parquet during that window would silently
+  // get longs — the engine assumes table setup (first events access per
+  // session) is not raced against other nanos reads, which holds for the
+  // driver mains (sequential query execution) and the test harness.
+  private val eventsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val normPath = eventsCache.computeIfAbsent((spark, dir), { _ =>
+    val perDir = eventsCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    val normPath = perDir.computeIfAbsent(dir, { _ =>
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")

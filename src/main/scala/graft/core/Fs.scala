@@ -9,9 +9,13 @@ object Fs {
   def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    if (java.nio.file.Files.exists(root)) {
+      // Files.walk holds a directory stream open until closed — leaking it
+      // leaks a file descriptor per cleanup in a long-lived driver.
+      val walk = java.nio.file.Files.walk(root)
+      val entries = try walk.iterator().asScala.toSeq finally walk.close()
+      entries.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   private val exitPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

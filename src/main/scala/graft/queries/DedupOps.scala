@@ -337,7 +337,13 @@ object DedupOps {
     while (!stable) {
       val next = star(star(edges, large = true), large = false).cutLineage
       val cur = sig(next)
-      stable = cur == prev
+      // The (count, hash-sum) signature could collide across distinct edge
+      // sets; an operator sold as oracle-exact must not terminate on a
+      // collision. Signature equality is only the cheap screen — confirm
+      // with a real set compare (both sides are distinct and equal-count
+      // here, so one exceptAll suffices). Runs once per convergence, not
+      // per round.
+      stable = cur == prev && next.exceptAll(edges).isEmpty
       prev = cur
       edges = next
     }

@@ -22,10 +22,18 @@ class SkewSpec extends AnyFunSuite {
 
     val plain = probe.join(build, Seq("k"))
       .select("k", "payload", "name")
-    val salted = Skew.saltedJoin(probe, build, "k", salts = 8)
+    val salted = Skew.saltedJoin(probe, build, "k", salts = 8,
+      probeUniqueCols = Seq("payload"))
       .select("k", "payload", "name")
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // Deterministic salt actually spreads the hot key across buckets when
+    // the probe carries a unique column.
+    val saltCounts = probe.filter(col("k") === 0L)
+      .withColumn("__salt", pmod(xxhash64(col("payload")), lit(8)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(saltCounts.length == 8, "hot key must occupy every salt bucket")
   }
 
   test("AQE splits the skewed sort-merge-join partition at runtime (skew=true)") {
@@ -63,10 +71,13 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("hot key spreads across salt buckets even for byte-identical rows") {
-    // Identical probe rows — the degenerate case a row-hash salt gets wrong.
+    // Identical probe rows — the degenerate case a row-hash salt cannot
+    // spread; needs the explicit positional opt-in (deterministic-scan
+    // probe only, per the Scaladoc contract).
     val probe = spark.range(8000).select(lit(0L).as("k"), lit(1L).as("payload"))
     val build = Seq((0L, "hot")).toDF("k", "name")
-    val joined = Skew.saltedJoin(probe, build, "k", salts = 8)
+    val joined = Skew.saltedJoin(probe, build, "k", salts = 8,
+      spreadIdenticalRows = true)
     assert(joined.count() == 8000)
     val saltCounts = probe
       .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8)))
