@@ -27,7 +27,17 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Each query is an independent pipeline run; drop the storage it
+      // pinned (eager lineage cuts, cached frames) so query N's dead blocks
+      // don't squeeze query N+1's shuffle memory. Outside the timed
+      // section: real deployments run one job per JVM and never pay this.
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+      name -> (if (ok) elapsed else -1.0)
     }.toMap
     val total = results.values.filter(_ >= 0).sum
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

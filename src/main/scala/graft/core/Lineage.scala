@@ -29,6 +29,25 @@ object Lineage {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** Release the storage behind a frame returned by [[cut]] once it is
+    * SUPERSEDED — iterative operators (fixpoint id accumulators, star-
+    * contraction rounds) re-cut an accumulator every pass, and without an
+    * explicit release every superseded round's blocks stay pinned in
+    * executor storage for the life of the session. At 100 TB that pinned
+    * memory is the difference between a fixpoint that runs and one that
+    * evicts its own shuffle buffers. No-op for frames that are not a
+    * materialized cut (reliable checkpoints keep their files; the RDD
+    * handle is simply not persisted).
+    *
+    * Only call this when NO still-live plan references the frame: the cut
+    * truncated lineage, so evicted blocks cannot be recomputed.
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
   /** `.cutLineage` postfix form so call sites read like the checkpoint
     * calls they replace. */
   implicit class LineageOps(private val df: DataFrame) extends AnyVal {

@@ -202,15 +202,27 @@ final class ExtractOperation(
     // extra materialization needed). The id accumulator IS checkpointed:
     // every subsequent pass joins against it.
     val outIds = idsOf(out, t)
-    extractedIds(t) = (extractedIds.get(t) match {
+    // requiredIds is rebuilt every pass (anti-join chain) — checkpoint it
+    // or the fixpoint's lineage re-executes all prior passes. This cut runs
+    // BEFORE the extractedIds swap below: the lazy unions addDependency
+    // stored here anti-join against the CURRENT extractedIds cut, and the
+    // release below evicts it.
+    requiredIds.get(t).foreach { r =>
+      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").cutLineage
+      // No-op unless r is itself a superseded cut (addDependency may have
+      // wrapped it in a lazy union, whose root is not a materialized RDD).
+      graft.core.Lineage.release(r)
+    }
+    val oldIds = extractedIds.get(t)
+    extractedIds(t) = (oldIds match {
       case Some(acc) => acc.unionByName(outIds).distinct()
       case None => outIds.distinct()
     }).cutLineage
-    // requiredIds is rebuilt every pass (anti-join chain) — checkpoint it
-    // or the fixpoint's lineage re-executes all prior passes.
-    requiredIds.get(t).foreach { r =>
-      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").cutLineage
-    }
+    // The pre-union accumulator is superseded by the fresh cut above, and
+    // every lazy plan that referenced it was materialized by the requiredIds
+    // cut — release its pinned blocks (a long traversal otherwise
+    // accumulates one dead copy of the id set per pass).
+    oldIds.foreach(graft.core.Lineage.release)
   }
 
   /** Reference resolve_registered_dependencies (amaxa/amaxa.py:805-818). */

@@ -228,10 +228,15 @@ final class LoadOperation(
     val res = store.insert(t, ok, idf).cutLineage
     appendResult(t, res)
     if (!res.where(col("error").isNotNull).isEmpty) success = false
+    val oldMap = idMap
     idMap = idMap.unionByName(
       res.where(col("error").isNull).select(
         col("originalId").cast("string"), col("newId").cast("string")))
       .cutLineage
+    // All plans referencing the superseded map copy were cut within their
+    // own step; release its pinned blocks (one dead id-map copy per staged
+    // table otherwise survives to the end of the load).
+    graft.core.Lineage.release(oldMap)
   }
 
   /** Stage-DEPENDENTS body for one table (reference

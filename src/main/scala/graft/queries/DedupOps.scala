@@ -159,25 +159,27 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), gramsCol.as("grams"))
       .cutLineage
     // Global (per-lang) gram document frequencies → rare-first ordering.
-    val ex = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+    val ex = g.select(col("doc_id"), col("lang"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
     val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-    val sorted = ex.join(dfreq, Seq("lang", "gram"))
-      .groupBy("doc_id", "lang")
-      .agg(transform(
-        array_sort(collect_list(struct(col("df"), col("gram")))),
-        p => p.getField("gram")).as("sgrams"))
-      .withColumn("sz", size(col("sgrams")))
-      // Prefix length |g| − ceil(t·|g|) + 1 in exact integer arithmetic.
-      .withColumn("prefix",
-        slice(col("sgrams"), lit(1),
-          expr(s"CAST(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1 AS INT)")))
-      // Lexicographically sorted copy for the merge-intersect verifier.
-      .withColumn("vgrams", array_sort(col("sgrams")))
+    // Prefix index DIRECTLY from a per-doc window rank over (df, gram):
+    // position = rank − 1 in the doc's rare-first gram order, keep only
+    // positions inside the prefix window |g| − ceil(t·|g|) + 1 (exact
+    // integer arithmetic). One shuffle-by-doc + sort, row output is only
+    // Σ prefix lengths (≈ (1−t)·Σ|g|); the previous collect_list(struct) →
+    // array_sort → slice form materialized every doc's FULL sorted gram
+    // array through the aggregate (all-gram-size arrays in the sort
+    // buffers) just to throw 80% of it away.
+    // (df, gram) is a total order within a doc — grams are array_distinct'd
+    // — so row_number is deterministic.
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "gram")
+    val pidx = ex.join(dfreq, Seq("lang", "gram"))
+      .withColumn("pos", row_number().over(byRarity) - 1)
+      .where(col("pos") <
+        expr(s"CAST(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1 AS INT)"))
+      .select(col("lang"), col("doc_id"), col("sz"), col("pos"), col("gram"))
       .cutLineage
-    // Candidate generation: id-only inverted-index join on prefix grams,
-    // keeping token positions for the positional filter.
-    val pidx = sorted.select(col("lang"), col("doc_id"), col("sz"),
-      posexplode(col("prefix")).as(Seq("pos", "gram")))
     val cand = pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_a"),
         col("sz").as("sz_a"), col("pos").as("pa"))
       .join(pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_b"),
@@ -204,9 +206,12 @@ object DedupOps {
         >= col("alpha"))
     // Exact verification on surviving candidates with the codegen'd
     // merge-intersect over sorted arrays (array_intersect builds a hash
-    // set per row — the merge is allocation-free).
-    val ga = sorted.select(col("doc_id").as("doc_a"), col("vgrams").as("g_a"))
-    val gb = sorted.select(col("doc_id").as("doc_b"), col("vgrams").as("g_b"))
+    // set per row — the merge is allocation-free). The lexicographically
+    // sorted arrays come straight off the checkpointed gram table — a
+    // per-row array_sort projection, no df join needed.
+    val vg = g.select(col("doc_id"), array_sort(col("grams")).as("vgrams"))
+    val ga = vg.select(col("doc_id").as("doc_a"), col("vgrams").as("g_a"))
+    val gb = vg.select(col("doc_id").as("doc_b"), col("vgrams").as("g_b"))
     cand.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
       .withColumn("inter",
         graft.functions.GraftFunctions.sorted_intersect_size(col("g_a"), col("g_b")))
@@ -298,7 +303,7 @@ object DedupOps {
     * scalars to the driver per round.
     */
   private val neardupComponents: Q = (s, d) => {
-    val pairs = embeddingPairs(s, d).select(col("id_a"), col("id_b")).cutLineage
+    val pairs = embeddingPairs(s, d).select(col("id_a"), col("id_b"))
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
 
     def symmetrized(e: DataFrame): DataFrame =
@@ -345,6 +350,10 @@ object DedupOps {
       // per round.
       stable = cur == prev && next.exceptAll(edges).isEmpty
       prev = cur
+      // The superseded round's blocks are dead (next is materialized and
+      // lineage-free) — release them or every round stays pinned in
+      // executor storage for the rest of the session.
+      graft.core.Lineage.release(edges)
       edges = next
     }
     // Converged edges form stars: every node's rep is its min neighbor
