@@ -118,6 +118,31 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Wrapping multiply-add mod 2^64: `a * x + c` with Java two's-complement
+  * wraparound (the multiply-shift universal hash family used to derive
+  * MinHash permutations from one base hash). A dedicated expression
+  * because Column arithmetic runs under ANSI mode and throws on the
+  * overflow this hash RELIES on; kept codegen'd so the 32-permutation
+  * fan-out stays inside whole-stage codegen. The same arithmetic is
+  * reproducible in DuckDB as HUGEINT mod-2^64 folds, which is what makes
+  * the MinHash/SimHash operators oracle-checkable at all.
+  */
+case class MulAdd64(child: Expression, a: Long, c: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mul_add64"
+
+  override def nullSafeEval(input: Any): Any =
+    a * input.asInstanceOf[Long] + c
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"(${a}L * $x + ${c}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MulAdd64 =
+    copy(child = newChild)
+}
+
 /** Size of the intersection of two sorted, distinct string arrays
   * (set-similarity verification hot path — merge scan instead of
   * array_intersect's hash-set build per row).
@@ -180,6 +205,22 @@ object GraftFunctions {
 
   def rolling_hash64(c: Column): Column =
     GraftSqlShim.column(RollingHash64(GraftSqlShim.expression(c)))
+
+  /** Wrapping `a * x + c` mod 2^64 over a long column (ANSI-safe). */
+  def mul_add64(x: Column, a: Long, c: Long): Column =
+    GraftSqlShim.column(MulAdd64(GraftSqlShim.expression(x), a, c))
+
+  /** First 64 bits of md5(c) as a signed long — the avalanche-quality
+    * string hash used by the MinHash/SimHash family. Built purely from
+    * codegen'd built-ins: two 32-bit hex chunks (conv stays under 2^32,
+    * so the ANSI cast cannot overflow) recombined with shift/or (bitwise,
+    * wrap-safe). Reproducible in DuckDB as a hex-digit fold over md5(·).
+    */
+  def md5_64(c: Column): Column = {
+    val h = md5(c)
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
 
   /** Requires both arrays sorted + distinct. */
   def sorted_intersect_size(a: Column, b: Column): Column =

@@ -13,10 +13,17 @@ import graft.core.Lineage.LineageOps
   * the band/bucket, per-bucket fan-out is bounded, and verification runs
   * only on candidates.
   *
-  * MinHash/SimHash use Spark's codegen'd xxhash64 inside higher-order
-  * functions — hashing is graft-specific, so those two are rows-only for
-  * the oracle (value-level specs live in DedupSpec); Jaccard and cosine
-  * are pure arithmetic and fully oracle-checked.
+  * ALL pipelines here are oracle-checked, including MinHash and SimHash:
+  * token/shingle hashing takes the first 64 bits of md5
+  * ([[graft.functions.GraftFunctions.md5_64]] — full avalanche, which
+  * SimHash's independent-bit assumption needs; a polynomial fold was
+  * measured to collapse it, 564k hamming≤3 pairs at sf0.1 vs ~10k), and
+  * MinHash permutations are a multiply-shift family (odd multiplier, wrap
+  * mod 2^64) on that base hash — all arithmetic DuckDB reproduces
+  * bit-for-bit with HUGEINT mod-2^64 folds. This replaces the earlier
+  * xxhash64 family, whose internals are not expressible in SQL, at
+  * comparable cost (one md5 per shingle + 32 codegen'd multiply-adds,
+  * vs 32 full xxhash64 passes over every shingle).
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -24,6 +31,24 @@ object DedupOps {
   val NumPerms = 32 // minhash permutations
   val BandRows = 4  // rows per LSH band → 8 bands
   val NumBands: Int = NumPerms / BandRows
+
+  /** splitmix64 — deterministic generator for the permutation constants
+    * (public-domain finalizer; Steele et al., "Fast Splittable
+    * Pseudorandom Number Generators").
+    */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Multiply-shift permutation constants: h_p(x) = A(p)·x + C(p) mod 2^64.
+    * A(p) odd (a bijection of Z/2^64) and < 2^62 so the DuckDB oracle's
+    * HUGEINT product A·h stays under 2^126 (signed-128 max is 2^127−1).
+    */
+  val PermA: IndexedSeq[Long] = (0 until NumPerms).map(p => (splitmix64(2L * p) >>> 2) | 1L)
+  val PermC: IndexedSeq[Long] = (0 until NumPerms).map(p => splitmix64(2L * p + 1L))
 
   /** Word-3-gram shingles of the document text. */
   private def shingles(text: Column): Column = {
@@ -33,17 +58,19 @@ object DedupOps {
       i => concat_ws(" ", slice(toks, i, lit(3)))))
   }
 
-  /** doc_id + minhash signature array (NumPerms mins of seeded xxhash64).
-    * Two projections: shingles materialize once, then hashes of ONE base
-    * hash per shingle (h_p = xxhash64(shingle, p)) — the per-perm
-    * transforms reference the materialized array, not the split/slice
-    * expression (which would otherwise be evaluated NumPerms+1 times per
-    * row).
+  /** doc_id + minhash signature array: ONE polynomial base hash per
+    * shingle, then NumPerms multiply-shift permutations of it (array_min
+    * per permutation). Base hashes materialize once per row (`bh`
+    * projection) so the per-perm transforms are 32 codegen'd multiply-adds
+    * over a long array, not 32 re-hashes of every shingle string.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .withColumn("bh", transform(col("shingles"),
+        x => graft.functions.GraftFunctions.md5_64(x)))
     val sig = array((0 until NumPerms).map { p =>
-      array_min(transform(col("shingles"), x => xxhash64(x, lit(p))))
+      array_min(transform(col("bh"),
+        h => graft.functions.GraftFunctions.mul_add64(h, PermA(p), PermC(p))))
     }: _*)
     // shingles kept SORTED for the merge-intersect verifier.
     withSh.select(col("doc_id"), array_sort(col("shingles")).as("shingles"), sig.as("sig"))
@@ -59,11 +86,16 @@ object DedupOps {
     val sigs = minhashSignatures(Tables.documents(s, d)).cutLineage
     // Candidate generation on (band, bucket, id) only — no array payloads
     // through the shuffle.
+    // Bucket key = band index + the band's signature values, joined as a
+    // string (unambiguous: fixed arity, ':' cannot appear in a signed
+    // decimal). A hash would narrow the shuffle a little, but the key must
+    // be REPRODUCIBLE in the oracle, and only (bucket, doc_id) flows
+    // through the shuffle anyway.
     val banded = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { b =>
-        xxhash64(Seq(lit(b)) ++ (0 until BandRows).map(r =>
-          col("sig")(b * BandRows + r)): _*)
+        concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
+          col("sig")(b * BandRows + r))): _*)
       }: _*)).as("bucket"))
     val candidates = banded.select(col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
@@ -92,7 +124,7 @@ object DedupOps {
   def simhash(docs: DataFrame): DataFrame = {
     val masks = array((0 until 64).map(b => lit(1L << b)): _*)
     val hashes = transform(array_distinct(split(trim(col("text")), "\\s+")),
-      t => xxhash64(t))
+      t => graft.functions.GraftFunctions.md5_64(t))
     val votes = aggregate(
       hashes,
       array_repeat(lit(0), 64),
@@ -409,6 +441,78 @@ object DedupOps {
   private def gramsSql(t: String) =
     s"list_distinct(list_transform(generate_series(1, len($t)-2), i -> substr($t, CAST(i AS INT), 3)))"
 
+  // ---- DuckDB reproductions of the md5-derived hash family ----
+
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private val Sign64 = "9223372036854775808::HUGEINT" // 2^63
+
+  /** First 64 bits of md5($sv) as an unsigned HUGEINT in [0, 2^64):
+    * a hex-digit fold over the first 16 chars of the (lowercase) digest —
+    * bit-identical to [[graft.functions.GraftFunctions.md5_64]]'s
+    * shift/or recombination. */
+  private def foldSql(sv: String): String =
+    s"list_reduce(list_prepend(0::HUGEINT, " +
+      s"list_transform(generate_series(1, 16), " +
+      s"hi -> CAST(strpos('0123456789abcdef', substr(md5($sv), CAST(hi AS INT), 1)) - 1 AS HUGEINT))), " +
+      s"(acc, x) -> acc * 16 + x)"
+
+  /** Unsigned-HUGEINT → signed BIGINT (two's complement reinterpret). */
+  private def signedSql(v: String): String =
+    s"CAST(CASE WHEN $v >= $Sign64 THEN $v - $M64 ELSE $v END AS BIGINT)"
+
+  private def unsignedStr(l: Long): String =
+    java.lang.Long.toUnsignedString(l) + "::HUGEINT"
+
+  /** Word-3-gram shingle list of `tv` — mirrors [[shingles]]. */
+  private def shinglesSql(tv: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(rtoks) - 2, 1)), " +
+      s"si -> array_to_string(list_slice(rtoks, si, si + 2), ' ')))"
+
+  /** MinHash signature slot p: min over base hashes of the multiply-shift
+    * permutation, compared as SIGNED longs (Spark's array_min over
+    * LongType). */
+  private def sigSlotSql(p: Int): String = {
+    val perm = s"((${unsignedStr(PermA(p))} * hv + ${unsignedStr(PermC(p))}) % $M64)"
+    s"list_min(list_transform(hs, hv -> ${signedSql(perm)}))"
+  }
+
+  private val d2OracleSql: String = {
+    val bandCond = (0 until NumBands).map { b =>
+      (0 until BandRows).map { r =>
+        val i = b * BandRows + r + 1
+        s"a.sig[$i] = b.sig[$i]"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    val jac = "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
+      "CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rtoks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("rtoks")} AS shingles FROM t),
+       |bh AS (SELECT doc_id, shingles, list_transform(shingles, sv -> ${foldSql("sv")}) AS hs FROM sh),
+       |sg AS (SELECT doc_id, shingles,
+       |         [${(0 until NumPerms).map(sigSlotSql).mkString(",\n          ")}] AS sig
+       |       FROM bh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND $bandCond
+       |WHERE $jac >= 0.5""".stripMargin
+  }
+
+  private val d3OracleSql: String = {
+    // SimHash bit b is set iff 2·(#token-hashes with bit b) − #tokens > 0;
+    // pigeonhole banding is LOSSLESS for hamming ≤ 3 (4 chunks, ≤3 flips
+    // ⇒ ≥1 equal chunk), so the oracle is simply all pairs at hamming ≤ 3.
+    val simhash =
+      s"list_reduce(list_prepend(0::HUGEINT, list_transform(generate_series(0, 63), " +
+        s"bb -> CASE WHEN 2 * len(list_filter(hs, hv -> ((hv >> CAST(bb AS INT)) & 1::HUGEINT) = 1::HUGEINT)) - len(hs) > 0 " +
+        s"THEN (1::HUGEINT << CAST(bb AS INT)) ELSE 0::HUGEINT END)), (acc, x) -> acc + x)"
+    s"""WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS rtoks FROM documents),
+       |h AS (SELECT doc_id, list_transform(rtoks, tv -> ${foldSql("tv")}) AS hs FROM t),
+       |s AS (SELECT doc_id, ${signedSql(s"($simhash)")} AS simhash FROM h)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
   private val d5PairsSql =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
@@ -422,6 +526,8 @@ object DedupOps {
       |      >= 0.3""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d2_minhash_lsh" -> d2OracleSql,
+    "d3_simhash" -> d3OracleSql,
     "d4_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, ${gramsSql("text")} AS grams FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
@@ -456,5 +562,5 @@ object DedupOps {
         |FROM nw LEFT JOIN corpus c USING (h)""".stripMargin,
   )
 
-  val rowsOnly: Set[String] = Set("d2_minhash_lsh", "d3_simhash")
+  val rowsOnly: Set[String] = Set.empty
 }
