@@ -68,10 +68,20 @@ object SimilarityOps {
 
   /** IVF centroids: per-label mean vector (deterministic coarse quantizer
     * standing in for k-means; same shape: nlist cells, assign → probe).
+    *
+    * The mean is computed ORDER-FREE: per-element values quantize to
+    * integers at 1e-7 (exact at float32 precision), the integer sum is
+    * exact under any partial-aggregation order, and the final divisions
+    * run in one fixed order (sum → /1e7 → /count). A plain avg(double)
+    * varies in the last ulp with shuffle arrival order, which is why this
+    * operator used to be unreproducible for the oracle — and on a real
+    * cluster it made the PROBE SET itself run-to-run unstable.
     */
   def centroids(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("label", "pos")
+      .agg((sum(round(col("x") * lit(1e7)).cast("long")).cast("double")
+        / lit(1e7) / count(lit(1))).as("m"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
@@ -138,7 +148,30 @@ object SimilarityOps {
     "vq_quantize" -> quantize,
   )
 
+  private val cosineSql = (a: String, b: String) =>
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+       |        i -> $a[CAST(i AS INT)] * $a[CAST(i AS INT)]), (x, y) -> x + y))
+       |     * sqrt(list_reduce(list_transform(generate_series(1, len($b)),
+       |        i -> $b[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |px AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
+         |cm AS (SELECT label, pos,
+         |         CAST(SUM(CAST(round(x * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+         |           / CAST(10000000 AS DOUBLE) / COUNT(*) AS m
+         |       FROM px GROUP BY label, pos),
+         |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+         |probes AS (SELECT c.label FROM c, q
+         |           ORDER BY ${cosineSql("c.centroid", "q.qv")} DESC, c.label LIMIT 3)
+         |SELECT e.vec_id, e.label, ${cosineSql("e.v", "q.qv")} AS cosine
+         |FROM e, q
+         |WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probes)
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -183,7 +216,7 @@ object SimilarityOps {
         |FROM q""".stripMargin,
   )
 
-  /** IVF centroid averages are not order-reproducible across engines →
-    * rows-only; recall vs brute force is asserted in SimilaritySpec. */
-  val rowsOnly: Set[String] = Set("ann_ivf_topk")
+  /** Empty since the centroid mean became integer-exact (order-free sums,
+    * fixed division order) — every similarity query is oracle-checked. */
+  val rowsOnly: Set[String] = Set.empty
 }
