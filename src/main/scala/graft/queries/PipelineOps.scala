@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.Lineage.LineageOps
 
 /** Training-data pipeline operators beyond the dedup/text families:
   * benchmark contamination detection, intra-document repetition scoring
@@ -344,7 +345,48 @@ object PipelineOps {
 
   private val lmScore: Q = (s, d) => lmScoreOf(Tables.documents(s, d))
 
+  /** Cosine threshold above which two same-cluster vectors are semantic
+    * duplicates — matches d5's corpus-calibrated near-dup threshold. */
+  val SemDedupTau = 0.3
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster
+    * the embedding space, then within each cluster flag every vector
+    * whose cosine to a LOWER-id member is ≥ τ (the kept member is the
+    * min id, as in d5/d7). Where `d5_embedding_neardup` blocks pairs on
+    * a GIVEN label, this derives the blocking key by clustering — the
+    * standard curation step when no label exists. Pair generation is
+    * per-cluster (n/k per block by construction, the whole point of the
+    * algorithm); a pathological giant cluster would take d5's tile-pair
+    * treatment, and the means/assignment scale notes live on
+    * [[SimilarityOps.kmeansAssign]]. End-to-end deterministic, so the
+    * full pipeline — clustering included — is oracle-checked.
+    */
+  private val semdedup: Q = (s, d) => {
+    val dotF = graft.functions.GraftFunctions.dot_fold _
+    val assign = SimilarityOps.kmeansAssign(s, d).select(col("vec_id"), col("cluster"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dotF(col("v"), col("v"))))
+    val m = e.join(assign, Seq("vec_id")).cutLineage
+    val a = m.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = m.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val den = col("n_a") * col("n_b")
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("id_b") < col("id_a"))
+      .withColumn("cosine", when(den === 0.0d, lit(null).cast("double"))
+        .otherwise(dotF(col("v_a"), col("v_b")) / den))
+      .where(col("cosine") >= SemDedupTau)
+      .select(col("id_a").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cluster"))
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe_semdedup" -> semdedup,
     "tx_contamination" -> contamination,
     "tx_line_dedup" -> lineDedup,
     "tx_keywords" -> keywords,
@@ -365,6 +407,14 @@ object PipelineOps {
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
 
   val oracle: Map[String, String] = Map(
+    "pipe_semdedup" ->
+      s"""WITH ${SimilarityOps.kmeansCtesSql},
+         |mm AS (SELECT af.vec_id, af.cluster, e.v FROM af JOIN e USING (vec_id)),
+         |dup AS (SELECT DISTINCT a.vec_id
+         |        FROM mm a JOIN mm b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |        WHERE ${SimilarityOps.cosineSql("a.v", "b.v")} >= $SemDedupTau)
+         |SELECT mm.vec_id, mm.cluster, (dup.vec_id IS NOT NULL) AS is_dup
+         |FROM mm LEFT JOIN dup USING (vec_id)""".stripMargin,
     "tx_line_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT doc_id,

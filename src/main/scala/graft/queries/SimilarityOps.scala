@@ -141,14 +141,66 @@ object SimilarityOps {
       size(filter(q, x => abs(x) === 127L)).as("n_sat"))
   }
 
+  /** Clusters for [[kmeans]]; seeds are the first K vectors by vec_id. */
+  val KmeansK = 8
+
+  /** Distributed Lloyd k-means over the embedding column — the semantic
+    * clustering step of SemDeDup-style curation (cluster, then
+    * dedup/diversity-sample within clusters). One refinement round
+    * (seed assignment → integer-exact means → final assignment), fully
+    * deterministic end to end:
+    *
+    * - Assignment is a broadcast of the k×dim centroid table against one
+    *   corpus scan (no shuffle of the vectors); argmin is a
+    *   `min(struct(dist, cluster))` map-side-combinable aggregate, ties
+    *   to the smallest cluster id.
+    * - Distances use the codegen'd ordered dot fold, and the mean update
+    *   reuses the centroid cents trick (exact integer sums, fixed
+    *   division order) — so the assignment, the means, and therefore the
+    *   FINAL clustering reproduce bit-for-bit in the DuckDB oracle.
+    * - At 100 TB this is the canonical shape: k·dim doubles broadcast,
+    *   one scan per iteration, partial aggregation for the means; rounds
+    *   are the only synchronization points.
+    */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val dotF = graft.functions.GraftFunctions.dot_fold _
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v"))
+      .cutLineage
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .withColumn("dist_sq",
+          dotF(col("v"), col("v")) + dotF(col("c"), col("c"))
+            - lit(2.0d) * dotF(col("v"), col("c")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist_sq"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.dist_sq").as("dist_sq"))
+    def means(assigned: DataFrame): DataFrame =
+      assigned.join(e, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg((sum(round(col("x") * lit(1e7)).cast("long")).cast("double")
+          / lit(1e7) / count(lit(1))).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("c"))
+    val seeds = e.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+    assign(means(assign(seeds)).cutLineage)
+  }
+
+  private val kmeans: Q = (s, d) => kmeansAssign(s, d)
+
   val queries: Map[String, Q] = Map(
     "ann_brute_topk" -> bruteForce,
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
+    "vq_kmeans" -> kmeans,
     "vq_quantize" -> quantize,
   )
 
-  private val cosineSql = (a: String, b: String) =>
+  val cosineSql = (a: String, b: String) =>
     s"""list_reduce(list_transform(generate_series(1, len($a)),
        |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)
        |  / (sqrt(list_reduce(list_transform(generate_series(1, len($a)),
@@ -156,7 +208,39 @@ object SimilarityOps {
        |     * sqrt(list_reduce(list_transform(generate_series(1, len($b)),
        |        i -> $b[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)))""".stripMargin
 
+  /** Squared L2 distance with the same FP composition as the Spark side:
+    * fold(a·a) + fold(b·b) − 2·fold(a·b), left-assoc. */
+  private val distSql = (a: String, b: String) =>
+    s"""(list_reduce(list_transform(generate_series(1, len($a)),
+       |      i -> $a[CAST(i AS INT)] * $a[CAST(i AS INT)]), (x, y) -> x + y)
+       |  + list_reduce(list_transform(generate_series(1, len($b)),
+       |      i -> $b[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)
+       |  - 2 * list_reduce(list_transform(generate_series(1, len($a)),
+       |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y))""".stripMargin
+
+  /** Shared CTE chain ending in `af` = the final k-means assignment
+    * (vec_id, cluster, dist_sq) — used by vq_kmeans and pipe_semdedup. */
+  val kmeansCtesSql: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e WHERE vec_id < $KmeansK),
+       |a0 AS (SELECT e.vec_id, c0.cluster, ${distSql("e.v", "c0.c")} AS dist_sq
+       |       FROM e, c0
+       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist_sq, cluster) = 1),
+       |px AS (SELECT a0.cluster, unnest(generate_series(1, len(e.v))) AS pos, unnest(e.v) AS x
+       |       FROM a0 JOIN e USING (vec_id)),
+       |cm AS (SELECT cluster, pos,
+       |         CAST(SUM(CAST(round(x * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+       |           / CAST(10000000 AS DOUBLE) / COUNT(*) AS m
+       |       FROM px GROUP BY cluster, pos),
+       |c1 AS (SELECT cluster, list(m ORDER BY pos) AS c FROM cm GROUP BY cluster),
+       |af AS (SELECT e.vec_id, c1.cluster, ${distSql("e.v", "c1.c")} AS dist_sq
+       |       FROM e, c1
+       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist_sq, cluster) = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "vq_kmeans" ->
+      s"""WITH $kmeansCtesSql
+         |SELECT vec_id, cluster, dist_sq FROM af""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -25,4 +25,40 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(rows.sameElements(rows.sortBy(-_)))
   }
+
+  test("kmeans: total assignment, bounded cluster ids, deterministic") {
+    val n = graft.Tables.embeddings(spark, SparkTestBase.sf).count()
+    val a1 = SparkEntry.queries("vq_kmeans")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = SparkEntry.queries("vq_kmeans")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size.toLong == n, "every vector assigned exactly once")
+    assert(a1.values.forall(c => c >= 0 && c < graft.queries.SimilarityOps.KmeansK))
+    assert(a1 == a2, "assignment must be deterministic")
+    // The refined clustering should use more than one cluster on real data.
+    assert(a1.values.toSet.size > 1)
+  }
+
+  test("semdedup: identical planted vectors are flagged, keeper is min id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 64 dims: random-direction cosines concentrate near 0 (σ ≈ 1/8), so
+    // noise stays safely under the 0.3 threshold; at 8 dims (σ ≈ 0.35)
+    // noise itself would trip it.
+    val dim = 64
+    // 40 spread-out noise vectors + an identical pair (100, 101).
+    val noise = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        math.sin(i * 37 + j * 13).toFloat), i % 4)
+    }
+    val v = Array.tabulate(dim)(j => (0.5f + j * 0.01f))
+    val rows = noise ++ Seq((100L, v, 0), (101L, v.clone(), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("pipe_semdedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(101L), "the higher id of an identical pair is a semantic dup")
+    assert(!out(100L), "the keeper (min id) is not flagged")
+  }
 }
