@@ -334,10 +334,18 @@ object DedupOps {
     * Convergence witness: (edge count, sum of per-edge hashes) — two
     * scalars to the driver per round.
     */
-  private val neardupComponents: Q = (s, d) => {
-    val pairs = embeddingPairs(s, d).select(col("id_a"), col("id_b"))
-    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+  private val neardupComponents: Q = (s, d) =>
+    connectedComponents(
+      embeddingPairs(s, d).select(col("id_a"), col("id_b")),
+      Tables.embeddings(s, d).select(col("vec_id").as("id")))
+      .withColumnRenamed("id", "vec_id")
 
+  /** Connected components over an undirected pair graph: (id, cluster_rep)
+    * for EVERY node (singletons map to themselves), rep = min id in the
+    * component. `pairs` must have columns (id_a, id_b). See
+    * [[neardupComponents]] for the algorithm discussion.
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     def symmetrized(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     def star(e: DataFrame, large: Boolean): DataFrame = {
@@ -393,8 +401,21 @@ object DedupOps {
     val reps = symmetrized(edges).groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("mn"), col("src")).as("rep"))
     nodes.join(reps, Seq("id"), "left")
-      .select(col("id").as("vec_id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
+      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
   }
+
+  /** Text dedup clusters: connected components over the MinHash+LSH
+    * near-dup graph (d2) — the canonical MinHashLSH → CC pipeline that
+    * collapses each near-dup group of DOCUMENTS to one keeper. Same star
+    * contraction as d6; with the md5-derived signature family the whole
+    * chain (signatures → bands → verified pairs → components) is
+    * oracle-exact.
+    */
+  private val minhashComponents: Q = (s, d) =>
+    connectedComponents(
+      minhashPairs(s, d).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+      Tables.documents(s, d).select(col("doc_id").as("id")))
+      .withColumnRenamed("id", "doc_id")
 
   /** Incremental ingest dedup — the arriving batch (one source) checked
     * against the existing corpus by content fingerprint: the "don't
@@ -436,6 +457,7 @@ object DedupOps {
     "d5_embedding_neardup" -> embeddingNearDup,
     "d6_neardup_components" -> neardupComponents,
     "d7_incremental_dedup" -> incrementalDedup,
+    "d8_minhash_components" -> minhashComponents,
   )
 
   private def gramsSql(t: String) =
@@ -547,6 +569,17 @@ object DedupOps {
          |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
          |)
          |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |FROM walk GROUP BY id""".stripMargin,
+    "d8_minhash_components" ->
+      s"""WITH RECURSIVE pairs AS ($d2OracleSql),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
+         |)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
          |FROM walk GROUP BY id""".stripMargin,
     "d7_incremental_dedup" ->
       """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS corpus_dup

@@ -112,6 +112,12 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists { case (a, b) => a >= 10L && b >= 10L }) // no noise pairs
+    // d8: components over the same graph collapse the planted trio to
+    // keeper 1; noise docs stay singletons.
+    val reps = graft.queries.DedupOps.queries("d8_minhash_components")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(2L) == 1L && reps(3L) == 1L)
+    assert(reps(20L) == 20L)
   }
 
   test("incremental dedup: corpus match wins, intra-batch dups attributed to batch min") {
