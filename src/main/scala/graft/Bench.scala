@@ -29,14 +29,10 @@ object Bench {
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Each query is an independent pipeline run; drop the storage it
-      // pinned (eager lineage cuts, cached frames) so query N's dead blocks
-      // don't squeeze query N+1's shuffle memory. Outside the timed
-      // section: real deployments run one job per JVM and never pay this.
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      } catch { case _: Throwable => () }
+      // pinned so its dead blocks don't squeeze the next query's shuffle
+      // memory. Outside the timed section: real deployments run one job
+      // per JVM and never pay this.
+      graft.core.Lineage.releaseAllStorage(spark)
       name -> (if (ok) elapsed else -1.0)
     }.toMap
     val total = results.values.filter(_ >= 0).sum
@@ -56,15 +52,10 @@ object Bench {
     val wrapper = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"queries_omitted":000,"others_sec":0000.000,"detail":"BENCH_DETAIL.json","sf":${JsonOut.q(sfDir)}}"""
     val budget = 1800 - wrapper.length
     val bySlow = results.toSeq.sortBy { case (_, v) => -v }
-    var used = 0
-    var kept = 0
-    // Stop at the first entry that doesn't fit (no skip-and-continue: the
-    // kept set must be exactly a slowest-first prefix).
-    while (kept < bySlow.size && {
-      val (k, v) = bySlow(kept)
-      val e = s"${JsonOut.q(k)}:${fmt(v)}"
-      used + e.length + 1 <= budget
-    }) { val (k, v) = bySlow(kept); used += s"${JsonOut.q(k)}:${fmt(v)}".length + 1; kept += 1 }
+    // Keep the longest slowest-first PREFIX whose entries fit the budget
+    // (no skip-and-continue): running sums over the rendered entries.
+    val entryLens = bySlow.map { case (k, v) => s"${JsonOut.q(k)}:${fmt(v)}".length + 1 }
+    val kept = entryLens.scanLeft(0)(_ + _).drop(1).takeWhile(_ <= budget).size
     // Selected slowest-first; re-sort alphabetically for stable diffs.
     val keptSet = bySlow.take(kept).map(_._1).toSet
     val qs = results.toSeq.filter(t => keptSet(t._1)).sortBy(_._1)

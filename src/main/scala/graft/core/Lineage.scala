@@ -48,6 +48,19 @@ object Lineage {
     case _ => ()
   }
 
+  /** Drop ALL storage the session has pinned — cached frames and every
+    * persisted RDD (checkpoint blocks included). For batch harnesses
+    * (Bench/Profile) that run many independent pipelines in one session:
+    * query N's dead blocks must not squeeze query N+1's shuffle memory.
+    * Never call mid-pipeline — any live cut frame becomes irrecoverable.
+    */
+  def releaseAllStorage(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () }
+
   /** `.cutLineage` postfix form so call sites read like the checkpoint
     * calls they replace. */
   implicit class LineageOps(private val df: DataFrame) extends AnyVal {

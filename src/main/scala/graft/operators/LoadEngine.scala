@@ -235,8 +235,10 @@ final class LoadOperation(
       .cutLineage
     // All plans referencing the superseded map copy were cut within their
     // own step; release its pinned blocks (one dead id-map copy per staged
-    // table otherwise survives to the end of the load).
-    graft.core.Lineage.release(oldMap)
+    // table otherwise survives to the end of the load). Never release the
+    // CALLER-supplied initial map — the engine does not own its storage,
+    // and a caller holding a cut frame would lose it irrecoverably.
+    if (initialIdMap.forall(_ ne oldMap)) graft.core.Lineage.release(oldMap)
   }
 
   /** Stage-DEPENDENTS body for one table (reference

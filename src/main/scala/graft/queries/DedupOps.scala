@@ -485,10 +485,11 @@ object DedupOps {
   private def unsignedStr(l: Long): String =
     java.lang.Long.toUnsignedString(l) + "::HUGEINT"
 
-  /** Word-3-gram shingle list of `tv` — mirrors [[shingles]]. */
+  /** Word-3-gram shingle list over token-list column `tv` — mirrors
+    * [[shingles]]. */
   private def shinglesSql(tv: String): String =
-    s"list_distinct(list_transform(generate_series(1, greatest(len(rtoks) - 2, 1)), " +
-      s"si -> array_to_string(list_slice(rtoks, si, si + 2), ' ')))"
+    s"list_distinct(list_transform(generate_series(1, greatest(len($tv) - 2, 1)), " +
+      s"si -> array_to_string(list_slice($tv, si, si + 2), ' ')))"
 
   /** MinHash signature slot p: min over base hashes of the multiply-shift
     * permutation, compared as SIGNED longs (Spark's array_min over

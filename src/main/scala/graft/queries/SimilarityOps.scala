@@ -66,24 +66,37 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** ORDER-FREE mean of a double column, the oracle-reproducibility
+    * contract for every centroid in this file: per-row values quantize to
+    * integers at 1e-7 (exact at float32 precision), the integer sum is
+    * exact under any partial-aggregation order, and the divisions run in
+    * one fixed order (sum → /1e7 → /count). A plain avg(double) varies in
+    * the last ulp with shuffle arrival order — unreproducible for the
+    * oracle, and on a real cluster a run-to-run unstable probe set.
+    * Mirrored textually by [[exactMeanSql]].
+    */
+  private def exactMean(x: Column): Column =
+    sum(round(x * lit(1e7)).cast("long")).cast("double") / lit(1e7) / count(lit(1))
+
+  /** DuckDB reproduction of [[exactMean]] over column expression `x`. */
+  private def exactMeanSql(x: String): String =
+    s"CAST(SUM(CAST(round($x * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE) " +
+      s"/ CAST(10000000 AS DOUBLE) / COUNT(*)"
+
+  /** Group rows of (groupCol, pos, x) into (groupCol, mean-vector). */
+  private def meanVectors(px: DataFrame, groupCol: String, out: String): DataFrame =
+    px.groupBy(groupCol, "pos")
+      .agg(exactMean(col("x")).as("m"))
+      .groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(groupCol), transform(col("pm"), p => p.getField("m")).as(out))
+
   /** IVF centroids: per-label mean vector (deterministic coarse quantizer
     * standing in for k-means; same shape: nlist cells, assign → probe).
-    *
-    * The mean is computed ORDER-FREE: per-element values quantize to
-    * integers at 1e-7 (exact at float32 precision), the integer sum is
-    * exact under any partial-aggregation order, and the final divisions
-    * run in one fixed order (sum → /1e7 → /count). A plain avg(double)
-    * varies in the last ulp with shuffle arrival order, which is why this
-    * operator used to be unreproducible for the oracle — and on a real
-    * cluster it made the PROBE SET itself run-to-run unstable.
     */
   def centroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg((sum(round(col("x") * lit(1e7)).cast("long")).cast("double")
-        / lit(1e7) / count(lit(1))).as("m"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+    meanVectors(e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x"))),
+      "label", "centroid")
 
   /** IVF top-k: probe the 3 nearest centroids, brute-force inside cells.
     *
@@ -177,14 +190,9 @@ object SimilarityOps {
         .select(col("vec_id"), col("best.cluster").as("cluster"),
           col("best.dist_sq").as("dist_sq"))
     def means(assigned: DataFrame): DataFrame =
-      assigned.join(e, Seq("vec_id"))
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg((sum(round(col("x") * lit(1e7)).cast("long")).cast("double")
-          / lit(1e7) / count(lit(1))).as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("c"))
+      meanVectors(assigned.join(e, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x"))),
+        "cluster", "c")
     val seeds = e.where(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
     assign(means(assign(seeds)).cutLineage)
@@ -200,13 +208,17 @@ object SimilarityOps {
     "vq_quantize" -> quantize,
   )
 
+  /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
+    * zero-norm guard: NULLIF keeps a zero denominator NULL (= Spark's
+    * `when(den === 0, null)`) instead of dividing by zero — without it a
+    * planted all-zero vector would make the oracle diverge. */
   val cosineSql = (a: String, b: String) =>
     s"""list_reduce(list_transform(generate_series(1, len($a)),
        |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)
-       |  / (sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+       |  / NULLIF(sqrt(list_reduce(list_transform(generate_series(1, len($a)),
        |        i -> $a[CAST(i AS INT)] * $a[CAST(i AS INT)]), (x, y) -> x + y))
        |     * sqrt(list_reduce(list_transform(generate_series(1, len($b)),
-       |        i -> $b[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)))""".stripMargin
+       |        i -> $b[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)), 0.0)""".stripMargin
 
   /** Squared L2 distance with the same FP composition as the Spark side:
     * fold(a·a) + fold(b·b) − 2·fold(a·b), left-assoc. */
@@ -228,9 +240,7 @@ object SimilarityOps {
        |       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist_sq, cluster) = 1),
        |px AS (SELECT a0.cluster, unnest(generate_series(1, len(e.v))) AS pos, unnest(e.v) AS x
        |       FROM a0 JOIN e USING (vec_id)),
-       |cm AS (SELECT cluster, pos,
-       |         CAST(SUM(CAST(round(x * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
-       |           / CAST(10000000 AS DOUBLE) / COUNT(*) AS m
+       |cm AS (SELECT cluster, pos, ${exactMeanSql("x")} AS m
        |       FROM px GROUP BY cluster, pos),
        |c1 AS (SELECT cluster, list(m ORDER BY pos) AS c FROM cm GROUP BY cluster),
        |af AS (SELECT e.vec_id, c1.cluster, ${distSql("e.v", "c1.c")} AS dist_sq
@@ -245,9 +255,7 @@ object SimilarityOps {
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |px AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
-         |cm AS (SELECT label, pos,
-         |         CAST(SUM(CAST(round(x * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
-         |           / CAST(10000000 AS DOUBLE) / COUNT(*) AS m
+         |cm AS (SELECT label, pos, ${exactMeanSql("x")} AS m
          |       FROM px GROUP BY label, pos),
          |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
          |probes AS (SELECT c.label FROM c, q

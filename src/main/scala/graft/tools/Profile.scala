@@ -47,11 +47,7 @@ object Profile {
       println(f"[profile] $n%-24s build=$built%6.2fs run=$ran%6.2fs rows=$cnt")
       // Per-query storage isolation, same as Bench: dead checkpoint blocks
       // from query N must not skew query N+1's measurement.
-      try {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      } catch { case _: Throwable => () }
+      graft.core.Lineage.releaseAllStorage(spark)
     }
     spark.stop()
   }

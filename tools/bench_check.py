@@ -31,9 +31,19 @@ def main() -> int:
     detail = cur.get("detail")
     if detail:
         try:
-            cur = json.load(open(detail))
-        except OSError:
-            print(f"warn: detail file {detail} unreadable; "
+            det = json.load(open(detail))
+            # The detail path is cwd-relative and a committed copy from a
+            # previous round may sit there: only trust it if its total
+            # matches the stdout line of THIS run (same fmt, so equal
+            # strings up to the 3-decimal rounding both sides use).
+            if abs(det.get("value", -1) - cur["value"]) < 0.0015:
+                cur = det
+            else:
+                print(f"warn: {detail} total {det.get('value')} != run total "
+                      f"{cur['value']} (stale file?); "
+                      "checking the compact line only", file=sys.stderr)
+        except (OSError, ValueError):
+            print(f"warn: detail file {detail} unreadable/corrupt; "
                   "checking the compact line only", file=sys.stderr)
     rc = 0
     for name, t in sorted(cur["queries"].items()):
