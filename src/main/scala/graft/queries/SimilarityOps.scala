@@ -175,7 +175,20 @@ object SimilarityOps {
     *   one scan per iteration, partial aggregation for the means; rounds
     *   are the only synchronization points.
     */
+  /** The refined (cluster, centroid) model table — one Lloyd update of
+    * the seed assignment. [[kmeansAssign]] applies it to the corpus;
+    * the streaming twin (DocStreaming.assignClusters) applies it to a
+    * firehose. */
+  def kmeansModel(s: SparkSession, d: String): DataFrame =
+    kmeansParts(s, d)._2
+
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val (assign, model) = kmeansParts(s, d)
+    assign(model.cutLineage)
+  }
+
+  private def kmeansParts(s: SparkSession, d: String)
+      : (DataFrame => DataFrame, DataFrame) = {
     val dotF = graft.functions.GraftFunctions.dot_fold _
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vDouble(col("embedding")).as("v"))
@@ -195,7 +208,7 @@ object SimilarityOps {
         "cluster", "c")
     val seeds = e.where(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
-    assign(means(assign(seeds)).cutLineage)
+    (assign, means(assign(seeds)))
   }
 
   private val kmeans: Q = (s, d) => kmeansAssign(s, d)

@@ -71,4 +71,40 @@ object DocStreaming {
       .withWatermark("ingest_ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"))
+
+  /** Streaming cluster assignment — apply a TRAINED clustering model
+    * (the (cluster, centroid) table from batch
+    * [[graft.queries.SimilarityOps.kmeansModel]], or any model registry)
+    * to an embedding firehose. The model is bounded metadata (k×dim
+    * doubles), so it ships as a LITERAL array into a per-row projection:
+    * each arriving vector scores all k centroids inside one expression
+    * and `array_min` over (dist, cluster) structs picks the cluster —
+    * same arithmetic and tie-breaking as the batch `min(struct)` argmin,
+    * so stream and batch agree bit-for-bit (DocStreamingSpec). Fully
+    * STATELESS: no state store, no watermark, no shuffle, Append mode —
+    * the correct shape for an unbounded stream (a stream-side groupBy
+    * argmin would grow keyed state forever).
+    */
+  def assignClusters(stream: DataFrame, model: DataFrame): DataFrame = {
+    val dotF = graft.functions.GraftFunctions.dot_fold _
+    val cent = model.select(col("cluster").cast("int"), col("c")).collect()
+      .sortBy(_.getInt(0))
+      .map { r =>
+        struct(lit(r.getInt(0)).as("k"),
+          array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"))
+      }
+    val scored = transform(array(cent.toIndexedSeq: _*), c => {
+      val cv = c.getField("cv")
+      struct(
+        (dotF(col("v"), col("v")) + dotF(cv, cv)
+          - lit(2.0d) * dotF(col("v"), cv)).as("dist_sq"),
+        c.getField("k").as("cluster"))
+    })
+    stream
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("best", array_min(scored))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.dist_sq").as("dist_sq"))
+  }
 }

@@ -32,6 +32,30 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster assignment == batch kmeans assignment, stateless plan") {
+    val emb = Tables.embeddings(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    emb.write.mode("overwrite").parquet(dir)
+    val model = graft.queries.SimilarityOps.kmeansModel(spark, SparkTestBase.sf)
+    val stream = DocStreaming.docStream(spark, dir, emb.schema)
+    val assigned = DocStreaming.assignClusters(stream, model)
+    val q = EventStreaming.runToMemory(assigned, "kmeans_stream_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("kmeans_stream_out")
+      val batch = SparkEntry.queries("vq_kmeans")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch cluster assignment mismatch")
+    } finally q.stop()
+    // Append mode succeeded without watermark → no stateful aggregation
+    // was present (Spark rejects unwatermarked streaming aggregations in
+    // Append); plus an explicit plan check:
+    assert(!assigned.queryExecution.analyzed.toString.toLowerCase.contains("aggregate"),
+      "assignment must be a stateless per-row projection")
+  }
+
   test("streaming dedup emits exactly the batch-distinct hash set") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
       .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
