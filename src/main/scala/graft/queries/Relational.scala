@@ -578,7 +578,82 @@ object Relational {
       .filter(col("rn") <= 3)
   }
 
+  /** q18 threshold: orders whose total quantity (exact cents) exceeds
+    * this. */
+  val Q18MinQtyCents = 20000L
+
+  /** TPC-H q18 shape — HAVING on a grouped sum, then join the survivors.
+    * The aggregate+filter runs BEFORE the joins, so only qualifying
+    * order keys reach the orders/customer joins (at 100 TB the filtered
+    * key set is small → AQE converts both joins to broadcasts). */
+  private val q18: Q = (s, d) => {
+    val qc = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .where(col("qty_cents") > Q18MinQtyCents)
+    Tables.orders(s, d).join(qc, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("string").as("o_date"), col("qty_cents"))
+  }
+
+  /** TPC-H q16 shape — DISTINCT aggregate alongside a plain count.
+    * Catalyst plans count(DISTINCT) as a two-phase expand/partial
+    * aggregate: the distinct pairs (brand, suppkey) shrink map-side
+    * before the exchange, no row set ever collects on one node. */
+  private val q16: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).where(col("p_size") >= 20),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("supp_cnt"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H q21 shape — the "sole blamable supplier" EXISTS + NOT EXISTS
+    * chain as semi/anti joins, order-scoped: a LATE line (shipped >30
+    * days after the order date) in a MULTI-supplier order where no OTHER
+    * supplier's line in that same order was late. Both subqueries are
+    * id-only self semi/anti joins on the order key; no row data is
+    * replicated through the shuffles. */
+  private val q21: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > date_add(col("o_orderdate"), 30)).as("late"))
+    val o2 = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"),
+      col("late").as("late2"))
+    val lateLines = l.where(col("late"))
+    val multi = lateLines.join(o2,
+      col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+      "left_semi")
+    val soleLate = multi.join(o2.where(col("late2")),
+      col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+      "left_anti")
+    soleLate.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n_late_lines"))
+  }
+
+  /** TPC-H q22 shape — compare each row against its GROUP's average
+    * without any floating point: `bal·n > sum` (integer cross-multiply)
+    * is exactly `bal > sum/n` with no division, so partial aggregation
+    * order cannot flip a boundary row in either engine. The per-nation
+    * aggregate is tiny → broadcast back to the row side. */
+  private val q22: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val nav = c.groupBy(col("c_nationkey"))
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n"))
+    c.join(broadcast(nav), Seq("c_nationkey"))
+      .where(col("bal_cents") * col("n") > col("sum_cents"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_above"), sum(col("bal_cents")).as("above_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q16_brand_suppliers" -> q16,
+    "q18_big_orders" -> q18,
+    "q21_supplier_chain" -> q21,
+    "q22_above_nation_avg" -> q22,
     "s1_scan_project" -> s1,
     "s2_point_lookup" -> s2,
     "s3_fk_membership" -> s3,
@@ -620,6 +695,41 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q16_brand_suppliers" ->
+      """SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supp_cnt,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size >= 20 GROUP BY p_brand""".stripMargin,
+    "q18_big_orders" ->
+      s"""WITH qc AS (SELECT l_orderkey,
+         |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+         |  FROM lineitem GROUP BY 1 HAVING qty_cents > $Q18MinQtyCents)
+         |SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_date, qty_cents
+         |FROM qc JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "q21_supplier_chain" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS n_late_lines
+        |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name""".stripMargin,
+    "q22_above_nation_avg" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+        |nav AS (SELECT c_nationkey, CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |    count(*) AS n FROM c GROUP BY 1)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(sum(bal_cents) AS BIGINT) AS above_cents
+        |FROM c JOIN nav USING (c_nationkey) JOIN nation ON n_nationkey = c_nationkey
+        |WHERE bal_cents * n > sum_cents
+        |GROUP BY n_name""".stripMargin,
     "s1_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "s2_point_lookup" ->
