@@ -33,21 +33,13 @@ object SparkEntry {
       graft.queries.EventOps.oracle ++
       graft.queries.MultimodalOps.oracle
 
-  /** Queries whose semantics are not expressible in DuckDB SQL — they get
-    * the driver's weaker rows-only check, and value-level coverage lives
-    * in the ScalaTest suites instead. Down to three:
-    *
-    * - d2_minhash_lsh / d3_simhash: both are built on Spark's xxhash64.
-    *   Unlike the polynomial rolling hash (whose wraparound IS reproduced
-    *   in DuckDB HUGEINT SQL — see TextOps tx_rolling_hash), xxHash64's
-    *   block compression (little-endian 8-byte stripes into 4 rotating
-    *   accumulators, per-lane primes, merge + avalanche rounds) over every
-    *   token/shingle of every document is not practically expressible as a
-    *   SQL scalar; a faithful list_reduce emulation was prototyped and
-    *   abandoned (hundreds of HUGEINT ops per token, per 32 permutations).
-    *   Value-level recall/precision specs live in DedupSpec.
-    * - ann_ivf_topk: FP centroid averages are not order-reproducible
-    *   across engines; recall is asserted in SimilaritySpec/IvfPruningSpec.
+  /** Queries whose semantics are not expressible in DuckDB SQL — they
+    * would get the driver's weaker rows-only check. EMPTY since round 3:
+    * MinHash/SimHash moved from xxhash64 (not practically expressible as
+    * a SQL scalar) to an md5-derived hash family the oracle reproduces
+    * with HUGEINT mod-2^64 folds, and the IVF/k-means centroid mean
+    * became integer-exact (order-free sums, fixed division order) — so
+    * every registered query is value-checked.
     */
   lazy val rowsOnlyQueries: Set[String] =
     graft.queries.TextOps.rowsOnly ++

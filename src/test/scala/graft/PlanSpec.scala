@@ -141,6 +141,39 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(p, "Exchange") == 0, p.take(1200))
   }
 
+  test("q18: the HAVING aggregate runs below the joins (aggregate-then-join)") {
+    val p = planOf("q18_big_orders")
+    // The qty_cents filter must sit between the two HashAggregates and
+    // the joins — never after them (joining the full lineitem agg output
+    // and filtering later would shuffle every order key at 100 TB).
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.matches("""\(\d+\) HashAggregate.*"""))
+    val joinIdx = lines.indexWhere(_.matches("""\(\d+\) .*Join.*"""))
+    assert(aggIdx >= 0 && joinIdx >= 0, p.take(600))
+    assert(p.contains("qty_cents"), "aggregate alias missing")
+  }
+
+  test("q16: count(DISTINCT) plans as two-phase expand/partial aggregation") {
+    val p = planOf("q16_brand_suppliers")
+    // Catalyst's distinct-aggregate rewrite: >= 3 HashAggregate levels
+    // (partial-distinct, merge, final) — never a per-group row collection.
+    assert(countNodes(p, "HashAggregate") >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q21: the EXISTS chain lowers to LeftSemi + LeftAnti, id-only") {
+    val p = planOf("q21_supplier_chain")
+    assert(p.contains("LeftSemi"), "multi-supplier EXISTS must be a semi join")
+    assert(p.contains("LeftAnti"), "sole-late NOT EXISTS must be an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q22: the per-nation aggregate broadcasts back to the row side") {
+    val p = planOf("q22_above_nation_avg")
+    assert(countNodes(p, "BroadcastExchange") >= 1,
+      "nation-average side must broadcast, not shuffle the customer rows twice")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB the big win on a selective dim-filter join is Spark's
