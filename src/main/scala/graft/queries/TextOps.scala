@@ -174,7 +174,28 @@ object TextOps {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dupes"))
 
+  /** Cross-source overlap matrix — which delivery sources ship
+    * NEAR-duplicate content (mirror/scrape provenance; in this corpus,
+    * as in most real ones, EXACT cross-source duplicates are rare — the
+    * interesting overlap is near-dup). Counts d2's verified MinHash
+    * near-dup pairs by unordered source pair: two id→source joins over
+    * the pair output (id-only through the shuffles) + one aggregate,
+    * so cost is the d2 pipeline plus O(pairs).
+    */
+  private val sourceOverlap: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    graft.queries.DedupOps.queries("d2_minhash_lsh")(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_source_overlap" -> sourceOverlap,
     "tx_tokens" -> tokens,
     "tx_quality" -> quality,
     "tx_langid" -> langid,
@@ -279,6 +300,15 @@ object TextOps {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "tx_source_overlap" ->
+      s"""WITH pairs AS (${graft.queries.DedupOps.oracle("d2_minhash_lsh")}),
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pairs JOIN ds a ON a.doc_id = pairs.doc_a
+         |JOIN ds b ON b.doc_id = pairs.doc_b
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   val rowsOnly: Set[String] = Set.empty
