@@ -19,7 +19,17 @@ import graft.core.Lineage.LineageOps
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private def vDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Embedding column → array<double>. Public: the streaming twin must
+    * use the SAME cast expression or stream/batch bit-parity breaks. */
+  def vDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Squared L2 distance as the fixed FP composition the oracles mirror:
+    * fold(v·v) + fold(c·c) − 2·fold(v·c). Shared by the batch argmin and
+    * the streaming assignment — one definition, no drift. */
+  def distSq(v: Column, c: Column): Column = {
+    val dotF = graft.functions.GraftFunctions.dot_fold _
+    dotF(v, v) + dotF(c, c) - lit(2.0d) * dotF(v, c)
+  }
 
   /** Ordered-fold cosine(a, b) — bit-reproducible in DuckDB list_reduce. */
   def cosineCol(a: Column, b: Column): Column =
@@ -189,15 +199,12 @@ object SimilarityOps {
 
   private def kmeansParts(s: SparkSession, d: String)
       : (DataFrame => DataFrame, DataFrame) = {
-    val dotF = graft.functions.GraftFunctions.dot_fold _
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vDouble(col("embedding")).as("v"))
       .cutLineage
     def assign(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
-        .withColumn("dist_sq",
-          dotF(col("v"), col("v")) + dotF(col("c"), col("c"))
-            - lit(2.0d) * dotF(col("v"), col("c")))
+        .withColumn("dist_sq", distSq(col("v"), col("c")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist_sq"), col("cluster"))).as("best"))
         .select(col("vec_id"), col("best.cluster").as("cluster"),

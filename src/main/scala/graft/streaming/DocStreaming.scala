@@ -86,23 +86,21 @@ object DocStreaming {
     * argmin would grow keyed state forever).
     */
   def assignClusters(stream: DataFrame, model: DataFrame): DataFrame = {
-    val dotF = graft.functions.GraftFunctions.dot_fold _
+    import graft.queries.SimilarityOps
     val cent = model.select(col("cluster").cast("int"), col("c")).collect()
       .sortBy(_.getInt(0))
       .map { r =>
         struct(lit(r.getInt(0)).as("k"),
           array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"))
       }
-    val scored = transform(array(cent.toIndexedSeq: _*), c => {
-      val cv = c.getField("cv")
-      struct(
-        (dotF(col("v"), col("v")) + dotF(cv, cv)
-          - lit(2.0d) * dotF(col("v"), cv)).as("dist_sq"),
-        c.getField("k").as("cluster"))
-    })
+    // Distance and cast come from SimilarityOps (distSq / vDouble) — the
+    // bit-for-bit parity contract with the batch argmin is one shared
+    // definition, not two synced copies.
+    val scored = transform(array(cent.toIndexedSeq: _*), c =>
+      struct(SimilarityOps.distSq(col("v"), c.getField("cv")).as("dist_sq"),
+        c.getField("k").as("cluster")))
     stream
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), SimilarityOps.vDouble(col("embedding")).as("v"))
       .withColumn("best", array_min(scored))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.dist_sq").as("dist_sq"))

@@ -141,16 +141,20 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(p, "Exchange") == 0, p.take(1200))
   }
 
-  test("q18: the HAVING aggregate runs below the joins (aggregate-then-join)") {
-    val p = planOf("q18_big_orders")
-    // The qty_cents filter must sit between the two HashAggregates and
-    // the joins — never after them (joining the full lineitem agg output
-    // and filtering later would shuffle every order key at 100 TB).
+  test("q18: the qty_cents filter runs below the joins (aggregate-then-join)") {
+    // The qty_cents filter must sit below the joins — never above them
+    // (joining the full lineitem agg output and filtering later would
+    // shuffle every order key at 100 TB). In the tree-string plan a
+    // parent prints BEFORE its children, so "filter below join" means
+    // the filter LINE comes after the first join line.
+    val p = SparkEntry.queries("q18_big_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
     val lines = p.linesIterator.toSeq
-    val aggIdx = lines.indexWhere(_.matches("""\(\d+\) HashAggregate.*"""))
-    val joinIdx = lines.indexWhere(_.matches("""\(\d+\) .*Join.*"""))
-    assert(aggIdx >= 0 && joinIdx >= 0, p.take(600))
-    assert(p.contains("qty_cents"), "aggregate alias missing")
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("qty_cents"))
+    assert(joinIdx >= 0, s"no join in plan:\n${p.take(600)}")
+    assert(filterIdx > joinIdx,
+      s"qty_cents filter must be BELOW the joins (filter@$filterIdx, join@$joinIdx):\n${p.take(1200)}")
   }
 
   test("q16: count(DISTINCT) plans as two-phase expand/partial aggregation") {
@@ -170,8 +174,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("q22: the per-nation aggregate broadcasts back to the row side") {
     val p = planOf("q22_above_nation_avg")
-    assert(countNodes(p, "BroadcastExchange") >= 1,
-      "nation-average side must broadcast, not shuffle the customer rows twice")
+    // TWO broadcasts required: the tiny nation table auto-broadcasts
+    // regardless, so >= 1 would pass even if the nav (group-average) side
+    // regressed to a shuffle — the guarded property is that BOTH small
+    // sides broadcast and the customer rows are never re-exchanged.
+    assert(countNodes(p, "BroadcastExchange") >= 2,
+      "both the nav aggregate and the nation dim must broadcast")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
