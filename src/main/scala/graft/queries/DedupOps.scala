@@ -193,7 +193,12 @@ object DedupOps {
     // Global (per-lang) gram document frequencies → rare-first ordering.
     val ex = g.select(col("doc_id"), col("lang"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
-    val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+    // The char-3-gram vocabulary is BOUNDED (charset³ keys, not corpus
+    // rows), so the df table stays broadcastable at ANY corpus size —
+    // the aggregation's map-side combine shrinks the exchange to the
+    // vocabulary, and broadcasting it removes what would otherwise be a
+    // full shuffle of the exploded corpus just to attach df.
+    val dfreq = broadcast(ex.groupBy("lang", "gram").agg(count(lit(1)).as("df")))
     // Prefix index DIRECTLY from a per-doc window rank over (df, gram):
     // position = rank − 1 in the doc's rare-first gram order, keep only
     // positions inside the prefix window |g| − ceil(t·|g|) + 1 (exact
