@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads in ONE JVM; 8g gave each task slot
+  // only ~256 MB and made the heavy dedup pipelines spill under the
+  // driver harness. The machine has 128 GiB; 16g is still conservative.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~90 benchmark queries generate a lot of whole-stage-codegen classes;
+  // the default 240 MB code cache can fill and silently disable the JIT
+  // mid-run, which reads as a uniform late-session slowdown.
+  "-XX:ReservedCodeCacheSize=512m",
 )

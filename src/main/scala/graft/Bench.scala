@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reclaims shuffle files / broadcasts / codegen
+      // classloaders only when driver GC collects their handles; the
+      // default periodic-GC interval (30 min) never fires inside one
+      // bench run, so residue from ~90 pipelines accumulates. 2 min
+      // bounds it without a stop-the-world pause per query.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths so the first measured query doesn't pay
@@ -33,6 +39,9 @@ object Bench {
       // memory. Outside the timed section: real deployments run one job
       // per JVM and never pay this.
       graft.core.Lineage.releaseAllStorage(spark)
+      // Optional per-query full GC (measured ~neutral locally; the
+      // periodicGC conf above is the default residue bound).
+      if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
       name -> (if (ok) elapsed else -1.0)
     }.toMap
     val total = results.values.filter(_ >= 0).sum

@@ -76,6 +76,204 @@ object ExprUtil {
     }
     h
   }
+
+  /** Distinct character n-grams (by code point, first-occurrence order) —
+    * the tight-loop twin of
+    * `array_distinct(transform(sequence(1, len-2), i -> substr(text, i, n)))`,
+    * which runs INTERPRETED per element (higher-order functions do not
+    * participate in codegen). Returns an empty array when the text is
+    * shorter than n, matching DuckDB's empty generate_series.
+    */
+  def charNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 1
+    while (i <= len - n + 1) {
+      seen.add(s.substringSQL(i, n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** Distinct word w-shingles over a token array: join w consecutive tokens
+    * with single spaces; windows are clipped at the end of the array and at
+    * least one shingle is emitted (the `sequence(1, greatest(n-w+1, 1))` +
+    * `slice` + `concat_ws` shape, de-HOF'd).
+    */
+  def wordShingles(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val count = math.max(n - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val m = math.min(w, n - i)
+      val parts = new Array[UTF8String](m)
+      var j = 0
+      while (j < m) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 64 bits of md5(s) as a signed long (digest bytes 0..7 big-endian)
+    * — bit-identical to the hex-fold form in [[GraftFunctions.md5_64]], one
+    * digest call instead of interpreted md5+conv+substring per element.
+    */
+  def md5Long(s: UTF8String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (digest(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** md5Long over every element of a string array. */
+  def md5LongArray(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = md5Long(a.getUTF8String(i)); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** SimHash of a token-hash array: per-bit ±1 votes, bit set iff votes > 0
+    * — identical semantics to the aggregate/zip_with HOF fold it replaces,
+    * in one allocation-free pass.
+    */
+  def simhashFold(a: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+    sh
+  }
+
+  /** All MinHash signature slots in ONE pass over the base-hash array:
+    * slot p = min over elements of (a(p)·h + c(p)) with two's-complement
+    * wraparound, min over SIGNED longs — identical to
+    * `array_min(transform(bh, h -> mul_add64(h, a(p), c(p))))` per slot,
+    * without 32 interpreted array traversals. Empty input yields all-null
+    * slots (array_min of an empty array is null).
+    */
+  def minhashSigs(bh: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Array[Long], c: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val p = a.length
+    val n = bh.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](p)(null))
+    val mins = Array.fill[Long](p)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = bh.getLong(i)
+      var j = 0
+      while (j < p) {
+        val v = a(j) * h + c(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** 64-bucket count histogram of a string array (bucket = hash mod 64).
+    * With [[minSum64]] this gives a LOSSLESS upper bound on the size of the
+    * intersection of two sets: shared elements land in the same bucket on
+    * both sides, so |A∩B| ≤ Σ_b min(histA[b], histB[b]). A set-similarity
+    * join screens candidate pairs with that bound (64 int ops) before the
+    * O(|A|+|B|) merge-intersect verification.
+    */
+  def gramHist64(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hist = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      hist(a.getUTF8String(i).hashCode() & 63) += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(hist)
+  }
+
+  /** Σ_b min(a[b], b[b]) over two equal-length int arrays. */
+  def minSum64(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements()
+    var s = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getInt(i); val y = b.getInt(i)
+      s += (if (x < y) x else y)
+      i += 1
+    }
+    s
+  }
+
+  /** All-Pairs/PPJoin prefix of a gram set: order the doc's grams by
+    * ascending global document frequency (ties by binary string order —
+    * the same total order as ORDER BY df, gram on a string column), keep
+    * the first |g| − ceil(t·|g|) + 1. Runs per row against a
+    * driver-collected df map, so prefix construction needs NO shuffle at
+    * all (vs. a corpus-wide explode + join + window sort).
+    */
+  def rarePrefix(lang: UTF8String,
+      grams: org.apache.spark.sql.catalyst.util.ArrayData,
+      df: java.util.Map[String, java.util.HashMap[String, Long]],
+      tNum: Long, tDen: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = grams.numElements()
+    // k = n − ceil(t·n) + 1 in exact integer arithmetic
+    val k = (n - ((n * tNum + tDen - 1) / tDen) + 1).toInt
+    if (n == 0 || k <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = df.get(lang.toString)
+    val entries = new Array[(Long, UTF8String)](n)
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i)
+      val d = if (m == null) Long.MaxValue else {
+        val v = m.get(g.toString)
+        if (v == null) Long.MaxValue else v.longValue()
+      }
+      entries(i) = (d, g)
+      i += 1
+    }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(Long, UTF8String)] {
+      override def compare(x: (Long, UTF8String), y: (Long, UTF8String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c else x._2.compareTo(y._2)
+      }
+    })
+    val out = new Array[Any](math.min(k, n))
+    i = 0
+    while (i < out.length) { out(i) = entries(i)._2; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Canonicalize a Salesforce id column to its 18-char form; invalid → null.
@@ -196,6 +394,177 @@ case class DotFold(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct character n-grams of a string column (tight-loop codegen twin
+  * of the transform/substr/array_distinct HOF chain).
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** Distinct word w-shingles over a token-array column. */
+case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.wordShingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.wordShingles($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** md5-derived 64-bit hash of every element of a string array (the
+  * MinHash/SimHash base-hash fan-out without an interpreted HOF lambda).
+  */
+case class Md5LongArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_64_array"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.md5LongArray(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.md5LongArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5LongArray =
+    copy(child = newChild)
+}
+
+/** SimHash fold of a token-hash array (±1 votes per bit, sign bitmap). */
+case class SimhashFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.simhashFold(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.simhashFold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFold =
+    copy(child = newChild)
+}
+
+/** All multiply-shift MinHash slots in one pass over the base hashes. */
+case class MinhashSigs(child: Expression, a: Seq[Long], c: Seq[Long])
+    extends UnaryExpression {
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val cArr = c.toArray
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.minhashSigs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], aArr, cArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aName = ctx.addReferenceObj("permA", aArr, "long[]")
+    val cName = ctx.addReferenceObj("permC", cArr, "long[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.ExprUtil.minhashSigs($x, $aName, $cName)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+/** 64-bucket count histogram of a string array (intersection upper-bound
+  * screen; see [[ExprUtil.gramHist64]]).
+  */
+case class GramHist64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hist64"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.gramHist64(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.gramHist64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHist64 =
+    copy(child = newChild)
+}
+
+/** Σ min over two histogram arrays (intersection upper bound). */
+case class MinSum64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "min_sum64"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprUtil.minSum64(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprUtil.minSum64($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinSum64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-row All-Pairs/PPJoin prefix (see [[ExprUtil.rarePrefix]]). The df
+  * map is a plain task-closure reference: the char-n-gram vocabulary is
+  * bounded by |charset|^n, not corpus size, so the map stays small at any
+  * corpus scale (the caller enforces a row cap and falls back to the
+  * distributed window path beyond it).
+  */
+case class RarePrefixExpr(left: Expression, right: Expression,
+    df: java.util.HashMap[String, java.util.HashMap[String, Long]],
+    tNum: Long, tDen: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rare_prefix"
+
+  override def nullSafeEval(l: Any, g: Any): Any =
+    ExprUtil.rarePrefix(l.asInstanceOf[UTF8String],
+      g.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], df, tNum, tDen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("dfMap", df, "java.util.HashMap")
+    defineCodeGen(ctx, ev, (l, g) =>
+      s"graft.functions.ExprUtil.rarePrefix($l, $g, $mapRef, ${tNum}L, ${tDen}L)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RarePrefixExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for graft's custom functions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions._
@@ -221,6 +590,43 @@ object GraftFunctions {
     shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
   }
+
+  /** Distinct character n-grams by code point (codegen'd). */
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftSqlShim.column(CharNgrams(GraftSqlShim.expression(c), n))
+
+  /** Distinct word w-shingles over a token-array column (codegen'd). */
+  def word_shingles(toks: Column, w: Int): Column =
+    GraftSqlShim.column(WordShingles(GraftSqlShim.expression(toks), w))
+
+  /** [[md5_64]] applied to every element of a string-array column in one
+    * tight digest loop (bit-identical values). */
+  def md5_64_array(c: Column): Column =
+    GraftSqlShim.column(Md5LongArray(GraftSqlShim.expression(c)))
+
+  /** SimHash sign-bitmap of a token-hash array column. */
+  def simhash_fold(c: Column): Column =
+    GraftSqlShim.column(SimhashFold(GraftSqlShim.expression(c)))
+
+  /** All multiply-shift MinHash signature slots in one pass. */
+  def minhash_sigs(bh: Column, a: Seq[Long], c: Seq[Long]): Column =
+    GraftSqlShim.column(MinhashSigs(GraftSqlShim.expression(bh), a, c))
+
+  /** 64-bucket count histogram of a string-array column. */
+  def gram_hist64(c: Column): Column =
+    GraftSqlShim.column(GramHist64(GraftSqlShim.expression(c)))
+
+  /** Σ min of two histogram columns — intersection-size upper bound. */
+  def min_sum64(a: Column, b: Column): Column =
+    GraftSqlShim.column(MinSum64(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Per-row PPJoin prefix slice against a driver-collected df map. */
+  def rare_prefix(lang: Column, grams: Column,
+      df: java.util.HashMap[String, java.util.HashMap[String, Long]],
+      tNum: Long, tDen: Long): Column =
+    GraftSqlShim.column(RarePrefixExpr(
+      GraftSqlShim.expression(lang), GraftSqlShim.expression(grams), df, tNum, tDen))
 
   /** Requires both arrays sorted + distinct. */
   def sorted_intersect_size(a: Column, b: Column): Column =

@@ -50,40 +50,46 @@ object DedupOps {
   val PermA: IndexedSeq[Long] = (0 until NumPerms).map(p => (splitmix64(2L * p) >>> 2) | 1L)
   val PermC: IndexedSeq[Long] = (0 until NumPerms).map(p => splitmix64(2L * p + 1L))
 
-  /** Word-3-gram shingles of the document text. */
-  private def shingles(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(3)))))
-  }
-
-  /** doc_id + minhash signature array: ONE polynomial base hash per
-    * shingle, then NumPerms multiply-shift permutations of it (array_min
-    * per permutation). Base hashes materialize once per row (`bh`
-    * projection) so the per-perm transforms are 32 codegen'd multiply-adds
-    * over a long array, not 32 re-hashes of every shingle string.
+  /** doc_id + minhash signature array: word-3-gram shingles and ONE base
+    * hash per shingle (both tight-loop codegen expressions — the previous
+    * transform/slice/concat_ws HOF chain ran interpreted per element),
+    * then ALL NumPerms multiply-shift permutation minima in one pass over
+    * the base-hash array ([[graft.functions.MinhashSigs]]). Signature
+    * values are bit-identical to the per-perm
+    * `array_min(transform(bh, mul_add64))` form the oracle reproduces.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
-      .withColumn("bh", transform(col("shingles"),
-        x => graft.functions.GraftFunctions.md5_64(x)))
-    val sig = array((0 until NumPerms).map { p =>
-      array_min(transform(col("bh"),
-        h => graft.functions.GraftFunctions.mul_add64(h, PermA(p), PermC(p))))
-    }: _*)
-    // shingles kept SORTED for the merge-intersect verifier.
-    withSh.select(col("doc_id"), array_sort(col("shingles")).as("shingles"), sig.as("sig"))
+    val toks = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"),
+      // shingles kept SORTED for the merge-intersect verifier; minima are
+      // order-independent, so hashing the sorted array changes nothing.
+      array_sort(graft.functions.GraftFunctions.word_shingles(toks, 3)).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        graft.functions.GraftFunctions.minhash_sigs(
+          graft.functions.GraftFunctions.md5_64_array(col("shingles")),
+          PermA, PermC).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
     * exact-Jaccard verification on candidates (threshold 0.5).
+    *
+    * The verified pair graph is MATERIALIZED once per (session, corpus)
+    * ([[graft.core.Materialize]]): d8's components and tx_source_overlap's
+    * provenance matrix consume the same frame, and recomputing the full
+    * pipeline per consumer triples its cost.
     */
-  private val minhashPairs: Q = (s, d) => {
+  private val minhashPairs: Q = (s, d) =>
+    graft.core.Materialize.once(s, s"d2_pairs:$d") { computeMinhashPairs(s, d) }
+
+  private def computeMinhashPairs(s: SparkSession, d: String): DataFrame = {
     // Materialize signatures ONCE (the hash fan-out is the expensive part;
     // without this the self-join would recompute 32×|shingles| hashes per
-    // side and per band).
-    val sigs = minhashSignatures(Tables.documents(s, d)).cutLineage
+    // side and per band). repartition first: a small corpus file is one
+    // input split, which would serialize the whole hash fan-out into a
+    // single task (at production scale the scan is already split).
+    val sigs = minhashSignatures(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .cutLineage
     // Candidate generation on (band, bucket, id) only — no array payloads
     // through the shuffle.
     // Bucket key = band index + the band's signature values, joined as a
@@ -115,33 +121,26 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** doc_id + 64-bit SimHash from token xxhash64s (sign of per-bit votes).
-    * Vote accumulation stays inside ONE map-side combine: per doc, fold
-    * token hashes into a 64-slot vote array with `aggregate` over the
-    * collected token-hash array — no 64-way aggregate (which stresses
-    * codegen) and no 64× row blow-up.
+  /** doc_id + 64-bit SimHash over md5-derived distinct-token hashes (sign
+    * of per-bit ±1 votes). The whole fold runs in one codegen'd pass per
+    * row ([[graft.functions.SimhashFold]] — same semantics as the
+    * aggregate/zip_with HOF chain it replaces, which ran interpreted and
+    * allocated a fresh 64-slot array per token).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val hashes = transform(array_distinct(split(trim(col("text")), "\\s+")),
-      t => graft.functions.GraftFunctions.md5_64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, masks,
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
-    docs.select(col("doc_id"), votes.as("votes"))
-      .select(col("doc_id"),
-        aggregate(zip_with(col("votes"), masks,
-          (v, m) => when(v > 0, m).otherwise(0L)),
-          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash_fold(
+        graft.functions.GraftFunctions.md5_64_array(
+          array_distinct(split(trim(col("text")), "\\s+")))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ 3, banded on 16-bit
     * chunks (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks equal).
     */
   private val simhashPairs: Q = (s, d) => {
-    val sh = simhash(Tables.documents(s, d)).cutLineage
+    // repartition: same single-input-split consideration as d2/d4.
+    val sh = simhash(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .cutLineage
     val chunked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("chunk_idx"),
@@ -168,9 +167,21 @@ object DedupOps {
     * document frequency, take the first |g| − ceil(t·|g|) + 1 as the
     * prefix; any pair with Jaccard ≥ t must share a prefix gram (the
     * t·|A∪B| ≥ t·max(|A|,|B|) overlap bound), so an equality join on
-    * (lang, prefix-gram) finds every qualifying pair. A size-ratio filter
-    * (min ≥ t·max) prunes further. Verification (exact intersect/union)
-    * runs only on the candidates.
+    * (lang, prefix-gram) finds every qualifying pair. Filters, in order:
+    * size-ratio (min ≥ t·max), PPJoin positional bound per occurrence,
+    * then a 64-bucket histogram screen (Σ min(histA, histB) upper-bounds
+    * the intersection — [[graft.functions.GramHist64]]) so the O(|A|+|B|)
+    * merge-intersect verification runs only on pairs the cheap bound
+    * cannot refute.
+    *
+    * Prefix construction is PER ROW against the global gram-frequency
+    * map: the char-3-gram vocabulary is bounded by |charset|³ — corpus-
+    * size-independent — so after one explode+partial-agg pass the df table
+    * collects to the driver (cap `spark.graft.ngram.vocabLimit`, default
+    * 4M rows) and the prefix slice is a codegen'd per-row sort — NO
+    * corpus-wide shuffle, window sort, or broadcast join. Past the cap
+    * (e.g. a giant multi-byte charset) the code falls back to the
+    * distributed join + per-doc window-rank path.
     */
   private val ngramJaccard: Q = (s, d) => {
     val t = 0.8
@@ -179,83 +190,99 @@ object DedupOps {
     // threshold (63 * 0.444… = 28.000000000000004 → ceil 29, true α 28).
     val tNum = 4L
     val tDen = 5L
-    // Short texts (<3 chars) have NO 3-grams. Spark's sequence(1, len-2)
-    // would count DOWN for len<3 ([1,0]) and fabricate phantom grams;
-    // DuckDB's generate_series is empty — match DuckDB.
-    val gramsCol = when(length(col("text")) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    // char_ngrams returns [] for texts shorter than 3 chars — matching
+    // DuckDB's empty generate_series (Spark's sequence(1, len-2) would
+    // count DOWN for len<3 and fabricate phantom grams).
+    // repartition BEFORE the gram/histogram compute: a small corpus file
+    // arrives as one input split, which would serialize all per-row work
+    // into a single task (at production scale the scan is already split;
+    // the shuffle moves only the raw text once).
     val g = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), gramsCol.as("grams"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GraftFunctions.char_ngrams(col("text"), 3).as("grams"))
+      .withColumn("hist", graft.functions.GraftFunctions.gram_hist64(col("grams")))
       .cutLineage
+    val vocabLimit = s.conf.getOption("spark.graft.ngram.vocabLimit")
+      .map(_.toInt).getOrElse(4000000)
     // Global (per-lang) gram document frequencies → rare-first ordering.
-    val ex = g.select(col("doc_id"), col("lang"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("gram"))
-    // The char-3-gram vocabulary is BOUNDED (charset³ keys, not corpus
-    // rows), so the df table stays broadcastable at ANY corpus size —
-    // the aggregation's map-side combine shrinks the exchange to the
-    // vocabulary, and broadcasting it removes what would otherwise be a
-    // full shuffle of the exploded corpus just to attach df.
-    val dfreq = broadcast(ex.groupBy("lang", "gram").agg(count(lit(1)).as("df")))
-    // Prefix index DIRECTLY from a per-doc window rank over (df, gram):
-    // position = rank − 1 in the doc's rare-first gram order, keep only
-    // positions inside the prefix window |g| − ceil(t·|g|) + 1 (exact
-    // integer arithmetic). One shuffle-by-doc + sort, row output is only
-    // Σ prefix lengths (≈ (1−t)·Σ|g|); the previous collect_list(struct) →
-    // array_sort → slice form materialized every doc's FULL sorted gram
-    // array through the aggregate (all-gram-size arrays in the sort
-    // buffers) just to throw 80% of it away.
-    // (df, gram) is a total order within a doc — grams are array_distinct'd
-    // — so row_number is deterministic.
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("df", "gram")
-    val pidx = ex.join(dfreq, Seq("lang", "gram"))
-      .withColumn("pos", row_number().over(byRarity) - 1)
-      .where(col("pos") <
-        expr(s"CAST(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1 AS INT)"))
-      .select(col("lang"), col("doc_id"), col("sz"), col("pos"), col("gram"))
-      .cutLineage
+    // One explode + partial-agg pass; map-side combine shrinks the
+    // exchange to the vocabulary.
+    val dfreqDf = g.select(col("lang"), explode(col("grams")).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+    val dfRows = dfreqDf.limit(vocabLimit + 1).collect()
+    val pidx =
+      if (dfRows.length <= vocabLimit) {
+        // Bounded vocabulary: per-row prefix slice, zero shuffles.
+        val byLang = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+        dfRows.foreach { r =>
+          byLang.computeIfAbsent(r.getString(0),
+            _ => new java.util.HashMap[String, Long]())
+            .put(r.getString(1), r.getLong(2))
+        }
+        g.select(col("lang"), col("doc_id"), size(col("grams")).as("sz"),
+          col("hist"),
+          posexplode(graft.functions.GraftFunctions.rare_prefix(
+            col("lang"), col("grams"), byLang, tNum, tDen)).as(Seq("pos", "gram")))
+      } else {
+        // Fallback: distributed df join + per-doc window rank (one
+        // shuffle-by-doc + sort; output only Σ prefix lengths).
+        val ex = g.select(col("doc_id"), col("lang"), size(col("grams")).as("sz"),
+          col("hist"), explode(col("grams")).as("gram"))
+        val byRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "gram")
+        ex.join(dfreqDf, Seq("lang", "gram"))
+          .withColumn("pos", row_number().over(byRarity) - 1)
+          .where(col("pos") <
+            expr(s"CAST(sz - ((sz * $tNum + ${tDen - 1}) div $tDen) + 1 AS INT)"))
+          .select(col("lang"), col("doc_id"), col("sz"), col("hist"),
+            col("pos"), col("gram"))
+      }
+    // Candidate generation: equality self-join on (lang, prefix gram).
+    // Size-ratio filter in the same exact integer arithmetic as alpha:
+    // min·tDen ≥ max·tNum avoids an FP product round-to-even pruning a
+    // pair sitting exactly on the boundary (e.g. 4k vs 5k at t=4/5).
+    // The PPJoin positional filter applies PER OCCURRENCE — overlap ≤
+    // 1 + min(remaining suffix lengths past this shared gram). The bound
+    // is loosest at the pair's first shared prefix gram (minimal
+    // positions), so a qualifying pair always survives through that
+    // occurrence: filtering before the pair-dedup is lossless and avoids
+    // a wide groupBy over the raw occurrence stream. The histogram screen
+    // (Σ min(histA, histB) < α refutes the pair — pair-level, position-
+    // independent, so per-occurrence application is equally lossless)
+    // runs in the SAME codegen stage as the join output, so refuted
+    // occurrences never reach the dedup shuffle at all.
+    val alphaExpr = expr(
+      s"(CAST(sz_a + sz_b AS BIGINT) * $tNum + ${tNum + tDen - 1}) div ${tNum + tDen}")
     val cand = pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_a"),
-        col("sz").as("sz_a"), col("pos").as("pa"))
+        col("sz").as("sz_a"), col("hist").as("h_a"), col("pos").as("pa"))
       .join(pidx.select(col("lang"), col("gram"), col("doc_id").as("doc_b"),
-        col("sz").as("sz_b"), col("pos").as("pb")), Seq("lang", "gram"))
-      // Size-ratio filter in the same exact integer arithmetic as alpha:
-      // min·tDen ≥ max·tNum avoids an FP product round-to-even pruning a
-      // pair sitting exactly on the boundary (e.g. 4k vs 5k at t=4/5).
+        col("sz").as("sz_b"), col("hist").as("h_b"), col("pos").as("pb")),
+        Seq("lang", "gram"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")) * tDen >=
           greatest(col("sz_a"), col("sz_b")) * tNum)
-      // One row per pair, keyed on the FIRST shared prefix gram (positions
-      // are monotone in the shared global order, so min(pa) and min(pb)
-      // identify the same token).
-      .groupBy("lang", "doc_a", "doc_b")
-      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
-        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
-      // Positional filter (PPJoin): no common token precedes the first
-      // shared prefix gram, so overlap ≤ 1 + min(remaining suffix lengths);
-      // required overlap for J ≥ t is α = ceil(tNum·(|A|+|B|) / (tNum+tDen)),
-      // computed in exact integer arithmetic.
-      .withColumn("alpha", expr(
-        s"(CAST(sz_a + sz_b AS BIGINT) * $tNum + ${tNum + tDen - 1}) div ${tNum + tDen}"))
-      .where(lit(1) + least(col("sz_a") - col("pa0") - 1, col("sz_b") - col("pb0") - 1)
-        >= col("alpha"))
-    // Exact verification on surviving candidates with the codegen'd
-    // merge-intersect over sorted arrays (array_intersect builds a hash
-    // set per row — the merge is allocation-free). The lexicographically
-    // sorted arrays come straight off the checkpointed gram table — a
-    // per-row array_sort projection, no df join needed.
+      .withColumn("alpha", alphaExpr)
+      .where(
+        lit(1) + least(col("sz_a") - col("pa") - 1, col("sz_b") - col("pb") - 1)
+          >= col("alpha") &&
+        graft.functions.GraftFunctions.min_sum64(col("h_a"), col("h_b"))
+          .cast("bigint") >= col("alpha"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        col("sz_a"), col("sz_b"), col("alpha"))
+    // Exact verification with the codegen'd allocation-free merge-
+    // intersect over sorted arrays, on the few pairs the bounds could not
+    // refute.
     val vg = g.select(col("doc_id"), array_sort(col("grams")).as("vgrams"))
     val ga = vg.select(col("doc_id").as("doc_a"), col("vgrams").as("g_a"))
     val gb = vg.select(col("doc_id").as("doc_b"), col("vgrams").as("g_b"))
-    cand.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
-      .withColumn("inter",
-        graft.functions.GraftFunctions.sorted_intersect_size(col("g_a"), col("g_b")))
-      // Division form must match the oracle exactly (a multiplied-through
-      // comparison can flip at the representability boundary of t).
-      .where(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double") >= t)
+    val inter = graft.functions.GraftFunctions.sorted_intersect_size(col("g_a"), col("g_b"))
+    cand.join(broadcast(ga), Seq("doc_a")).join(broadcast(gb), Seq("doc_b"))
+      // Division form must match the oracle exactly (a multiplied-
+      // through comparison can flip at the representability boundary).
+      .where(inter.cast("double") /
+        (col("sz_a") + col("sz_b") - inter).cast("double") >= t)
       .select(col("doc_a"), col("doc_b"), col("lang"))
   }
 
@@ -287,6 +314,15 @@ object DedupOps {
     */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val tile = s.conf.getOption("spark.graft.neardup.tile").map(_.toInt).getOrElse(8192)
+    // Materialized once per (session, corpus, tiling): d5 emits the pairs,
+    // d6 builds components over the same graph — same sharing rationale as
+    // the d2 pair graph ([[minhashPairs]]).
+    graft.core.Materialize.once(s, s"d5_pairs:$d:tile=$tile") {
+      computeEmbeddingPairs(s, d, tile)
+    }
+  }
+
+  private[graft] def computeEmbeddingPairs(s: SparkSession, d: String, tile: Int): DataFrame = {
     val e0 = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

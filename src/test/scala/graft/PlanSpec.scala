@@ -48,7 +48,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d5: pair verify is the codegen'd dot_fold, not interpreted HOFs") {
-    val p = planOf("d5_embedding_neardup")
+    // The registered query serves the session-materialized pair parquet
+    // (a plain scan); the plan contract is on the COMPUTE pipeline.
+    val df = graft.queries.DedupOps.computeEmbeddingPairs(spark, sf, 8192)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
     assert(p.contains("dot_fold"), "expected dot_fold in d5 plan")
     // The pair-join filter must not fall back to the aggregate() HOF form.
     val joinSection = p.substring(p.indexOf("SortMergeJoin").max(0))
