@@ -8,12 +8,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // ContextCleaner reclaims shuffle files / broadcasts / codegen
-      // classloaders only when driver GC collects their handles; the
-      // default periodic-GC interval (30 min) never fires inside one
-      // bench run, so residue from ~90 pipelines accumulates. 2 min
-      // bounds it without a stop-the-world pause per query.
-      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths so the first measured query doesn't pay
