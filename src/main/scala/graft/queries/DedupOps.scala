@@ -385,6 +385,17 @@ object DedupOps {
     * for EVERY node (singletons map to themselves), rep = min id in the
     * component. `pairs` must have columns (id_a, id_b). See
     * [[neardupComponents]] for the algorithm discussion.
+    *
+    * Hybrid execution, the shape production CC implementations use: star
+    * contraction strictly SHRINKS the edge set, so the distributed loop
+    * runs only while the graph exceeds `spark.graft.cc.localFinishEdges`
+    * (default 4M ≈ tens of MB); below the bound one deterministic
+    * union-find pass on the driver replaces what would otherwise be
+    * several more synchronous shuffle rounds — near-dup pair graphs are
+    * sparse relative to the corpus, so at any scale the tail of the
+    * contraction is small even when the input corpus is 100 TB. Set the
+    * bound to 0 to force the fully distributed path (differential-tested
+    * against the hybrid in DedupSpec).
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     def symmetrized(e: DataFrame): DataFrame =
@@ -417,10 +428,14 @@ object DedupOps {
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
 
+    val spark = pairs.sparkSession
+    val localBound = spark.conf.getOption("spark.graft.cc.localFinishEdges")
+      .map(_.toLong).getOrElse(4000000L)
+
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).cutLineage
     var prev = sig(edges)
     var stable = prev._1 == 0L
-    while (!stable) {
+    while (!stable && prev._1 > localBound) {
       val next = star(star(edges, large = true), large = false).cutLineage
       val cur = sig(next)
       // The (count, hash-sum) signature could collide across distinct edge
@@ -437,10 +452,44 @@ object DedupOps {
       graft.core.Lineage.release(edges)
       edges = next
     }
-    // Converged edges form stars: every node's rep is its min neighbor
-    // (or itself for singletons).
-    val reps = symmetrized(edges).groupBy("src").agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("mn"), col("src")).as("rep"))
+    val reps =
+      if (stable) {
+        // Converged edges form stars: every node's rep is its min
+        // neighbor (or itself for singletons).
+        symmetrized(edges).groupBy("src").agg(min(col("dst")).as("mn"))
+          .select(col("src").as("id"), least(col("mn"), col("src")).as("rep"))
+      } else {
+        // Local finish: the contracted edge set fits the bound — one
+        // deterministic union-find pass replaces the remaining shuffle
+        // rounds. Path-halving find; union by min keeps rep = min id.
+        val local = edges.select(col("src"), col("dst")).collect()
+        graft.core.Lineage.release(edges)
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) {
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp)
+            x = gp
+            p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        val endpoints = new java.util.LinkedHashSet[Long]()
+        local.foreach { r =>
+          endpoints.add(r.getLong(0)); endpoints.add(r.getLong(1))
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+        }
+        // Every union attaches the larger root under the smaller, so each
+        // component's final root is its min id — same rep the star
+        // contraction converges to.
+        import scala.jdk.CollectionConverters._
+        val pairsOut = endpoints.asScala.toSeq.map(id => (id, find(id)))
+        import spark.implicits._
+        spark.createDataset(pairsOut).toDF("id", "rep")
+      }
     nodes.join(reps, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("cluster_rep"))
   }

@@ -167,11 +167,19 @@ object SimilarityOps {
   /** Clusters for [[kmeans]]; seeds are the first K vectors by vec_id. */
   val KmeansK = 8
 
+  /** Lloyd refinement rounds (assignment → integer-exact means). The
+    * DuckDB oracle unrolls the same number of rounds from this constant,
+    * so the Spark pipeline and the oracle can never drift; override per
+    * session with `spark.graft.kmeans.rounds` for experiments (the
+    * registered oracle only matches at the default).
+    */
+  val KmeansRounds = 2
+
   /** Distributed Lloyd k-means over the embedding column — the semantic
     * clustering step of SemDeDup-style curation (cluster, then
-    * dedup/diversity-sample within clusters). One refinement round
-    * (seed assignment → integer-exact means → final assignment), fully
-    * deterministic end to end:
+    * dedup/diversity-sample within clusters). [[KmeansRounds]] refinement
+    * rounds (seed assignment → integer-exact means, iterated → final
+    * assignment), fully deterministic end to end:
     *
     * - Assignment is a broadcast of the k×dim centroid table against one
     *   corpus scan (no shuffle of the vectors); argmin is a
@@ -215,7 +223,18 @@ object SimilarityOps {
         "cluster", "c")
     val seeds = e.where(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
-    (assign, means(assign(seeds)))
+    val rounds = s.conf.getOption("spark.graft.kmeans.rounds")
+      .map(_.toInt).getOrElse(KmeansRounds)
+    // Each round is one corpus scan (broadcast model, map-side-combined
+    // argmin + means); the model is k×dim scalars, so cutting its lineage
+    // per round keeps the plan flat without pinning meaningful storage.
+    var model = means(assign(seeds))
+    var r = 1
+    while (r < rounds) {
+      model = means(assign(model.cutLineage))
+      r += 1
+    }
+    (assign, model)
   }
 
   private val kmeans: Q = (s, d) => kmeansAssign(s, d)
@@ -251,21 +270,29 @@ object SimilarityOps {
        |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y))""".stripMargin
 
   /** Shared CTE chain ending in `af` = the final k-means assignment
-    * (vec_id, cluster, dist_sq) — used by vq_kmeans and pipe_semdedup. */
-  val kmeansCtesSql: String =
+    * (vec_id, cluster, dist_sq) — used by vq_kmeans and pipe_semdedup.
+    * Unrolls [[KmeansRounds]] Lloyd rounds (c0 = seeds; round i: a_i =
+    * assignment against c_i, c_{i+1} = integer-exact means of a_i), so the
+    * oracle follows the Spark pipeline's round count by construction.
+    */
+  val kmeansCtesSql: String = {
+    val assignCte = (name: String, cent: String) =>
+      s"""$name AS (SELECT e.vec_id, $cent.cluster, ${distSql("e.v", s"$cent.c")} AS dist_sq
+         |       FROM e, $cent
+         |       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist_sq, cluster) = 1)""".stripMargin
+    val roundCtes = (0 until KmeansRounds).map { i =>
+      s"""${assignCte(s"a$i", s"c$i")},
+         |px$i AS (SELECT a$i.cluster, unnest(generate_series(1, len(e.v))) AS pos, unnest(e.v) AS x
+         |       FROM a$i JOIN e USING (vec_id)),
+         |cm$i AS (SELECT cluster, pos, ${exactMeanSql("x")} AS m
+         |       FROM px$i GROUP BY cluster, pos),
+         |c${i + 1} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM cm$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS c FROM e WHERE vec_id < $KmeansK),
-       |a0 AS (SELECT e.vec_id, c0.cluster, ${distSql("e.v", "c0.c")} AS dist_sq
-       |       FROM e, c0
-       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist_sq, cluster) = 1),
-       |px AS (SELECT a0.cluster, unnest(generate_series(1, len(e.v))) AS pos, unnest(e.v) AS x
-       |       FROM a0 JOIN e USING (vec_id)),
-       |cm AS (SELECT cluster, pos, ${exactMeanSql("x")} AS m
-       |       FROM px GROUP BY cluster, pos),
-       |c1 AS (SELECT cluster, list(m ORDER BY pos) AS c FROM cm GROUP BY cluster),
-       |af AS (SELECT e.vec_id, c1.cluster, ${distSql("e.v", "c1.c")} AS dist_sq
-       |       FROM e, c1
-       |       QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist_sq, cluster) = 1)""".stripMargin
+       |$roundCtes,
+       |${assignCte("af", s"c$KmeansRounds")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "vq_kmeans" ->

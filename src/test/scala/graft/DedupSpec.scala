@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(single.forall { case (a, b, _) => a < b })
   }
 
+  test("connected components: local union-find finish == fully distributed path") {
+    val d = "/root/testdata/sf0.001"
+    def run(bound: String) = {
+      spark.conf.set("spark.graft.cc.localFinishEdges", bound)
+      try DedupOps.queries("d6_neardup_components")(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+    }
+    val hybrid = run("4000000") // edge set under the bound → union-find finish
+    val distributed = run("0")  // star contraction to convergence
+    assert(hybrid == distributed)
+    assert(hybrid.nonEmpty)
+  }
+
   test("d6 components: pair endpoints share a rep; reps are cluster minima") {
     val d = "/root/testdata/sf0.001"
     val pairs = DedupOps.embeddingPairs(spark, d)

@@ -39,6 +39,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a1.values.toSet.size > 1)
   }
 
+  test("kmeans: WCSS is monotone non-increasing in Lloyd rounds") {
+    import org.apache.spark.sql.functions._
+    def wcss(rounds: Int): Double = {
+      spark.conf.set("spark.graft.kmeans.rounds", rounds.toString)
+      try SparkEntry.queries("vq_kmeans")(spark, SparkTestBase.sf)
+        .agg(sum(col("dist_sq"))).head.getDouble(0)
+      finally spark.conf.unset("spark.graft.kmeans.rounds")
+    }
+    // Lloyd's algorithm: each assignment and each mean update can only
+    // lower the within-cluster sum of squares. The cents rounding in the
+    // exact-mean trick perturbs each coordinate by ≤ 5e-8, so allow a
+    // proportional epsilon rather than exact monotonicity.
+    val w = (1 to 3).map(wcss)
+    w.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-6) + 1e-6, s"WCSS increased across rounds: $w")
+    }
+  }
+
   test("semdedup: identical planted vectors are flagged, keeper is min id") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
