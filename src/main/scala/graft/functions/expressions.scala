@@ -235,6 +235,28 @@ object ExprUtil {
     s
   }
 
+  /** Per-frame byte sums of a binary payload: up to `maxFrames` frames of
+    * `frameSize` bytes, sum of unsigned byte values per frame — the stub
+    * "frame feature" in one tight loop (twin of
+    * [[graft.queries.MultimodalOps.sampleFrames]]).
+    */
+  def frameByteSums(payload: Array[Byte], frameSize: Int, maxFrames: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = payload.length
+    val nFrames = math.min(maxFrames, (n + frameSize - 1) / frameSize)
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val end = math.min(n, (f + 1) * frameSize)
+      var i = f * frameSize
+      var sum = 0L
+      while (i < end) { sum += payload(i) & 0xFF; i += 1 }
+      out(f) = sum
+      f += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** All-Pairs/PPJoin prefix of a gram set: order the doc's grams by
     * ascending global document frequency (ties by binary string order —
     * the same total order as ORDER BY df, gram on a string column), keep
@@ -535,6 +557,25 @@ case class MinSum64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-frame byte sums over a binary column (see [[ExprUtil.frameByteSums]]). */
+case class FrameByteSums(child: Expression, frameSize: Int, maxFrames: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "frame_byte_sums"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.frameByteSums(input.asInstanceOf[Array[Byte]], frameSize, maxFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprUtil.frameByteSums($c, $frameSize, $maxFrames)")
+
+  override protected def withNewChildInternal(newChild: Expression): FrameByteSums =
+    copy(child = newChild)
+}
+
 /** Per-row All-Pairs/PPJoin prefix (see [[ExprUtil.rarePrefix]]). The df
   * map is a plain task-closure reference: the char-n-gram vocabulary is
   * bounded by |charset|^n, not corpus size, so the map stays small at any
@@ -620,6 +661,11 @@ object GraftFunctions {
   def min_sum64(a: Column, b: Column): Column =
     GraftSqlShim.column(MinSum64(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Per-frame byte sums of a binary column (≤8 frames of 256 bytes). */
+  def frame_byte_sums(payload: Column, frameSize: Int = 256, maxFrames: Int = 8): Column =
+    GraftSqlShim.column(FrameByteSums(
+      GraftSqlShim.expression(payload), frameSize, maxFrames))
 
   /** Per-row PPJoin prefix slice against a driver-collected df map. */
   def rare_prefix(lang: Column, grams: Column,

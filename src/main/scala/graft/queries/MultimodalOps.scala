@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,15 +17,25 @@ final case class MmFeature(
     format: String)
 
 /** Multimodal-column plumbing: treat content as an opaque `binary` column
-  * and run per-partition batch feature extraction over it with a typed
-  * Dataset pipeline (the Scala analogue of mapInPandas: one iterator per
-  * partition, streaming, no driver involvement).
+  * with typed feature extraction over it.
   *
-  * The DECODE step is a STUB — image/audio codecs are not in this
-  * container — producing deterministic pseudo-dimensions from the byte
-  * length. The Spark-side plumbing (binary column, partition-batched
-  * iteration, typed schema out, content hashing) is real and
-  * oracle-checked via sha256/octet_length arithmetic.
+  * TWO execution shapes, value-identical (MultimodalParitySpec):
+  *
+  * 1. The REGISTERED queries compute the stub features with codegen'd
+  *    built-ins (octet_length / sha2 / modular arithmetic, plus one tight
+  *    frame-sum expression) — whole-stage codegen, column pruning and
+  *    pushdown all intact. This is the right plan while the "decode" is
+  *    arithmetic on the payload.
+  * 2. [[featuresViaCodec]] / [[framesViaCodec]] keep the typed
+  *    `Dataset.mapPartitions` pipeline (the Scala analogue of mapInPandas:
+  *    one iterator per partition, streaming, no driver involvement) — the
+  *    execution shape a REAL codec call needs, since an image/audio
+  *    library call cannot be a Catalyst expression. A deployment swaps
+  *    [[decodeStub]]'s body for the codec and registers the codec path.
+  *
+  * The DECODE step is a STUB either way — image/audio codecs are not in
+  * this container — producing deterministic pseudo-dimensions from the
+  * byte length, oracle-checked via sha256/octet_length arithmetic.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -50,11 +60,30 @@ object MultimodalOps {
       format = (n % 3) match { case 0 => "rgb"; case 1 => "rgba"; case _ => "gray" })
   }
 
-  /** Binary payloads → per-partition feature extraction → typed rows. */
+  private def payloadCol: Column = col("text").cast("binary")
+
+  /** Stub features as codegen'd built-ins — bit-identical to
+    * [[decodeStub]] (asserted by MultimodalParitySpec). */
   private val features: Q = (s, d) => {
+    val n = octet_length(payloadCol)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      n.as("n_bytes"),
+      sha2(payloadCol, 256).as("sha256"),
+      (lit(64) + pmod(n, lit(512))).as("width"),
+      (lit(64) + pmod(n.cast("long") * 7, lit(512L))).cast("int").as("height"),
+      when(pmod(n, lit(3)) === 0, "rgb")
+        .when(pmod(n, lit(3)) === 1, "rgba")
+        .otherwise("gray").as("format"))
+  }
+
+  /** Binary payloads → per-partition feature extraction → typed rows (the
+    * real-codec execution shape; see object doc).
+    */
+  def featuresViaCodec(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), payloadCol.as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
       .toDF()
@@ -80,11 +109,24 @@ object MultimodalOps {
     }
   }
 
-  /** Binary payloads → per-partition frame sampling (flatMap). */
-  private val frames: Q = (s, d) => {
+  /** Stub frames via one codegen'd frame-sum expression + posexplode —
+    * value-identical to [[sampleFrames]] (MultimodalParitySpec). */
+  private val frames: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), octet_length(payloadCol).as("nb"),
+        posexplode(graft.functions.GraftFunctions.frame_byte_sums(payloadCol))
+          .as(Seq("frame_idx", "byte_sum")))
+      .select(col("doc_id"), col("frame_idx"),
+        least(col("nb") - col("frame_idx") * 256, lit(256)).as("frame_bytes"),
+        col("byte_sum"))
+
+  /** Binary payloads → per-partition frame sampling (flatMap; the
+    * real-codec execution shape).
+    */
+  def framesViaCodec(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), payloadCol.as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => sampleFrames(id, bytes) })
       .toDF()
