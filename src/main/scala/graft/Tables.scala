@@ -60,6 +60,10 @@ object Tables {
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          // Spread the copy across the session's parallelism: the raw
+          // file is one split, and writing it back as one file would
+          // serialize every event query's map side into a single task.
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(out)
         out
       } finally prev match {
@@ -79,5 +83,14 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** documents with per-row-compute parallelism ensured: a small corpus
+    * file arrives as ONE input split, which serializes heavy per-row work
+    * (tokenization, hashing, regex) into a single task; at production
+    * scale the scan is already split and the repartition shuffle moves
+    * each row once. Use for queries whose map-side work dominates.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

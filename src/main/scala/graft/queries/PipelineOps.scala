@@ -188,7 +188,7 @@ object PipelineOps {
     // lineage cut fences filter pushdown from substituting the
     // expressions back into the scan; text is dropped so the
     // materialized frame is a few scalar columns.
-    val scored = Tables.documents(s, d)
+    val scored = Tables.documentsSpread(s, d)
       .select(col("doc_id"), col("lang"), col("text"), t.as("__toks"))
       .select(col("doc_id"), col("lang"), col("text"),
         size(col("__toks")).as("n_tok"),
@@ -282,7 +282,7 @@ object PipelineOps {
         coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
   }
 
-  private val lineDedup: Q = (s, d) => lineDedupOf(Tables.documents(s, d))
+  private val lineDedup: Q = (s, d) => lineDedupOf(Tables.documentsSpread(s, d))
 
   /** Per-document keyword extraction: the top-3 "most frequent, least
     * common" tokens — ranked by term frequency desc, then corpus
@@ -308,7 +308,7 @@ object PipelineOps {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
   }
 
-  private val keywords: Q = (s, d) => keywordsOf(Tables.documents(s, d))
+  private val keywords: Q = (s, d) => keywordsOf(Tables.documentsSpread(s, d))
 
   /** Rarity cutoff for [[lmScoreOf]]: a token is rare when its corpus
     * share is under 1/[[RareDenom]]. */
@@ -343,7 +343,7 @@ object PipelineOps {
         col("common_sum").cast("double") / col("n_tokens").cast("double"))
   }
 
-  private val lmScore: Q = (s, d) => lmScoreOf(Tables.documents(s, d))
+  private val lmScore: Q = (s, d) => lmScoreOf(Tables.documentsSpread(s, d))
 
   /** Cosine threshold above which two same-cluster vectors are semantic
     * duplicates — matches d5's corpus-calibrated near-dup threshold. */
