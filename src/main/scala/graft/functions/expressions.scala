@@ -85,13 +85,24 @@ object ExprUtil {
     * shorter than n, matching DuckDB's empty generate_series.
     */
   def charNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val len = s.numChars()
-    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // ONE forward walk over the UTF-8 bytes with a ring buffer of the
+    // last n+1 code-point byte offsets — O(len). A substringSQL(i, n) per
+    // position would re-seek from the string start each call: O(len²)
+    // per document, which is a real cost on book-length texts.
+    val bytes = s.getBytes
+    val len = bytes.length
     val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 1
-    while (i <= len - n + 1) {
-      seen.add(s.substringSQL(i, n))
-      i += 1
+    val offs = new Array[Int](n + 1)
+    var cnt = 0
+    var i = 0
+    while (i < len) {
+      offs(cnt % (n + 1)) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      cnt += 1
+      if (cnt >= n) {
+        val start = offs((cnt - n) % (n + 1))
+        seen.add(UTF8String.fromBytes(bytes, start, i - start))
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])

@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!joinSection.contains("zip_with"), "pair verify regressed to HOF zip_with")
   }
 
+  test("d4: verify joins broadcast, no cartesian product, histogram screen in the plan") {
+    val p = planOf("d4_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    // The gram-array/histogram sides are per-doc (small) — they must
+    // broadcast, never shuffle the candidate stream against them.
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // The lossless intersection upper bound must sit in the candidate
+    // filter (before the merge-intersect verify).
+    assert(p.contains("min_sum64"), "histogram screen missing from plan")
+    assert(p.contains("sorted_intersect_size"), "merge-intersect verify missing")
+  }
+
   test("tx_contamination: benchmark gram set joins broadcast, corpus never self-joins") {
     val p = planOf("tx_contamination")
     assert(p.contains("BroadcastHashJoin Inner"), p.take(800))
