@@ -540,6 +540,44 @@ object DedupOps {
   private val incrementalDedup: Q = (s, d) =>
     incrementalDedupOf(Tables.documents(s, d))
 
+  /** Token-window size for [[dupSpans]] (the W of exact-substring dedup;
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" use 50 BPE tokens — scaled to this corpus's ~50-token docs).
+    */
+  val SpanWindow = 8
+
+  /** Exact substring-span dedup (d9): every W-token window of every
+    * document is fingerprinted; a window whose fingerprint occurs at ≥2
+    * sites corpus-wide is a DUPLICATED SPAN, and each document reports
+    * its duplicated-window count and fraction (the per-doc removal signal
+    * the exact-substring pass of a training pipeline acts on).
+    *
+    * Scale shape: only (doc_id, window-fingerprint) pairs shuffle — the
+    * window text never leaves the map side; fingerprint counts are one
+    * hash aggregate with map-side combine (vocabulary-sized, Zipf
+    * bounded); the count join back is fingerprint-keyed. Both engines
+    * group by md5(window), so the result is identical by construction
+    * even in the (practically impossible) event of a digest collision.
+    */
+  def dupSpansOf(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val wins = when(size(toks) >= SpanWindow,
+      transform(sequence(lit(1), size(toks) - (SpanWindow - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(SpanWindow))))))
+      .otherwise(array().cast("array<string>"))
+    val w = docs
+      .select(col("doc_id"), explode(wins).as("h"))
+    val counts = w.groupBy("h").agg(count(lit(1)).as("cnt"))
+    w.join(counts, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac_e6",
+        floor(col("n_dup_windows") * lit(1000000L) / col("n_windows")).cast("long"))
+  }
+
+  private val dupSpans: Q = (s, d) => dupSpansOf(Tables.documentsSpread(s, d))
+
   val queries: Map[String, Q] = Map(
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
@@ -548,6 +586,7 @@ object DedupOps {
     "d6_neardup_components" -> neardupComponents,
     "d7_incremental_dedup" -> incrementalDedup,
     "d8_minhash_components" -> minhashComponents,
+    "d9_dup_spans" -> dupSpans,
   )
 
   private def gramsSql(t: String) =
@@ -672,6 +711,17 @@ object DedupOps {
          |)
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
          |FROM walk GROUP BY id""".stripMargin,
+    "d9_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |w AS (SELECT doc_id,
+         |        md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + ${SpanWindow - 1}), ' ')) AS h
+         |      FROM t, unnest(generate_series(1, len(toks) - ${SpanWindow - 1})) AS g(i)
+         |      WHERE len(toks) >= $SpanWindow),
+         |c AS (SELECT h, count(*) AS cnt FROM w GROUP BY 1)
+         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  CAST(floor(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1000000 / count(*)) AS BIGINT) AS dup_frac_e6
+         |FROM w JOIN c USING (h) GROUP BY w.doc_id""".stripMargin,
     "d7_incremental_dedup" ->
       """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS corpus_dup
         |  FROM documents WHERE source <> 'src19' GROUP BY 1),

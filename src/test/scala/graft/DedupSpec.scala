@@ -134,6 +134,26 @@ class DedupSpec extends AnyFunSuite {
     assert(reps(20L) == 20L)
   }
 
+  test("d9 dup spans: planted cross-doc window flagged; unique text clean; short docs absent") {
+    import graft.queries.DedupOps
+    val shared = (1 to DedupOps.SpanWindow).map(i => s"dup$i").mkString(" ")
+    val d = docs(
+      1L -> s"unique one alpha $shared beta gamma unique tail here",
+      2L -> s"other words entirely then $shared and more distinct text",
+      3L -> (1 to 20).map(i => s"solo$i").mkString(" "),
+      4L -> "too short")
+    val out = DedupOps.dupSpansOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Docs 1 and 2 share exactly one W-token window; the windows that
+    // OVERLAP the shared run differ (different surrounding tokens).
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1,
+      s"expected exactly one duplicated window per planted doc: $out")
+    assert(out(3L)._2 == 0)
+    assert(!out.contains(4L), "docs shorter than the window emit no rows")
+    // Window counts: n_tokens - W + 1.
+    assert(out(3L)._1 == 20 - DedupOps.SpanWindow + 1)
+  }
+
   test("incremental dedup: corpus match wins, intra-batch dups attributed to batch min") {
     import spark.implicits._
     import graft.queries.DedupOps
