@@ -361,6 +361,86 @@ object DedupOps {
 
   private val embeddingNearDup: Q = (s, d) => embeddingPairs(s, d)
 
+  /** OPTIONAL random-hyperplane LSH prefilter for embedding near-dup —
+    * for SPARSER similarity thresholds than d5's 0.3. d5 stays exact by
+    * default because at cos ≥ 0.3 this corpus is dense AT the boundary
+    * (see [[embeddingPairs]]): hyperplane collision probability is
+    * 1 − θ/π = 0.597 at the threshold vs 0.5 for the bulk, and no banding
+    * separates those with full recall. At a sparse threshold (≥ ~0.7) the
+    * gap is wide (0.795 vs 0.5) and banding prunes honestly. Candidates =
+    * equality join on (label, band, band-signature); verification is the
+    * same exact cosine as the exact path, so precision is 1 by
+    * construction and only RECALL is probabilistic (1 − (1 − p^r)^b per
+    * pair). Hyperplanes derive from splitmix64 — deterministic across
+    * runs and engines.
+    */
+  def embeddingPairsLsh(s: SparkSession, d: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
+      .head.getInt(0)
+    val nBits = bands * rowsPerBand
+    // Deterministic hyperplanes: splitmix64 → uniform in [-1, 1).
+    val planes: Array[Array[Double]] = Array.tabulate(nBits, dim) { (b, i) =>
+      (splitmix64(0xE5113L * (b.toLong * 4099 + i)).toDouble / (1L << 63).toDouble)
+    }
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot_fold(col("v"), col("v"))))
+      .cutLineage
+    // Signature bit = sign(v · plane); band key packs rowsPerBand bits.
+    val sigBits: Seq[Column] = planes.toIndexedSeq.map { p =>
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
+      when(graft.functions.GraftFunctions.dot_fold(col("v"), planeCol) >= 0, 1L).otherwise(0L)
+    }
+    val bandKeys = (0 until bands).map { b =>
+      (0 until rowsPerBand).map(r => sigBits(b * rowsPerBand + r) * lit(1L << r))
+        .reduce(_ + _).as(s"band_$b")
+    }
+    val banded = e.select((col("vec_id") +: col("label") +: col("v") +: col("nrm") +:
+        bandKeys): _*)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bk"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("bk.band"), col("bk.sig"))
+    val a = banded.select(col("label"), col("band"), col("sig"),
+      col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = banded.select(col("label"), col("band"), col("sig"),
+      col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val dot = graft.functions.GraftFunctions.dot_fold(col("v_a"), col("v_b"))
+    val den = col("n_a") * col("n_b")
+    a.join(b, Seq("label", "band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine",
+        when(den === 0.0d, lit(null).cast("double")).otherwise(dot / den))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("label"))
+  }
+
+  /** Exact per-label all-pairs at an arbitrary threshold (the d5 pipeline
+    * with the threshold parameterized) — recall reference for
+    * [[embeddingPairsLsh]].
+    */
+  def embeddingPairsExact(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot_fold(col("v"), col("v"))))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
+    val dot = graft.functions.GraftFunctions.dot_fold(col("v_a"), col("v_b"))
+    val den = col("n_a") * col("n_b")
+    a.join(b, Seq("label")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(den === 0.0d, lit(null).cast("double")).otherwise(dot / den))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("label"))
+  }
+
   /** Near-dup DEDUP CLUSTERS — the step a training pipeline actually runs
     * on pair output: connected components over the d5 near-dup graph, one
     * canonical representative (min id) per cluster, singletons included.

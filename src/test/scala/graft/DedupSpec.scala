@@ -134,6 +134,41 @@ class DedupSpec extends AnyFunSuite {
     assert(reps(20L) == 20L)
   }
 
+  test("LSH embedding prefilter: precision 1 (subset of exact), high recall at a sparse threshold") {
+    import spark.implicits._
+    // The real corpus has no pairs above cos 0.45 (dense-at-0.3 design),
+    // so plant a sparse-threshold workload: 30 clusters of 3 near-copies
+    // (cos ≈ 0.99) + 200 independent noise vectors, deterministic.
+    def unit(seed: Long): Array[Float] = {
+      var s = seed
+      def next(): Double = { s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 11).toDouble / (1L << 53).toDouble - 0.5 }
+      Array.fill(32)(next().toFloat)
+    }
+    def jitter(base: Array[Float], seed: Long): Array[Float] = {
+      val j = unit(seed)
+      base.zip(j).map { case (x, e) => x + 0.02f * e }
+    }
+    val rows = (0 until 30).flatMap { c =>
+      val base = unit(1000 + c)
+      (0 until 3).map(k => (c * 3L + k, c % 4, jitter(base, 9000 + c * 7 + k)))
+    } ++ (0 until 200).map(i => (1000L + i, i % 4, unit(5000 + i)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshnd").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val t = 0.7 // sparse: hyperplane collision 0.747 at cos 0.7 vs 0.5 bulk
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(DedupOps.embeddingPairsExact(spark, tmp, t))
+    val lsh = pairs(DedupOps.embeddingPairsLsh(spark, tmp, t))
+    assert(exact.size >= 30, s"planted clusters missing from exact set: ${exact.size}")
+    // Verification is the same exact cosine, so no false positives ever.
+    assert(lsh.subsetOf(exact), s"LSH emitted non-qualifying pairs: ${lsh -- exact}")
+    // Banding (16 bands × 4 bits) keeps recall high at this separation.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("d9 dup spans: planted cross-doc window flagged; unique text clean; short docs absent") {
     import graft.queries.DedupOps
     val shared = (1 to DedupOps.SpanWindow).map(i => s"dup$i").mkString(" ")
