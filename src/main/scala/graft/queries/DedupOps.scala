@@ -639,14 +639,19 @@ object DedupOps {
     * group by md5(window), so the result is identical by construction
     * even in the (practically impossible) event of a digest collision.
     */
-  def dupSpansOf(docs: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val wins = when(size(toks) >= SpanWindow,
+  /** W-token window fingerprints of a text column — ONE definition shared
+    * by batch d9 and the streaming twin so parity cannot drift. */
+  def spanFingerprints(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) >= SpanWindow,
       transform(sequence(lit(1), size(toks) - (SpanWindow - 1)),
         i => md5(concat_ws(" ", slice(toks, i, lit(SpanWindow))))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  def dupSpansOf(docs: DataFrame): DataFrame = {
     val w = docs
-      .select(col("doc_id"), explode(wins).as("h"))
+      .select(col("doc_id"), explode(spanFingerprints(col("text"))).as("h"))
     val counts = w.groupBy("h").agg(count(lit(1)).as("cnt"))
     w.join(counts, Seq("h"))
       .groupBy("doc_id")

@@ -52,6 +52,39 @@ object DocStreaming {
   def benchmarkGrams(spark: SparkSession, sfDir: String): DataFrame =
     PipelineOps.benchGramsOf(graft.Tables.documents(spark, sfDir))
 
+  /** Streaming dup-span gate — the ingest-side twin of batch
+    * d9_dup_spans: each arriving document's W-token window fingerprints
+    * LEFT-join the STATIC corpus window-count table (stream–static
+    * broadcast: map-side, no stream shuffle), and one streaming
+    * aggregation folds them to the per-doc duplicated-span signal. A
+    * window is duplicated when the corpus holds it more than once — so
+    * replaying the corpus against its own counts reproduces batch d9
+    * row-for-row (own occurrence + ≥1 other), which is the parity spec;
+    * in production the count table is the previous corpus snapshot and
+    * the gate answers "is this delivery regurgitating known text".
+    */
+  def dupSpanScores(stream: DataFrame, corpusCounts: DataFrame): DataFrame = {
+    import graft.queries.DedupOps
+    stream
+      .select(col("doc_id"), explode(DedupOps.spanFingerprints(col("text"))).as("h"))
+      .join(broadcast(corpusCounts), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(coalesce(col("cnt"), lit(0L)) > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac_e6",
+        floor(col("n_dup_windows") * lit(1000000L) / col("n_windows")).cast("long"))
+  }
+
+  /** The static corpus window-count table for [[dupSpanScores]], derived
+    * by the SAME windowing as batch d9 (shared constants, so parity
+    * cannot drift). */
+  def corpusWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.DedupOps
+    graft.Tables.documents(spark, sfDir)
+      .select(explode(DedupOps.spanFingerprints(col("text"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact dedup with BOUNDED state — the ingest-side twin of
     * batch d1_exact_dedup. A plain `dropDuplicates` on a stream keeps
     * every content hash in state forever (state grows with the corpus —

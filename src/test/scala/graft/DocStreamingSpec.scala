@@ -32,6 +32,26 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dup-span gate == batch d9_dup_spans (corpus replayed against own counts)") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val counts = DocStreaming.corpusWindowCounts(spark, SparkTestBase.sf)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.dupSpanScores(stream, counts), "span_out")
+    try {
+      val streamed = spark.table("span_out")
+        .select("doc_id", "n_windows", "n_dup_windows", "dup_frac_e6")
+      val batch = SparkEntry.queries("d9_dup_spans")(spark, SparkTestBase.sf)
+        .select("doc_id", "n_windows", "n_dup_windows", "dup_frac_e6")
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch dup-span mismatch")
+    } finally q.stop()
+  }
+
   test("streaming cluster assignment == batch kmeans assignment, stateless plan") {
     val emb = Tables.embeddings(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream").toString
