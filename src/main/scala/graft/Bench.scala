@@ -14,6 +14,18 @@ object Bench {
     // one-time startup cost; deterministic (sorted) query order.
     try spark.range(1000000).selectExpr("sum(id)").collect()
     catch { case _: Throwable => () }
+    // Environment calibration: a fixed CPU-bound workload timed before and
+    // after the query sequence. This VM's host steals CPU in bursts
+    // (identical code measured 4-8x apart across runs); the calibration
+    // seconds let a reader judge whether a given recording happened inside
+    // such a window without re-running anything.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      try spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = calibrate()
     // Dataset setup is not query cost: the first events access performs
     // the one-time nanos→micros normalized-copy write (Tables.events);
     // without this, whichever measured query alphabetically touches
@@ -39,7 +51,9 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }.toMap
     val total = results.values.filter(_ >= 0).sum
+    val calibPost = calibrate()
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val calib = s""""calib_pre_sec":${fmt(calibPre)},"calib_post_sec":${fmt(calibPost)}"""
     // Full per-query detail goes to a file; the stdout line must stay inside
     // the driver's 2000-char output-tail buffer or it records parsed:null
     // (this is exactly what happened in rounds 1-2 with ~85 queries at full
@@ -50,9 +64,9 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":${JsonOut.q(sfDir)}}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calib,"queries":$detail,"sf":${JsonOut.q(sfDir)}}""")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val wrapper = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"queries_omitted":000,"others_sec":0000.000,"detail":"BENCH_DETAIL.json","sf":${JsonOut.q(sfDir)}}"""
+    val wrapper = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calib,"queries":{},"queries_omitted":000,"others_sec":0000.000,"detail":"BENCH_DETAIL.json","sf":${JsonOut.q(sfDir)}}"""
     val budget = 1800 - wrapper.length
     val bySlow = results.toSeq.sortBy { case (_, v) => -v }
     // Keep the longest slowest-first PREFIX whose entries fit the budget
@@ -65,7 +79,7 @@ object Bench {
       .map { case (k, v) => s"${JsonOut.q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val omitted = results.size - kept
     val othersSec = bySlow.drop(kept).map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"others_sec":${fmt(othersSec)},"detail":"BENCH_DETAIL.json","sf":${JsonOut.q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calib,"queries":$qs,"queries_omitted":$omitted,"others_sec":${fmt(othersSec)},"detail":"BENCH_DETAIL.json","sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 }

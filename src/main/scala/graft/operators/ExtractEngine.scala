@@ -41,6 +41,11 @@ final class ExtractOperation(
   private val extractedRows = mutable.Map.empty[String, DataFrame]
   private val extractedIds = mutable.Map.empty[String, DataFrame]
   private val requiredIds = mutable.Map.empty[String, DataFrame]
+  // Tables whose required-id set changed since their last resolve pass:
+  // a resolve against an unchanged (already-drained) set is a guaranteed
+  // no-op, and skipping it saves its whole eager job chain — the
+  // fixpoint loop otherwise pays it every iteration after the set drains.
+  private val depsDirty = mutable.Set.empty[String]
   val errors = mutable.Map.empty[String, mutable.Buffer[String]]
 
   private def emptyIds: DataFrame = {
@@ -89,6 +94,7 @@ final class ExtractOperation(
       case Some(r) => r.unionByName(fresh).distinct()
       case None => fresh.distinct()
     }
+    depsDirty += table
   }
 
   /** Membership marker: adds boolean column `marker` = value ∈ ids(table),
@@ -228,6 +234,14 @@ final class ExtractOperation(
   /** Reference resolve_registered_dependencies (amaxa/amaxa.py:805-818). */
   private def resolveRegisteredDependencies(step: ExtractStep, ls: LookupSets): Unit = {
     val t = step.sobject
+    // Nothing registered since the last resolve → the set is either empty
+    // or exactly the already-reported missing ids; both make this pass a
+    // no-op (and skipping also avoids duplicating the missing-id error
+    // once per subsequent fixpoint iteration).
+    if (!depsDirty.contains(t)) return
+    // Clear BEFORE the pass: storeResult below may register fresh self
+    // dependencies for the next iteration, which must re-mark the table.
+    depsDirty -= t
     val pre = getRequiredIds(t).cutLineage
     if (pre.isEmpty) return
     val idf = catalog(t).idField
