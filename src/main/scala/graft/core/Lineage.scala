@@ -29,6 +29,26 @@ object Lineage {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** [[cut]] + row count in ONE Spark job where the backend allows it.
+    * Iterative engines always need both (materialize the pass result,
+    * then branch on emptiness); run separately that is two scheduler
+    * round-trips per pass. A non-eager localCheckpoint materializes its
+    * blocks as a side effect of the first action, so count() doubles as
+    * the materializing job. Reliable checkpoints re-execute lineage on
+    * materialization, so there the eager two-job form stays (correctness
+    * over a saved job on the path that only runs on real clusters).
+    */
+  def cutCounted(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
+      val c = cut(df)
+      (c, c.count())
+    } else {
+      val c = df.localCheckpoint(eager = false)
+      (c, c.count())
+    }
+  }
+
   /** Release the storage behind a frame returned by [[cut]] once it is
     * SUPERSEDED — iterative operators (fixpoint id accumulators, star-
     * contraction rounds) re-cut an accumulator every pass, and without an

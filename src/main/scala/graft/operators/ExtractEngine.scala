@@ -37,10 +37,27 @@ final class ExtractOperation(
   private def spark = store.spark
 
   // Per-table accumulated state. Ids are kept as single-column ("__id")
-  // distinct, checkpointed DataFrames.
+  // DataFrames that are DISTINCT BY CONSTRUCTION: every fold into
+  // `extractedIds` is the id projection of a batch that was
+  // dropDuplicates'd on the id field and anti-joined against the
+  // accumulator first, so folds are unique within themselves and disjoint
+  // from the accumulator. Consumers rely on this — withMembership uses a
+  // LEFT join (duplicates would fan rows out) — and it lets the
+  // accumulator be a LAZY union of projections over already-checkpointed
+  // batches: no per-pass distinct shuffle, no per-pass re-checkpoint job.
   private val extractedRows = mutable.Map.empty[String, DataFrame]
   private val extractedIds = mutable.Map.empty[String, DataFrame]
   private val requiredIds = mutable.Map.empty[String, DataFrame]
+  // Folds into extractedIds since its last compaction, and the frame a
+  // compaction produced: a union accumulator analyzed/evaluated per pass
+  // costs O(width) driver time, so every `idCompactEvery` folds it is
+  // collapsed to one checkpointed frame and the PREVIOUS compact's blocks
+  // are released (requiredIds is cut first — its lazy chain may reference
+  // accumulator snapshots through addDependency's anti-joins).
+  private val idFolds = mutable.Map.empty[String, Int]
+  private val idCompactCut = mutable.Map.empty[String, DataFrame]
+  private val idCompactEvery: Int =
+    spark.conf.getOption("spark.graft.extract.idCompactEvery").map(_.toInt).getOrElse(64)
   // Tables whose required-id set changed since their last resolve pass:
   // a resolve against an unchanged (already-drained) set is a guaranteed
   // no-op, and skipping it saves its whole eager job chain — the
@@ -53,9 +70,14 @@ final class ExtractOperation(
     Seq.empty[String].toDF("__id")
   }
 
+  /** Id projection of a stored batch. No distinct: callers pass frames
+    * already unique on the id field (storeResult's dropDuplicates), and a
+    * distinct here would put a shuffle inside the lazy id-accumulator
+    * union, re-paid on every accumulator evaluation.
+    */
   private def idsOf(df: DataFrame, table: String): DataFrame = {
     val idf = catalog(table).idField
-    df.select(col(idf).cast("string").as("__id")).where(col("__id").isNotNull).distinct()
+    df.select(col(idf).cast("string").as("__id")).where(col("__id").isNotNull)
   }
 
   private def errBuf(t: String) = errors.getOrElseUpdate(t, mutable.Buffer.empty)
@@ -112,17 +134,16 @@ final class ExtractOperation(
     * self/dependent-lookup dependencies, apply outside-reference behavior
     * on descendent lookups, then fold the survivors into the accumulators.
     */
-  private def storeResult(step: ExtractStep, ls: LookupSets, batch: DataFrame): Unit = {
+  private def storeResult(step: ExtractStep, ls: LookupSets, batch: DataFrame): Boolean = {
     val t = step.sobject
     val sch = catalog(t)
     val idf = sch.idField
     val fm = sch.fieldMap
 
-    val newRows = batch
+    val (newRows, newCount) = graft.core.Lineage.cutCounted(batch
       .dropDuplicates(Seq(idf))
-      .join(getExtractedIds(t), col(idf).cast("string") === col("__id"), "left_anti")
-      .cutLineage
-    if (newRows.isEmpty) return
+      .join(getExtractedIds(t), col(idf).cast("string") === col("__id"), "left_anti"))
+    if (newCount == 0) return false
 
     // Self-lookup dependencies (parents of the batch) — amaxa:744-747.
     ls.self.toSeq.sorted.foreach { f =>
@@ -205,52 +226,75 @@ final class ExtractOperation(
       case None => out
     }
     // outIds derives from the checkpointed `out` (cheap projection; no
-    // extra materialization needed). The id accumulator IS checkpointed:
-    // every subsequent pass joins against it.
+    // extra materialization needed). Both accumulators fold LAZILY: the
+    // id union is distinct-by-construction (see field doc) and every leaf
+    // is a projection of a checkpointed batch, so evaluating it is a
+    // narrow scan — the per-pass distinct + re-checkpoint jobs the old
+    // code paid here were pure scheduler overhead (measured ~3 jobs per
+    // storeResult, dominating the many-small-jobs engine gates).
     val outIds = idsOf(out, t)
-    // requiredIds is rebuilt every pass (anti-join chain) — checkpoint it
-    // or the fixpoint's lineage re-executes all prior passes. This cut runs
-    // BEFORE the extractedIds swap below: the lazy unions addDependency
-    // stored here anti-join against the CURRENT extractedIds cut, and the
-    // release below evicts it.
     requiredIds.get(t).foreach { r =>
-      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti").cutLineage
-      // No-op unless r is itself a superseded cut (addDependency may have
-      // wrapped it in a lazy union, whose root is not a materialized RDD).
-      graft.core.Lineage.release(r)
+      requiredIds(t) = r.join(outIds, Seq("__id"), "left_anti")
     }
-    val oldIds = extractedIds.get(t)
-    extractedIds(t) = (oldIds match {
-      case Some(acc) => acc.unionByName(outIds).distinct()
-      case None => outIds.distinct()
-    }).cutLineage
-    // The pre-union accumulator is superseded by the fresh cut above, and
-    // every lazy plan that referenced it was materialized by the requiredIds
-    // cut — release its pinned blocks (a long traversal otherwise
-    // accumulates one dead copy of the id set per pass).
-    oldIds.foreach(graft.core.Lineage.release)
+    extractedIds(t) = extractedIds.get(t) match {
+      case Some(acc) => acc.unionByName(outIds)
+      case None => outIds
+    }
+    // Bound the lazy accumulator's width: driver-side analysis of a union
+    // grows with fold count, so long traversals compact it periodically.
+    // requiredIds is cut FIRST — its lazy chain (addDependency anti-joins)
+    // may reference prior accumulator snapshots, which the release of the
+    // superseded compact would otherwise orphan.
+    val folds = idFolds.getOrElse(t, 0) + 1
+    idFolds(t) = folds
+    if (folds % idCompactEvery == 0) {
+      requiredIds.get(t).foreach { r => requiredIds(t) = r.cutLineage }
+      val compacted = extractedIds(t).cutLineage
+      extractedIds(t) = compacted
+      idCompactCut.get(t).foreach(graft.core.Lineage.release)
+      idCompactCut(t) = compacted
+    }
+    true
   }
 
-  /** Reference resolve_registered_dependencies (amaxa/amaxa.py:805-818). */
-  private def resolveRegisteredDependencies(step: ExtractStep, ls: LookupSets): Unit = {
+  /** Reference resolve_registered_dependencies (amaxa/amaxa.py:805-818).
+    * Returns true iff the pass stored new rows.
+    */
+  private def resolveRegisteredDependencies(step: ExtractStep, ls: LookupSets): Boolean = {
     val t = step.sobject
     // Nothing registered since the last resolve → the set is either empty
     // or exactly the already-reported missing ids; both make this pass a
     // no-op (and skipping also avoids duplicating the missing-id error
     // once per subsequent fixpoint iteration).
-    if (!depsDirty.contains(t)) return
+    if (!depsDirty.contains(t)) return false
     // Clear BEFORE the pass: storeResult below may register fresh self
     // dependencies for the next iteration, which must re-mark the table.
     depsDirty -= t
-    val pre = getRequiredIds(t).cutLineage
-    if (pre.isEmpty) return
+    val (pre, preCount) = graft.core.Lineage.cutCounted(getRequiredIds(t))
+    requiredIds(t) = pre
+    if (preCount == 0) return false
     val idf = catalog(t).idField
     val fetch = scanScoped(step)
       .join(pre, col(idf).cast("string") === col("__id"), "left_semi")
+    // Unresolvable ids are NOT reported here: they stay behind in
+    // requiredIds (the fetch drain removes only extracted ids), and
+    // reportMissingDependencies surfaces the final set once per step —
+    // a fixpoint loop would otherwise pay the missing-check jobs every
+    // iteration for an answer that only matters at step end.
     storeResult(step, ls, fetch)
-    val missingDf = pre.join(getExtractedIds(t), Seq("__id"), "left_anti")
-      .cutLineage
-    val missingTotal = missingDf.count()
+  }
+
+  /** One end-of-step missing-dependency report: everything still in the
+    * required set after all passes and resolves is unresolvable (the
+    * reference reports per resolve_registered_dependencies call,
+    * amaxa/amaxa.py:810-817; the per-step union of those reports is this
+    * same set, because required ids only leave the set by extraction).
+    */
+  private def reportMissingDependencies(step: ExtractStep): Unit = {
+    val t = step.sobject
+    if (!requiredIds.contains(t)) return
+    val (missingDf, missingTotal) = graft.core.Lineage.cutCounted(
+      getRequiredIds(t).join(getExtractedIds(t), Seq("__id"), "left_anti"))
     if (missingTotal > 0) {
       val sample = missingDf.orderBy(col("__id")).limit(20)
         .collect().map(_.getString(0))
@@ -261,16 +305,19 @@ final class ExtractOperation(
   }
 
   /** Reference perform_lookup_pass (amaxa/amaxa.py:837-844): children whose
-    * FK lands in the extracted-id set of any referent table.
+    * FK lands in the extracted-id set of any referent table. Returns true
+    * iff the pass stored new rows. No distinct on the parent union: the
+    * per-table id sets are distinct by construction and disjoint across
+    * tables (globally-unique ids), and the consumer is a semi join, which
+    * is duplicate-insensitive anyway.
     */
-  private def performLookupPass(step: ExtractStep, ls: LookupSets, field: String): Unit = {
+  private def performLookupPass(step: ExtractStep, ls: LookupSets, field: String): Boolean = {
     val t = step.sobject
     val parents = catalog(t).fieldMap(field).referenceTo
       .filter(extractedIds.contains)
       .map(getExtractedIds)
       .reduceOption(_ unionByName _)
-      .map(_.distinct())
-    parents.foreach { p =>
+    parents.exists { p =>
       val rows = scanScoped(step)
         .join(p, col(field).cast("string") === col("__id"), "left_semi")
       storeResult(step, ls, rows)
@@ -304,21 +351,24 @@ final class ExtractOperation(
 
       resolveRegisteredDependencies(step, ls)
 
-      // Self-lookup fixpoint — amaxa/amaxa.py:696-726.
+      // Self-lookup fixpoint — amaxa/amaxa.py:696-726. Termination is the
+      // changed-flags of the passes themselves (ids only grow, and they
+      // grow exactly when a pass stores rows), not a per-iteration count
+      // job: the id set never needs materializing just to compare sizes.
       if (ls.self.nonEmpty &&
           step.selfLookupBehavior == SelfLookupBehavior.TraceAll &&
           step.scope != ExtractionScope.AllRecords) {
-        var before = getExtractedIds(t).count()
-        var stable = false
-        while (!stable) {
-          ls.self.toSeq.sorted.foreach(f => performLookupPass(step, ls, f))
-          resolveRegisteredDependencies(step, ls)
-          val after = getExtractedIds(t).count()
-          stable = after == before
-          before = after
+        var changed = true
+        while (changed) {
+          changed = false
+          ls.self.toSeq.sorted.foreach { f =>
+            if (performLookupPass(step, ls, f)) changed = true
+          }
+          if (resolveRegisteredDependencies(step, ls)) changed = true
         }
       }
 
+      reportMissingDependencies(step)
       if (errBuf(t).nonEmpty) return -1
     }
     0
