@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{count, lit, when}
 
 /** The engine's single lineage-cut seam.
   *
@@ -47,6 +48,20 @@ object Lineage {
       val c = df.localCheckpoint(eager = false)
       (c, c.count())
     }
+  }
+
+  /** [[cut]] + total row count + predicate-match count in ONE Spark job
+    * (same mechanism as [[cutCounted]]). The load engine's stage bodies
+    * all follow materialize → "any errors?" → "any rows at all?", which
+    * as separate actions is three scheduler round-trips per table.
+    */
+  def cutStats(df: DataFrame, pred: Column): (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    val c =
+      if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) cut(df)
+      else df.localCheckpoint(eager = false)
+    val row = c.select(count(lit(1)), count(when(pred, lit(1)))).head()
+    (c, row.getLong(0), row.getLong(1))
   }
 
   /** Release the storage behind a frame returned by [[cut]] once it is

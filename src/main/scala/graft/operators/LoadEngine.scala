@@ -212,33 +212,33 @@ final class LoadOperation(
           concat(lit("Duplicate record id "), col(idf).cast("string")))
           .otherwise(lit(null).cast("string")))
       .drop("__dup_id")
-    val prepped = collectErrors(primitivize(step, dupChecked)).cutLineage
-
-    val errRows = prepped.where(col("__error").isNotNull)
-    val errCount = errRows.count()
+    // One job materializes the prepped batch AND answers both gates
+    // (any errors? any rows?) — separate count/isEmpty actions were two
+    // extra scheduler round-trips per staged table.
+    val (prepped, total, errCount) = graft.core.Lineage.cutStats(
+      collectErrors(primitivize(step, dupChecked)), col("__error").isNotNull)
     if (errCount > 0) {
+      val errRows = prepped.where(col("__error").isNotNull)
       appendResult(t, errRows.select(col(idf).as("originalId"),
         lit(null).cast("string").as("newId"), col("__error").as("error")))
       success = false
       return // reference: no insert happens if any row failed prep (amaxa:432-433)
     }
 
+    if (total == 0) return
     val ok = prepped.drop("__error")
-    if (ok.isEmpty) return
-    val res = store.insert(t, ok, idf).cutLineage
+    val (res, _, resErrs) = graft.core.Lineage.cutStats(
+      store.insert(t, ok, idf), col("error").isNotNull)
     appendResult(t, res)
-    if (!res.where(col("error").isNotNull).isEmpty) success = false
-    val oldMap = idMap
+    if (resErrs > 0) success = false
+    // The id-map accumulator folds LAZILY: each fold projects an
+    // already-checkpointed result frame, original ids are unique within a
+    // table (dup-checked above) and disjoint across tables (globally
+    // unique ids), so the union needs no distinct, no re-checkpoint, and
+    // leaves no superseded map copies to release.
     idMap = idMap.unionByName(
       res.where(col("error").isNull).select(
         col("originalId").cast("string"), col("newId").cast("string")))
-      .cutLineage
-    // All plans referencing the superseded map copy were cut within their
-    // own step; release its pinned blocks (one dead id-map copy per staged
-    // table otherwise survives to the end of the load). Never release the
-    // CALLER-supplied initial map — the engine does not own its storage,
-    // and a caller holding a cut frame would lose it irrecoverably.
-    if (initialIdMap.forall(_ ne oldMap)) graft.core.Lineage.release(oldMap)
   }
 
   /** Stage-DEPENDENTS body for one table (reference
@@ -257,10 +257,10 @@ final class LoadOperation(
     deferred.filter(ext.columns.contains).foreach { f =>
       populated = populateLookup(step, populated, f, idf)
     }
-    val withErr = collectErrors(populated).cutLineage
-
-    val errRows = withErr.where(col("__error").isNotNull)
-    if (errRows.count() > 0) {
+    val (withErr, _, errCount) = graft.core.Lineage.cutStats(
+      collectErrors(populated), col("__error").isNotNull)
+    if (errCount > 0) {
+      val errRows = withErr.where(col("__error").isNotNull)
       appendResult(t, errRows.select(col(idf).as("originalId"),
         lit(null).cast("string").as("newId"), col("__error").as("error")))
       success = false
@@ -273,13 +273,14 @@ final class LoadOperation(
       .reduceOption(_ || _).getOrElse(lit(false))
     // Rewrite the row's own id to the new id (amaxa:493-497), keeping the
     // original alongside: the RESULT channel is keyed by ORIGINAL id.
-    val toUpdate = withErr.drop("__error").where(hasWork)
-      .join(idMap, col(idf).cast("string") === col("originalId"), "inner")
-      .drop(idf).withColumnRenamed("newId", idf)
-      .cutLineage
-    if (toUpdate.isEmpty) return
+    val (toUpdate, updCount) = graft.core.Lineage.cutCounted(
+      withErr.drop("__error").where(hasWork)
+        .join(idMap, col(idf).cast("string") === col("originalId"), "inner")
+        .drop(idf).withColumnRenamed("newId", idf))
+    if (updCount == 0) return
 
-    val res = store.update(t, toUpdate.drop("originalId"), idf)
+    val (res, _, resErrs) = graft.core.Lineage.cutStats(
+      store.update(t, toUpdate.drop("originalId"), idf), col("error").isNotNull)
     val backMap = toUpdate.select(col(idf).cast("string").as("__new"), col("originalId"))
     // Reference RESULT contract: the dependents stage registers only
     // ERRORS (amaxa:505-510) — a success row already exists from the
@@ -287,7 +288,7 @@ final class LoadOperation(
     appendResult(t, res.join(backMap, col("id") === col("__new"))
       .where(col("error").isNotNull)
       .select(col("originalId"), lit(null).cast("string").as("newId"), col("error")))
-    if (!res.where(col("error").isNotNull).isEmpty) success = false
+    if (resErrs > 0) success = false
   }
 
   /** Reference LoadOperation.execute (amaxa:262-295): inserts stage with
