@@ -19,6 +19,13 @@ object TextOps {
     * not — spelling the set out keeps Spark and DuckDB byte-identical. */
   private val Ws = "[ \\t\\n\\x0B\\f\\r]"
 
+  /** Documents kept per source by the domain-quota gate (public: the
+    * streaming twin and its parity spec share it). */
+  val DomainQuotaN = 10
+
+  /** The fixed screening blocklist (word-exact matches). */
+  val BlocklistTerms: Seq[String] = Seq("spark", "merge", "shuffle")
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
     * (the usual byte-pair pre-split shape). One constant, interpolated
     * into BOTH the Spark query and the oracle SQL. */
@@ -194,8 +201,45 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-source ingest quota: keep the first [[DomainQuotaN]] documents
+    * (by doc_id) of every source — the "cap any one domain's share of the
+    * corpus" curation step (per-domain caps are standard in web-crawl
+    * pipelines; a runaway domain otherwise dominates training data).
+    *
+    * Scale shape: row_number + filter compiles to WindowGroupLimit, which
+    * keeps only N rows per group on the MAP side before the window
+    * shuffle/sort — the shuffle carries O(sources × N) rows, not the
+    * corpus. The streaming twin (DocStreaming.quotaStream) enforces the
+    * same cap at ingest with one counter per source of state.
+    */
+  private val domainQuota: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .where(col("rn") <= DomainQuotaN)
+      .select(col("doc_id"), col("source"), col("rn"))
+  }
+
+  /** Term-blocklist screening: distinct blocked terms present per
+    * document (word-exact, not substring — "sparkle" does not hit
+    * "spark"), plus the keep/drop verdict. The list ships as a literal
+    * into a codegen'd array_intersect — the broadcast-small-side shape;
+    * at a real blocklist's size (10⁴–10⁶ terms) the same query swaps the
+    * literal for a broadcast join on exploded tokens, which
+    * tx_contamination already demonstrates.
+    */
+  private val blocklist: Q = (s, d) => {
+    val hits = size(array_intersect(
+      split(col("text"), " "), typedLit(BlocklistTerms)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), hits.as("hits"), (hits === 0).as("clean"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx_source_overlap" -> sourceOverlap,
+    "tx_domain_quota" -> domainQuota,
+    "tx_blocklist" -> blocklist,
     "tx_tokens" -> tokens,
     "tx_quality" -> quality,
     "tx_langid" -> langid,
@@ -217,6 +261,20 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "tx_domain_quota" ->
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rn
+         |  FROM documents)
+         |WHERE rn <= $DomainQuotaN""".stripMargin,
+    // list_intersect dedups in both engines, so `hits` counts DISTINCT
+    // blocked terms on each side.
+    "tx_blocklist" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(len(list_intersect(string_split(text, ' '),
+         |    [${BlocklistTerms.map("'" + _ + "'").mkString(",")}])) AS INT) AS hits
+         |FROM documents)
+         |SELECT doc_id, hits, hits = 0 AS clean FROM h""".stripMargin,
     "tx_tokens" ->
       s"""SELECT doc_id, n_chars,
          |  CASE WHEN trim(text) = '' THEN 0

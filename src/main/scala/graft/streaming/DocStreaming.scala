@@ -105,6 +105,37 @@ object DocStreaming {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"))
 
+  /** Streaming per-source ingest quota — the ingest-side twin of batch
+    * tx_domain_quota: admit at most `quota` documents per source, then
+    * drop the rest of that source's stream. State is ONE counter per
+    * source (flatMapGroupsWithState), so total state is bounded by the
+    * number of distinct sources regardless of stream length — the shape
+    * that survives an unbounded firehose. Within a micro-batch each
+    * group's rows are folded in doc_id order, so replaying a finite
+    * corpus reproduces the batch query's first-N-by-doc_id semantics
+    * exactly (DocStreamingSpec parity); across batches admission is
+    * arrival-ordered, which is the real ingest contract.
+    */
+  def quotaStream(spark: SparkSession, stream: DataFrame, quota: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val typed = stream.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[(Long, String, Int)]
+          rows.toSeq.sortBy(_._1).foreach { case (id, _) =>
+            if (n < quota) { n += 1; out += ((id, source, n.toInt)) }
+          }
+          state.update(n)
+          out.result().iterator
+      }.toDF("doc_id", "source", "rn")
+  }
+
   /** Streaming cluster assignment — apply a TRAINED clustering model
     * (the (cluster, centroid) table from batch
     * [[graft.queries.SimilarityOps.kmeansModel]], or any model registry)

@@ -76,6 +76,26 @@ class DocStreamingSpec extends AnyFunSuite {
       "assignment must be a stateless per-row projection")
   }
 
+  test("streaming per-source quota == batch tx_domain_quota, one counter per source") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val admitted = DocStreaming.quotaStream(spark, stream,
+      graft.queries.TextOps.DomainQuotaN)
+    val q = EventStreaming.runToMemory(admitted, "quota_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("quota_out").select("doc_id", "source", "rn")
+      val batch = SparkEntry.queries("tx_domain_quota")(spark, SparkTestBase.sf)
+        .select("doc_id", "source", "rn")
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch quota admission mismatch")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits exactly the batch-distinct hash set") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
       .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))

@@ -106,6 +106,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("tx_domain_quota: per-source cap lowers to map-side WindowGroupLimit") {
+    val p = planOf("tx_domain_quota")
+    // The window shuffle must carry O(sources x N) rows, not the corpus:
+    // a partial WindowGroupLimit ahead of the Exchange is the proof.
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("src_partitioned_pruning: lang predicate prunes partitions, not rows") {
     val p = planOf("src_partitioned_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
