@@ -15,6 +15,9 @@ import graft.functions.GraftFunctions._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** k for the native top-k-aggregate query (shared with its spec). */
+  val TopKAggK = 3
+
   /** Reference: extraction scan with projection (SURVEY S1/F1,
     * amaxa/api.py:140-165 + amaxa/amaxa.py:174-175). */
   private val s1: Q = (s, d) =>
@@ -413,6 +416,28 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
 
+  /** Grouped top-k as a native AGGREGATE (graft.functions.TopKByLong, a
+    * TypedImperativeAggregate): top-3 line items by price per supplier.
+    * The window form shuffles and sorts candidate rows; this shuffles one
+    * k-bounded buffer per (group, split) and never sorts wider than k —
+    * the shape that holds at 10⁹ groups. Differential equivalence to the
+    * window form and the no-Window/ObjectHashAggregate plan are pinned in
+    * TopKAggSpec; the oracle is the QUALIFY row_number form.
+    */
+  private val qTopkAgg: Q = (s, d) => {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    // No natural line id in the schema: (orderkey, linenumber) is the key
+    // and linenumber < 10, so orderkey*10+linenumber is unique and the
+    // same expression is exact in DuckDB.
+    val lineId = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(graft.functions.TopKByLong.top_k_by(cents, lineId, TopKAggK).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("l_suppkey"), (col("pos") + 1).as("rank"),
+        col("e.key").as("cents"), col("e.id").as("line_id"))
+  }
+
   /** Pearson correlation per group WITHOUT the cross-engine FP trap:
     * `corr()` aggregates doubles in partition order, so no two engines
     * (or two runs) agree bit-for-bit. Instead the five moments are exact
@@ -685,6 +710,7 @@ object Relational {
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
     "q_histogram" -> qHistogram,
+    "q_topk_agg" -> qTopkAgg,
     "q_corr" -> qCorr,
     "f8_fuzzy_match" -> f8FuzzyMatch,
     "w2_moving_window" -> w2,
@@ -866,6 +892,16 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_topk_agg" ->
+      s"""SELECT l_suppkey, CAST(rn AS INT) AS rank, cents, line_id FROM (
+         |  SELECT l_suppkey,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+         |               CAST(l_orderkey * 10 + l_linenumber AS BIGINT)) AS rn
+         |  FROM lineitem) t
+         |WHERE rn <= $TopKAggK""".stripMargin,
     "q_corr" ->
       """WITH v AS (SELECT l_returnflag,
         |    CAST(round(l_quantity * 100) AS BIGINT) AS x,

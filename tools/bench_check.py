@@ -46,6 +46,13 @@ def main() -> int:
             print(f"warn: detail file {detail} unreadable/corrupt; "
                   "checking the compact line only", file=sys.stderr)
     rc = 0
+    # The driver measures at sf0.1; a recording made at any other SF is
+    # not comparable to the baseline (this exact mistake shipped once: an
+    # sf0.001 smoke run overwrote BENCH_DETAIL.json before a commit).
+    sf = cur.get("sf", "")
+    if sf and "sf0.1" not in sf:
+        print(f"FAIL: recording is from {sf}, not sf0.1 — not a gradeable run")
+        rc = 1
     for name, t in sorted(cur["queries"].items()):
         if t < 0:
             print(f"FAIL {name}: bench recorded failure sentinel -1")
