@@ -663,6 +663,25 @@ object DedupOps {
 
   private val dupSpans: Q = (s, d) => dupSpansOf(Tables.documentsSpread(s, d))
 
+  /** Cluster dedup with a QUALITY keeper: production pipelines keep the
+    * BEST document of a near-dup cluster (longest / highest-scoring), not
+    * the smallest id. Composes the d8 components with a per-cluster
+    * argmax — expressed with the native top-k aggregate at k=1, so the
+    * keeper election shuffles one 1-entry buffer per (cluster, split)
+    * and is deterministic under ties (n_chars desc, doc_id asc).
+    */
+  private val keepBest: Q = (s, d) => {
+    val comp = minhashComponents(s, d)
+    val scored = comp.join(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_rep"))
+      .agg(graft.functions.TopKByLong.top_k_by(col("n_chars"), col("doc_id"), 1).as("top"))
+      .select(col("cluster_rep"), col("top").getItem(0).getField("id").as("keeper_id"))
+    comp.join(best, Seq("cluster_rep"))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
@@ -672,7 +691,22 @@ object DedupOps {
     "d7_incremental_dedup" -> incrementalDedup,
     "d8_minhash_components" -> minhashComponents,
     "d9_dup_spans" -> dupSpans,
+    "d10_keep_best" -> keepBest,
   )
+
+  /** Undirected reachability closure over a `pairs(doc_a, doc_b)` CTE →
+    * `comp(doc_id, cluster_rep BIGINT)`, shared by the d8 and d10
+    * oracles so the component definition cannot drift between them. */
+  private val componentsCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
+      |),
+      |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+      |         FROM walk GROUP BY id)""".stripMargin
 
   private def gramsSql(t: String) =
     s"list_distinct(list_transform(generate_series(1, len($t)-2), i -> substr($t, CAST(i AS INT), 3)))"
@@ -787,15 +821,17 @@ object DedupOps {
          |FROM walk GROUP BY id""".stripMargin,
     "d8_minhash_components" ->
       s"""WITH RECURSIVE pairs AS ($d2OracleSql),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |walk(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
-         |)
-         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
-         |FROM walk GROUP BY id""".stripMargin,
+         |$componentsCtes
+         |SELECT doc_id, cluster_rep FROM comp""".stripMargin,
+    "d10_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($d2OracleSql),
+         |$componentsCtes,
+         |best AS (SELECT s.cluster_rep,
+         |    (list(s.doc_id ORDER BY d.n_chars DESC, s.doc_id))[1] AS keeper_id
+         |  FROM comp s JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT c.doc_id, CAST(b.keeper_id AS BIGINT) AS keeper_id,
+         |  c.doc_id = b.keeper_id AS keep
+         |FROM comp c JOIN best b USING (cluster_rep)""".stripMargin,
     "d9_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |w AS (SELECT doc_id,

@@ -134,6 +134,32 @@ class DedupSpec extends AnyFunSuite {
     assert(reps(20L) == 20L)
   }
 
+  test("d10 keep-best: longest doc of a cluster wins; ties fall to min doc_id; singletons keep themselves") {
+    // Trio cluster where doc 3 is the LONGEST (padded near-dup) — the
+    // quality keeper must be 3 even though the d8 min-id rep is 1; plus a
+    // same-length exact-dup pair (7,8) where the tie-break elects 7.
+    val base = "shared tokens one two three four five six seven eight nine ten eleven"
+    val planted = Seq(
+      (1L, s"$base twelve"),
+      (2L, s"$base twelve"),
+      (3L, s"$base twelve plus extra trailing padding words"),
+      (7L, "unrelated corpus alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (8L, "unrelated corpus alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val noise = (20 to 45).map(i =>
+      (i.toLong, (1 to 30).map(j => s"n${i}_$j").mkString(" ")))
+    val d = (planted ++ noise).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d10").toString
+    d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.DedupOps.queries("d10_keep_best")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (3L, false) && out(2L) == (3L, false) && out(3L) == (3L, true))
+    assert(out(7L) == (7L, true) && out(8L) == (7L, false))
+    assert(out(30L) == (30L, true)) // singleton keeps itself
+    assert(out.count(_._2._2) == out.values.map(_._1).toSet.size) // one keeper per cluster
+  }
+
   test("LSH embedding prefilter: precision 1 (subset of exact), high recall at a sparse threshold") {
     import spark.implicits._
     // The real corpus has no pairs above cos 0.45 (dense-at-0.3 design),
