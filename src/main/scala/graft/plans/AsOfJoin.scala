@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class operator: logical node + planner strategy +
+  * physical broadcast implementation, registered through
+  * `SparkSessionExtensions` (or appended to
+  * `spark.experimental.extraStrategies` on a live session).
+  *
+  * Two distributed shapes exist for an as-of join and graft ships both:
+  *
+  *   - the SHUFFLE shape (`EventOps.asof`, query `ev_asof_join`): union the
+  *     two sides, one shuffle+sort per key, carry reference columns forward
+  *     with `last(_, ignoreNulls)` — right when both sides are large;
+  *   - this BROADCAST shape: collect the reference side to a
+  *     key → time-sorted-rows index, broadcast it, and binary-search per
+  *     probe row — zero shuffles, one pass over the probe side. Right when
+  *     the reference side fits the same budget a broadcast hash join would
+  *     (the quotes/dimension side of the classic as-of workload). The probe
+  *     side streams through unmodified, so at 100 TB the scan parallelism
+  *     is preserved and there is no skew surface (no per-key partitions).
+  *
+  * Semantics: left outer; for each probe row the match is the reference row
+  * of the same key with the greatest time ≤ the probe time (ties on the
+  * reference time resolved by the index sort's second component — the
+  * row's column values — making the pick deterministic for any input
+  * order). Unmatched probes carry nulls.
+  *
+  * Reference for the workload shape: amaxa's extraction joins each record
+  * batch against previously-extracted parent state
+  * (/root/reference/amaxa/amaxa.py:300-330) — a point-in-time lookup this
+  * operator generalizes to event time.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    carried: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried) =>
+      BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carried) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical broadcast as-of join. The reference (right) side is collected
+  * and indexed on the driver — the same budget class as a broadcast hash
+  * join's build side — then each probe partition binary-searches the
+  * per-key time-sorted arrays. No shuffle, no sort on the probe side.
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    carried: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
+
+  private def buildIndex(): Map[Any, (Array[Long], Array[InternalRow])] = {
+    val keyEval = BindReferences.bindReference(rightKey, right.output)
+    val timeEval = BindReferences.bindReference(rightTime, right.output)
+    val carryProj = UnsafeProjection.create(carried, right.output)
+    val grouped = right.executeCollect().iterator.flatMap { row =>
+      val k = keyEval.eval(row)
+      val t = timeEval.eval(row)
+      if (k == null || t == null) Iterator.empty
+      else Iterator.single((k, (t.asInstanceOf[Number].longValue(), carryProj(row).copy())))
+    }.toSeq.groupBy(_._1)
+    grouped.map { case (k, rows) =>
+      // Sort by time; equal times fall back to the projected row's content
+      // hash so the winner does not depend on collection order.
+      val sorted = rows.map(_._2).sortBy { case (t, r) => (t, r.hashCode()) }
+      (k, (sorted.map(_._1).toArray, sorted.map(_._2: InternalRow).toArray))
+    }
+  }
+
+  /** Greatest index with times(i) <= t, or -1. */
+  private def floorSearch(times: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = times.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    ans
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val index: Broadcast[Map[Any, (Array[Long], Array[InternalRow])]] =
+      sparkContext.broadcast(buildIndex())
+    val leftOut = left.output
+    val carriedLocal = carried
+    val lKeyExpr = leftKey
+    val lTimeExpr = leftTime
+    left.execute().mapPartitions { iter =>
+      val keyEval = BindReferences.bindReference(lKeyExpr, leftOut)
+      val timeEval = BindReferences.bindReference(lTimeExpr, leftOut)
+      // Both the exprs and the bind schema must carry nullable=true for the
+      // carried columns: BindReferences takes nullability from the input
+      // schema, and a non-nullable bound reference would read the null-fill
+      // row as 0 instead of null.
+      val carriedNullable = carriedLocal.map(_.withNullability(true))
+      val proj = UnsafeProjection.create(
+        leftOut ++ carriedNullable, leftOut ++ carriedNullable)
+      val nullRight = new GenericInternalRow(carriedLocal.length)
+      val joined = new JoinedRow
+      iter.map { lrow =>
+        val k = keyEval.eval(lrow)
+        val t = timeEval.eval(lrow)
+        val m: InternalRow =
+          if (k == null || t == null) nullRight
+          else index.value.get(k) match {
+            case Some((times, rows)) =>
+              val i = floorSearch(times, t.asInstanceOf[Number].longValue())
+              if (i >= 0) rows(i) else nullRight
+            case None => nullRight
+          }
+        proj(joined(lrow, m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Idempotently register the planner strategy on a live session (the
+    * fresh-session path is `spark.sql.extensions=graft.plans.GraftExtensions`).
+    */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[AsOfJoinStrategy.type]))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** left outer as-of: for each `left` row, the `right` row with equal
+    * `key` and the greatest `rightTimeCol` ≤ `leftTimeCol`; `carry` names
+    * the right columns appended (nullable) to the left schema.
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTimeCol: String, rightTimeCol: String, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    require(carry.forall(c => !left.columns.contains(c)),
+      s"carry columns ${carry.filter(left.columns.contains)} collide with left columns")
+    // Pin each side behind a fresh-alias Project: when both sides derive
+    // from the same scan they share exprIds, and DeduplicateRelations
+    // renews the duplicated subtree's ids without being able to rewrite a
+    // custom node's references unambiguously (the same id exists on both
+    // sides). Alias ids are globally unique and survive the renewal.
+    val lf = left.select(left.columns.map(c => col(c).as(c)).toSeq: _*)
+    val rf = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val lplan = lf.queryExecution.analyzed
+    val rplan = rf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    GraftSqlShim.ofRows(spark, AsOfJoinPlan(
+      lplan, rplan,
+      attr(lplan, key), attr(rplan, key),
+      attr(lplan, leftTimeCol), attr(rplan, rightTimeCol),
+      carry.map(attr(rplan, _))))
+  }
+}

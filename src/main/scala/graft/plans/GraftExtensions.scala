@@ -30,5 +30,6 @@ object CanonicalIdIdempotence extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CanonicalIdIdempotence)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -194,6 +194,27 @@ object EventOps {
         col("n"), (lhs > 0 && lhs * lhs > disc).as("anomalous"))
   }
 
+  /** The same as-of join through the NATIVE operator
+    * (graft.plans.AsOfJoinPlan → BroadcastAsOfJoinExec): zero shuffles —
+    * the views index is broadcast and each click partition binary-searches
+    * it. Same oracle as ev_asof_join; AsOfJoinSpec pins plan + parity
+    * with the shuffle form.
+    */
+  private val asofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("event_id").as("click_id"), col("user_id"), col("ts"),
+      col("value").as("click_value"))
+    val views = ev.where(col("event_type") === "view").select(
+      col("user_id"), col("ts"),
+      col("event_id").as("view_id"), col("value").as("view_value"))
+    graft.plans.AsOfJoin.asof(clicks, views, "user_id", "ts", "ts",
+        Seq("view_id", "view_value"))
+      .select(col("click_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("click_value"), col("view_id"), col("view_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
     "ev_retention" -> retention,
@@ -201,10 +222,24 @@ object EventOps {
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
     "ev_asof_join" -> asof,
+    "ev_asof_native" -> asofNative,
     "ev_first_touch" -> firstTouch,
     "ev_interval_join" -> intervalJoin,
     "ev_funnel" -> funnel,
   )
+
+  /** Shared by the shuffle (`ev_asof_join`) and native (`ev_asof_native`)
+    * forms — one semantic definition, two physical strategies.
+    */
+  private val asofOracleSql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |             value AS click_value
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        value AS view_value
+      |      FROM events WHERE event_type = 'view')
+      |SELECT c.click_id, c.user_id, c.ts, c.click_value, v.view_id, v.view_value
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ev_tumbling" ->
@@ -235,15 +270,8 @@ object EventOps {
         |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(k) AS BIGINT) AS k_sum
         |FROM x GROUP BY 1, 2""".stripMargin,
-    "ev_asof_join" ->
-      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |             value AS click_value
-        |           FROM events WHERE event_type = 'click'),
-        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |        value AS view_value
-        |      FROM events WHERE event_type = 'view')
-        |SELECT c.click_id, c.user_id, c.ts, c.click_value, v.view_id, v.view_value
-        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    "ev_asof_join" -> asofOracleSql,
+    "ev_asof_native" -> asofOracleSql,
     "ev_first_touch" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
         |  CAST(ts AS TIMESTAMP) AS first_ts, value AS first_value
