@@ -21,8 +21,10 @@ object Bench {
     // such a window without re-running anything.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      try spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
-      catch { case _: Throwable => () }
+      // A failed probe must NOT record its (short) time-to-failure as a
+      // "fast machine" reading — that would invert the probe's meaning.
+      try { spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect(); () }
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val calibPre = calibrate()

@@ -19,22 +19,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialize {
   // Weak session keys: a strong key would pin stopped sessions (and their
   // temp paths) for the JVM's life in a session-churning driver.
+  /** Holder whose body runs on first `.value` access, OUTSIDE the map's
+    * bin lock — computeIfAbsent only constructs the (cheap) holder. A
+    * multi-minute pipeline+write inside computeIfAbsent would hold the
+    * ConcurrentHashMap bin lock for its whole duration (blocking unrelated
+    * keys in the same bin) and make a reentrant once() from inside `f` an
+    * IllegalStateException.
+    */
+  private final class Slot(body: () => String) { lazy val value: String = body() }
+
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]]())
+      java.util.concurrent.ConcurrentHashMap[String, Slot]]())
 
   /** Read-through: `f` runs at most once per (session, key); its result is
     * written to a temp parquet (removed on JVM exit) and re-read lazily.
     */
   def once(spark: SparkSession, key: String)(f: => DataFrame): DataFrame = {
     val perKey = cache.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
-    val path = perKey.computeIfAbsent(key, { _ =>
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
+    val slot = perKey.computeIfAbsent(key, _ => new Slot(() => {
       val out = java.nio.file.Files.createTempDirectory("graft_mat").toString
       Fs.deleteOnExit(out)
       f.write.mode("overwrite").parquet(out)
       out
-    })
-    spark.read.parquet(path)
+    }))
+    spark.read.parquet(slot.value)
   }
 }

@@ -136,9 +136,12 @@ case class TopKByLong(
 
 object TopKByLong {
   /** Column wrapper: per-group top-k (key desc, id asc) as
-    * array<struct<key,id>>, best first. Both columns must be long. */
+    * array<struct<key,id>>, best first. Integral inputs are cast to long
+    * here — the aggregate's update() reads raw longs, so an un-cast INT
+    * column would ClassCastException inside executor tasks. */
   def top_k_by(key: Column, id: Column, k: Int): Column =
     GraftSqlShim.column(
-      TopKByLong(GraftSqlShim.expression(key), GraftSqlShim.expression(id), k)
+      TopKByLong(GraftSqlShim.expression(key.cast("long")),
+          GraftSqlShim.expression(id.cast("long")), k)
         .toAggregateExpression())
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow,
-  UnsafeProjection}
+  UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -87,12 +87,17 @@ case class BroadcastAsOfJoinExec(
       val k = keyEval.eval(row)
       val t = timeEval.eval(row)
       if (k == null || t == null) Iterator.empty
-      else Iterator.single((k, (t.asInstanceOf[Number].longValue(), carryProj(row).copy())))
+      else Iterator.single((k, (t.asInstanceOf[Number].longValue(),
+        carryProj(row).copy().asInstanceOf[UnsafeRow])))
     }.toSeq.groupBy(_._1)
     grouped.map { case (k, rows) =>
-      // Sort by time; equal times fall back to the projected row's content
-      // hash so the winner does not depend on collection order.
-      val sorted = rows.map(_._2).sortBy { case (t, r) => (t, r.hashCode()) }
+      // Sort by time; equal times fall back to the projected row's full
+      // byte content (not its hash — a collision would leave the winner to
+      // collection order) so the pick is deterministic for any input order.
+      val sorted = rows.map(_._2).sortWith { case ((t1, r1), (t2, r2)) =>
+        t1 < t2 || (t1 == t2 &&
+          java.util.Arrays.compare(r1.getBytes, r2.getBytes) < 0)
+      }
       (k, (sorted.map(_._1).toArray, sorted.map(_._2: InternalRow).toArray))
     }
   }

@@ -183,13 +183,22 @@ object DedupOps {
     * (e.g. a giant multi-byte charset) the code falls back to the
     * distributed join + per-doc window-rank path.
     */
-  private val ngramJaccard: Q = (s, d) => {
-    val t = 0.8
-    // t as an exact rational (4/5): threshold arithmetic must be integer-
-    // exact or ceil() of an FP product prunes pairs sitting exactly on the
-    // threshold (63 * 0.444… = 28.000000000000004 → ceil 29, true α 28).
-    val tNum = 4L
-    val tDen = 5L
+  // t as an exact rational (4/5): threshold arithmetic must be integer-
+  // exact or ceil() of an FP product prunes pairs sitting exactly on the
+  // threshold (63 * 0.444… = 28.000000000000004 → ceil 29, true α 28).
+  private val NgramT = 0.8
+  private val NgramTNum = 4L
+  private val NgramTDen = 5L
+
+  /** Gram table + candidate stage of d4 (everything up to and including
+    * the histogram screen and pair dedup). Split from the verify so (a)
+    * the registered query can cut lineage on the candidate set it consumes
+    * three times, and (b) PlanSpec can pin the screen's plan shape, which
+    * the cut hides from the final frame's explain output.
+    */
+  private[graft] def ngramStages(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val tNum = NgramTNum
+    val tDen = NgramTDen
     // char_ngrams returns [] for texts shorter than 3 chars — matching
     // DuckDB's empty generate_series (Spark's sequence(1, len-2) would
     // count DOWN for len<3 and fabricate phantom grams).
@@ -208,8 +217,12 @@ object DedupOps {
     // Global (per-lang) gram document frequencies → rare-first ordering.
     // One explode + partial-agg pass; map-side combine shrinks the
     // exchange to the vocabulary.
+    // Cut BEFORE the size probe: the probe's collect and (on the fallback
+    // path) the distributed df join both consume this aggregate — without
+    // the cut the fallback would re-run the whole explode+agg from scratch.
     val dfreqDf = g.select(col("lang"), explode(col("grams")).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+      .cutLineage
     val dfRows = dfreqDf.limit(vocabLimit + 1).collect()
     val pidx =
       if (dfRows.length <= vocabLimit) {
@@ -271,14 +284,36 @@ object DedupOps {
       .dropDuplicates("doc_a", "doc_b")
       .select(col("lang"), col("doc_a"), col("doc_b"),
         col("sz_a"), col("sz_b"), col("alpha"))
+    (g, cand)
+  }
+
+  /** The candidate set alone — PlanSpec's hook for the screen stage. */
+  private[graft] def ngramCandidates(s: SparkSession, d: String): DataFrame =
+    ngramStages(s, d)._2
+
+  private val ngramJaccard: Q = (s, d) => {
+    val t = NgramT
+    val (g, cand) = ngramStages(s, d)
     // Exact verification with the codegen'd allocation-free merge-
     // intersect over sorted arrays, on the few pairs the bounds could not
     // refute.
+    // The verify working set is CANDIDATE-bounded, never corpus-bounded:
+    // semi-join vg down to candidate docs first (broadcasting only the
+    // candidate id lists), then broadcast the reduced gram arrays.
+    // Broadcasting vg itself would ship every document's gram array —
+    // O(corpus text) through the driver — which no screen justifies.
+    // The cut materializes the candidate set once for its three consumers
+    // (two key lists + the verify join).
+    val candC = cand.cutLineage
     val vg = g.select(col("doc_id"), array_sort(col("grams")).as("vgrams"))
-    val ga = vg.select(col("doc_id").as("doc_a"), col("vgrams").as("g_a"))
-    val gb = vg.select(col("doc_id").as("doc_b"), col("vgrams").as("g_b"))
+    val ga = vg.join(broadcast(candC.select(col("doc_a").as("doc_id")).distinct()),
+        Seq("doc_id"), "leftsemi")
+      .select(col("doc_id").as("doc_a"), col("vgrams").as("g_a"))
+    val gb = vg.join(broadcast(candC.select(col("doc_b").as("doc_id")).distinct()),
+        Seq("doc_id"), "leftsemi")
+      .select(col("doc_id").as("doc_b"), col("vgrams").as("g_b"))
     val inter = graft.functions.GraftFunctions.sorted_intersect_size(col("g_a"), col("g_b"))
-    cand.join(broadcast(ga), Seq("doc_a")).join(broadcast(gb), Seq("doc_b"))
+    candC.join(broadcast(ga), Seq("doc_a")).join(broadcast(gb), Seq("doc_b"))
       // Division form must match the oracle exactly (a multiplied-
       // through comparison can flip at the representability boundary).
       .where(inter.cast("double") /
@@ -581,11 +616,18 @@ object DedupOps {
     * chain (signatures → bands → verified pairs → components) is
     * oracle-exact.
     */
+  /** Materialized like the d2 pair graph it consumes: d8 and d10 both
+    * need the components, and the multi-round star-contraction fixpoint
+    * is the most expensive piece of either — one compute per
+    * (session, corpus), not one per consumer.
+    */
   private val minhashComponents: Q = (s, d) =>
-    connectedComponents(
-      minhashPairs(s, d).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
-      Tables.documents(s, d).select(col("doc_id").as("id")))
-      .withColumnRenamed("id", "doc_id")
+    graft.core.Materialize.once(s, s"d8_components:$d") {
+      connectedComponents(
+        minhashPairs(s, d).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+        Tables.documents(s, d).select(col("doc_id").as("id")))
+        .withColumnRenamed("id", "doc_id")
+    }
 
   /** Incremental ingest dedup — the arriving batch (one source) checked
     * against the existing corpus by content fingerprint: the "don't

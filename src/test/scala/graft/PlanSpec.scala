@@ -63,13 +63,24 @@ class PlanSpec extends AnyFunSuite {
   test("d4: verify joins broadcast, no cartesian product, histogram screen in the plan") {
     val p = planOf("d4_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
-    // The gram-array/histogram sides are per-doc (small) — they must
-    // broadcast, never shuffle the candidate stream against them.
+    // The verify-side gram tables are semi-join-reduced to candidate docs
+    // and broadcast (candidate-bounded, never corpus-bounded); the
+    // candidate stream must never shuffle against them.
     assert(p.contains("BroadcastHashJoin"), p.take(600))
-    // The lossless intersection upper bound must sit in the candidate
-    // filter (before the merge-intersect verify).
-    assert(p.contains("min_sum64"), "histogram screen missing from plan")
+    assert(p.contains("LeftSemi"), "candidate-doc semi-join reduction missing")
     assert(p.contains("sorted_intersect_size"), "merge-intersect verify missing")
+    // The lossless intersection upper bound sits in the candidate stage,
+    // which the registered query lineage-cuts (so it is absent from the
+    // final frame's plan) — pin it on the stage that executes it.
+    val candPlan = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.queries.DedupOps.ngramCandidates(spark, sf).explain("formatted")
+      }
+      out.toString
+    }
+    assert(candPlan.contains("min_sum64"), "histogram screen missing from candidate plan")
+    assert(!candPlan.contains("CartesianProduct"))
   }
 
   test("tx_contamination: benchmark gram set joins broadcast, corpus never self-joins") {
