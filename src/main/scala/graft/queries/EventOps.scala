@@ -199,6 +199,14 @@ object EventOps {
     * the views index is broadcast and each click partition binary-searches
     * it. Same oracle as ev_asof_join; AsOfJoinSpec pins plan + parity
     * with the shuffle form.
+    *
+    * Scale contract: the broadcast shape is for a REFERENCE side in the
+    * broadcast-hash-join budget class (a dimension/quotes table). Here the
+    * views side is half of `events`, which fits at every test SF but would
+    * not at corpus scale — where `ev_asof_join`'s union+window shuffle
+    * form is the right tool. This query demonstrates the operator; the
+    * pair exists precisely because one as-of semantic needs both physical
+    * shapes.
     */
   private val asofNative: Q = (s, d) => {
     val ev = Tables.events(s, d)
