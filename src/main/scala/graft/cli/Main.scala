@@ -12,7 +12,7 @@ import graft.sources.FileTableStore
   *
   *   runMain graft.cli.Main <op.yml> --describe-dir D [--load]
   *     [--data-dir D] [--out-dir D] [--state-dir S] [--use-state S]
-  *     [--check-only]
+  *     [--check-only] [-v quiet|errors|normal|verbose]
   *
   * Extract: read tables from --data-dir, write per-step CSVs (id-first
   * column order) into --out-dir. Load: read step CSVs from --data-dir,
@@ -41,10 +41,37 @@ object Main {
     val outDir = opt("--out-dir").getOrElse(".")
     val stateDir = opt("--state-dir").getOrElse(s"$outDir/_state")
     val useState = opt("--use-state")
+    // -v/--verbosity (reference __main__.py:38-45): default normal; an
+    // unknown level is a usage error like argparse's invalid choice.
+    opt("-v").orElse(opt("--verbosity")).getOrElse("normal") match {
+      case l if graft.core.Log.levels.contains(l) =>
+        graft.core.Log.level = graft.core.Log.levels(l)
+      case bad =>
+        System.err.println(
+          s"invalid verbosity $bad (choose from quiet, errors, normal, verbose)")
+        return 2
+    }
 
     val yamlText =
       try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(opFile)))
       catch { case e: Exception => System.err.println(s"Cannot read $opFile: ${e.getMessage}"); return 2 }
+
+    // API-version preflight (reference __main__.py:57-76): validate
+    // options.api-version BEFORE the full config parse — it is the one
+    // setting the reference needs before it can even build a Connection.
+    try {
+      val raw = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Any]](yamlText)
+      if (raw != null) raw.get("options") match {
+        case om: java.util.Map[_, _] =>
+          val v = om.asInstanceOf[java.util.Map[String, Any]].get("api-version")
+          if (v != null && !graft.config.OperationOptions.validApiVersion(v)) {
+            System.err.println(s"API version $v is not valid.")
+            return 1
+          }
+        case _ => ()
+      }
+    } catch { case _: Exception => () } // malformed YAML → parse() reports it
 
     val catalog = describeDir match {
       case Some(d) =>
@@ -154,8 +181,12 @@ object Main {
         }
         // Persist in BOTH outcomes: on failure the already-inserted tables
         // must survive to the resumed run, or the restored id map would
-        // skip rows that no longer exist anywhere.
-        store.persist()
+        // skip rows that no longer exist anywhere. Each table writes under
+        // its step-effective bulk-api options (operation-level values
+        // overridden per sobject, reference load_operation.py:34-35).
+        val effOpts = cfg.steps
+          .map(sc => sc.sobject -> sc.effectiveOptions(cfg.options)).toMap
+        store.persist(t => effOpts.getOrElse(t, cfg.options))
         if (rc != 0) {
           op.saveState(stateDir) // resumable checkpoint (reference S7)
           System.err.println(s"Load failed; state saved to $stateDir")

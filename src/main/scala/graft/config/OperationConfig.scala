@@ -28,13 +28,95 @@ final case class StepConfig(
     outsideLookupBehavior: String = "include",
     inputValidation: String = "default",
     file: Option[String] = None,
-    resultFile: Option[String] = None) {
+    resultFile: Option[String] = None,
+    options: Map[String, Any] = Map.empty) {
   def fileName: String = file.getOrElse(sobject + ".csv")
   def resultFileName: String = resultFile.getOrElse(sobject + "-results.csv")
+  /** Step-effective options: operation-level values overridden by this
+    * step's `options` block (reference extract_operation.py:65-66 /
+    * load_operation.py:34-35 `step_opts.update(...)`). */
+  def effectiveOptions(op: OperationOptions): OperationOptions =
+    OperationOptions.merged(op, options)
+}
+
+/** Operation execution options (reference v2 `OPERATION_OPTIONS_SCHEMA`,
+  * loader/schemas.py:71-113; defaults constants.py:4-10). The reference's
+  * bulk-api-* knobs shape Bulk API DML batches; their local counterparts
+  * act on the DML parquet sink: batch-size caps rows per output file
+  * (`maxRecordsPerFile`, each file ≈ one batch), Serial mode writes with
+  * a single task the way Serial batches run one at a time. api-version
+  * gates the preflight check (reference `amaxa/__main__.py:60-76`) and
+  * exists only at operation level.
+  */
+final case class OperationOptions(
+    apiVersion: String = "52.0",
+    bulkBatchSize: Int = 10000,
+    bulkTimeout: Int = 1200,
+    bulkPollInterval: Int = 5,
+    bulkMode: String = "Parallel") {
+  def serial: Boolean = bulkMode == "Serial"
+}
+
+object OperationOptions {
+  /** True iff `v` is a well-formed API version — a 4-char `NN.0` string
+    * (reference `amaxa/__main__.py:64-71` preflight + schema regex
+    * `\d{2}\.0`, loader/schemas.py:107-111). */
+  def validApiVersion(v: Any): Boolean = v match {
+    case s: String =>
+      s.length == 4 && s.endsWith(".0") && s.take(2).forall(_.isDigit)
+    case _ => false
+  }
+
+  /** Validate one options mapping (operation- or sobject-level) against
+    * the reference schema's types/ranges; returns the validated raw map.
+    * Unknown keys error (Cerberus parity); `api-version` is only legal
+    * when `allowApiVersion` (operation level). */
+  def validate(raw: Map[String, Any], ctx: String, allowApiVersion: Boolean,
+      errors: scala.collection.mutable.Buffer[String]): Map[String, Any] = {
+    val intRanges = Map(
+      "bulk-api-batch-size" -> (0, 10000),
+      "bulk-api-timeout" -> (0, Int.MaxValue),
+      "bulk-api-poll-interval" -> (0, 60))
+    val allowed = intRanges.keySet + "bulk-api-mode" ++
+      (if (allowApiVersion) Set("api-version") else Set.empty)
+    val unknown = raw.keySet.filterNot(allowed)
+    if (unknown.nonEmpty)
+      errors += s"$ctx: unrecognized option(s): ${unknown.toSeq.sorted.mkString(", ")}"
+    raw.filter(kv => allowed(kv._1)).foreach {
+      case (k, v: Integer) if intRanges.contains(k) =>
+        val (lo, hi) = intRanges(k)
+        if (v < lo || v > hi)
+          errors += s"$ctx: $k must be between $lo and $hi"
+      case (k, v) if intRanges.contains(k) =>
+        errors += s"$ctx: $k must be an integer (got $v)"
+      case ("bulk-api-mode", v) if v != "Serial" && v != "Parallel" =>
+        errors += s"$ctx: bulk-api-mode must be Serial or Parallel (got $v)"
+      case ("api-version", v) if !validApiVersion(v) =>
+        errors += s"$ctx: API version $v is not valid."
+      case _ => ()
+    }
+    raw
+  }
+
+  /** Apply a validated raw mapping over a base (defaults or the
+    * operation-level options). */
+  def merged(base: OperationOptions, raw: Map[String, Any]): OperationOptions = {
+    var o = base
+    raw.foreach {
+      case ("api-version", v: String) => o = o.copy(apiVersion = v)
+      case ("bulk-api-batch-size", v: Integer) => o = o.copy(bulkBatchSize = v)
+      case ("bulk-api-timeout", v: Integer) => o = o.copy(bulkTimeout = v)
+      case ("bulk-api-poll-interval", v: Integer) => o = o.copy(bulkPollInterval = v)
+      case ("bulk-api-mode", v: String) => o = o.copy(bulkMode = v)
+      case _ => ()
+    }
+    o
+  }
 }
 
 final case class OperationConfig(version: Int, steps: Seq[StepConfig],
-    pluginModules: Seq[String] = Nil)
+    pluginModules: Seq[String] = Nil,
+    options: OperationOptions = OperationOptions())
 
 /** YAML operation-definition loader + the 6-phase validation pipeline
   * (reference loader/core.py:56-70 + schemas.py). Errors accumulate;
@@ -67,10 +149,11 @@ object OperationConfig {
       case Some(v) => errors += s"Unsupported version $v"; 0
       case None => errors += "Missing required key version"; 0
     }
-    // plugin-modules is a v2 schema addition (reference schemas.py:377-380);
-    // under v1 it falls out as an unknown key like any other.
+    // plugin-modules and options are v2 schema additions (reference
+    // schemas.py:375-380); under v1 they fall out as unknown keys like any
+    // other.
     val topAllowed = Set("version", "operation") ++
-      (if (version == 2) Set("plugin-modules") else Set.empty)
+      (if (version == 2) Set("plugin-modules", "options") else Set.empty)
     val unknownTop = m.keySet.filterNot(topAllowed)
     if (unknownTop.nonEmpty)
       errors += s"Unrecognized key(s) in operation definition: ${unknownTop.toSeq.sorted.mkString(", ")}"
@@ -94,6 +177,16 @@ object OperationConfig {
       case Some(_) if version == 2 => errors += "plugin-modules must be a list"; Nil
       case _ => Nil
     }
+    // Operation-level options (v2; reference OPERATION_OPTIONS_SCHEMA).
+    val opOptions = m.get("options") match {
+      case Some(om: java.util.Map[_, _]) if version == 2 =>
+        val raw = om.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+        OperationOptions.merged(OperationOptions(),
+          OperationOptions.validate(raw, "options", allowApiVersion = true, errors))
+      case Some(_) if version == 2 =>
+        errors += "options must be a mapping"; OperationOptions()
+      case _ => OperationOptions()
+    }
     val steps = m.get("operation") match {
       case Some(l: java.util.List[_]) =>
         l.asScala.toSeq.zipWithIndex.flatMap {
@@ -107,7 +200,7 @@ object OperationConfig {
     if (errors.nonEmpty) Left(errors.toSeq)
     else {
       pendingProviders.foreach(graft.core.Transforms.register)
-      Right(OperationConfig(version, steps, plugins))
+      Right(OperationConfig(version, steps, plugins, opOptions))
     }
   }
 
@@ -144,8 +237,10 @@ object OperationConfig {
       case Some(s: String) => s
       case _ => errors += s"operation[$i]: missing sobject"; return None
     }
-    // exclude-fields is v2-only (reference v2 schema, schemas.py:474).
-    val stepAllowed = StepKeys ++ (if (version == 2) Set("exclude-fields") else Set.empty)
+    // exclude-fields and options are v2-only (reference v2 schema,
+    // schemas.py:386-387,474).
+    val stepAllowed = StepKeys ++
+      (if (version == 2) Set("exclude-fields", "options") else Set.empty)
     val unknown = e.keySet.filterNot(stepAllowed)
     if (unknown.nonEmpty)
       errors += s"$sobject: unrecognized key(s): ${unknown.toSeq.sorted.mkString(", ")}"
@@ -238,6 +333,18 @@ object OperationConfig {
         case None => default
       }
 
+    // Per-sobject options (v2; reference SOBJECT_OPTIONS_SCHEMA — the
+    // bulk-api-* subset only, api-version is operation-level).
+    val stepOptions = e.get("options") match {
+      case Some(om: java.util.Map[_, _]) if version == 2 =>
+        OperationOptions.validate(
+          om.asInstanceOf[java.util.Map[String, Any]].asScala.toMap,
+          sobject, allowApiVersion = false, errors)
+      case Some(_) if version == 2 =>
+        errors += s"$sobject: options must be a mapping"; Map.empty[String, Any]
+      case _ => Map.empty[String, Any]
+    }
+
     Some(StepConfig(
       sobject = sobject,
       fields = fields,
@@ -248,7 +355,8 @@ object OperationConfig {
       outsideLookupBehavior = behavior("outside-lookup-behavior", OutsideBehaviors.keySet, "include"),
       inputValidation = behavior("input-validation", Set("none", "default", "strict"), "default"),
       file = e.get("file").map(_.toString),
-      resultFile = e.get("result-file").map(_.toString)))
+      resultFile = e.get("result-file").map(_.toString),
+      options = stepOptions))
   }
 
   /** Field scope for a step against the catalog (reference

@@ -329,8 +329,15 @@ final class ExtractOperation(
     * success, -1 on error.
     */
   def execute(): Int = {
+    // Progress lines mirror the reference's logger messages
+    // (amaxa/amaxa.py:546-565). The per-step record count is logged at
+    // verbose only: it forces a count job the lazy id accumulators
+    // otherwise never pay (see graft.core.Log).
+    graft.core.Log.info(
+      s"Starting extraction with sObjects ${steps.map(_.sobject).mkString(", ")}")
     steps.foreach { step =>
       val t = step.sobject
+      graft.core.Log.info(s"$t: starting extraction")
       val ls = catalog.classifyLookups(order, t, step.fieldScope)
 
       step.scope match {
@@ -370,6 +377,8 @@ final class ExtractOperation(
 
       reportMissingDependencies(step)
       if (errBuf(t).nonEmpty) return -1
+      graft.core.Log.debug(
+        s"$t: extracted ${getExtractedIds(t).count()} records")
     }
     0
   }

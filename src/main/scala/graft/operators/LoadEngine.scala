@@ -294,8 +294,14 @@ final class LoadOperation(
   /** Reference LoadOperation.execute (amaxa:262-295): inserts stage with
     * stop-on-error per table, then dependent-updates stage. */
   def execute(): Int = {
+    // Progress lines mirror the reference's logger messages
+    // (amaxa/amaxa.py:263-289); error details stay in the per-row
+    // results channel, which the CLI reports after the run.
+    graft.core.Log.info(
+      s"Starting load with sObjects ${steps.map(_.sobject).mkString(", ")}")
     if (stage == LoadStage.Inserts) {
       steps.foreach { s =>
+        graft.core.Log.info(s"${s.sobject}: starting load")
         executeInsert(s)
         if (!success) return -1
       }
@@ -303,6 +309,7 @@ final class LoadOperation(
     }
     if (stage == LoadStage.Dependents) {
       steps.foreach { s =>
+        graft.core.Log.info(s"${s.sobject}: populating dependent and self-lookups")
         executeDependentUpdates(s)
         if (!success) return -1
       }

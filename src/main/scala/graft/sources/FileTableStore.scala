@@ -59,8 +59,23 @@ final class FileTableStore(
     mem.update(table, rows, idCol)
   }
 
-  /** Write every mutated table back to `<dir>/<name>.parquet`. */
-  def persist(): Unit = touched.foreach { t =>
-    mem.scan(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+  /** Write every mutated table back to `<dir>/<name>.parquet`.
+    *
+    * `writeOptions` maps each table to its effective bulk-api options
+    * (reference per-sobject `options`, loader/schemas.py:96-113): the
+    * batch-size caps rows per output file via `maxRecordsPerFile` — the
+    * Spark sink's unit that corresponds to one Bulk API batch — and
+    * Serial mode writes with a single task the way Serial batches submit
+    * one at a time. The default leaves both unset (files split by
+    * partition, fully parallel).
+    */
+  def persist(writeOptions: String => graft.config.OperationOptions =
+      _ => graft.config.OperationOptions()): Unit = touched.foreach { t =>
+    val o = writeOptions(t)
+    val df = mem.scan(t)
+    val out = if (o.serial) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("maxRecordsPerFile", o.bulkBatchSize.toLong)
+      .parquet(s"$dir/$t.parquet")
   }
 }

@@ -199,4 +199,72 @@ class CliSpec extends AnyFunSuite {
     assert(cli.Main.run(Array(s"$root/bad.yml", "--check-only",
       "--describe-dir", s"$root/describes")) == 1)
   }
+
+  test("verbosity flag: valid levels set the logger, invalid is a usage error") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli3").toString
+    new java.io.File(s"$root/describes").mkdirs()
+    writeDescribes(s"$root/describes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"), opYaml)
+    val saved = core.Log.level
+    try {
+      // Invalid choice exits 2 before any work (reference argparse choices).
+      assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+        "--describe-dir", s"$root/describes", "-v", "loud")) == 2)
+      assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+        "--describe-dir", s"$root/describes", "-v", "quiet")) == 0)
+      assert(core.Log.level == core.Log.Quiet)
+      assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+        "--describe-dir", s"$root/describes", "--verbosity", "verbose")) == 0)
+      assert(core.Log.level == core.Log.Verbose)
+    } finally core.Log.level = saved
+  }
+
+  test("api-version preflight rejects malformed versions before config parse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli4").toString
+    new java.io.File(s"$root/describes").mkdirs()
+    writeDescribes(s"$root/describes")
+    // Reference __main__.py:60-76: the version check runs on the raw
+    // document, even though the rest of this config would fail the schema
+    // too (v1 has no options key) — the preflight message wins.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"),
+      "version: 1\noptions: {api-version: '5.50'}\n" + opYaml.linesIterator.drop(1).mkString("\n"))
+    assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+      "--describe-dir", s"$root/describes")) == 1)
+    // Valid version string proceeds to (and passes) normal validation.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op2.yml"),
+      "version: 2\noptions: {api-version: '55.0'}\n" + opYaml.linesIterator.drop(1).mkString("\n"))
+    assert(cli.Main.run(Array(s"$root/op2.yml", "--check-only",
+      "--describe-dir", s"$root/describes")) == 0)
+  }
+
+  test("bulk-api batch-size and Serial mode shape the DML sink write") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli5").toString
+    Seq("describes", "src", "extracted", "target").foreach(s =>
+      new java.io.File(s"$root/$s").mkdirs())
+    writeDescribes(s"$root/describes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"), opYaml)
+    val v2Yaml =
+      """version: 2
+        |options: {bulk-api-mode: Serial, bulk-api-batch-size: 2}
+        |""".stripMargin + opYaml.linesIterator.drop(1).mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op2.yml"), v2Yaml)
+    Fixture.accounts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Account.csv")
+    Fixture.contacts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Contact.csv")
+    assert(cli.Main.run(Array(s"$root/op.yml",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/src", "--out-dir", s"$root/extracted")) == 0)
+    assert(cli.Main.run(Array(s"$root/op2.yml", "--load",
+      "--describe-dir", s"$root/describes",
+      "--data-dir", s"$root/extracted", "--out-dir", s"$root/target")) == 0)
+    // Serial → one write task; batch-size 2 → ≤2 rows per file, so the
+    // 5 accounts land in ≥3 parquet files (each file ≈ one batch).
+    val files = new java.io.File(s"$root/target/Account.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files >= 3, s"expected >=3 batch files, got $files")
+    // And the load itself is still correct.
+    val loaded = spark.read.parquet(s"$root/target/Account.parquet")
+    assert(loaded.count() == 5)
+  }
 }

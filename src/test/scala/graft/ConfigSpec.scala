@@ -238,6 +238,73 @@ class ConfigSpec extends AnyFunSuite {
     assert(bad.swap.toOption.get.exists(_.contains("Unable to load plugin module no.such.Cls")))
   }
 
+  test("v2 options: parse + per-step override merge (reference OPERATION_OPTIONS_SCHEMA)") {
+    val cfg = OperationConfig.parse(
+      """version: 2
+        |options:
+        |  api-version: '55.0'
+        |  bulk-api-batch-size: 5000
+        |  bulk-api-mode: Serial
+        |operation:
+        |  - sobject: Account
+        |    fields: [Name]
+        |    extract: {all: true}
+        |    options:
+        |      bulk-api-batch-size: 200
+        |  - sobject: Contact
+        |    fields: [LastName]
+        |    extract: {all: true}
+        |""".stripMargin).toOption.get
+    assert(cfg.options ==
+      OperationOptions("55.0", 5000, 1200, 5, "Serial"))
+    // Step options override operation options; unset keys inherit
+    // (reference load_operation.py:34-35 step_opts.update()).
+    val eff = cfg.steps.head.effectiveOptions(cfg.options)
+    assert(eff.bulkBatchSize == 200 && eff.serial && eff.apiVersion == "55.0")
+    assert(cfg.steps(1).effectiveOptions(cfg.options).bulkBatchSize == 5000)
+    // Defaults match the reference's constants.py:4-10.
+    assert(OperationOptions() ==
+      OperationOptions("52.0", 10000, 1200, 5, "Parallel"))
+  }
+
+  test("v2 options validation: ranges, enums, unknown keys, api-version format") {
+    def errsOf(opts: String): Seq[String] =
+      OperationConfig.parse(
+        s"""version: 2
+           |options:
+           |$opts
+           |operation:
+           |  - {sobject: A, fields: [N], extract: {all: true}}
+           |""".stripMargin).swap.getOrElse(Nil)
+    assert(errsOf("  bulk-api-batch-size: 20000").exists(_.contains("between 0 and 10000")))
+    assert(errsOf("  bulk-api-batch-size: many").exists(_.contains("must be an integer")))
+    assert(errsOf("  bulk-api-poll-interval: 61").exists(_.contains("between 0 and 60")))
+    assert(errsOf("  bulk-api-mode: Sideways").exists(_.contains("Serial or Parallel")))
+    assert(errsOf("  api-version: '5.50'").exists(_.contains("not valid")))
+    assert(errsOf("  api-version: 'XX.0'").exists(_.contains("not valid")))
+    assert(errsOf("  api-version: '55.0'").isEmpty)
+    assert(errsOf("  bogus-option: 1").exists(_.contains("unrecognized option")))
+    // api-version is operation-level only (SOBJECT_OPTIONS_SCHEMA omits it).
+    val stepLevel = OperationConfig.parse(
+      """version: 2
+        |operation:
+        |  - sobject: A
+        |    fields: [N]
+        |    extract: {all: true}
+        |    options: {api-version: '55.0'}
+        |""".stripMargin)
+    assert(stepLevel.swap.getOrElse(Nil).exists(e =>
+      e.contains("A:") && e.contains("unrecognized option")))
+    // options is a v2 schema addition — v1 rejects it at both levels.
+    val v1 = OperationConfig.parse(
+      """version: 1
+        |options: {bulk-api-batch-size: 100}
+        |operation:
+        |  - {sobject: A, fields: [N], extract: {all: true}}
+        |""".stripMargin)
+    assert(v1.swap.getOrElse(Nil).exists(_.contains("Unrecognized key")))
+  }
+
   test("describe-JSON catalog parsing (FIXTURES A.1 format)") {
     val json =
       """{"name": "Widget", "keyPrefix": "w01", "fields": [
