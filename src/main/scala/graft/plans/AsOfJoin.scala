@@ -5,28 +5,37 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow,
-  UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 /** AS-OF JOIN as a first-class operator: logical node + planner strategy +
-  * physical broadcast implementation, registered through
+  * TWO physical implementations, registered through
   * `SparkSessionExtensions` (or appended to
-  * `spark.experimental.extraStrategies` on a live session).
+  * `spark.experimental.extraStrategies` on a live session). The strategy
+  * chooses the physical shape the way Spark chooses between broadcast-hash
+  * and sort-merge for equi-joins — by the reference side's estimated size
+  * against `spark.sql.autoBroadcastJoinThreshold`:
   *
-  * Two distributed shapes exist for an as-of join and graft ships both:
-  *
-  *   - the SHUFFLE shape (`EventOps.asof`, query `ev_asof_join`): union the
-  *     two sides, one shuffle+sort per key, carry reference columns forward
-  *     with `last(_, ignoreNulls)` — right when both sides are large;
-  *   - this BROADCAST shape: collect the reference side to a
+  *   - [[BroadcastAsOfJoinExec]]: collect the reference side to a
   *     key → time-sorted-rows index, broadcast it, and binary-search per
   *     probe row — zero shuffles, one pass over the probe side. Right when
   *     the reference side fits the same budget a broadcast hash join would
   *     (the quotes/dimension side of the classic as-of workload). The probe
   *     side streams through unmodified, so at 100 TB the scan parallelism
   *     is preserved and there is no skew surface (no per-key partitions).
+  *   - [[ShuffleAsOfJoinExec]]: hash-cluster both sides on the key, sort by
+  *     (key, time), merge each partition pair in one forward pass — right
+  *     when both sides are large; the scale class of a sort-merge join.
+  *
+  * (`EventOps.asof`, query `ev_asof_join`, additionally keeps the composed
+  * union+window form — the same semantics written with built-in operators
+  * only, no extensions required.)
   *
   * Semantics: left outer; for each probe row the match is the reference row
   * of the same key with the greatest time ≤ the probe time (ties on the
@@ -54,10 +63,27 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Plans [[AsOfJoinPlan]] the way Spark plans equi-joins: broadcast when
+  * the reference side's estimated size fits the broadcast budget, the
+  * co-partitioned merge otherwise. `spark.graft.asof.strategy`
+  * (`auto`|`broadcast`|`shuffle`, default auto) overrides the stats
+  * decision for experiments and tests.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried) =>
-      BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carried) :: Nil
+      val conf = SQLConf.get
+      val threshold = conf.autoBroadcastJoinThreshold
+      val useBroadcast =
+        conf.getConfString("spark.graft.asof.strategy", "auto") match {
+          case "broadcast" => true
+          case "shuffle" => false
+          case _ => threshold > 0 && r.stats.sizeInBytes <= threshold
+        }
+      if (useBroadcast)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carried) :: Nil
+      else
+        ShuffleAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carried) :: Nil
     case _ => Nil
   }
 }
@@ -94,11 +120,13 @@ case class BroadcastAsOfJoinExec(
       // Sort by time; equal times fall back to the projected row's full
       // byte content (not its hash — a collision would leave the winner to
       // collection order) so the pick is deterministic for any input order.
-      val sorted = rows.map(_._2).sortWith { case ((t1, r1), (t2, r2)) =>
-        t1 < t2 || (t1 == t2 &&
-          java.util.Arrays.compare(r1.getBytes, r2.getBytes) < 0)
-      }
-      (k, (sorted.map(_._1).toArray, sorted.map(_._2: InternalRow).toArray))
+      // Bytes are extracted ONCE per row before the sort: getBytes inside
+      // the comparator would re-copy the row O(n log n) times.
+      val sorted = rows.map { case (_, (t, r)) => (t, r.getBytes, r) }
+        .sortWith { case ((t1, b1, _), (t2, b2, _)) =>
+          t1 < t2 || (t1 == t2 && java.util.Arrays.compare(b1, b2) < 0)
+        }
+      (k, (sorted.map(_._1).toArray, sorted.map(_._3: InternalRow).toArray))
     }
   }
 
@@ -149,6 +177,118 @@ case class BroadcastAsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical co-partitioned merge as-of join — the BOTH-SIDES-LARGE shape.
+  * Each side is hash-clustered on its key and sorted by (key, time);
+  * EnsureRequirements inserts the exchanges and sorts, so AQE sizes the
+  * shuffle like any sort-merge join. Each partition pair then merges in a
+  * single forward pass with O(1) state: because probe times ascend within
+  * a key, the latest reference row at-or-before the probe time is
+  * maintained by a moving cursor — no per-key buffering, no index, no
+  * driver-side collect. Skew surfaces only as the same per-key hot
+  * partitions a sort-merge join has, and AQE's skew handling applies.
+  *
+  * Tie-break parity with the broadcast form: among reference rows with
+  * equal (key, time) the kept row is the one with the greatest carried-
+  * projection bytes — exactly the row [[BroadcastAsOfJoinExec]]'s
+  * (time, bytes)-sorted index returns.
+  */
+case class ShuffleAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    carried: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val carriedLocal = carried
+    val lKeyExpr = leftKey; val lTimeExpr = leftTime
+    val rKeyExpr = rightKey; val rTimeExpr = rightTime
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    left.execute().zipPartitions(right.execute()) { (liter, riter) =>
+      val lKeyEval = BindReferences.bindReference(lKeyExpr, leftOut)
+      val lTimeEval = BindReferences.bindReference(lTimeExpr, leftOut)
+      val rKeyEval = BindReferences.bindReference(rKeyExpr, rightOut)
+      val rTimeEval = BindReferences.bindReference(rTimeExpr, rightOut)
+      val carryProj = UnsafeProjection.create(carriedLocal, rightOut)
+      val carriedNullable = carriedLocal.map(_.withNullability(true))
+      val proj = UnsafeProjection.create(
+        leftOut ++ carriedNullable, leftOut ++ carriedNullable)
+      val nullRight = new GenericInternalRow(carriedLocal.length)
+      val joined = new JoinedRow
+      val rIter = riter.buffered
+      // Cursor state: the best reference row seen for `curKey` so far —
+      // max (time, bytes) among consumed rows with time <= the probe time.
+      // Values evaluated off the iterator's reused row buffer are copied
+      // before they outlive a next() (InternalRow.copyValue / row.copy()).
+      var curKey: Any = null
+      var lastTime = Long.MinValue
+      var lastBytes: Array[Byte] = null
+      var lastRow: UnsafeRow = null
+      liter.map { lrow =>
+        val k = lKeyEval.eval(lrow)
+        val tv = lTimeEval.eval(lrow)
+        var m: InternalRow = nullRight
+        if (k != null && tv != null) {
+          val t = tv.asInstanceOf[Number].longValue()
+          var continue = true
+          while (continue && rIter.hasNext) {
+            val head = rIter.head
+            val hk = rKeyEval.eval(head)
+            val ht = rTimeEval.eval(head)
+            if (hk == null || ht == null) { rIter.next(); () } // never matchable
+            else {
+              val c = keyOrd.compare(hk, k)
+              if (c < 0) { rIter.next(); () } // left keys only ascend — never needed again
+              else if (c > 0) continue = false
+              else {
+                val time = ht.asInstanceOf[Number].longValue()
+                if (time <= t) {
+                  if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+                    curKey = InternalRow.copyValue(k)
+                    lastTime = Long.MinValue; lastBytes = null; lastRow = null
+                  }
+                  val pr = carryProj(head).copy() // exact-size buffer; getBytes below is zero-copy
+                  val bytes = pr.getBytes
+                  if (lastRow == null || time > lastTime ||
+                      (time == lastTime && java.util.Arrays.compare(bytes, lastBytes) > 0)) {
+                    lastTime = time; lastBytes = bytes; lastRow = pr
+                  }
+                  rIter.next(); ()
+                } else continue = false
+              }
+            }
+          }
+          if (lastRow != null && curKey != null && keyOrd.compare(curKey, k) == 0)
+            m = lastRow
+        }
+        proj(joined(lrow, m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): ShuffleAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

@@ -195,18 +195,14 @@ object EventOps {
   }
 
   /** The same as-of join through the NATIVE operator
-    * (graft.plans.AsOfJoinPlan → BroadcastAsOfJoinExec): zero shuffles —
-    * the views index is broadcast and each click partition binary-searches
-    * it. Same oracle as ev_asof_join; AsOfJoinSpec pins plan + parity
-    * with the shuffle form.
-    *
-    * Scale contract: the broadcast shape is for a REFERENCE side in the
-    * broadcast-hash-join budget class (a dimension/quotes table). Here the
-    * views side is half of `events`, which fits at every test SF but would
-    * not at corpus scale — where `ev_asof_join`'s union+window shuffle
-    * form is the right tool. This query demonstrates the operator; the
-    * pair exists precisely because one as-of semantic needs both physical
-    * shapes.
+    * (graft.plans.AsOfJoinPlan): the strategy plans BroadcastAsOfJoinExec
+    * when the views side's estimated size fits the broadcast threshold
+    * (zero shuffles; each click partition binary-searches the broadcast
+    * index) and the co-partitioned ShuffleAsOfJoinExec merge when it does
+    * not — so the SAME query text is scale-correct when the reference
+    * side is half of a 100 TB events table. Same oracle as ev_asof_join;
+    * AsOfJoinSpec pins both plan shapes, their tie-break parity, and
+    * parity with the composed union+window form.
     */
   private val asofNative: Q = (s, d) => {
     val ev = Tables.events(s, d)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{AsOfJoin, BroadcastAsOfJoinExec}
+import graft.plans.{AsOfJoin, BroadcastAsOfJoinExec, ShuffleAsOfJoinExec}
 
 /** The native broadcast as-of join (logical node + planner strategy +
   * physical operator) against the composed shuffle form and hand-checked
@@ -47,6 +47,84 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(native.nonEmpty)
     assert(native == shuffle)
+  }
+
+  private def withStrategy[A](mode: String)(body: => A): A = {
+    spark.conf.set("spark.graft.asof.strategy", mode)
+    try body finally spark.conf.unset("spark.graft.asof.strategy")
+  }
+
+  /** Every node of the final plan with AQE wrappers expanded: the shuffle
+    * form has exchanges, so AQE wraps it in AdaptiveSparkPlanExec and
+    * ResultQueryStage/ShuffleQueryStage LEAF wrappers that plain collect
+    * cannot see through. Call AFTER an action so the adaptive plan is
+    * final.
+    */
+  private def finalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  test("planner picks the co-partitioned merge when broadcast is off; semantics identical") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = probes((1L, 10L, 100L), (2L, 10L, 55L), (3L, 10L, 5L), (4L, 99L, 100L))
+      val r = refs((7L, 10L, 10L), (8L, 10L, 55L), (9L, 10L, 90L), (5L, 11L, 1L))
+      val df = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"))
+      // Execute df ITSELF (not a derived select) so finalPlan sees the
+      // finished adaptive plan; r_id is column 3 of the joined output.
+      val out = df.collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      assert(out == Map(1L -> 9L, 2L -> 8L, 3L -> -1L, 4L -> -1L))
+      assert(finalNodes(df).exists(_.isInstanceOf[ShuffleAsOfJoinExec]))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("equal-(key,time) reference ties break identically in both physical forms") {
+    val p = probes((1L, 10L, 100L), (2L, 20L, 100L))
+    // Two refs tie at (key=10, t=50) and three at (key=20, t=80).
+    val r = refs((3L, 10L, 50L), (9L, 10L, 50L),
+      (4L, 20L, 80L), (8L, 20L, 80L), (6L, 20L, 80L))
+    def run(mode: String) = withStrategy(mode) {
+      val df = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"))
+      val cls = if (mode == "shuffle") classOf[ShuffleAsOfJoinExec]
+        else classOf[BroadcastAsOfJoinExec]
+      val out = df.collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+      assert(finalNodes(df).exists(_.getClass == cls))
+      out
+    }
+    val b = run("broadcast")
+    val s = run("shuffle")
+    assert(b == s)
+    // And the pick is input-order independent: reversing the reference
+    // side changes nothing.
+    val rRev = refs((6L, 20L, 80L), (8L, 20L, 80L), (4L, 20L, 80L),
+      (9L, 10L, 50L), (3L, 10L, 50L))
+    val s2 = withStrategy("shuffle") {
+      AsOfJoin.asof(p, rRev, "key", "t", "t", Seq("r_id"))
+        .select("p_id", "r_id").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    assert(s2 == s)
+  }
+
+  test("shuffle-form parity with the broadcast form on the events table") {
+    val d = "/root/testdata/sf0.001"
+    val broadcast = graft.queries.EventOps.queries("ev_asof_native")(spark, d)
+      .collect().map(_.toSeq).toSet
+    val shuffled = withStrategy("shuffle") {
+      graft.queries.EventOps.queries("ev_asof_native")(spark, d)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(shuffled.nonEmpty)
+    assert(shuffled == broadcast)
   }
 
   test("null key / null time probe rows pass through with null carries") {
