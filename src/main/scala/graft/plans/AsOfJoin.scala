@@ -55,7 +55,11 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    carried: Seq[Attribute])
+    carried: Seq[Attribute],
+    // Caller's physical-shape pin ("broadcast" | "shuffle"), like a join
+    // hint: it travels WITH the node, so unlike a session conf it survives
+    // AQE re-optimization replanning the subtree mid-query.
+    hint: Option[String] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -65,25 +69,28 @@ case class AsOfJoinPlan(
 
 /** Plans [[AsOfJoinPlan]] the way Spark plans equi-joins: broadcast when
   * the reference side's estimated size fits the broadcast budget, the
-  * co-partitioned merge otherwise. `spark.graft.asof.strategy`
-  * (`auto`|`broadcast`|`shuffle`, default auto) overrides the stats
-  * decision for experiments and tests.
+  * co-partitioned merge otherwise. Precedence mirrors join hints: the
+  * plan-node hint wins, then `spark.graft.asof.strategy`
+  * (`auto`|`broadcast`|`shuffle`, default auto), then the stats decision.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried) =>
+    case p: AsOfJoinPlan =>
       val conf = SQLConf.get
       val threshold = conf.autoBroadcastJoinThreshold
-      val useBroadcast =
-        conf.getConfString("spark.graft.asof.strategy", "auto") match {
-          case "broadcast" => true
-          case "shuffle" => false
-          case _ => threshold > 0 && r.stats.sizeInBytes <= threshold
-        }
+      val mode = p.hint.getOrElse(
+        conf.getConfString("spark.graft.asof.strategy", "auto"))
+      val useBroadcast = mode match {
+        case "broadcast" => true
+        case "shuffle" => false
+        case _ => threshold > 0 && p.right.stats.sizeInBytes <= threshold
+      }
       if (useBroadcast)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carried) :: Nil
+        BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.carried) :: Nil
       else
-        ShuffleAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carried) :: Nil
+        ShuffleAsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.carried) :: Nil
     case _ => Nil
   }
 }
@@ -187,8 +194,11 @@ case class BroadcastAsOfJoinExec(
   * single forward pass with O(1) state: because probe times ascend within
   * a key, the latest reference row at-or-before the probe time is
   * maintained by a moving cursor — no per-key buffering, no index, no
-  * driver-side collect. Skew surfaces only as the same per-key hot
-  * partitions a sort-merge join has, and AQE's skew handling applies.
+  * driver-side collect. AQE's partition coalescing applies to the
+  * inserted exchanges; its skew-SPLITTING rule does not (it matches only
+  * the built-in join execs), so a heavily skewed key takes the same
+  * mitigation any sort-merge join needs — salting upstream, or routing
+  * the hot keys through the broadcast form.
   *
   * Tie-break parity with the broadcast form: among reference rows with
   * equal (key, time) the kept row is the one with the greatest carried-
@@ -304,10 +314,13 @@ object AsOfJoin {
 
   /** left outer as-of: for each `left` row, the `right` row with equal
     * `key` and the greatest `rightTimeCol` ≤ `leftTimeCol`; `carry` names
-    * the right columns appended (nullable) to the left schema.
+    * the right columns appended (nullable) to the left schema. `strategy`
+    * optionally pins the physical shape ("broadcast" | "shuffle"); by
+    * default the planner decides from the reference side's size estimate.
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
-      leftTimeCol: String, rightTimeCol: String, carry: Seq[String]): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
+      strategy: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -329,6 +342,6 @@ object AsOfJoin {
       lplan, rplan,
       attr(lplan, key), attr(rplan, key),
       attr(lplan, leftTimeCol), attr(rplan, rightTimeCol),
-      carry.map(attr(rplan, _))))
+      carry.map(attr(rplan, _)), strategy))
   }
 }

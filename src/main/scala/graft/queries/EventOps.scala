@@ -204,7 +204,8 @@ object EventOps {
     * AsOfJoinSpec pins both plan shapes, their tie-break parity, and
     * parity with the composed union+window form.
     */
-  private val asofNative: Q = (s, d) => {
+  private def asofThroughOperator(s: SparkSession, d: String,
+      strategy: Option[String]): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.where(col("event_type") === "click").select(
       col("event_id").as("click_id"), col("user_id"), col("ts"),
@@ -213,11 +214,20 @@ object EventOps {
       col("user_id"), col("ts"),
       col("event_id").as("view_id"), col("value").as("view_value"))
     graft.plans.AsOfJoin.asof(clicks, views, "user_id", "ts", "ts",
-        Seq("view_id", "view_value"))
+        Seq("view_id", "view_value"), strategy)
       .select(col("click_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
         col("click_value"), col("view_id"), col("view_value"))
   }
+
+  private val asofNative: Q = (s, d) => asofThroughOperator(s, d, None)
+
+  /** The SAME operator pinned to [[graft.plans.ShuffleAsOfJoinExec]] — the
+    * both-sides-large physical shape — so the co-partitioned merge has its
+    * own driver-gated oracle row. The hint rides the logical node, so the
+    * pin survives AQE replanning (a session conf would not).
+    */
+  private val asofMerge: Q = (s, d) => asofThroughOperator(s, d, Some("shuffle"))
 
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,
@@ -227,6 +237,7 @@ object EventOps {
     "ev_enriched" -> enriched,
     "ev_asof_join" -> asof,
     "ev_asof_native" -> asofNative,
+    "ev_asof_merge" -> asofMerge,
     "ev_first_touch" -> firstTouch,
     "ev_interval_join" -> intervalJoin,
     "ev_funnel" -> funnel,
@@ -276,6 +287,7 @@ object EventOps {
         |FROM x GROUP BY 1, 2""".stripMargin,
     "ev_asof_join" -> asofOracleSql,
     "ev_asof_native" -> asofOracleSql,
+    "ev_asof_merge" -> asofOracleSql,
     "ev_first_touch" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
         |  CAST(ts AS TIMESTAMP) AS first_ts, value AS first_value

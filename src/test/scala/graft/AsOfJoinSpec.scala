@@ -127,6 +127,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(shuffled == broadcast)
   }
 
+  test("per-call strategy hint pins the merge shape even when broadcast fits") {
+    val p = probes((1L, 10L, 100L))
+    val r = refs((7L, 10L, 10L))
+    val df = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), Some("shuffle"))
+    val out = df.collect()
+    assert(out.length == 1 && out.head.getLong(3) == 7L)
+    assert(finalNodes(df).exists(_.isInstanceOf[ShuffleAsOfJoinExec]))
+  }
+
   test("null key / null time probe rows pass through with null carries") {
     val p = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)), (3L, Some(10L), None))
       .toDF("p_id", "key", "t")
