@@ -136,6 +136,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(finalNodes(df).exists(_.isInstanceOf[ShuffleAsOfJoinExec]))
   }
 
+  // Randomized differential (seeded): both physical forms against an
+  // independent scala model, over many keys and partitions. Reference
+  // (key, time) pairs are kept distinct so the model's floor pick is
+  // unambiguous; tie-break determinism has its own dedicated test above.
+  (0 until 3).foreach { trial =>
+    test(s"randomized differential: broadcast == merge == scala model (trial $trial)") {
+      val rnd = new scala.util.Random(7 + trial)
+      val keys = 12L
+      val refRows = rnd.shuffle((0 until 300).map { i =>
+        (i.toLong + 1000, rnd.nextLong(keys), rnd.nextLong(1000))
+      }.distinctBy(r => (r._2, r._3)))
+      val probeRows = (0 until 300).map { i =>
+        (i.toLong, rnd.nextLong(keys + 3), rnd.nextLong(1200)) // some keys unmatched
+      }
+      val model: Map[Long, Seq[(Long, Long)]] = refRows.groupBy(_._2)
+        .map { case (k, rs) => k -> rs.map(r => (r._3, r._1)).sortBy(_._1).toSeq }
+      def expect(k: Long, t: Long): Long = model.get(k)
+        .flatMap(_.takeWhile(_._1 <= t).lastOption).map(_._2).getOrElse(-1L)
+      val p = probeRows.toDF("p_id", "key", "t").repartition(7)
+      val r = refRows.toDF("r_id", "key", "t").repartition(5)
+      def run(mode: String) = withStrategy(mode) {
+        AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id")).collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      }
+      val exp = probeRows.map(pr => pr._1 -> expect(pr._2, pr._3)).toMap
+      assert(run("broadcast") == exp)
+      assert(run("shuffle") == exp)
+    }
+  }
+
   test("null key / null time probe rows pass through with null carries") {
     val p = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)), (3L, Some(10L), None))
       .toDF("p_id", "key", "t")
