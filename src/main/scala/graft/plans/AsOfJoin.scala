@@ -344,4 +344,55 @@ object AsOfJoin {
       attr(lplan, leftTimeCol), attr(rplan, rightTimeCol),
       carry.map(attr(rplan, _)), strategy))
   }
+
+  /** Skew-aware as-of over the merge shape: the mitigation
+    * [[ShuffleAsOfJoinExec]]'s scaladoc prescribes for hot keys, packaged.
+    *
+    * Probe keys with more than `hotRowThreshold` rows (EXACT per-key
+    * counts — one map-combined aggregate over the key column; a sampled
+    * estimate would make the plan non-deterministic) are salted `salts`
+    * ways by probe-row hash, and their reference rows are replicated once
+    * per salt, so every probe row still sees its key's full reference set
+    * and the result is row-identical to plain [[asof]] — but the hot
+    * key's probe work lands on `salts` partitions instead of one. Cold
+    * keys ride along with salt 0 and zero replication. One merge pass
+    * over the composite (key, salt) struct — no union of per-path plans.
+    *
+    * Cost model: replication multiplies only the HOT reference rows by
+    * `salts`; with K hot keys of R reference rows each, that is K·R·salts
+    * extra shuffled rows against a probe-side hot partition shrunk by
+    * `salts` — the standard salted-join trade.
+    */
+  def asofSkewAware(left: DataFrame, right: DataFrame, key: String,
+      leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
+      hotRowThreshold: Long, salts: Int): DataFrame = {
+    // Named imports: the functions._ wildcard would shadow the left/right
+    // parameters with the same-named SQL string functions.
+    import org.apache.spark.sql.functions.{array, broadcast, col, count,
+      explode, lit, pmod, sequence, struct, when, xxhash64}
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotRowThreshold)
+      .select(col(key).as("__hotk"))
+    val hotB = broadcast(hot)
+    // A null key must stay null through the composite (struct(null, 0) is
+    // NOT null, and would make null probe keys match null reference keys —
+    // plain asof never does).
+    def composite(saltCol: org.apache.spark.sql.Column) =
+      when(col(key).isNull, lit(null))
+        .otherwise(struct(col(key).as("k"), saltCol.cast("int").as("s")))
+    val l2 = left.join(hotB, col(key) === col("__hotk"), "left")
+      .withColumn("__asof_k", composite(
+        when(col("__hotk").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(leftTimeCol)), lit(salts)))))
+      .drop("__hotk")
+    val r2 = right.join(hotB, col(key) === col("__hotk"), "left")
+      .withColumn("__salt", explode(
+        when(col("__hotk").isNull, array(lit(0)))
+          .otherwise(sequence(lit(0), lit(salts - 1)))))
+      .withColumn("__asof_k", composite(col("__salt")))
+      .drop("__hotk", "__salt")
+    asof(l2, r2, "__asof_k", leftTimeCol, rightTimeCol, carry, Some("shuffle"))
+      .drop("__asof_k")
+  }
 }

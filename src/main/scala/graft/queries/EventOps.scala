@@ -222,6 +222,27 @@ object EventOps {
 
   private val asofNative: Q = (s, d) => asofThroughOperator(s, d, None)
 
+  /** Skew-aware salted variant over the merge shape
+    * ([[graft.plans.AsOfJoin.asofSkewAware]]): users with more than 15
+    * clicks count as hot (a hot/cold mix at every test SF — the corpus
+    * median is ~13) and are salted 4 ways with reference replication.
+    * Row-identical to the plain operator by construction; same oracle.
+    */
+  private val asofSkew: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("event_id").as("click_id"), col("user_id"), col("ts"),
+      col("value").as("click_value"))
+    val views = ev.where(col("event_type") === "view").select(
+      col("user_id"), col("ts"),
+      col("event_id").as("view_id"), col("value").as("view_value"))
+    graft.plans.AsOfJoin.asofSkewAware(clicks, views, "user_id", "ts", "ts",
+        Seq("view_id", "view_value"), hotRowThreshold = 15, salts = 4)
+      .select(col("click_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("click_value"), col("view_id"), col("view_value"))
+  }
+
   /** The SAME operator pinned to [[graft.plans.ShuffleAsOfJoinExec]] — the
     * both-sides-large physical shape — so the co-partitioned merge has its
     * own driver-gated oracle row. The hint rides the logical node, so the
@@ -238,6 +259,7 @@ object EventOps {
     "ev_asof_join" -> asof,
     "ev_asof_native" -> asofNative,
     "ev_asof_merge" -> asofMerge,
+    "ev_asof_skew" -> asofSkew,
     "ev_first_touch" -> firstTouch,
     "ev_interval_join" -> intervalJoin,
     "ev_funnel" -> funnel,
@@ -288,6 +310,7 @@ object EventOps {
     "ev_asof_join" -> asofOracleSql,
     "ev_asof_native" -> asofOracleSql,
     "ev_asof_merge" -> asofOracleSql,
+    "ev_asof_skew" -> asofOracleSql,
     "ev_first_touch" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
         |  CAST(ts AS TIMESTAMP) AS first_ts, value AS first_value

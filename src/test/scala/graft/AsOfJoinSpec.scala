@@ -166,6 +166,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-aware salted form is row-identical to the plain operator") {
+    val rnd = new scala.util.Random(99)
+    // One very hot key (600 probe rows), a few cold keys, and null keys on
+    // both sides; duplicate reference times occur, so the tie-break path
+    // is exercised through the salting too.
+    val probeRows = (0 until 600).map(i => (i.toLong, Some(1L), rnd.nextLong(1000))) ++
+      (600 until 700).map(i => (i.toLong, Some(2L + i % 5), rnd.nextLong(1000))) ++
+      Seq((990L, Option.empty[Long], 10L))
+    val refRows = (0 until 200).map(i => (i.toLong + 5000, Some(1L), rnd.nextLong(1000))) ++
+      (200 until 260).map(i => (i.toLong + 5000, Some(2L + i % 5), rnd.nextLong(1000))) ++
+      Seq((9999L, Option.empty[Long], 5L))
+    val p = probeRows.toDF("p_id", "key", "t")
+    val r = refRows.toDF("r_id", "key", "t")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    val plain = norm(AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id")))
+    val salted = norm(AsOfJoin.asofSkewAware(p, r, "key", "t", "t", Seq("r_id"),
+      hotRowThreshold = 100, salts = 4))
+    assert(salted == plain)
+    // Null-key probes stay unmatched (struct(null, salt) must not revive
+    // null-equality).
+    assert(salted(990L) == -1L)
+  }
+
   test("null key / null time probe rows pass through with null carries") {
     val p = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)), (3L, Some(10L), None))
       .toDF("p_id", "key", "t")
