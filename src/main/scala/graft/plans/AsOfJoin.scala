@@ -289,8 +289,17 @@ case class ShuffleAsOfJoinExec(
               }
             }
           }
-          if (lastRow != null && curKey != null && keyOrd.compare(curKey, k) == 0)
+          if (lastRow != null && curKey != null && keyOrd.compare(curKey, k) == 0) {
+            // Contract check: the cursor only ever consumed rows with
+            // time <= some earlier probe's t, so state time > this t means
+            // the probe stream regressed — EnsureRequirements' (key, time)
+            // ordering was violated and any answer would be silently
+            // wrong. Fail loudly instead.
+            if (lastTime > t) throw new IllegalStateException(
+              s"as-of merge: probe stream not time-ascending within key " +
+                s"(state time $lastTime > probe time $t)")
             m = lastRow
+          }
         }
         proj(joined(lrow, m))
       }

@@ -46,4 +46,36 @@ class HighVolumeSpec extends AnyFunSuite {
     val h2 = extract.result("Lead").agg(expr("bit_xor(xxhash64(LastName, Company))")).head.getLong(0)
     assert(h1 == h2)
   }
+
+  /** The merge as-of at volume: 2M probes × 200k references, verified
+    * against a closed-form expected aggregate (no driver-side row
+    * collection). Per key k∈[0,1000): probe times 0..1999, reference
+    * times 0,10,…,1990 → every probe matches rt = t − t%10, so
+    * Σ rt = 1000 · (Σt − Σ(t%10)) = 1000 · (1999000 − 9000). The merge's
+    * O(1)-per-partition state is what makes this volume trivially cheap —
+    * nothing is buffered per key.
+    */
+  test("merge as-of joins 2M x 200k rows; salted form agrees at volume") {
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, and
+    // ((id/1000)*10).cast(long) would smear floor(key/100) into the
+    // reference times, breaking the closed form.
+    val probes = spark.range(2000000).select(
+      (col("id") % 1000).as("key"), expr("id div 1000").as("t"))
+    val refs = spark.range(200000).select(
+      (col("id") % 1000).as("key"), expr("(id div 1000) * 10").as("rt"))
+    val expectedSum = 1000L * (1999000L - 9000L)
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), count(col("rt")), sum(col("rt"))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val merged = graft.plans.AsOfJoin.asof(
+      probes, refs, "key", "t", "rt", Seq("rt"), Some("shuffle"))
+    assert(checksum(merged) == ((2000000L, 2000000L, expectedSum)))
+    // Salted variant with every key hot (threshold 1000 < 2000 rows/key,
+    // 4 salts): identical aggregate at full replication pressure.
+    val salted = graft.plans.AsOfJoin.asofSkewAware(
+      probes, refs, "key", "t", "rt", Seq("rt"),
+      hotRowThreshold = 1000, salts = 4)
+    assert(checksum(salted) == ((2000000L, 2000000L, expectedSum)))
+  }
 }
