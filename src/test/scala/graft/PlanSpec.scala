@@ -245,4 +245,34 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("ev_asof_skew: 3 exchanges (hot-count + two merge sides), 1 broadcast reused, 1 salt explode") {
+    // Counted on the EXECUTED adaptive plan: exchange reuse is an AQE
+    // runtime decision, so the pre-execution formatted plan still shows
+    // the hot-key subtree twice.
+    val df = SparkEntry.queries("ev_asof_skew")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case o => o +: o.children.flatMap(expand)
+    }
+    val nodes = expand(df.queryExecution.executedPlan)
+    def n(pred: SparkPlan => Boolean) = nodes.count(pred)
+    assert(n(_.isInstanceOf[graft.plans.ShuffleAsOfJoinExec]) == 1)
+    // Hot-key count aggregate + the merge's two cluster exchanges — any
+    // fourth shuffle means the salting started re-shuffling something.
+    assert(n(_.isInstanceOf[ShuffleExchangeExec]) == 3,
+      s"expected exactly 3 shuffles:\n${nodes.map(_.nodeName).mkString(", ")}")
+    // ONE broadcast of the hot-key set, REUSED by the second side's screen.
+    assert(n(_.isInstanceOf[BroadcastExchangeExec]) == 1,
+      nodes.map(_.nodeName).mkString(", "))
+    assert(n(_.isInstanceOf[ReusedExchangeExec]) == 1,
+      nodes.map(_.nodeName).mkString(", "))
+    assert(n(_.nodeName == "Generate") == 1)
+  }
 }
