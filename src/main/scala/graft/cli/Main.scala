@@ -42,7 +42,11 @@ object Main {
     val stateDir = opt("--state-dir").getOrElse(s"$outDir/_state")
     val useState = opt("--use-state")
     // -v/--verbosity (reference __main__.py:38-45): default normal; an
-    // unknown level is a usage error like argparse's invalid choice.
+    // unknown level is a usage error like argparse's invalid choice. The
+    // level is process-global, so run() restores it on exit — an embedder
+    // (or a test suite) calling run() in-process must not stay flipped to
+    // the CLI's default afterwards.
+    val savedLevel = graft.core.Log.level
     opt("-v").orElse(opt("--verbosity")).getOrElse("normal") match {
       case l if graft.core.Log.levels.contains(l) =>
         graft.core.Log.level = graft.core.Log.levels(l)
@@ -51,7 +55,14 @@ object Main {
           s"invalid verbosity $bad (choose from quiet, errors, normal, verbose)")
         return 2
     }
+    try runLeveled(opFile, load, checkOnly, describeDir, dataDir,
+      outDir, stateDir, useState)
+    finally graft.core.Log.level = savedLevel
+  }
 
+  private def runLeveled(opFile: String, load: Boolean,
+      checkOnly: Boolean, describeDir: Option[String], dataDir: String,
+      outDir: String, stateDir: String, useState: Option[String]): Int = {
     val yamlText =
       try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(opFile)))
       catch { case e: Exception => System.err.println(s"Cannot read $opFile: ${e.getMessage}"); return 2 }

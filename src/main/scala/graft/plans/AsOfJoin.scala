@@ -331,6 +331,12 @@ object AsOfJoin {
       leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
       strategy: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // Fail fast on a typo'd hint: silently falling through to the stats
+    // decision could broadcast-collect the very side the caller pinned
+    // away. (The conf knob documents auto as ITS fallback; the explicit
+    // per-call argument has no excuse.)
+    require(strategy.forall(Set("broadcast", "shuffle")),
+      s"asof strategy must be broadcast or shuffle (got ${strategy.get})")
     val spark = left.sparkSession
     ensureStrategy(spark)
     require(carry.forall(c => !left.columns.contains(c)),
@@ -390,10 +396,15 @@ object AsOfJoin {
     def composite(saltCol: org.apache.spark.sql.Column) =
       when(col(key).isNull, lit(null))
         .otherwise(struct(col(key).as("k"), saltCol.cast("int").as("s")))
+    // Salt from a hash of ALL probe columns, not just the time: hot keys
+    // with few distinct timestamps (coarse event-time granularity) would
+    // otherwise collapse onto one salt and keep the skew while still
+    // paying the reference replication.
+    val probeHash = xxhash64(left.columns.map(col).toSeq: _*)
     val l2 = left.join(hotB, col(key) === col("__hotk"), "left")
       .withColumn("__asof_k", composite(
         when(col("__hotk").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col(leftTimeCol)), lit(salts)))))
+          .otherwise(pmod(probeHash, lit(salts)))))
       .drop("__hotk")
     val r2 = right.join(hotB, col(key) === col("__hotk"), "left")
       .withColumn("__salt", explode(

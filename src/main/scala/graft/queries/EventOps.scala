@@ -204,8 +204,12 @@ object EventOps {
     * AsOfJoinSpec pins both plan shapes, their tie-break parity, and
     * parity with the composed union+window form.
     */
+  /** Shared clicks/views projections + output select for the operator
+    * faces; `join` supplies the specific as-of call, so the event
+    * projections cannot drift between the native/merge/skew queries.
+    */
   private def asofThroughOperator(s: SparkSession, d: String,
-      strategy: Option[String]): DataFrame = {
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.where(col("event_type") === "click").select(
       col("event_id").as("click_id"), col("user_id"), col("ts"),
@@ -213,14 +217,16 @@ object EventOps {
     val views = ev.where(col("event_type") === "view").select(
       col("user_id"), col("ts"),
       col("event_id").as("view_id"), col("value").as("view_value"))
-    graft.plans.AsOfJoin.asof(clicks, views, "user_id", "ts", "ts",
-        Seq("view_id", "view_value"), strategy)
+    join(clicks, views)
       .select(col("click_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
         col("click_value"), col("view_id"), col("view_value"))
   }
 
-  private val asofNative: Q = (s, d) => asofThroughOperator(s, d, None)
+  private val asofCarry = Seq("view_id", "view_value")
+
+  private val asofNative: Q = (s, d) => asofThroughOperator(s, d,
+    graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry))
 
   /** Skew-aware salted variant over the merge shape
     * ([[graft.plans.AsOfJoin.asofSkewAware]]): users with more than 15
@@ -228,27 +234,18 @@ object EventOps {
     * median is ~13) and are salted 4 ways with reference replication.
     * Row-identical to the plain operator by construction; same oracle.
     */
-  private val asofSkew: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val clicks = ev.where(col("event_type") === "click").select(
-      col("event_id").as("click_id"), col("user_id"), col("ts"),
-      col("value").as("click_value"))
-    val views = ev.where(col("event_type") === "view").select(
-      col("user_id"), col("ts"),
-      col("event_id").as("view_id"), col("value").as("view_value"))
-    graft.plans.AsOfJoin.asofSkewAware(clicks, views, "user_id", "ts", "ts",
-        Seq("view_id", "view_value"), hotRowThreshold = 15, salts = 4)
-      .select(col("click_id"), col("user_id"),
-        col("ts").cast("timestamp_ntz").as("ts"),
-        col("click_value"), col("view_id"), col("view_value"))
-  }
+  private val asofSkew: Q = (s, d) => asofThroughOperator(s, d,
+    graft.plans.AsOfJoin.asofSkewAware(_, _, "user_id", "ts", "ts", asofCarry,
+      hotRowThreshold = 15, salts = 4))
 
   /** The SAME operator pinned to [[graft.plans.ShuffleAsOfJoinExec]] — the
     * both-sides-large physical shape — so the co-partitioned merge has its
     * own driver-gated oracle row. The hint rides the logical node, so the
     * pin survives AQE replanning (a session conf would not).
     */
-  private val asofMerge: Q = (s, d) => asofThroughOperator(s, d, Some("shuffle"))
+  private val asofMerge: Q = (s, d) => asofThroughOperator(s, d,
+    graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry,
+      Some("shuffle")))
 
   val queries: Map[String, Q] = Map(
     "ev_tumbling" -> tumbling,

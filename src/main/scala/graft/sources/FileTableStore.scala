@@ -74,8 +74,11 @@ final class FileTableStore(
     val o = writeOptions(t)
     val df = mem.scan(t)
     val out = if (o.serial) df.coalesce(1) else df
+    // Clamp 0 → 1: the reference schema allows batch-size 0 (min 0), but
+    // Spark reads maxRecordsPerFile=0 as NO limit — the exact opposite of
+    // the tightest batching the user asked for.
     out.write.mode("overwrite")
-      .option("maxRecordsPerFile", o.bulkBatchSize.toLong)
+      .option("maxRecordsPerFile", math.max(1L, o.bulkBatchSize.toLong))
       .parquet(s"$dir/$t.parquet")
   }
 }

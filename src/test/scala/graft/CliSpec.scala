@@ -200,23 +200,51 @@ class CliSpec extends AnyFunSuite {
       "--describe-dir", s"$root/describes")) == 1)
   }
 
-  test("verbosity flag: valid levels set the logger, invalid is a usage error") {
+  test("verbosity flag: progress lines at normal, silence at quiet, level restored") {
     val root = java.nio.file.Files.createTempDirectory("graft_cli3").toString
-    new java.io.File(s"$root/describes").mkdirs()
+    Seq("describes", "src", "out").foreach(s => new java.io.File(s"$root/$s").mkdirs())
     writeDescribes(s"$root/describes")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"), opYaml)
+    Fixture.accounts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Account.csv")
+    Fixture.contacts.write.mode("overwrite").option("header", true)
+      .csv(s"$root/src/Contact.csv")
+    // Invalid choice exits 2 before any work (reference argparse choices).
+    assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+      "--describe-dir", s"$root/describes", "-v", "loud")) == 2)
+    def extractCapturingErr(v: Option[String]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val ps = new java.io.PrintStream(buf, true)
+      val old = System.err
+      System.setErr(ps)
+      try assert(cli.Main.run(Array(s"$root/op.yml",
+        "--describe-dir", s"$root/describes", "--data-dir", s"$root/src",
+        "--out-dir", s"$root/out") ++ v.toSeq.flatMap(Seq("-v", _))) == 0)
+      finally { System.setErr(old); ps.flush() }
+      buf.toString
+    }
     val saved = core.Log.level
-    try {
-      // Invalid choice exits 2 before any work (reference argparse choices).
-      assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
-        "--describe-dir", s"$root/describes", "-v", "loud")) == 2)
-      assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
-        "--describe-dir", s"$root/describes", "-v", "quiet")) == 0)
-      assert(core.Log.level == core.Log.Quiet)
-      assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
-        "--describe-dir", s"$root/describes", "--verbosity", "verbose")) == 0)
-      assert(core.Log.level == core.Log.Verbose)
-    } finally core.Log.level = saved
+    // Default (normal) emits the reference's progress lines…
+    assert(extractCapturingErr(None).contains("Account: starting extraction"))
+    // …quiet emits none…
+    assert(!extractCapturingErr(Some("quiet")).contains("starting extraction"))
+    // …and the process-global level is restored after each run().
+    assert(core.Log.level == saved)
+  }
+
+  test("unquoted api-version YAML float is rejected exactly like the reference") {
+    // `api-version: 55.0` unquoted is a YAML FLOAT; the reference's
+    // preflight type-checks for str and rejects it
+    // (amaxa/__main__.py:64-71) — parity means we reject it too, even
+    // though it renders as a well-formed version string.
+    val root = java.nio.file.Files.createTempDirectory("graft_cli6").toString
+    new java.io.File(s"$root/describes").mkdirs()
+    writeDescribes(s"$root/describes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/op.yml"),
+      "version: 2\noptions: {api-version: 55.0}\n" +
+        opYaml.linesIterator.drop(1).mkString("\n"))
+    assert(cli.Main.run(Array(s"$root/op.yml", "--check-only",
+      "--describe-dir", s"$root/describes")) == 1)
   }
 
   test("api-version preflight rejects malformed versions before config parse") {
