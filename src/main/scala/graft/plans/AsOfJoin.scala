@@ -99,6 +99,13 @@ object AsOfJoinStrategy extends SparkStrategy {
   * and indexed on the driver — the same budget class as a broadcast hash
   * join's build side — then each probe partition binary-searches the
   * per-key time-sorted arrays. No shuffle, no sort on the probe side.
+  *
+  * Participates in whole-stage codegen on the probe side (the pattern of
+  * Spark's own BroadcastHashJoinExec: produce from the streamed child,
+  * consume emits the index lookup inline), so scans and filters around
+  * the join stay in one generated function instead of breaking the span
+  * at a mapPartitions boundary. The interpreted doExecute remains as the
+  * non-codegen fallback.
   */
 case class BroadcastAsOfJoinExec(
     left: SparkPlan,
@@ -108,11 +115,14 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     carried: Seq[Attribute])
-  extends BinaryExecNode {
+  extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
 
-  private def buildIndex(): Map[Any, (Array[Long], Array[InternalRow])] = {
+  // java.util.HashMap rather than a Scala Map: the generated Java consume
+  // path does a plain .get (boxed-key equals/hashCode matches the
+  // interpreted eval's boxing), with no Option allocation per probe row.
+  private def buildIndex(): java.util.HashMap[Any, (Array[Long], Array[InternalRow])] = {
     val keyEval = BindReferences.bindReference(rightKey, right.output)
     val timeEval = BindReferences.bindReference(rightTime, right.output)
     val carryProj = UnsafeProjection.create(carried, right.output)
@@ -123,7 +133,9 @@ case class BroadcastAsOfJoinExec(
       else Iterator.single((k, (t.asInstanceOf[Number].longValue(),
         carryProj(row).copy().asInstanceOf[UnsafeRow])))
     }.toSeq.groupBy(_._1)
-    grouped.map { case (k, rows) =>
+    val out = new java.util.HashMap[Any, (Array[Long], Array[InternalRow])](
+      grouped.size * 2)
+    grouped.foreach { case (k, rows) =>
       // Sort by time; equal times fall back to the projected row's full
       // byte content (not its hash — a collision would leave the winner to
       // collection order) so the pick is deterministic for any input order.
@@ -133,23 +145,19 @@ case class BroadcastAsOfJoinExec(
         .sortWith { case ((t1, b1, _), (t2, b2, _)) =>
           t1 < t2 || (t1 == t2 && java.util.Arrays.compare(b1, b2) < 0)
         }
-      (k, (sorted.map(_._1).toArray, sorted.map(_._3: InternalRow).toArray))
+      out.put(k, (sorted.map(_._1).toArray, sorted.map(_._3: InternalRow).toArray))
     }
+    out
   }
 
-  /** Greatest index with times(i) <= t, or -1. */
-  private def floorSearch(times: Array[Long], t: Long): Int = {
-    var lo = 0; var hi = times.length - 1; var ans = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
-    }
-    ans
-  }
+  // Shared by the interpreted and codegen paths: the index is built and
+  // broadcast once per plan instance regardless of which path executes.
+  @transient private lazy val indexBroadcast
+      : Broadcast[java.util.HashMap[Any, (Array[Long], Array[InternalRow])]] =
+    sparkContext.broadcast(buildIndex())
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val index: Broadcast[Map[Any, (Array[Long], Array[InternalRow])]] =
-      sparkContext.broadcast(buildIndex())
+    val index = indexBroadcast
     val leftOut = left.output
     val carriedLocal = carried
     val lKeyExpr = leftKey
@@ -169,22 +177,110 @@ case class BroadcastAsOfJoinExec(
       iter.map { lrow =>
         val k = keyEval.eval(lrow)
         val t = timeEval.eval(lrow)
-        val m: InternalRow =
-          if (k == null || t == null) nullRight
-          else index.value.get(k) match {
-            case Some((times, rows)) =>
-              val i = floorSearch(times, t.asInstanceOf[Number].longValue())
-              if (i >= 0) rows(i) else nullRight
-            case None => nullRight
+        var m: InternalRow = nullRight
+        if (k != null && t != null) {
+          val entry = index.value.get(k)
+          if (entry != null) {
+            val i = BroadcastAsOfJoinExec.floorSearch(
+              entry._1, t.asInstanceOf[Number].longValue())
+            if (i >= 0) m = entry._2(i)
           }
+        }
         proj(joined(lrow, m))
       }
     }
   }
 
+  // ---- whole-stage codegen (probe side streams through) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  // Exactly one output row per streamed input row, so copy-on-emit is
+  // whatever the streamed side needs (the default for binary nodes throws).
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].needCopyResult
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
+      row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{
+      CodeGenerator, EmptyBlock, ExprCode, JavaCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    // The Broadcast object rides the reference array; each task resolves
+    // .value() once into a mutable-state field (BroadcastHashJoinExec's
+    // prepareBroadcast shape).
+    val bcTerm = ctx.addReferenceObj("asofBroadcast", indexBroadcast)
+    val idxTerm = ctx.addMutableState("java.util.HashMap", "asofIndex",
+      v => s"$v = (java.util.HashMap) $bcTerm.value();", forceInline = true)
+    ctx.currentVars = input
+    val keyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val timeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val matched = ctx.freshName("asofMatched")
+    val entry = ctx.freshName("asofEntry")
+    val lookup =
+      s"""
+         |${keyEv.code}
+         |${timeEv.code}
+         |InternalRow $matched = null;
+         |if (!${keyEv.isNull} && !${timeEv.isNull}) {
+         |  scala.Tuple2 $entry = (scala.Tuple2) $idxTerm.get(${keyEv.value});
+         |  if ($entry != null) {
+         |    long[] ${entry}_t = (long[]) $entry._1();
+         |    int ${entry}_i = graft.plans.BroadcastAsOfJoinExec.floorSearch(
+         |      ${entry}_t, (long) ${timeEv.value});
+         |    if (${entry}_i >= 0) {
+         |      $matched = ((InternalRow[]) $entry._2())[${entry}_i];
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    val carriedVars = carried.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val evalCode =
+        code"""
+          |boolean $isNull = true;
+          |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+          |if ($matched != null && !$matched.isNullAt($i)) {
+          |  $isNull = false;
+          |  $value = ${CodeGenerator.getValue(matched, a.dataType, i.toString)};
+          |}
+        """.stripMargin
+      ExprCode(evalCode, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    // Emit the carried evaluations HERE (they must follow the lookup);
+    // hand consume() code-free copies so it does not re-emit them.
+    s"""
+       |$lookup
+       |${carriedVars.map(_.code.toString).mkString("\n")}
+       |${consume(ctx, input ++ carriedVars.map(_.copy(code = EmptyBlock)))}
+     """.stripMargin
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  /** Greatest index with times(i) <= t, or -1. Public static so the
+    * generated consume code can call it directly. */
+  def floorSearch(times: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = times.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    ans
+  }
 }
 
 /** Physical co-partitioned merge as-of join — the BOTH-SIDES-LARGE shape.
