@@ -30,13 +30,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(4L) == -1L) // key absent from reference side
   }
 
-  test("physical plan uses BroadcastAsOfJoinExec; probe side has no shuffle") {
+  test("physical plan uses BroadcastAsOfJoinExec; probe side has no shuffle; codegen fused") {
     val p = probes((1L, 10L, 100L))
     val r = refs((7L, 10L, 10L))
     val df = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"))
     val plan = df.queryExecution.executedPlan
     assert(plan.collect { case e: BroadcastAsOfJoinExec => e }.nonEmpty)
     assert(!plan.toString.contains("Exchange"))
+    // The `*(n)` prefix marks whole-stage-codegen membership: the probe
+    // side must fuse THROUGH the custom exec, not break the span at it.
+    assert(plan.toString.linesIterator.exists(l =>
+      l.contains("BroadcastAsOfJoin") && l.trim.startsWith("*(")),
+      s"expected codegen'd BroadcastAsOfJoin:\n$plan")
   }
 
   test("parity with the shuffle (union+window) form on the events table") {
