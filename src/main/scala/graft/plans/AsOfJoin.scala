@@ -152,6 +152,10 @@ case class BroadcastAsOfJoinExec(
 
   // Shared by the interpreted and codegen paths: the index is built and
   // broadcast once per plan instance regardless of which path executes.
+  // NOTE: like BroadcastHashJoinExec's prepareBroadcast, the codegen path
+  // resolves this during CODE GENERATION — so explain("codegen") on an
+  // unexecuted as-of plan runs the reference-side collect, exactly as it
+  // kicks off the broadcast build for Spark's own broadcast joins.
   @transient private lazy val indexBroadcast
       : Broadcast[java.util.HashMap[Any, (Array[Long], Array[InternalRow])]] =
     sparkContext.broadcast(buildIndex())
@@ -433,6 +437,19 @@ object AsOfJoin {
     // per-call argument has no excuse.)
     require(strategy.forall(Set("broadcast", "shuffle")),
       s"asof strategy must be broadcast or shuffle (got ${strategy.get})")
+    // The operator does NO implicit key coercion (unlike equi-joins, where
+    // the analyzer inserts casts): the broadcast index is a hash lookup
+    // and the merge compares with the LEFT key's ordering, so mismatched
+    // key types (int probe vs long reference) would miss or miscompare
+    // silently. Floating-point keys are rejected outright — their Java
+    // box equality (-0.0 != 0.0) diverges from SQL comparison semantics;
+    // cast to a precise type upstream.
+    val lkType = left.schema(key).dataType
+    val rkType = right.schema(key).dataType
+    require(normalized(lkType) == normalized(rkType), // nullability is not equality
+      s"asof key types must match (left $lkType vs right $rkType); cast upstream")
+    require(!hasFloatingPoint(lkType),
+      s"asof does not support floating-point keys ($lkType); cast upstream")
     val spark = left.sparkSession
     ensureStrategy(spark)
     require(carry.forall(c => !left.columns.contains(c)),
@@ -454,6 +471,28 @@ object AsOfJoin {
       attr(lplan, key), attr(rplan, key),
       attr(lplan, leftTimeCol), attr(rplan, rightTimeCol),
       carry.map(attr(rplan, _)), strategy))
+  }
+
+  import org.apache.spark.sql.types._
+
+  /** Type with every nested nullability flag erased — the comparison the
+    * private-to-Spark DataType.sameType performs. */
+  private def normalized(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(f.name, normalized(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(normalized(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(normalized(m.keyType), normalized(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
+  private def hasFloatingPoint(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => hasFloatingPoint(f.dataType))
+    case a: ArrayType => hasFloatingPoint(a.elementType)
+    case m: MapType => hasFloatingPoint(m.keyType) || hasFloatingPoint(m.valueType)
+    case _ => false
   }
 
   /** Skew-aware as-of over the merge shape: the mitigation

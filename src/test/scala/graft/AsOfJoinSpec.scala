@@ -31,17 +31,40 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("physical plan uses BroadcastAsOfJoinExec; probe side has no shuffle; codegen fused") {
+    // fallback=false: a Janino compile failure in the generated consume
+    // code must THROW here, not silently run the interpreted path (the
+    // `*(n)` marker is assigned at planning and cannot detect that).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val p = probes((1L, 10L, 100L))
+      val r = refs((7L, 10L, 10L))
+      val df = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case e: BroadcastAsOfJoinExec => e }.nonEmpty)
+      assert(!plan.toString.contains("Exchange"))
+      // The `*(n)` prefix marks whole-stage-codegen membership: the probe
+      // side must fuse THROUGH the custom exec, not break the span at it.
+      assert(plan.toString.linesIterator.exists(l =>
+        l.contains("BroadcastAsOfJoin") && l.trim.startsWith("*(")),
+        s"expected codegen'd BroadcastAsOfJoin:\n$plan")
+      // Execute under no-fallback so the generated code actually compiles
+      // and produces the right row.
+      val out = df.collect()
+      assert(out.length == 1 && out.head.getLong(3) == 7L)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("mismatched and floating-point key types are rejected up front") {
     val p = probes((1L, 10L, 100L))
-    val r = refs((7L, 10L, 10L))
-    val df = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"))
-    val plan = df.queryExecution.executedPlan
-    assert(plan.collect { case e: BroadcastAsOfJoinExec => e }.nonEmpty)
-    assert(!plan.toString.contains("Exchange"))
-    // The `*(n)` prefix marks whole-stage-codegen membership: the probe
-    // side must fuse THROUGH the custom exec, not break the span at it.
-    assert(plan.toString.linesIterator.exists(l =>
-      l.contains("BroadcastAsOfJoin") && l.trim.startsWith("*(")),
-      s"expected codegen'd BroadcastAsOfJoin:\n$plan")
+    val rInt = Seq((7, 10, 10)).toDF("r_id", "key", "t") // int key vs long probe
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(p, rInt, "key", "t", "t", Seq("r_id"))
+    }
+    val pD = Seq((1L, 10.0, 100L)).toDF("p_id", "key", "t")
+    val rD = Seq((7L, 10.0, 10L)).toDF("r_id", "key", "t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(pD, rD, "key", "t", "t", Seq("r_id"))
+    }
   }
 
   test("parity with the shuffle (union+window) form on the events table") {
