@@ -53,7 +53,12 @@ final case class OperationOptions(
     bulkBatchSize: Int = 10000,
     bulkTimeout: Int = 1200,
     bulkPollInterval: Int = 5,
-    bulkMode: String = "Parallel") {
+    bulkMode: String = "Parallel",
+    // True only when the user supplied bulk-api-batch-size: the sink caps
+    // rows-per-file ONLY then, so the 10000 default never silently
+    // fragments large table writes (files split by partition, fully
+    // parallel, when no options block asked for batching).
+    bulkBatchSizeExplicit: Boolean = false) {
   def serial: Boolean = bulkMode == "Serial"
 }
 
@@ -104,7 +109,8 @@ object OperationOptions {
     var o = base
     raw.foreach {
       case ("api-version", v: String) => o = o.copy(apiVersion = v)
-      case ("bulk-api-batch-size", v: Integer) => o = o.copy(bulkBatchSize = v)
+      case ("bulk-api-batch-size", v: Integer) =>
+        o = o.copy(bulkBatchSize = v, bulkBatchSizeExplicit = true)
       case ("bulk-api-timeout", v: Integer) => o = o.copy(bulkTimeout = v)
       case ("bulk-api-poll-interval", v: Integer) => o = o.copy(bulkPollInterval = v)
       case ("bulk-api-mode", v: String) => o = o.copy(bulkMode = v)
@@ -490,7 +496,8 @@ object OperationConfig {
       }
       val perFieldOutside = sc.fields.getOrElse(Nil)
         .flatMap(f => f.outsideLookupBehavior.map(b => f.field -> OutsideBehaviors(b))).toMap
-      LoadStepSpec(sc.sobject, scope, OutsideBehaviors(sc.outsideLookupBehavior), perFieldOutside)
+      LoadStepSpec(sc.sobject, scope, OutsideBehaviors(sc.outsideLookupBehavior), perFieldOutside,
+        inputValidation = sc.inputValidation)
     }
     if (errors.nonEmpty) Left(errors.toSeq) else Right(steps)
   }

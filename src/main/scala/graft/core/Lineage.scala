@@ -64,6 +64,24 @@ object Lineage {
     (c, row.getLong(0), row.getLong(1))
   }
 
+  /** [[cutStats]] + key-cardinality stats in the SAME single job: returns
+    * (frame, total rows, predicate matches, non-null keys, distinct keys).
+    * Lets the load engine detect duplicate input ids for free — the
+    * distinct aggregate shuffles only key values over the materializing
+    * scan, where the eager groupBy+join it replaces cost two extra
+    * full-lineage jobs per staged table.
+    */
+  def cutStatsKeyed(df: DataFrame, pred: Column, key: Column)
+      : (DataFrame, Long, Long, Long, Long) = {
+    val spark = df.sparkSession
+    val c =
+      if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) cut(df)
+      else df.localCheckpoint(eager = false)
+    val row = c.select(count(lit(1)), count(when(pred, lit(1))),
+      count(key), org.apache.spark.sql.functions.count_distinct(key)).head()
+    (c, row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
   /** Release the storage behind a frame returned by [[cut]] once it is
     * SUPERSEDED — iterative operators (fixpoint id accumulators, star-
     * contraction rounds) re-cut an accumulator every pass, and without an

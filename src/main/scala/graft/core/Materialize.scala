@@ -26,7 +26,10 @@ object Materialize {
     * keys in the same bin) and make a reentrant once() from inside `f` an
     * IllegalStateException.
     */
-  private final class Slot(body: () => String) { lazy val value: String = body() }
+  private final class Slot(body: () => String) {
+    @volatile var computed = false
+    lazy val value: String = { val v = body(); computed = true; v }
+  }
 
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
@@ -45,5 +48,23 @@ object Materialize {
       out
     }))
     spark.read.parquet(slot.value)
+  }
+
+  /** Drop every materialized artifact of one session: forget the keys AND
+    * delete the temp parquet directories now (deleteOnExit only fires at
+    * JVM exit — a long-lived session cycling through many corpora would
+    * otherwise accumulate unbounded temp-dir disk). Callers must hold no
+    * live frame read from a cleared path. Bench uses this before re-timing
+    * a query so the re-run recomputes the full pipeline instead of
+    * replaying a session-cached parquet scan as if it were the query.
+    */
+  def clear(spark: SparkSession): Unit = {
+    val perKey = cache.remove(spark)
+    if (perKey != null) perKey.values.forEach { slot =>
+      // Only computed slots have a path; forcing an uncomputed lazy val
+      // here would run the whole pipeline just to delete its output.
+      if (slot.computed)
+        try Fs.deleteRecursively(slot.value) catch { case _: Throwable => () }
+    }
   }
 }

@@ -97,7 +97,10 @@ object ExprUtil {
     var i = 0
     while (i < len) {
       offs(cnt % (n + 1)) = i
-      i += UTF8String.numBytesForFirstByte(bytes(i))
+      // Clamp: a truncated multi-byte sequence at end-of-input must not
+      // overshoot the array — the slice below would read past it via
+      // Platform unsafe access when hashed/compared.
+      i = math.min(i + UTF8String.numBytesForFirstByte(bytes(i)), len)
       cnt += 1
       if (cnt >= n) {
         val start = offs((cnt - n) % (n + 1))

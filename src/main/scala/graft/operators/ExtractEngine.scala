@@ -304,24 +304,35 @@ final class ExtractOperation(
     }
   }
 
-  /** Reference perform_lookup_pass (amaxa/amaxa.py:837-844): children whose
-    * FK lands in the extracted-id set of any referent table. Returns true
-    * iff the pass stored new rows. No distinct on the parent union: the
-    * per-table id sets are distinct by construction and disjoint across
-    * tables (globally-unique ids), and the consumer is a semi join, which
-    * is duplicate-insensitive anyway.
+  /** Reference perform_lookup_pass (amaxa/amaxa.py:837-844), batched over
+    * ALL the step's lookup fields: children whose FK lands in the
+    * extracted-id set of any referent table, one semi join per field,
+    * unioned into ONE storeResult. Returns true iff the pass stored new
+    * rows. The reference iterates per field; running one storeResult per
+    * field here meant one materializing count job per field per fixpoint
+    * iteration — batching makes it one job per iteration, and the
+    * fixpoint is monotone (ids only grow), so the converged set is
+    * identical, only the discovery schedule differs. No distinct on the
+    * parent union: the per-table id sets are distinct by construction and
+    * disjoint across tables (globally-unique ids), and the consumer is a
+    * semi join, which is duplicate-insensitive anyway; cross-field
+    * overlaps collapse in storeResult's id dropDuplicates.
     */
-  private def performLookupPass(step: ExtractStep, ls: LookupSets, field: String): Boolean = {
+  private def performLookupPass(step: ExtractStep, ls: LookupSets,
+      fields: Seq[String]): Boolean = {
     val t = step.sobject
-    val parents = catalog(t).fieldMap(field).referenceTo
-      .filter(extractedIds.contains)
-      .map(getExtractedIds)
-      .reduceOption(_ unionByName _)
-    parents.exists { p =>
-      val rows = scanScoped(step)
-        .join(p, col(field).cast("string") === col("__id"), "left_semi")
-      storeResult(step, ls, rows)
+    val batches = fields.flatMap { field =>
+      val parents = catalog(t).fieldMap(field).referenceTo
+        .filter(extractedIds.contains)
+        .map(getExtractedIds)
+        .reduceOption(_ unionByName _)
+      parents.map { p =>
+        scanScoped(step)
+          .join(p, col(field).cast("string") === col("__id"), "left_semi")
+      }
     }
+    batches.reduceOption(_ unionByName _)
+      .exists(rows => storeResult(step, ls, rows))
   }
 
   /** Run all steps in order; stop at the first step with errors (reference
@@ -346,7 +357,7 @@ final class ExtractOperation(
         case ExtractionScope.Query(where) =>
           storeResult(step, ls, scanScoped(step, Some(where)))
         case ExtractionScope.Descendents =>
-          ls.descendent.toSeq.sorted.foreach(f => performLookupPass(step, ls, f))
+          performLookupPass(step, ls, ls.descendent.toSeq.sorted)
         case ExtractionScope.SelectedRecords(ids) =>
           val sp = spark; import sp.implicits._
           val sch = catalog(t)
@@ -368,9 +379,7 @@ final class ExtractOperation(
         var changed = true
         while (changed) {
           changed = false
-          ls.self.toSeq.sorted.foreach { f =>
-            if (performLookupPass(step, ls, f)) changed = true
-          }
+          if (performLookupPass(step, ls, ls.self.toSeq.sorted)) changed = true
           if (resolveRegisteredDependencies(step, ls)) changed = true
         }
       }

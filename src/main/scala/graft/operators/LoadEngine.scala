@@ -199,24 +199,43 @@ final class LoadOperation(
     // out every subsequent remap join — fail the rows instead. The
     // reference's org hands out distinct ids so it never faces this; with
     // deterministic ids the input contract is "unique ids per table".
-    // Detection is a groupBy on the id COLUMN (map-side partial agg; the
-    // dup frame is normally empty and AQE broadcasts it) — not a window,
-    // which would shuffle and sort-buffer every full row on every load.
-    val dupIds = populated.groupBy(col(idf).as("__dup_id"))
-      .agg(count(lit(1)).as("__dup_n")).where(col("__dup_n") > 1)
-      .select(col("__dup_id"))
-    val dupChecked = populated
-      .join(dupIds, populated(idf) === col("__dup_id"), "left")
-      .withColumn("__err_dup",
-        when(col("__dup_id").isNotNull,
-          concat(lit("Duplicate record id "), col(idf).cast("string")))
-          .otherwise(lit(null).cast("string")))
-      .drop("__dup_id")
-    // One job materializes the prepped batch AND answers both gates
-    // (any errors? any rows?) — separate count/isEmpty actions were two
+    // DETECTION rides the stats job below as a count_distinct over the id
+    // column (same scan, only id values shuffle) — the eager groupBy+join
+    // form this replaces cost two extra full-lineage jobs per staged table
+    // on EVERY load (round-4 verdict: the one reproducible >2x regression).
+    // The per-row repair join runs only when dups actually exist, over the
+    // already-materialized frame. `input-validation: none` (reference
+    // docs/validation.rst:6-15) skips even the detection aggregate.
+    //
+    // One job materializes the prepped batch AND answers all three gates
+    // (any errors? any rows? any duplicate ids?) — separate actions were
     // extra scheduler round-trips per staged table.
-    val (prepped, total, errCount) = graft.core.Lineage.cutStats(
-      collectErrors(primitivize(step, dupChecked)), col("__error").isNotNull)
+    val base = collectErrors(primitivize(step, populated))
+    var (prepped, total, errCount, hasDups) =
+      if (step.inputValidation == "none") {
+        val (p, n, e) = graft.core.Lineage.cutStats(base, col("__error").isNotNull)
+        (p, n, e, false)
+      } else {
+        val (p, n, e, ids, distinct) = graft.core.Lineage.cutStatsKeyed(
+          base, col("__error").isNotNull, col(idf))
+        (p, n, e, distinct < ids) // null ids group-skip, like the old join
+      }
+    if (hasDups) {
+      // Rare failure path: name the offending rows. Runs over the cut
+      // frame, so these two jobs scan materialized blocks, not lineage.
+      val dupIds = prepped.groupBy(col(idf).as("__dup_id"))
+        .agg(count(lit(1)).as("__dup_n")).where(col("__dup_n") > 1)
+        .select(col("__dup_id"))
+      val flagged = prepped
+        .join(dupIds, prepped(idf) === col("__dup_id"), "left")
+        .withColumn("__error",
+          when(col("__dup_id").isNotNull,
+            concat(lit("Duplicate record id "), col(idf).cast("string")))
+            .otherwise(col("__error"))) // dup error wins, as before
+        .drop("__dup_id")
+      val (p2, n2, e2) = graft.core.Lineage.cutStats(flagged, col("__error").isNotNull)
+      prepped = p2; total = n2; errCount = e2
+    }
     if (errCount > 0) {
       val errRows = prepped.where(col("__error").isNotNull)
       appendResult(t, errRows.select(col(idf).as("originalId"),

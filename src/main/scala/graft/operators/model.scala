@@ -41,12 +41,17 @@ final case class ExtractStep(
     outsideBehaviors.getOrElse(f, outsideLookupBehavior)
 }
 
-/** One load step (reference LoadStep ctor, amaxa/amaxa.py:297-311). */
+/** One load step (reference LoadStep ctor, amaxa/amaxa.py:297-311).
+  * `inputValidation` mirrors the reference's per-sObject `input-validation`
+  * key (docs/validation.rst:6-15): "none" additionally disables the
+  * duplicate-input-id detection aggregate in the insert stage.
+  */
 final case class LoadStepSpec(
     sobject: String,
     fieldScope: Seq[String],
     outsideLookupBehavior: OutsideLookupBehavior = OutsideLookupBehavior.Include,
-    outsideBehaviors: Map[String, OutsideLookupBehavior] = Map.empty) {
+    outsideBehaviors: Map[String, OutsideLookupBehavior] = Map.empty,
+    inputValidation: String = "default") {
   def outsideBehavior(f: String): OutsideLookupBehavior =
     outsideBehaviors.getOrElse(f, outsideLookupBehavior)
 }

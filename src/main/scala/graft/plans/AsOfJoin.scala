@@ -426,10 +426,57 @@ object AsOfJoin {
     * the right columns appended (nullable) to the left schema. `strategy`
     * optionally pins the physical shape ("broadcast" | "shuffle"); by
     * default the planner decides from the reference side's size estimate.
+    *
+    * Automatic skew mitigation: when `spark.graft.asof.skew.threshold` is
+    * set to a positive row count AND the join will take the merge shape
+    * (pinned "shuffle", or auto with a reference side too big to
+    * broadcast), the SAME query text routes through [[asofSkewAware]] with
+    * that hot-row threshold and `spark.graft.asof.skew.salts` salts
+    * (default 8) — so a skewed 100 TB key survives without the caller
+    * knowing to call the skew variant, the way AQE's skew-join rule
+    * rescues built-in sort-merge joins (that rule cannot match a custom
+    * exec). Broadcast plans never salt: the probe side has no per-key
+    * partitions, so there is no skew surface. Off by default — the
+    * detection aggregate is only worth its one extra job when the caller
+    * expects hot keys.
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
       strategy: Option[String] = None): DataFrame = {
+    val spark0 = left.sparkSession
+    val skewThreshold = spark0.conf
+      .getOption("spark.graft.asof.skew.threshold")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    if (skewThreshold > 0) {
+      // Mirror the strategy's broadcast-vs-merge decision (hint wins, then
+      // the session conf, then the stats estimate) — salting a plan that
+      // would broadcast would only add cost.
+      val mode = strategy.getOrElse(
+        spark0.conf.getOption("spark.graft.asof.strategy").getOrElse("auto"))
+      val threshold = spark0.sessionState.conf.autoBroadcastJoinThreshold
+      val wouldShuffle = mode match {
+        case "broadcast" => false
+        case "shuffle" => true
+        case _ => !(threshold > 0 &&
+          right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      }
+      if (wouldShuffle) {
+        val salts = spark0.conf.getOption("spark.graft.asof.skew.salts")
+          .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
+        return asofSkewAware(left, right, key, leftTimeCol, rightTimeCol,
+          carry, skewThreshold, salts)
+      }
+    }
+    asofPlan(left, right, key, leftTimeCol, rightTimeCol, carry, strategy)
+  }
+
+  /** [[asof]] minus the auto-skew gate: builds the logical node directly.
+    * [[asofSkewAware]] lands here with its composite salted key —
+    * re-entering the public face would re-trigger the gate and recurse.
+    */
+  private def asofPlan(left: DataFrame, right: DataFrame, key: String,
+      leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
+      strategy: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     // Fail fast on a typo'd hint: silently falling through to the stats
     // decision could broadcast-collect the very side the caller pinned
@@ -547,7 +594,7 @@ object AsOfJoin {
           .otherwise(sequence(lit(0), lit(salts - 1)))))
       .withColumn("__asof_k", composite(col("__salt")))
       .drop("__hotk", "__salt")
-    asof(l2, r2, "__asof_k", leftTimeCol, rightTimeCol, carry, Some("shuffle"))
+    asofPlan(l2, r2, "__asof_k", leftTimeCol, rightTimeCol, carry, Some("shuffle"))
       .drop("__asof_k")
   }
 }

@@ -622,7 +622,10 @@ object DedupOps {
     * (session, corpus), not one per consumer.
     */
   private val minhashComponents: Q = (s, d) =>
-    graft.core.Materialize.once(s, s"d8_components:$d") {
+    // The conf is part of the cache key (like d5's tile conf): toggling
+    // localFinishEdges mid-session must recompute, not serve a stale copy.
+    graft.core.Materialize.once(s, s"d8_components:$d:" +
+        s.conf.getOption("spark.graft.cc.localFinishEdges").getOrElse("")) {
       connectedComponents(
         minhashPairs(s, d).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
         Tables.documents(s, d).select(col("doc_id").as("id")))

@@ -74,11 +74,15 @@ final class FileTableStore(
     val o = writeOptions(t)
     val df = mem.scan(t)
     val out = if (o.serial) df.coalesce(1) else df
-    // Clamp 0 → 1: the reference schema allows batch-size 0 (min 0), but
-    // Spark reads maxRecordsPerFile=0 as NO limit — the exact opposite of
-    // the tightest batching the user asked for.
-    out.write.mode("overwrite")
-      .option("maxRecordsPerFile", math.max(1L, o.bulkBatchSize.toLong))
-      .parquet(s"$dir/$t.parquet")
+    val w = out.write.mode("overwrite")
+    // Cap rows-per-file only when the user supplied a batch size — the
+    // default config must not fragment large writes. Clamp 0 → 1: the
+    // reference schema allows batch-size 0 (min 0), but Spark reads
+    // maxRecordsPerFile=0 as NO limit — the exact opposite of the
+    // tightest batching the user asked for.
+    val wb = if (o.bulkBatchSizeExplicit)
+      w.option("maxRecordsPerFile", math.max(1L, o.bulkBatchSize.toLong))
+    else w
+    wb.parquet(s"$dir/$t.parquet")
   }
 }

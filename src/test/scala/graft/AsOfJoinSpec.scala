@@ -218,6 +218,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(salted(990L) == -1L)
   }
 
+  test("auto-skew: threshold conf routes plain asof through the salted merge; broadcast never salts") {
+    val rnd = new scala.util.Random(7)
+    val probeRows = (0 until 400).map(i => (i.toLong, 1L, rnd.nextLong(1000))) ++
+      (400 until 450).map(i => (i.toLong, 2L + i % 3, rnd.nextLong(1000)))
+    val refRows = (0 until 150).map(i => (i.toLong + 5000, 1L, rnd.nextLong(1000))) ++
+      (150 until 180).map(i => (i.toLong + 5000, 2L + i % 3, rnd.nextLong(1000)))
+    val p = probeRows.toDF("p_id", "key", "t")
+    val r = refRows.toDF("r_id", "key", "t")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    val plain = norm(AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), Some("shuffle")))
+    spark.conf.set("spark.graft.asof.skew.threshold", "100")
+    spark.conf.set("spark.graft.asof.skew.salts", "4")
+    try {
+      // Merge shape + threshold → the SAME call text plans the salted
+      // composite key (pinned: the exec's key is the __asof_k struct, and
+      // the salt explode is in the plan) and stays row-identical.
+      val auto = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), Some("shuffle"))
+      val planStr = auto.queryExecution.executedPlan.toString
+      assert(planStr.contains("ShuffleAsOfJoin") && planStr.contains("__asof_k"),
+        s"expected salted merge plan, got:\n$planStr")
+      assert(norm(auto) == plain)
+      // Broadcast pin under the same conf: no skew surface, no salting.
+      val bcast = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), Some("broadcast"))
+      val bplan = bcast.queryExecution.executedPlan.toString
+      assert(bplan.contains("BroadcastAsOfJoin") && !bplan.contains("__asof_k"),
+        s"expected unsalted broadcast plan, got:\n$bplan")
+      assert(norm(bcast) == plain)
+    } finally {
+      spark.conf.unset("spark.graft.asof.skew.threshold")
+      spark.conf.unset("spark.graft.asof.skew.salts")
+    }
+  }
+
   test("null key / null time probe rows pass through with null carries") {
     val p = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)), (3L, Some(10L), None))
       .toDF("p_id", "key", "t")

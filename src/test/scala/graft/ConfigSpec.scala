@@ -256,7 +256,7 @@ class ConfigSpec extends AnyFunSuite {
         |    extract: {all: true}
         |""".stripMargin).toOption.get
     assert(cfg.options ==
-      OperationOptions("55.0", 5000, 1200, 5, "Serial"))
+      OperationOptions("55.0", 5000, 1200, 5, "Serial", bulkBatchSizeExplicit = true))
     // Step options override operation options; unset keys inherit
     // (reference load_operation.py:34-35 step_opts.update()).
     val eff = cfg.steps.head.effectiveOptions(cfg.options)

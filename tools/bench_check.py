@@ -9,6 +9,7 @@ Baseline: BENCH_BASELINE.json (round-1 driver numbers; update it when a
 round's bench is accepted as the new reference).
 """
 import json
+import os
 import sys
 
 
@@ -50,7 +51,9 @@ def main() -> int:
     # not comparable to the baseline (this exact mistake shipped once: an
     # sf0.001 smoke run overwrote BENCH_DETAIL.json before a commit).
     sf = cur.get("sf", "")
-    if sf and "sf0.1" not in sf:
+    # Exact basename match: substring matching would let sf0.15 or
+    # sf0.1-variant recordings pass as gradeable.
+    if sf and os.path.basename(sf.rstrip("/")) != "sf0.1":
         print(f"FAIL: recording is from {sf}, not sf0.1 — not a gradeable run")
         rc = 1
     for name, t in sorted(cur["queries"].items()):
