@@ -15,9 +15,12 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is Parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * long (SPARK-40819 legacy conf); normalize it to a microsecond
-    * TimestampType column so downstream operators see a real timestamp.
+  /** events.ts arrives in whatever resolution the producer wrote:
+    * Parquet TIMESTAMP(NANOS) (readable only as a long via the
+    * SPARK-40819 legacy conf), TIMESTAMP(MICROS) without timezone
+    * (reads as TIMESTAMP_NTZ), or a session-zone timestamp. Normalize
+    * to a microsecond TimestampType column so downstream operators see
+    * one type regardless of producer version.
     *
     * The nanosAsLong conf is SCOPED, not session-wide: it is consulted at
     * execution time, so the one-time fix is a NORMALIZING REWRITE — the
@@ -27,7 +30,9 @@ object Tables {
     * this keeps the parquet scan columnar (column pruning + pushdown
     * intact) and pins nothing in executor storage; it is exactly the
     * one-time normalization a 100 TB pipeline would run on such a
-    * producer quirk.
+    * producer quirk. The copy also spreads the single producer file
+    * across the session's parallelism (see below), which a raw read
+    * would not.
     */
   // Weak keys: a strong (SparkSession, dir) key would pin every stopped
   // session (and its normalized copy path) for the JVM's life in a
@@ -57,9 +62,19 @@ object Tables {
         // The copy is session-scoped scratch: remove it when the JVM exits
         // so repeated driver runs don't accumulate normalized copies.
         graft.core.Fs.deleteOnExit(out)
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        // Rewrite by the type the file actually reads as: nanos-as-long
+        // (legacy producer) → micros; TIMESTAMP_NTZ (micros, no zone) →
+        // session-zone timestamp (UTC in every entry point), which is
+        // value-identical to what the nanos path produced.
+        val tsNorm = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+          case _ =>
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)
+        }
+        raw.withColumn("ts", tsNorm)
           // Spread the copy across the session's parallelism: the raw
           // file is one split, and writing it back as one file would
           // serialize every event query's map side into a single task.
