@@ -133,19 +133,58 @@ object DedupOps {
         graft.functions.GraftFunctions.md5_64_array(
           array_distinct(split(trim(col("text")), "\\s+")))).as("simhash"))
 
+  /** Conf key: two-level pigeonhole banding for d3 (default off). SCALE.md
+    * prescribes the second level past ~10⁹ docs, where first-level
+    * (chunk, value) buckets hold n/2¹⁶ docs and the within-bucket pair
+    * check dominates.
+    */
+  val SimhashTwoLevelConf = "spark.graft.simhash.twoLevel"
+
   /** SimHash near-dup pairs with Hamming distance ≤ 3, banded on 16-bit
     * chunks (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks equal).
+    *
+    * Under [[SimhashTwoLevelConf]] the REMAINING 48 bits of each outer
+    * chunk's band are re-split into 4 × 12-bit sub-chunks (second
+    * pigeonhole level): for the outer chunk the ≤3 flipped bits avoid,
+    * those bits all land in the other 48, so ≥1 of its 4 sub-chunks is
+    * also equal — every qualifying pair still shares one of the 16
+    * (outer, sub) bands (LOSSLESS, differential-tested in DedupSpec).
+    * The join key grows from 16 to 28 meaningful bits, shrinking
+    * worst-case uniform bucket occupancy from n/2¹⁶ to n/2²⁸ at the
+    * cost of 4× band rows — the standard remedy once the within-bucket
+    * quadratic term dominates, composed from the same equality-join
+    * machinery (no new operator).
     */
   private val simhashPairs: Q = (s, d) => {
     // repartition: same single-input-split consideration as d2/d4.
     val sh = simhash(
       Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
       .cutLineage
+    val twoLevel = s.conf.getOption(SimhashTwoLevelConf).exists(_.toBoolean)
+    val bands: Seq[Column] =
+      if (!twoLevel)
+        (0 until 4).map { j =>
+          struct(lit(j).as("chunk_idx"),
+            shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))
+        }
+      else
+        for (j <- 0 until 4; k <- 0 until 4) yield {
+          val outer = shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
+          // Remaining 48 bits: the other three 16-bit chunks concatenated
+          // in ascending chunk order — any fixed arrangement works as long
+          // as both sides of a pair derive it identically.
+          val others = (0 until 4).filter(_ != j)
+          val rem = others.zipWithIndex.map { case (c, i) =>
+            shiftleft(
+              shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL), i * 16)
+          }.reduce(_.bitwiseOR(_))
+          val sub = shiftright(rem, k * 12).bitwiseAND(0xFFFL)
+          struct(lit(j * 4 + k).as("chunk_idx"),
+            // One equality column packing (outer ≪ 12 | sub): 28 bits.
+            shiftleft(outer, 12).bitwiseOR(sub).as("chunk"))
+        }
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { j =>
-        struct(lit(j).as("chunk_idx"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))
-      }: _*)).as("c"))
+      explode(array(bands: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_idx"), col("c.chunk"))
     val a = chunked.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))

