@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CanonicalIdIdempotence)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL-text faces of the custom expressions (canonical_id, the
+    // dedup hash family, dot_fold, …) — one definition shared with the
+    // direct registerAll route.
+    graft.functions.GraftFunctionRegistry.installInto(ext)
   }
 }

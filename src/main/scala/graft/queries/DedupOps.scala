@@ -160,7 +160,8 @@ object DedupOps {
     val sh = simhash(
       Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
       .cutLineage
-    val twoLevel = s.conf.getOption(SimhashTwoLevelConf).exists(_.toBoolean)
+    val twoLevel = s.conf.getOption(SimhashTwoLevelConf)
+      .exists(_.trim.equalsIgnoreCase("true"))
     val bands: Seq[Column] =
       if (!twoLevel)
         (0 until 4).map { j =>

@@ -33,9 +33,15 @@ final case class MmFeature(
   *    library call cannot be a Catalyst expression. A deployment swaps
   *    [[decodeStub]]'s body for the codec and registers the codec path.
   *
-  * The DECODE step is a STUB either way — image/audio codecs are not in
-  * this container — producing deterministic pseudo-dimensions from the
-  * byte length, oracle-checked via sha256/octet_length arithmetic.
+  * The DECODE step of the two shapes above is a STUB — image/audio
+  * codecs are not in this container — producing deterministic
+  * pseudo-dimensions from the byte length, oracle-checked via
+  * sha256/octet_length arithmetic.
+  *
+  * 3. [[PngCodec]] / `mm_decode_png` is the exception: a REAL codec
+  *    (in-JDK `javax.imageio` PNG) running in shape 2's mapPartitions
+  *    pipeline, with decoded values oracle-checked against closed
+  *    forms of the synthesized payloads.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -194,7 +200,10 @@ object MultimodalOps {
     */
   private val decodePng: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    // documentsSpread: the corpus file is ONE input split, and per-row
+    // encode+decode is exactly the map-heavy work that must not
+    // serialize into a single task (same consideration as d2/d3/d4).
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>

@@ -24,18 +24,14 @@ final class FileTableStore(
 
   def scan(table: String): DataFrame = {
     if (touched(table)) return mem.scan(table)
-    val csv = new java.io.File(s"$dir/$table.csv")
-    val pq = new java.io.File(s"$dir/$table.parquet")
-    // Parquet first: persist() writes parquet, so after a mutating run the
-    // parquet IS the table — a leftover seed csv must not shadow it.
-    if (pq.exists()) spark.read.parquet(pq.getPath)
-    else if (csv.exists())
-      spark.read.option("header", true)
-        .option("inferSchema", false) // strings all the way down (SURVEY §1.2)
-        .option("multiLine", true)    // RFC 4180 embedded newlines
-        .option("escape", "\"")
-        .csv(csv.getPath)
-    else spark.emptyDataFrame
+    // Resolution (parquet shadows csv) and the CSV wire model are shared
+    // with the format("graft") DSv2 face — ONE definition of the layout.
+    GraftDataSource.resolve(dir, table) match {
+      case Some((path, "parquet")) => spark.read.parquet(path)
+      case Some((path, _)) =>
+        spark.read.options(GraftDataSource.CsvWireOptions).csv(path)
+      case None => spark.emptyDataFrame
+    }
   }
 
   private def seed(table: String): Unit = synchronized {

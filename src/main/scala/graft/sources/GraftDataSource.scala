@@ -35,6 +35,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class GraftDataSource extends FileDataSourceV2 {
 
+  /** V1-fallback format, consulted only if "graft" is ever listed in
+    * `spark.sql.sources.useV1SourceList`. The V1 path cannot perform
+    * this provider's dir/table resolution (it reads option("path")
+    * directly), so it would fail loudly on a missing path rather than
+    * misread anything — do NOT add "graft" to the V1 list; the csv
+    * fallback file would need per-table format dispatch V1 cannot do.
+    */
   override def fallbackFileFormat: Class[_ <: FileFormat] = classOf[ParquetFileFormat]
 
   override def shortName(): String = "graft"
@@ -48,15 +55,16 @@ final class GraftDataSource extends FileDataSourceV2 {
 
   private def makeTable(
       options: CaseInsensitiveStringMap, schema: Option[StructType]): Table = {
-    val (path, format) = GraftDataSource.resolveOptions(options)
+    val (paths, format) = GraftDataSource.resolveOptions(options, getPaths(options))
+    val name = s"graft:${paths.mkString(",")}"
     format match {
       case "parquet" =>
-        ParquetTable(s"graft:$path", sparkSession,
-          GraftDataSource.withoutReserved(options), Seq(path), schema,
+        ParquetTable(name, sparkSession,
+          GraftDataSource.withoutReserved(options), paths, schema,
           classOf[ParquetFileFormat])
       case "csv" =>
-        CSVTable(s"graft:$path", sparkSession,
-          GraftDataSource.csvOptions(options), Seq(path), schema,
+        CSVTable(name, sparkSession,
+          GraftDataSource.csvOptions(options), paths, schema,
           classOf[CSVFileFormat])
     }
   }
@@ -64,7 +72,7 @@ final class GraftDataSource extends FileDataSourceV2 {
 
 object GraftDataSource {
   /** Option keys consumed by the provider itself (not the file reader). */
-  private val Reserved = Set("table", "dir", "path", "paths")
+  private val Reserved = Set("table", "dir", "path", "paths", "format")
 
   /** `<dir>/<table>` → (path, format), parquet shadowing csv — the same
     * resolution order as [[FileTableStore.scan]] (persist() writes
@@ -78,14 +86,28 @@ object GraftDataSource {
     else None
   }
 
-  private def resolveOptions(options: CaseInsensitiveStringMap): (String, String) = {
+  /** Two addressing modes: option(dir)+option(table) (store layout,
+    * extension resolved on disk), or plain `.load(path…)` with an
+    * optional `format` option (`parquet` default, `csv` for the wire
+    * model) — the latter makes the face usable as an ordinary source.
+    */
+  private def resolveOptions(
+      options: CaseInsensitiveStringMap,
+      loadPaths: Seq[String]): (Seq[String], String) = {
     val table = options.get("table")
     val dir = options.get("dir")
-    if (table == null || dir == null)
-      throw new IllegalArgumentException(
-        "graft source requires .option(\"dir\", …) and .option(\"table\", …)")
-    resolve(dir, table).getOrElse(throw new IllegalArgumentException(
-      s"graft source: no $dir/$table.parquet or .csv"))
+    if (table != null && dir != null) {
+      val (p, f) = resolve(dir, table).getOrElse(throw new IllegalArgumentException(
+        s"graft source: no $dir/$table.parquet or .csv"))
+      (Seq(p), f)
+    } else if (loadPaths.nonEmpty) {
+      val f = Option(options.get("format")).getOrElse("parquet")
+      if (f != "parquet" && f != "csv") throw new IllegalArgumentException(
+        s"graft source: unsupported format '$f' (parquet or csv)")
+      (loadPaths, f)
+    } else throw new IllegalArgumentException(
+      "graft source requires .option(\"dir\", …) + .option(\"table\", …), " +
+        "or .load(path) [+ .option(\"format\", \"parquet\"|\"csv\")]")
   }
 
   private def withoutReserved(options: CaseInsensitiveStringMap): CaseInsensitiveStringMap =
@@ -94,14 +116,19 @@ object GraftDataSource {
         .filterKeys(k => !Reserved(k.toLowerCase(java.util.Locale.ROOT)))
         .toMap.asJava)
 
-  /** CSV wire-model options, mirroring [[FileTableStore.scan]]: header
-    * row, strings all the way down (SURVEY §1.2), RFC 4180 quoting.
+  /** The reference's CSV wire model (SURVEY §1.2): header row, strings
+    * all the way down, RFC 4180 quoting/embedded newlines. The single
+    * definition both [[FileTableStore.scan]] and the DSv2 face read
+    * through.
     */
+  val CsvWireOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "inferSchema" -> "false",
+    "multiLine" -> "true",
+    "escape" -> "\"")
+
   private def csvOptions(options: CaseInsensitiveStringMap): CaseInsensitiveStringMap =
     new CaseInsensitiveStringMap(
-      (withoutReserved(options).asCaseSensitiveMap().asScala.toMap ++ Map(
-        "header" -> "true",
-        "inferSchema" -> "false",
-        "multiLine" -> "true",
-        "escape" -> "\"")).asJava)
+      (withoutReserved(options).asCaseSensitiveMap().asScala.toMap ++
+        CsvWireOptions).asJava)
 }

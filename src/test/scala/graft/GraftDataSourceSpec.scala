@@ -62,4 +62,20 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(GraftDataSource.resolve(sf, "nation").map(_._2).contains("parquet"))
     assert(GraftDataSource.resolve(sf, "zzz_absent").isEmpty)
   }
+
+  test("direct .load(path) mode: parquet default, csv via format option") {
+    val direct = spark.read.format("graft").load(s"$sf/region.parquet")
+    assert(direct.count() == spark.read.parquet(s"$sf/region.parquet").count())
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_path").toString
+    graft.core.Fs.deleteOnExit(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/w.csv"),
+      "Id,V\n1,a\n2,b\n".getBytes("UTF-8"))
+    val csv = spark.read.format("graft").option("format", "csv")
+      .load(s"$dir/w.csv")
+    assert(csv.columns.toSeq == Seq("Id", "V") && csv.count() == 2)
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("format", "orc").load(s"$dir/w.csv")
+    }
+    assert(bad.getMessage.contains("unsupported format"))
+  }
 }

@@ -47,11 +47,19 @@ class MultimodalParitySpec extends AnyFunSuite {
 
   test("mm_decode_png query: decoded values equal the synthesis closed forms corpus-wide") {
     import org.apache.spark.sql.functions._
+    // Every dimension checked against its INDEPENDENT closed form
+    // (height needs n_chars from documents) — px_sum deliberately uses
+    // the closed-form w/h, not the decoded ones, so a systematic
+    // dimension misread cannot cancel out of the pixel-sum check.
+    val w = lit(1) + pmod(col("doc_id"), lit(31))
+    val h = lit(1) + pmod(col("n_chars"), lit(29))
+    val g = pmod(col("doc_id"), lit(251))
     val decoded = SparkEntry.queries("mm_decode_png")(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "n_chars"),
+        Seq("doc_id"))
     val mismatches = decoded
-      .where(col("width") =!= (lit(1) + pmod(col("doc_id"), lit(31))) ||
-        col("px_sum") =!= col("width").cast("long") * col("height") *
-          pmod(col("doc_id"), lit(251)))
+      .where(col("width") =!= w || col("height") =!= h ||
+        col("px_sum") =!= w.cast("long") * h * g)
       .count()
     assert(mismatches == 0L)
     assert(decoded.count() > 0L)
