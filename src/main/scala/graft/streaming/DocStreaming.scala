@@ -52,6 +52,27 @@ object DocStreaming {
   def benchmarkGrams(spark: SparkSession, sfDir: String): DataFrame =
     PipelineOps.benchGramsOf(graft.Tables.documents(spark, sfDir))
 
+  /** Streaming multimodal decode — the ingest-side twin of batch
+    * mm_decode_png with the SAME real codec: per-row payload synthesis +
+    * `javax.imageio` encode→decode via typed mapPartitions, fully
+    * stateless (no watermark, no state store), so the streaming plan is
+    * the batch plan run per micro-batch. This is the shape for decoding
+    * media as it lands: the codec call rides the partition iterator,
+    * decoded features flow on, raw payloads are never shuffled.
+    */
+  def decodePngStream(stream: DataFrame): DataFrame = {
+    import stream.sparkSession.implicits._
+    import graft.queries.MultimodalOps.PngCodec
+    stream
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val (w, h, gray) = PngCodec.synthDims(id, nChars)
+        PngCodec.decode(id, PngCodec.encode(w, h, gray))
+      })
+      .toDF()
+  }
+
   /** Streaming dup-span gate — the ingest-side twin of batch
     * d9_dup_spans: each arriving document's W-token window fingerprints
     * LEFT-join the STATIC corpus window-count table (stream–static

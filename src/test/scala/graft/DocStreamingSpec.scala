@@ -52,6 +52,29 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PNG decode == batch mm_decode_png, stateless real-codec plan") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.decodePngStream(stream), "png_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("png_out")
+        .select("doc_id", "width", "height", "px_sum")
+      val batch = SparkEntry.queries("mm_decode_png")(spark, SparkTestBase.sf)
+        .select("doc_id", "width", "height", "px_sum")
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch PNG decode mismatch")
+      // Stateless contract: no state store operator in the streaming plan.
+      assert(!spark.table("png_out").queryExecution.analyzed.toString
+        .contains("StateStore"), "decode stream must not be stateful")
+    } finally q.stop()
+  }
+
   test("streaming cluster assignment == batch kmeans assignment, stateless plan") {
     val emb = Tables.embeddings(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream").toString
