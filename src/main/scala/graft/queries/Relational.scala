@@ -529,6 +529,70 @@ object Relational {
         col("n_chars"))
   }
 
+  /** Sort-clustered layout + row-group skipping — the data-skipping
+    * lever for a time-keyed 100 TB fact table that partition directories
+    * are too coarse for: `repartitionByRange(date).sortWithinPartitions
+    * (date)` writes parquet whose per-file/row-group min–max date spans
+    * are tight and disjoint, so a date-range predicate (pushed to the
+    * scan) skips every file the range misses — the scan reads ~the
+    * matching slice instead of the whole table. SortedSkippingSpec
+    * proves it at runtime (scan numOutputRows ≈ match count on the
+    * clustered copy, = table count on an anti-clustered one); this row
+    * proves values survive the layout round trip. maxRecordsPerFile
+    * bounds file size the way a compaction job would at scale.
+    *
+    * The clustering column is a real DATE, not the raw timestamp:
+    * parquet stats pruning never fires for this corpus's timestamp
+    * physical types (measured — both NTZ and session-zone variants read
+    * every row group; DateType skips), so a time-keyed table needs a
+    * date/day derived column as its clustering key for skipping to
+    * work. SCALE.md records the measurement.
+    */
+  private val srcSorted: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    val out = roundTripDir(s, "sorted_orders", d)
+    o.repartitionByRange(math.max(2, s.sparkContext.defaultParallelism / 8),
+        col("o_date"))
+      .sortWithinPartitions("o_date")
+      .write.mode("overwrite").option("maxRecordsPerFile", 20000).parquet(out)
+    s.read.parquet(out)
+      .where(expr("o_date >= '1995-03-01' AND o_date < '1995-06-01'"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_date").cast("string").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+  }
+
+  /** Dynamic partition pruning — the RUNTIME sibling of
+    * `src_partitioned_pruning`'s static pruning, and the lever that
+    * makes dimension-filtered scans of a partitioned 100 TB fact cheap
+    * when the partition list isn't known until the dim filter runs:
+    * Catalyst plants a dynamicpruning subquery on the fact's partition
+    * column (pinned in PlanSpec), executes the filtered dim first, and
+    * the fact scan then reads ONLY the partitions whose keys survived.
+    * No query text asks for it — the partitioned layout plus the
+    * dim-side filter is enough, which is exactly why layout is the
+    * lever to design first at scale.
+    */
+  private val qDpp: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val out = roundTripDir(s, "dpp_docs", d)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val fact = s.read.parquet(out)
+    // The dim must be a real source with a runtime filter: a local
+    // relation's filter constant-folds away at optimization, and with
+    // no selective predicate left on the dim side Catalyst (correctly)
+    // plants no pruning subquery.
+    val dimPath = s"$out/__dim"
+    Seq(("en", 1), ("fr", 1), ("de", 2), ("ja", 2)).toDF("lang", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    fact.join(dim.where(col("grp") === 1), Seq("lang"))
+      .groupBy(col("lang").cast("string").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** DataSource V2 scan through the engine's own `format("graft")`
     * provider ([[graft.sources.GraftDataSource]]): resolves
     * option(table)/option(dir) the way [[graft.sources.FileTableStore]]
@@ -732,6 +796,8 @@ object Relational {
     "q4_priority_exists" -> q4Exists,
     "src_upsert_merge" -> srcUpsert,
     "src_v2_scan" -> srcV2Scan,
+    "src_sorted_skipping" -> srcSorted,
+    "q_dpp_prune" -> qDpp,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1008,5 +1074,18 @@ object Relational {
     "src_v2_scan" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer WHERE c_acctbal > 1000""".stripMargin,
+    "src_sorted_skipping" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-06-01'""".stripMargin,
+    "q_dpp_prune" ->
+      """WITH dim(lang, grp) AS (VALUES ('en', 1), ('fr', 1), ('de', 2), ('ja', 2))
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN dim ON d.lang = dim.lang
+        |WHERE dim.grp = 1 GROUP BY 1""".stripMargin,
   )
 }

@@ -140,6 +140,12 @@ class PlanSpec extends AnyFunSuite {
       s"read schema not pruned through the DSv2 face: $readSchema")
   }
 
+  test("q_dpp_prune: runtime dynamic partition pruning planted on the fact scan") {
+    val p = planOf("q_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      "expected a dynamicpruning subquery in the fact's PartitionFilters\n" + p.take(1200))
+  }
+
   test("f8_fuzzy_match: blocked equi join, never a cartesian distance scan") {
     val p = planOf("f8_fuzzy_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
