@@ -73,6 +73,12 @@ object GraftFunctionRegistry {
       arity("min_sum64", 2)(a => MinSum64(a.head, a(1)))),
     ("dot_fold", classOf[DotFold],
       arity("dot_fold", 2)(a => DotFold(a.head, a(1)))),
+    ("zorder64", classOf[ZOrder64],
+      arity("zorder64", 2)(a => ZOrder64(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a.head, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(1), org.apache.spark.sql.types.LongType)))),
     // frame_byte_sums(payload[, frameSize[, maxFrames]])
     ("frame_byte_sums", classOf[FrameByteSums], { args =>
       args.length match {

@@ -77,6 +77,31 @@ object ExprUtil {
     h
   }
 
+  /** Spread the low 31 bits of x so they occupy the even bit positions
+    * (the standard mask-shift Morton spreading network).
+    */
+  def zspread(x0: Long): Long = {
+    var x = x0 & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton/Z-order interleave of the low 31 bits of two longs: a's bits
+    * land in the odd positions, b's in the even, so sorting by the result
+    * orders rows along the Z space-filling curve over (a, b). Inputs are
+    * masked to 31 bits each — the result is ≤62 bits and ALWAYS
+    * non-negative, so signed-long ordering equals curve ordering (an
+    * unmasked 32nd bit would flip the sign and rotate the curve). Callers
+    * pass compact non-negative values (day index, key rank), which is what
+    * a clustering key wants anyway.
+    */
+  def zorder(a: Long, b: Long): Long =
+    (zspread(a) << 1) | zspread(b)
+
   /** Distinct character n-grams (by code point, first-occurrence order) —
     * the tight-loop twin of
     * `array_distinct(transform(sequence(1, len-2), i -> substr(text, i, n)))`,
@@ -375,6 +400,32 @@ case class MulAdd64(child: Expression, a: Long, c: Long) extends UnaryExpression
 
   override protected def withNewChildInternal(newChild: Expression): MulAdd64 =
     copy(child = newChild)
+}
+
+/** Morton/Z-order interleave of two long columns (see [[ExprUtil.zorder]]
+  * for the bit contract). The clustering-key primitive behind multi-column
+  * data skipping: `repartitionByRange(zorder64(a, b)).sortWithinPartitions`
+  * writes files whose (a, b) bounding boxes are small in BOTH dimensions,
+  * so parquet min–max stats prune a predicate on EITHER column — where a
+  * linear sort only ever prunes its leading column. Codegen'd so the key
+  * derivation stays inside the write pipeline's WholeStageCodegen.
+  */
+case class ZOrder64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "zorder64"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprUtil.zorder(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExprUtil.zorder($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Size of the intersection of two sorted, distinct string arrays
@@ -687,6 +738,15 @@ object GraftFunctions {
       tNum: Long, tDen: Long): Column =
     GraftSqlShim.column(RarePrefixExpr(
       GraftSqlShim.expression(lang), GraftSqlShim.expression(grams), df, tNum, tDen))
+
+  /** Morton/Z-order interleave of two long columns — the multi-column
+    * clustering key (see [[ZOrder64]]). Integral inputs are cast to long
+    * here; the expression itself takes longs.
+    */
+  def zorder64(a: Column, b: Column): Column =
+    GraftSqlShim.column(ZOrder64(
+      GraftSqlShim.expression(a.cast("long")),
+      GraftSqlShim.expression(b.cast("long"))))
 
   /** Requires both arrays sorted + distinct. */
   def sorted_intersect_size(a: Column, b: Column): Column =

@@ -563,6 +563,45 @@ object Relational {
         round(col("o_totalprice") * 100).cast("long").as("price_cents"))
   }
 
+  /** Z-order (Morton) clustering — the MULTI-column data-skipping layout
+    * that [[srcSorted]]'s linear sort cannot give: interleaving the bits
+    * of two clustering dimensions ([[graft.functions.ZOrder64]], codegen)
+    * and range-sorting by the interleave writes files whose (day,
+    * custkey) bounding boxes are small in BOTH dimensions, so parquet
+    * min–max stats prune a predicate on EITHER column — a linear sort
+    * only ever prunes its leading column. ZOrderSkippingSpec measures
+    * exactly that split at runtime (custkey-only predicate: z-clustered
+    * scan reads a fraction, date-sorted scan reads everything); this row
+    * proves values survive the layout round trip under a 2-D box
+    * predicate.
+    *
+    * The two dimensions are scaled to COMPARABLE bit-widths first (day
+    * index → 16-day buckets ≈ 8 bits, matching the custkey range) — raw
+    * interleave of a 12-bit day with an 8-bit key would spend the top
+    * splits entirely on day bits and degenerate into a date sort. That
+    * rank/bucket normalization is the same move the lakehouse OPTIMIZE
+    * ZORDER implementations make, and it's the part a naive morton-code
+    * port gets wrong at 100 TB.
+    */
+  private val srcZorder: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("o_date", to_date(col("o_orderdate")))
+      .withColumn("day_bucket",
+        (datediff(col("o_date"), lit("1992-01-01").cast("date")) / 16).cast("long"))
+    val out = roundTripDir(s, "zorder_orders", d)
+    o.repartitionByRange(math.max(2, s.sparkContext.defaultParallelism / 8),
+        zorder64(col("day_bucket"), col("o_custkey").cast("long")))
+      .sortWithinPartitions(zorder64(col("day_bucket"), col("o_custkey").cast("long")))
+      .drop("day_bucket")
+      .write.mode("overwrite").option("maxRecordsPerFile", 20000).parquet(out)
+    s.read.parquet(out)
+      .where(expr(
+        "o_date >= '1995-03-01' AND o_date < '1995-09-01' AND o_custkey <= 400"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_date").cast("string").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+  }
+
   /** Dynamic partition pruning — the RUNTIME sibling of
     * `src_partitioned_pruning`'s static pruning, and the lever that
     * makes dimension-filtered scans of a partitioned 100 TB fact cheap
@@ -797,6 +836,7 @@ object Relational {
     "src_upsert_merge" -> srcUpsert,
     "src_v2_scan" -> srcV2Scan,
     "src_sorted_skipping" -> srcSorted,
+    "src_zorder_skipping" -> srcZorder,
     "q_dpp_prune" -> qDpp,
   )
 
@@ -1081,6 +1121,14 @@ object Relational {
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1995-06-01'""".stripMargin,
+    "src_zorder_skipping" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-09-01'
+        |  AND o_custkey <= 400""".stripMargin,
     "q_dpp_prune" ->
       """WITH dim(lang, grp) AS (VALUES ('en', 1), ('fr', 1), ('de', 2), ('ja', 2))
         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
