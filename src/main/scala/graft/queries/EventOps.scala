@@ -247,7 +247,25 @@ object EventOps {
     graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry,
       Some("shuffle")))
 
+  /** Typed JSON property extraction — `from_json` with an explicit schema
+    * (vectorized Jackson parse to a struct, one pass per row), not the
+    * per-path string probing of `get_json_object` that [[enriched]] uses:
+    * with k paths the latter re-parses the document k times, which at
+    * 100 TB of event payloads is k scans' worth of CPU. Malformed
+    * documents yield NULL fields (PERMISSIVE mode) and flow into the
+    * aggregates as SQL nulls rather than failing the job — the posture a
+    * pipeline over billions of third-party payloads needs. */
+  private val propsExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), countDistinct(col("k")).as("k_distinct"))
+
   val queries: Map[String, Q] = Map(
+    "ev_props_extract" -> propsExtract,
     "ev_tumbling" -> tumbling,
     "ev_retention" -> retention,
     "ev_rate_anomaly" -> rateAnomaly,
@@ -276,6 +294,16 @@ object EventOps {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_props_extract" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+        |FROM e GROUP BY 1""".stripMargin,
     "ev_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n,

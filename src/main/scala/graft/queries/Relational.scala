@@ -665,6 +665,91 @@ object Relational {
       .agg(sum(col("c")).as("price_cents"), sum(col("m")).as("n_items"))
   }
 
+  /** Bloom-filter semi-join reduction ([[graft.operators.BloomPrune]]) —
+    * the EXPLICIT form of the runtime filter Spark's `InjectRuntimeFilter`
+    * builds automatically (that automatic form is pinned in PlanSpec).
+    * The selective dim (customers with acctbal > 9500, ~5%) builds a
+    * compact bloom in one partial-agg pass; the fact scan drops
+    * non-joining rows inside whole-stage codegen BEFORE any shuffle. The
+    * bloom admits false positives only, and the real join follows, so the
+    * result is value-identical to the plain join the oracle runs — at
+    * 100 TB the bloom is the difference between shuffling the full fact
+    * table and shuffling ~5% of it, for dim key sets too large to
+    * broadcast as an exact hash relation. */
+  private val qBloomPrune: Q = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .where(col("c_acctbal") > 9500)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val pruned = graft.operators.BloomPrune.filterBy(
+      Tables.orders(s, d), col("o_custkey"), dim, col("c_custkey"),
+      expectedKeys = 1L << 16)
+    pruned.join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("bal_cents"))
+  }
+
+  /** Bucketed co-located join — the pay-the-shuffle-ONCE layout for keys
+    * joined repeatedly at 100 TB. Both sides are written `bucketBy` the
+    * join key into the same bucket count (with an in-bucket sort), so
+    * every later join on that key is exchange-free: the scan itself
+    * reports hash-clustered output and the sort-merge join consumes it
+    * with no shuffle on either side (BucketingSpec pins zero
+    * ShuffleExchange below the join in the EXECUTED plan; the residual
+    * partition-local Sort over the sortBy-ordered runs is the modern
+    * default — spark.sql.legacy.bucketedTableScan.outputOrdering elides
+    * it too). The bucket-file write repartitions by the bucket hash
+    * first so each bucket lands in one file instead of tasks × buckets
+    * fragments — the small-files failure mode of naive bucketed writes. */
+  private val srcBucketed: Q = (s, d) => {
+    val nb = 8
+    val suffix = Integer.toHexString(d.hashCode)
+    val out = roundTripDir(s, "bucketed", d)
+    def writeBucketed(df: DataFrame, key: String, table: String): String = {
+      val name = s"graft_${table}_$suffix"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.repartition(nb, col(key))
+        .write.bucketBy(nb, key).sortBy(key)
+        .option("path", s"$out/$table").mode("overwrite").saveAsTable(name)
+      name
+    }
+    val o = writeBucketed(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents")),
+      "o_custkey", "orders_b")
+    val c = writeBucketed(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      "c_custkey", "cust_b")
+    s.table(o).hint("merge")
+      .join(s.table(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+  }
+
+  /** Mergeable HLL distinct-count sketches (Apache DataSketches via
+    * Spark's `hll_sketch_agg` family) — the 100 TB answer to COUNT
+    * DISTINCT dashboards: sketch each shard once (here: per order
+    * priority), persist the ~KB sketches, and answer any union of shards
+    * later by merging sketches instead of re-scanning the data — the
+    * ALL row here is `hll_union_agg` over the five per-priority
+    * sketches, never a second pass over the table. At lgK=14 the sketch
+    * is in exact sparse mode through the oracle's cardinality (~1.5k
+    * distinct; the default lgK=12 goes dense there and drifts ~0.5%), so
+    * the DuckDB exact-COUNT-DISTINCT oracle pins it value-for-value;
+    * SketchSpec demonstrates the estimate-error contract at adversarial
+    * cardinality where the dense estimator takes over. */
+  private val qHll: Q = (s, d) => {
+    val shard = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val per = shard.select(col("o_orderpriority"),
+      expr("hll_sketch_estimate(sk)").as("n_custs"))
+    val all = shard.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_custs"))
+      .select(lit("ALL").as("o_orderpriority"), col("n_custs"))
+    per.unionByName(all)
+  }
+
   /** TPC-H Q4-shaped EXISTS: orders with at least one returned line,
     * counted by priority. The subquery is a LEFT SEMI join — each order
     * emits at most once regardless of how many lines match, and Spark
@@ -838,6 +923,9 @@ object Relational {
     "src_sorted_skipping" -> srcSorted,
     "src_zorder_skipping" -> srcZorder,
     "q_dpp_prune" -> qDpp,
+    "q_bloom_prune" -> qBloomPrune,
+    "src_bucketed_join" -> srcBucketed,
+    "q_hll_distinct" -> qHll,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1135,5 +1223,27 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents d JOIN dim ON d.lang = dim.lang
         |WHERE dim.grp = 1 GROUP BY 1""".stripMargin,
+    // The bloom only prunes; the join supplies exactness — so the oracle
+    // is the PLAIN join, and any bloom false-negative (impossible) or
+    // mishandled false-positive would hash-mismatch here.
+    "q_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9500""".stripMargin,
+    "src_bucketed_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    // Sketch estimates are exact at oracle cardinality (sparse-mode HLL);
+    // the oracle pins them against true COUNT(DISTINCT). SketchSpec covers
+    // the approximate regime the oracle can't.
+    "q_hll_distinct" ->
+      """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders""".stripMargin,
   )
 }

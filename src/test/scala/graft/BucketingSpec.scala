@@ -54,4 +54,36 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("src_bucketed_join: executed plan is exchange-free below the join") {
+    val df = SparkEntry.queries("src_bucketed_join")(spark, SparkTestBase.sf)
+    df.collect()
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case o => o +: o.children.flatMap(expand)
+    }
+    val nodes = expand(df.queryExecution.executedPlan)
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.size == 1, nodes.map(_.nodeName).mkString(", "))
+    val below = smj.flatMap(j => j.children.flatMap(expand))
+    // The join consumes the bucketed scans DIRECTLY: the bucket layout
+    // supplies the clustering, so no Exchange feeds either side — the
+    // expensive half of the join is gone. A narrow in-partition SortExec
+    // remains: since Spark 3.0 the bucketed scan no longer advertises its
+    // sortBy ordering (spark.sql.legacy.bucketedTableScan.outputOrdering
+    // restores that), and sorting already-sorted runs is cheap and
+    // partition-local — no data movement. The query's ONLY shuffle is the
+    // final 25-row nation aggregate.
+    assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "bucketed join input must not be shuffled: " + below.map(_.nodeName).mkString(", "))
+    assert(below.count(_.isInstanceOf[SortExec]) == 2,
+      below.map(_.nodeName).mkString(", "))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      nodes.map(_.nodeName).mkString(", "))
+  }
 }
