@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.DedupOps.queries ++
       graft.queries.SimilarityOps.queries ++
       graft.queries.EventOps.queries ++
-      graft.queries.MultimodalOps.queries
+      graft.queries.MultimodalOps.queries ++
+      graft.queries.BpeOps.queries
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). */
   lazy val oracleSql: Map[String, String] =
@@ -31,7 +32,8 @@ object SparkEntry {
       graft.queries.DedupOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
       graft.queries.EventOps.oracle ++
-      graft.queries.MultimodalOps.oracle
+      graft.queries.MultimodalOps.oracle ++
+      graft.queries.BpeOps.oracle
 
   /** Queries whose semantics are not expressible in DuckDB SQL — they
     * would get the driver's weaker rows-only check. EMPTY since round 3:

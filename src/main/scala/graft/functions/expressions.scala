@@ -335,6 +335,105 @@ object ExprUtil {
     while (i < out.length) { out(i) = entries(i)._2; i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Split a string into one-code-point tokens. NOT `split(s, "")`: the
+    * regex split works in UTF-16 units and would shear an astral-plane
+    * character (emoji, rare CJK) into two lone surrogates — which the
+    * oracle's UTF-8 string_split never does and [[bpeEncode]]'s
+    * byte-walk never does. All three must tokenize identically or a BPE
+    * merge learned on surrogate halves can never apply at encode time.
+    */
+  def codePoints(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < len) {
+      val step = math.min(UTF8String.numBytesForFirstByte(bytes(i)), len - i)
+      out.add(UTF8String.fromBytes(bytes, i, step))
+      i += step
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** One BPE merge over a token array: every left-to-right non-overlapping
+    * adjacent (l, r) becomes the fused token l||r — the i+=2 after a match
+    * is what makes a run like [a,a,a] merge to [aa,a], matching both the
+    * reference trainer semantics and the oracle's sequential replace.
+    */
+  def bpeMergePair(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: UTF8String, r: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && l.equals(toks.getUTF8String(i)) &&
+          r.equals(toks.getUTF8String(i + 1))) {
+        out.add(UTF8String.concat(l, r))
+        i += 2
+      } else {
+        out.add(toks.getUTF8String(i))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** Full-document BPE encode against a trained merge list: whitespace
+    * pre-tokenization (space/newline/tab, the trainer's word regex), then
+    * per word: split to code-point tokens and apply every merge in rank
+    * order, each exhaustively left-to-right ([[bpeMergePair]] semantics —
+    * rank-SEQUENTIAL application, the documented graft contract; see
+    * BpeOps). One pass per merge over short word arrays beats re-exploding
+    * the corpus into words: the encode stays a per-row map — no shuffle,
+    * no HOF interpretation — which is the shape that matters when the
+    * input is 100 TB of documents rather than the Zipf-compressed word
+    * table the trainer iterates.
+    */
+  def bpeEncode(text: UTF8String, lefts: Array[UTF8String],
+      rights: Array[UTF8String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    val word = new java.util.ArrayList[UTF8String]()
+    val buf = new java.util.ArrayList[UTF8String]()
+    def flush(): Unit = {
+      if (!word.isEmpty) {
+        var m = 0
+        while (m < lefts.length) {
+          val l = lefts(m); val r = rights(m)
+          buf.clear()
+          var i = 0
+          val n = word.size()
+          while (i < n) {
+            if (i + 1 < n && l.equals(word.get(i)) && r.equals(word.get(i + 1))) {
+              buf.add(UTF8String.concat(l, r)); i += 2
+            } else { buf.add(word.get(i)); i += 1 }
+          }
+          word.clear(); word.addAll(buf)
+          m += 1
+        }
+        out.addAll(word); word.clear()
+      }
+    }
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if (b == ' ' || b == '\n' || b == '\t') { flush(); i += 1 }
+      else {
+        // One code point per token; clamp a truncated multi-byte tail the
+        // same way charNgrams does.
+        val step = math.min(UTF8String.numBytesForFirstByte(b), len - i)
+        word.add(UTF8String.fromBytes(bytes, i, step))
+        i += step
+      }
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
 }
 
 /** Canonicalize a Salesforce id column to its 18-char form; invalid → null.
@@ -671,12 +770,99 @@ case class RarePrefixExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Code-point tokenization of a string column ([[ExprUtil.codePoints]]). */
+case class CodePoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "code_points"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.codePoints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.ExprUtil.codePoints($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): CodePoints =
+    copy(child = newChild)
+}
+
+/** One BPE merge (rank step) over a token-array column — the trainer's
+  * apply-merge map ([[ExprUtil.bpeMergePair]]).
+  */
+case class BpeMergePair(child: Expression, l: String, r: String)
+    extends UnaryExpression {
+  @transient private lazy val lU = UTF8String.fromString(l)
+  @transient private lazy val rU = UTF8String.fromString(r)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_merge_pair"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.bpeMergePair(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lU, rU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeL", lU, "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("bpeR", rU, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.ExprUtil.bpeMergePair($x, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+}
+
+/** Full-document BPE encode against a trained merge list
+  * ([[ExprUtil.bpeEncode]]): one codegen'd per-row map — the 100 TB apply
+  * path, with the merge table riding along as a broadcast-sized reference
+  * object instead of a join.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  @transient private lazy val lefts =
+    merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val rights =
+    merges.map(m => UTF8String.fromString(m._2)).toArray
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.bpeEncode(input.asInstanceOf[UTF8String], lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.ExprUtil.bpeEncode($x, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for graft's custom functions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions._
 
   def canonical_id(c: Column): Column =
     GraftSqlShim.column(CanonicalId(GraftSqlShim.expression(c)))
+
+  def code_points(c: Column): Column =
+    GraftSqlShim.column(CodePoints(GraftSqlShim.expression(c)))
+
+  def bpe_merge_pair(toks: Column, l: String, r: String): Column =
+    GraftSqlShim.column(BpeMergePair(GraftSqlShim.expression(toks), l, r))
+
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlShim.column(BpeEncode(GraftSqlShim.expression(text), merges))
 
   def rolling_hash64(c: Column): Column =
     GraftSqlShim.column(RollingHash64(GraftSqlShim.expression(c)))
