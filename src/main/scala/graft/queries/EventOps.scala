@@ -264,8 +264,55 @@ object EventOps {
         sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
         max(col("k")).as("k_max"), countDistinct(col("k")).as("k_distinct"))
 
+  /** VARIANT-typed payload path (Spark 4's shredded semi-structured
+    * binary): `try_parse_json` once into a VariantType column — malformed
+    * payloads become NULL variants, not job failures — then typed
+    * `variant_get` extraction. Differs from [[propsExtract]]'s
+    * schema-on-read struct in the 100 TB posture: a variant column
+    * persisted to parquet keeps the parsed binary (and shreds hot paths
+    * to columns), so later queries extract without re-parsing text at
+    * all, and fields NOT in a fixed schema stay queryable. */
+  private val variantExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("k_sum"),
+        sum(col("k") * col("k")).as("k_sumsq"))
+
+  /** Id range probed against the count-min sketch: spans present AND
+    * absent keys at every SF (shared with the oracle and EventOpsSpec). */
+  val CmsProbeIds: Seq[Long] = 0L until 20L
+
+  /** Mergeable count-min sketch frequency estimates — the bounded-memory
+    * answer to ad-hoc "how often did key X occur?" over a 100 TB stream
+    * without a per-key count table: each shard aggregates a fixed-size
+    * CMS (`count_min_sketch`, Spark's codegen'd sketch aggregate), the
+    * ~2 MB shard sketches merge cell-wise on the driver (associative —
+    * the same persist-then-union deployment as the HLL sketches), and
+    * any key can then be probed in O(1). CMS error is one-sided
+    * (estimate ≥ truth, overshoot ≤ eps·N with prob. ≥ confidence); at
+    * eps=1e-4 the probed estimates are collision-free and the DuckDB
+    * exact-count oracle pins them value-for-value, absent keys included
+    * (a CMS never under-counts, so 0 means 0). */
+  private val cmsProbe: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val shards = Tables.events(s, d)
+      .groupBy(pmod(col("event_id"), lit(8)).as("shard"))
+      .agg(expr("count_min_sketch(user_id, 0.0001d, 0.999d, 42)").as("sk"))
+      .collect()
+    val merged = shards.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    CmsProbeIds.map(id => (id, merged.estimateCount(java.lang.Long.valueOf(id))))
+      .toDF("user_id", "est_n")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_props_extract" -> propsExtract,
+    "ev_variant_extract" -> variantExtract,
+    "ev_cms_probe" -> cmsProbe,
     "ev_tumbling" -> tumbling,
     "ev_retention" -> retention,
     "ev_rate_anomaly" -> rateAnomaly,
@@ -294,6 +341,22 @@ object EventOps {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // CMS estimates are pinned against TRUE counts: one-sided error with
+    // collision-free width at oracle scale makes them exact, including
+    // the zero rows for ids the events table never saw.
+    "ev_cms_probe" ->
+      """SELECT t.user_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS est_n
+        |FROM range(0, 20) t(user_id)
+        |LEFT JOIN (SELECT user_id AS u, count(*) AS cnt FROM events GROUP BY 1) c
+        |  ON t.user_id = c.u""".stripMargin,
+    "ev_variant_extract" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(sum(k * k) AS BIGINT) AS k_sumsq
+        |FROM e GROUP BY 1""".stripMargin,
     "ev_props_extract" ->
       """WITH e AS (SELECT event_type,
         |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

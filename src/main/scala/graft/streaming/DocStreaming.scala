@@ -73,6 +73,22 @@ object DocStreaming {
       .toDF()
   }
 
+  /** Streaming BPE tokenization — the ingest twin of batch tx_bpe_apply:
+    * the merge table is TRAINED OFFLINE on the batch corpus (BpeOps.train)
+    * and rides into every micro-batch as a codegen reference object, so
+    * encoding is a stateless per-row map — no stream shuffle, no state
+    * store, unbounded throughput. This split (train batch / apply stream)
+    * is the deployment shape for tokenizing a document firehose with a
+    * frozen vocabulary.
+    */
+  def bpeEncodeStream(stream: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    stream.select(col("doc_id"),
+        graft.functions.GraftFunctions.bpe_encode(col("text"), merges).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("toks"))).as("tok_md5"))
+
   /** Streaming dup-span gate — the ingest-side twin of batch
     * d9_dup_spans: each arriving document's W-token window fingerprints
     * LEFT-join the STATIC corpus window-count table (stream–static

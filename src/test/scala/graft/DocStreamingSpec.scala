@@ -75,6 +75,32 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE encode == batch tx_bpe_apply, stateless frozen-vocab plan") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    // Train offline on the batch corpus; the stream applies the frozen
+    // merge table.
+    val merges = graft.queries.BpeOps
+      .trainedMerges(spark, SparkTestBase.sf, graft.queries.BpeOps.DefaultMerges)
+      .map(m => (m.l, m.r))
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.bpeEncodeStream(stream, merges), "bpe_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("bpe_out").select("doc_id", "n_tokens", "tok_md5")
+      val batch = SparkEntry.queries("tx_bpe_apply")(spark, SparkTestBase.sf)
+        .select("doc_id", "n_tokens", "tok_md5")
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch BPE mismatch")
+      assert(!spark.table("bpe_out").queryExecution.analyzed.toString
+        .contains("StateStore"), "frozen-vocab encode must not be stateful")
+    } finally q.stop()
+  }
+
   test("streaming cluster assignment == batch kmeans assignment, stateless plan") {
     val emb = Tables.embeddings(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream").toString
