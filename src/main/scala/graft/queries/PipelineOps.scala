@@ -345,6 +345,65 @@ object PipelineOps {
 
   private val lmScore: Q = (s, d) => lmScoreOf(Tables.documentsSpread(s, d))
 
+  /** BM25 search terms + parameters (Robertson/Sparck Jones k1/b
+    * defaults; Lucene's +1 idf smoothing). Shared with the oracle and
+    * the ranked output size. */
+  val Bm25Terms: Seq[String] = Seq("spark", "table", "query")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** BM25 ranked retrieval over the corpus — the classic inverted-index
+    * scoring, expressed as two hash aggregates and a vocabulary-keyed
+    * join: tf per (doc, term) and df per term ARE the inverted index's
+    * postings statistics, built by groupBy rather than an index file. At
+    * 100 TB the term-filtered explode means only query-term postings
+    * shuffle, df is |terms| rows (broadcast), and the final top-k is
+    * TakeOrdered — no global sort.
+    *
+    * Cross-engine float discipline: the only transcendental is `ln`
+    * (idf), whose libm can differ from DuckDB's by 1 ulp (measured: 1 of
+    * 1100 probed inputs) — so the comparable output is the MICRO-ROUNDED
+    * integer score, the per-term partials fold in a FIXED literal order
+    * (no order-nondeterministic float sum()), and the ranking orders by
+    * the rounded integer so a sub-micro ulp can never flip a rank. */
+  private val bm25: Q = (s, d) => {
+    val docs = Tables.documentsSpread(s, d)
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // Two corpus scalars (1 row) — same budget class as a broadcast.
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val tf = tokens.where(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+    val tfD = col("tf").cast("double")
+    val sat = (tfD * (Bm25K1 + 1.0)) /
+      (tfD + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+        lit(Bm25B) * col("dl").cast("double") / avgdl))
+    val scored = tf.join(broadcast(df), Seq("term")).join(dl, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), (idf * sat).as("s"))
+    // Fixed-order fold over the pivoted per-term partials: float + is not
+    // associative, so a sum() whose arrival order varies would not be
+    // value-stable; term1 + term2 + term3 in literal order is.
+    val perTerm = Bm25Terms.map(t =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0d)))
+    val score = perTerm.reduceLeft(_ + _)
+    scored.groupBy("doc_id")
+      .agg(round(score * 1e6).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), col("score_micro"))
+  }
+
   /** Cosine threshold above which two same-cluster vectors are semantic
     * duplicates — matches d5's corpus-calibrated near-dup threshold. */
   val SemDedupTau = 0.3
@@ -391,6 +450,7 @@ object PipelineOps {
     "tx_line_dedup" -> lineDedup,
     "tx_keywords" -> keywords,
     "tx_lm_score" -> lmScore,
+    "tx_bm25" -> bm25,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_sample_mix" -> sampleMix,
@@ -455,6 +515,37 @@ object PipelineOps {
          |                THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt,
          |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_commonness
          |FROM tok JOIN c USING (token) GROUP BY doc_id""".stripMargin,
+    "tx_bm25" -> {
+      val terms = Bm25Terms.map(t => s"('$t')").mkString(", ")
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      // Score fold mirrors the Spark side token-for-token: same
+      // parenthesization, same FIXED term order, micro-rounded compare.
+      val fold = Bm25Terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)").mkString("\n    + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |t2 AS (SELECT doc_id, w FROM tok WHERE w != ''),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+         |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t2 WHERE w IN ($inList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |    ln((CAST((SELECT n FROM st) AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+         |    * ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+         |       / (CAST(tf.tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
+         |          * CAST(dl.dl AS DOUBLE)
+         |          / (CAST((SELECT tot FROM st) AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE))))) AS s
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+         |agg AS (SELECT doc_id,
+         |    $fold AS score
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, score_micro FROM (
+         |  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro,
+         |    row_number() OVER (ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS rn
+         |  FROM agg)
+         |WHERE rn <= $Bm25TopK""".stripMargin
+    },
     "tx_contamination" ->
       s"""WITH g AS (SELECT doc_id, source, list_distinct(${gramsSql(ContamGramWidth)}) AS grams
          |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),
