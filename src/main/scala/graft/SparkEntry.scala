@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.SimilarityOps.queries ++
       graft.queries.EventOps.queries ++
       graft.queries.MultimodalOps.queries ++
-      graft.queries.BpeOps.queries
+      graft.queries.BpeOps.queries ++
+      graft.queries.GraphOps.queries
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). */
   lazy val oracleSql: Map[String, String] =
@@ -33,7 +34,8 @@ object SparkEntry {
       graft.queries.SimilarityOps.oracle ++
       graft.queries.EventOps.oracle ++
       graft.queries.MultimodalOps.oracle ++
-      graft.queries.BpeOps.oracle
+      graft.queries.BpeOps.oracle ++
+      graft.queries.GraphOps.oracle
 
   /** Queries whose semantics are not expressible in DuckDB SQL — they
     * would get the driver's weaker rows-only check. EMPTY since round 3:

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the relational schema: PageRank on the
+  * customer↔supplier trade graph (edges = distinct (customer, supplier)
+  * pairs that share a lineitem, both directions, so every node with an
+  * edge has out-degree ≥ 1 and the walk has no dangling mass).
+  *
+  * The rank arithmetic is INTEGER fixed-point (ranks scaled by 10^12,
+  * damping 0.85 as ×17 div 20, per-edge contribution r div deg): every
+  * operation is an exact integer op with identical truncation semantics
+  * in Spark (`div`) and DuckDB (`//`), so a float summation-order
+  * divergence cannot exist and the oracle compares rank values EXACTLY
+  * after [[PageRankIters]] rounds — the same determinism discipline as
+  * the integer-exact k-means. (Float PageRank would need a tolerance gate:
+  * groupBy sum order is nondeterministic.)
+  *
+  * Scale shape: one shuffle per iteration (groupBy dst), edges/degrees
+  * computed once and reused, rank state lineage-cut per round — the
+  * standard Pregel-without-Pregel loop. At 100 TB graph scale the only
+  * adjustment is the scale constant: with ~10^9+ nodes the ×17 hub sums
+  * approach int64, so drop the fixed-point scale to 10^10 or move the
+  * sum to DECIMAL(38,0) — both stay exact.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed iteration count (unrolled in the oracle SQL). */
+  val PageRankIters = 5
+
+  /** Fixed-point scale: ranks start at 10^12. */
+  val PageRankScale = 1000000000000L
+
+  private def edgesOf(s: SparkSession, d: String): DataFrame = {
+    // Node namespace: customer = 2k, supplier = 2k+1.
+    val e0 = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val pagerank: Q = (s, d) => {
+    val edges = graft.core.Lineage.cut(edgesOf(s, d))
+    val deg = graft.core.Lineage.cut(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val base = PageRankScale * 3 / 20 // (1-d)·scale, exact: 15e10
+    var r = deg.select(col("src").as("node"), lit(PageRankScale).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val prev = r
+      r = graft.core.Lineage.cut(
+        edges.join(deg, Seq("src"))
+          .join(prev, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
+          .select(col("dst").as("node"), col("r")))
+      graft.core.Lineage.release(prev)
+    }
+    val out = r.select(col("node"), col("r").as("rank_e12"))
+    graft.core.Lineage.release(edges)
+    graft.core.Lineage.release(deg)
+    out
+  }
+
+  val queries: Map[String, Q] = Map("q_pagerank" -> pagerank)
+
+  private def iterSql(i: Int): String =
+    s"""r$i AS MATERIALIZED (
+       |  SELECT e.dst AS node,
+       |    CAST(150000000000 + (17 * sum(r.r // d.deg)) // 20 AS BIGINT) AS r
+       |  FROM edges e
+       |  JOIN deg d ON d.src = e.src
+       |  JOIN r${i - 1} r ON e.src = r.node
+       |  GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" -> {
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS node, CAST(${PageRankScale} AS BIGINT) AS r FROM deg),
+         |${(1 to PageRankIters).map(iterSql).mkString(",\n")}
+         |SELECT node, r AS rank_e12 FROM r$PageRankIters""".stripMargin
+    })
+}

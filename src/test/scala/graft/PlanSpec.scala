@@ -233,6 +233,23 @@ class PlanSpec extends AnyFunSuite {
       "both the nav aggregate and the nation dim must broadcast")
   }
 
+  test("q_bloom_prune: explicit might_contain evaluates at the fact scan") {
+    val p = planOf("q_bloom_prune")
+    // The operator's whole point is WHERE the predicate runs: on the
+    // orders scan, before any join/shuffle — not as a post-join filter.
+    val scanBlock = p.split("""\(\d+\) Scan parquet""").find(_.contains("o_orderkey"))
+    assert(scanBlock.exists(_.contains("might_contain")),
+      "bloom predicate must sit on the fact scan:\n" + p.take(1200))
+  }
+
+  test("tx_bm25: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("tx_bm25")
+    assert(countNodes(p, "TakeOrderedAndProject") == 1, p.take(1500))
+    // The only Sort allowed is the 10-row window's; a full-width Sort
+    // before the limit would mean the top-k shuffled the whole corpus.
+    assert(countNodes(p, "Sort") <= 1, p.take(1500))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB the big win on a selective dim-filter join is Spark's
