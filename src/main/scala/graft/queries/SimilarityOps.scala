@@ -239,12 +239,91 @@ object SimilarityOps {
 
   private val kmeans: Q = (s, d) => kmeansAssign(s, d)
 
+  /** Product-quantization geometry: M subspaces, K centroids each, ADC
+    * top-k size. K=4 keeps the per-subspace codebook CTEs in the oracle
+    * readable; real deployments run K=256 (one byte per subspace) with
+    * the identical shapes. */
+  val PqM = 4
+  val PqK = 4
+  val PqTopK = 10
+
+  /** ADC shortlist size before the exact re-rank — the two-stage serve
+    * shape: the compressed scan OVERSAMPLES (cheap), the exact pass
+    * fixes the ranking (small). */
+  val PqShortlist = 50
+
+  /** Product quantization + asymmetric-distance (ADC) search — the
+    * memory side of the IVF-PQ standard (Jégou et al. 2011) that
+    * [[ivf]]'s partition pruning is the compute side of. Each vector
+    * compresses to M codebook codes (here 4×2 bits; 64 doubles → 1 byte
+    * class of compression at K=256), and a query scores the WHOLE corpus
+    * from an M×K distance table — at 100 TB the codes table is what fits
+    * in memory/cache when raw vectors cannot, and the scan is a
+    * broadcast-joined integer lookup + fixed-order 4-term add, no
+    * per-row vector math at all.
+    *
+    * Determinism: per-subspace codebooks are the same seed-then-Lloyd
+    * integer-exact means as vq_kmeans; assignments tie-break (dist,
+    * cluster); the ADC sum folds subspaces in literal order — so the
+    * unrolled per-subspace oracle compares codes AND approximate
+    * distances exactly.
+    */
+  private val pq: Q = (s, d) => {
+    import graft.core.Lineage.LineageOps
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v")).cutLineage
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val sd = dim / PqM
+    val q = e.where(col("vec_id") === 0)
+    def subCol(m: Int) = slice(col("v"), m * sd + 1, sd)
+    val parts = (0 until PqM).map { m =>
+      val sub = e.select(col("vec_id"), subCol(m).as("sv"))
+      def assign(cent: DataFrame): DataFrame =
+        sub.crossJoin(broadcast(cent))
+          .withColumn("dist_sq", distSq(col("sv"), col("c")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist_sq"), col("cluster"))).as("best"))
+          .select(col("vec_id"), col("best.cluster").as("cluster"))
+      val seeds = sub.where(col("vec_id") < PqK)
+        .select(col("vec_id").cast("int").as("cluster"), col("sv").as("c"))
+      val model = meanVectors(
+        assign(seeds).join(sub, Seq("vec_id"))
+          .select(col("cluster"), posexplode(col("sv")).as(Seq("pos", "x"))),
+        "cluster", "c").cutLineage
+      val codes = assign(model).select(col("vec_id"), col("cluster").as(s"code$m"))
+      val dtab = model.crossJoin(broadcast(q.select(subCol(m).as("qs"))))
+        .select(col("cluster").as(s"code$m"), distSq(col("c"), col("qs")).as(s"d$m"))
+      (codes, dtab)
+    }
+    val withCodes = parts.map(_._1).reduceLeft((a, b) => a.join(b, Seq("vec_id")))
+    val scored = parts.map(_._2).zipWithIndex.foldLeft(withCodes) {
+      case (acc, (dtab, m)) => acc.join(broadcast(dtab), Seq(s"code$m"))
+    }
+    val score = (0 until PqM).map(m => col(s"d$m")).reduceLeft(_ + _)
+    // Stage 1: ADC shortlist — scores the WHOLE corpus from the M×K
+    // table (integer-lookup + 4-term add per row), oversampled because
+    // K=4-per-subspace quantization is deliberately coarse. Stage 2:
+    // exact re-rank touches raw vectors only for the shortlist — the
+    // two-stage shape every PQ deployment serves with.
+    val shortlist = scored.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), score.as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(PqShortlist)
+    shortlist.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(q.select(col("v").as("qv"))))
+      .withColumn("dist_sq", distSq(col("v"), col("qv")))
+      .select(col("vec_id"), col("approx_dist"), col("dist_sq"))
+      .orderBy(col("dist_sq"), col("vec_id"))
+      .limit(PqTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_brute_topk" -> bruteForce,
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
     "vq_kmeans" -> kmeans,
     "vq_quantize" -> quantize,
+    "vq_pq_topk" -> pq,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -294,7 +373,51 @@ object SimilarityOps {
        |${assignCte("af", s"c$KmeansRounds")}""".stripMargin
   }
 
+  /** Per-subspace PQ CTEs: slice → seeds → one Lloyd update with
+    * integer-exact means → codes + the query's distance table. Arg order
+    * of every distance mirrors the Spark side exactly (fold(a·a) first),
+    * because a+b and b+a differ in the last ulp for doubles. */
+  private def pqCtesSql(m: Int): String = {
+    val lo = s"$m * (len(v) // $PqM) + 1"
+    val hi = s"(${m + 1}) * (len(v) // $PqM)"
+    s"""sub$m AS MATERIALIZED (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM e),
+       |qs$m AS (SELECT list_slice(qv, ${m} * (len(qv) // $PqM) + 1, (${m + 1}) * (len(qv) // $PqM)) AS qs FROM q),
+       |c0_$m AS (SELECT CAST(vec_id AS INT) AS cluster, sv AS c FROM sub$m WHERE vec_id < $PqK),
+       |a0_$m AS MATERIALIZED (
+       |  SELECT sub$m.vec_id, c0_$m.cluster, ${distSql(s"sub$m.sv", s"c0_$m.c")} AS dist_sq
+       |  FROM sub$m, c0_$m
+       |  QUALIFY row_number() OVER (PARTITION BY sub$m.vec_id ORDER BY dist_sq, cluster) = 1),
+       |px$m AS (SELECT a0_$m.cluster, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x
+       |  FROM a0_$m JOIN sub$m USING (vec_id)),
+       |cm$m AS (SELECT cluster, pos, ${exactMeanSql("x")} AS mv FROM px$m GROUP BY cluster, pos),
+       |c1_$m AS MATERIALIZED (SELECT cluster, list(mv ORDER BY pos) AS c FROM cm$m GROUP BY cluster),
+       |code$m AS MATERIALIZED (
+       |  SELECT sub$m.vec_id, c1_$m.cluster AS code, ${distSql(s"sub$m.sv", s"c1_$m.c")} AS dist_sq
+       |  FROM sub$m, c1_$m
+       |  QUALIFY row_number() OVER (PARTITION BY sub$m.vec_id ORDER BY dist_sq, cluster) = 1),
+       |dt$m AS (SELECT c1_$m.cluster AS code, ${distSql(s"c1_$m.c", "qs.qs")} AS d
+       |  FROM c1_$m, qs$m qs)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "vq_pq_topk" -> {
+      val joins = (0 until PqM).map(m =>
+        s"JOIN code$m ON code$m.vec_id = e.vec_id JOIN dt$m ON dt$m.code = code$m.code")
+        .mkString("\n")
+      val scoreSum = (0 until PqM).map(m => s"dt$m.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |${(0 until PqM).map(pqCtesSql).mkString(",\n")},
+         |shortlist AS MATERIALIZED (
+         |  SELECT e.vec_id, ($scoreSum) AS approx_dist
+         |  FROM e
+         |  $joins
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY approx_dist, e.vec_id LIMIT $PqShortlist)
+         |SELECT s.vec_id, s.approx_dist, ${distSql("e.v", "q.qv")} AS dist_sq
+         |FROM shortlist s JOIN e ON e.vec_id = s.vec_id, q
+         |ORDER BY dist_sq, s.vec_id LIMIT $PqTopK""".stripMargin
+    },
     "vq_kmeans" ->
       s"""WITH $kmeansCtesSql
          |SELECT vec_id, cluster, dist_sq FROM af""".stripMargin,

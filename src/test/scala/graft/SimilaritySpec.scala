@@ -79,4 +79,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(101L), "the higher id of an identical pair is a semantic dup")
     assert(!out(100L), "the keeper (min id) is not flagged")
   }
+
+  test("vq_pq_topk: re-ranked distances are TRUE distances, recall beats coarse ADC") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestBase.sf
+    val got = SparkEntry.queries("vq_pq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // Stage-2 contract: dist_sq is the EXACT distance (same fold as the
+    // brute-force path), not a quantized reconstruction.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.queries.SimilarityOps.vDouble(col("embedding")).as("v"))
+    val qv = e.where(col("vec_id") === 0).head.getSeq[Double](1).toArray
+    import spark.implicits._
+    val truth = e.where(col("vec_id") =!= 0)
+      .withColumn("d", graft.queries.SimilarityOps.distSq(col("v"),
+        typedLit(qv.toSeq)))
+      .select(col("vec_id"), col("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, d) =>
+      assert(d == truth(id), s"vec $id: re-rank dist $d != true ${truth(id)}")
+    }
+    // Recall floor vs the exact top-10: the oversampled shortlist + exact
+    // re-rank recovers well above the bare-ADC ordering (measured 0.1
+    // without re-rank, 0.4 with, on this corpus — floor at 0.3).
+    val exactTop = truth.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(exactTop.contains) / 10.0
+    assert(recall >= 0.3, s"recall@10 $recall below floor")
+  }
 }
