@@ -127,9 +127,32 @@ object BpeOps {
         md5(concat_ws(" ", col("toks"))).as("tok_md5"))
   }
 
+  /** The shippable vocabulary: base code-point symbols (ids 0..B-1 in
+    * binary lexicographic order) followed by the K merge outputs (ids
+    * B+rank-1 in rank order) — exactly the two-part layout BPE vocab
+    * files use, derived deterministically from the corpus + merges. */
+  private val bpeVocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val merges = trainedMerges(s, d, DefaultMerges)
+    val base = wordFreq(Tables.documents(s, d))
+      .select(explode(code_points(col("w"))).as("token"))
+      .distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("token"))) - 1)
+      .select(col("token_id"), col("token"), lit("base").as("kind"))
+    val nBase = base.count()
+    import s.implicits._
+    val merged = merges
+      .map(m => ((nBase + m.step - 1).toInt, m.l + m.r, "merge"))
+      .toDF("token_id", "token", "kind")
+    base.withColumn("token_id", col("token_id").cast("int"))
+      .unionByName(merged)
+  }
+
   val queries: Map[String, Q] = Map(
     "tx_bpe_train" -> bpeTrain,
     "tx_bpe_apply" -> bpeApply,
+    "tx_bpe_vocab" -> bpeVocab,
   )
 
   // ---------------------------------------------------------------------
@@ -192,8 +215,25 @@ object BpeOps {
        |      FROM d$k)""".stripMargin
   }
 
+  private def vocabOracle(k: Int): String =
+    s"""WITH $w0,
+       |${trainStages(k)},
+       |base AS MATERIALIZED (
+       |  SELECT DISTINCT t AS token
+       |  FROM (SELECT unnest(string_split(trim(s, ' '), '  ')) AS t FROM w0)
+       |  WHERE t != ''),
+       |basev AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id,
+       |                 token, 'base' AS kind FROM base),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+       |SELECT * FROM basev
+       |UNION ALL
+       |${(1 to k).map(i =>
+          s"SELECT CAST((SELECT n FROM nb) + $i - 1 AS INT), (SELECT l || r FROM b$i), 'merge' FROM b$i")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "tx_bpe_train" -> trainOracle(DefaultMerges),
     "tx_bpe_apply" -> applyOracle(DefaultMerges),
+    "tx_bpe_vocab" -> vocabOracle(DefaultMerges),
   )
 }
