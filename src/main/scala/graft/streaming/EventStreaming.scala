@@ -28,6 +28,22 @@ object EventStreaming {
       .select(col("window.start").cast("timestamp_ntz").as("w_start"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Watermarked per-window distinct-user SKETCHES — streaming's answer
+    * to COUNT DISTINCT, which is not directly supported in streaming
+    * aggregations (distinct state would be unbounded per key). The HLL
+    * sketch is fixed-size mergeable state per window: late arrivals fold
+    * into the same registers, and the emitted per-window sketches remain
+    * union-able downstream (e.g. hourly → daily without re-reading the
+    * stream) — the same persist-then-merge contract as batch
+    * q_hll_distinct, with the same lgK=14 exactness regime. */
+  def windowDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        expr("hll_sketch_estimate(sk)").as("n_users"))
+
   /** Watermarked session windows per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

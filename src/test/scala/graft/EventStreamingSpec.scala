@@ -31,6 +31,26 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL distinct == batch exact count distinct (sparse regime)") {
+    import org.apache.spark.sql.functions._
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.windowDistinctUsers(stream), "hll_windows_out")
+    try {
+      val streamed = spark.table("hll_windows_out").select("w_start", "n_users")
+      val batch = Tables.events(spark, SparkTestBase.sf)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("n_users"))
+      // At per-window cardinalities the lgK=14 sketch is coupon-exact, so
+      // the streaming estimates equal the exact batch distinct counts —
+      // the same exactness contract q_hll_distinct's oracle pins.
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream sketch/batch exact mismatch")
+    } finally q.stop()
+  }
+
   test("streaming session windows == batch session windows") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
