@@ -47,15 +47,21 @@ object GraphOps {
 
   private val pagerank: Q = (s, d) => {
     val edges = graft.core.Lineage.cut(edgesOf(s, d))
-    val deg = graft.core.Lineage.cut(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Out-degree is a per-round constant: join it onto the edge table
+    // ONCE and iterate over the pre-joined (src, deg, dst) — one join +
+    // one aggregate per round instead of two joins. (The same move, made
+    // durable, is bucketing ewd by src: then even the per-round rank
+    // join is exchange-free — see src_bucketed_join.)
+    val ewd = graft.core.Lineage.cut(edges.join(deg, Seq("src")))
+    graft.core.Lineage.release(edges)
     val base = PageRankScale * 3 / 20 // (1-d)·scale, exact: 15e10
-    var r = deg.select(col("src").as("node"), lit(PageRankScale).as("r"))
+    var r = ewd.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(PageRankScale).as("r"))
     for (_ <- 1 to PageRankIters) {
       val prev = r
       r = graft.core.Lineage.cut(
-        edges.join(deg, Seq("src"))
-          .join(prev, col("src") === col("node"))
+        ewd.join(prev, col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst"))
           .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
@@ -63,8 +69,7 @@ object GraphOps {
       graft.core.Lineage.release(prev)
     }
     val out = r.select(col("node"), col("r").as("rank_e12"))
-    graft.core.Lineage.release(edges)
-    graft.core.Lineage.release(deg)
+    graft.core.Lineage.release(ewd)
     out
   }
 
