@@ -269,9 +269,19 @@ object SimilarityOps {
     * distances exactly.
     */
   private val pq: Q = (s, d) => {
+    val (e, q, scored) = pqScored(s, d)
+    pqServe(scored.where(col("vec_id") =!= 0), e, q)
+  }
+
+  /** (corpus, query-row, ADC-scored corpus): the PQ machinery shared by
+    * the whole-corpus form ([[pq]]) and the IVF-composed form
+    * ([[ivfpq]]). `scored` carries (vec_id, label, approx_dist). */
+  private def pqScored(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.core.Lineage.LineageOps
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), vDouble(col("embedding")).as("v")).cutLineage
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+      .cutLineage
     val dim = e.select(size(col("v"))).head.getInt(0)
     val sd = dim / PqM
     val q = e.where(col("vec_id") === 0)
@@ -300,21 +310,49 @@ object SimilarityOps {
       case (acc, (dtab, m)) => acc.join(broadcast(dtab), Seq(s"code$m"))
     }
     val score = (0 until PqM).map(m => col(s"d$m")).reduceLeft(_ + _)
-    // Stage 1: ADC shortlist — scores the WHOLE corpus from the M×K
-    // table (integer-lookup + 4-term add per row), oversampled because
-    // K=4-per-subspace quantization is deliberately coarse. Stage 2:
-    // exact re-rank touches raw vectors only for the shortlist — the
-    // two-stage shape every PQ deployment serves with.
-    val shortlist = scored.where(col("vec_id") =!= 0)
-      .select(col("vec_id"), score.as("approx_dist"))
+    val withLabel = scored.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    (e, q, withLabel.select(col("vec_id"), col("label"), score.as("approx_dist")))
+  }
+
+  /** Stage 1: ADC shortlist — scores `candidates` from the M×K table
+    * (integer-lookup + fixed-order add per row), oversampled because
+    * K=4-per-subspace quantization is deliberately coarse. Stage 2:
+    * exact re-rank touches raw vectors only for the shortlist — the
+    * two-stage shape every PQ deployment serves with. */
+  private def pqServe(candidates: DataFrame, e: DataFrame, q: DataFrame): DataFrame = {
+    val shortlist = candidates
+      .select(col("vec_id"), col("approx_dist"))
       .orderBy(col("approx_dist"), col("vec_id"))
       .limit(PqShortlist)
-    shortlist.join(e, Seq("vec_id"))
+    shortlist.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
       .crossJoin(broadcast(q.select(col("v").as("qv"))))
       .withColumn("dist_sq", distSq(col("v"), col("qv")))
       .select(col("vec_id"), col("approx_dist"), col("dist_sq"))
       .orderBy(col("dist_sq"), col("vec_id"))
       .limit(PqTopK)
+  }
+
+  /** The full IVF-PQ serve pipeline — [[ivf]]'s coarse partition pruning
+    * composed with [[pq]]'s compressed scoring: probe the nprobe nearest
+    * label cells (at scale: partition pruning — only probed cells'
+    * files are read), ADC-score ONLY those cells' codes, exact-re-rank
+    * only the shortlist. Each stage touches an order of magnitude less
+    * data than the one before; this is the query path of every
+    * production vector index. Codebooks are corpus-global over raw
+    * vectors (the simple PQ variant; residual-PQ refines the same
+    * shapes). */
+  private val ivfpq: Q = (s, d) => {
+    val (e, q, scored) = pqScored(s, d)
+    val cent = centroids(e)
+    val probes = cent.crossJoin(broadcast(q.select(col("v").as("qv"))))
+      .withColumn("csim", cosineCol(col("centroid"), col("qv")))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(3)
+      .select(col("label"))
+      .collect().map(_.get(0)).toSeq
+    pqServe(
+      scored.where(col("vec_id") =!= 0).where(col("label").isin(probes: _*)),
+      e, q)
   }
 
   val queries: Map[String, Q] = Map(
@@ -324,6 +362,7 @@ object SimilarityOps {
     "vq_kmeans" -> kmeans,
     "vq_quantize" -> quantize,
     "vq_pq_topk" -> pq,
+    "ann_ivfpq_topk" -> ivfpq,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -400,6 +439,29 @@ object SimilarityOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "ann_ivfpq_topk" -> {
+      val joins = (0 until PqM).map(m =>
+        s"JOIN code$m ON code$m.vec_id = e.vec_id JOIN dt$m ON dt$m.code = code$m.code")
+        .mkString("\n")
+      val scoreSum = (0 until PqM).map(m => s"dt$m.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |${(0 until PqM).map(pqCtesSql).mkString(",\n")},
+         |lpx AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
+         |lcm AS (SELECT label, pos, ${exactMeanSql("x")} AS m FROM lpx GROUP BY label, pos),
+         |lc AS (SELECT label, list(m ORDER BY pos) AS centroid FROM lcm GROUP BY label),
+         |probes AS (SELECT lc.label FROM lc, q
+         |           ORDER BY ${cosineSql("lc.centroid", "q.qv")} DESC, lc.label LIMIT 3),
+         |shortlist AS MATERIALIZED (
+         |  SELECT e.vec_id, ($scoreSum) AS approx_dist
+         |  FROM e
+         |  $joins
+         |  WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probes)
+         |  ORDER BY approx_dist, e.vec_id LIMIT $PqShortlist)
+         |SELECT s.vec_id, s.approx_dist, ${distSql("e.v", "q.qv")} AS dist_sq
+         |FROM shortlist s JOIN e ON e.vec_id = s.vec_id, q
+         |ORDER BY dist_sq, s.vec_id LIMIT $PqTopK""".stripMargin
+    },
     "vq_pq_topk" -> {
       val joins = (0 until PqM).map(m =>
         s"JOIN code$m ON code$m.vec_id = e.vec_id JOIN dt$m ON dt$m.code = code$m.code")
