@@ -46,13 +46,23 @@ object BloomPrune {
   val DefaultExpectedKeys = 1000000L
 
   /** Serialize the bloom filter of `dim`'s `key` column (one job: a
-    * partial agg per task + one merged row on the driver). */
+    * partial agg per task + one merged row on the driver). An EMPTY dim
+    * yields an empty filter (might_contain false everywhere), never
+    * null — BloomFilterAggregate returns SQL NULL over zero rows, which
+    * would NPE any caller persisting the bytes. */
   def buildFilter(dim: DataFrame, key: Column,
       expectedKeys: Long = DefaultExpectedKeys): Array[Byte] = {
     val hashed = XxHash64(Seq(GraftSqlShim.expression(key)), 42L)
     val agg = new BloomFilterAggregate(hashed, expectedKeys)
       .toAggregateExpression()
-    dim.select(GraftSqlShim.column(agg)).head.getAs[Array[Byte]](0)
+    val bytes = dim.select(GraftSqlShim.column(agg)).head.getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(expectedKeys)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** `fact` restricted to rows whose `factKey` might appear in `dim`'s

@@ -97,15 +97,24 @@ object BpeOps {
   }
 
   /** Deterministic per-(session, dir, k) merge cache: train and apply on
-    * the same corpus share one training run within a session. */
+    * the same corpus share one training run within a session. Same Slot
+    * indirection as [[graft.core.Materialize]]: the multi-job training
+    * must run OUTSIDE computeIfAbsent's bin lock (a training run inside
+    * the mapping function would block unrelated same-bin lookups for its
+    * whole duration, and a reentrant lookup would deadlock). */
+  private final class Slot(body: () => Seq[Merge]) {
+    lazy val value: Seq[Merge] = body()
+  }
+
   private val trained = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]]())
+      java.util.concurrent.ConcurrentHashMap[String, Slot]]())
 
   def trainedMerges(s: SparkSession, d: String, k: Int): Seq[Merge] = {
     val perKey = trained.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]())
-    perKey.computeIfAbsent(s"$d:$k", _ => train(Tables.documents(s, d), k))
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
+    perKey.computeIfAbsent(s"$d:$k",
+      _ => new Slot(() => train(Tables.documents(s, d), k))).value
   }
 
   /** The learned merge table itself (rank, pair, pair count). */
@@ -132,22 +141,29 @@ object BpeOps {
     * B+rank-1 in rank order) — exactly the two-part layout BPE vocab
     * files use, derived deterministically from the corpus + merges. */
   private val bpeVocab: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val merges = trainedMerges(s, d, DefaultMerges)
-    val base = wordFreq(Tables.documents(s, d))
+    // ONE corpus pass: the distinct base symbols are alphabet-bounded
+    // (a few thousand even for full-Unicode corpora), so collecting them
+    // once and assigning ids on the driver beats a second scan — the
+    // count()-then-rebuild form would re-run the whole
+    // documents→wordFreq→explode→distinct pipeline as a second action.
+    val baseTokens = wordFreq(Tables.documents(s, d))
       .select(explode(code_points(col("w"))).as("token"))
       .distinct()
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("token"))) - 1)
-      .select(col("token_id"), col("token"), lit("base").as("kind"))
-    val nBase = base.count()
+      .collect().map(_.getString(0)).sorted(BinaryStringOrder)
     import s.implicits._
-    val merged = merges
-      .map(m => ((nBase + m.step - 1).toInt, m.l + m.r, "merge"))
-      .toDF("token_id", "token", "kind")
-    base.withColumn("token_id", col("token_id").cast("int"))
-      .unionByName(merged)
+    val rows =
+      baseTokens.zipWithIndex.map { case (t, i) => (i, t, "base") } ++
+        merges.map(m => (baseTokens.length + m.step - 1, m.l + m.r, "merge"))
+    rows.toSeq.toDF("token_id", "token", "kind")
   }
+
+  /** UTF-8 byte order — what Spark's string ordering and DuckDB's binary
+    * collation both use; JVM String.compareTo orders by UTF-16 unit and
+    * would disagree on supplementary characters. */
+  private val BinaryStringOrder: Ordering[String] = Ordering.comparatorToOrdering(
+    java.util.Comparator.comparing((s: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)))
 
   val queries: Map[String, Q] = Map(
     "tx_bpe_train" -> bpeTrain,

@@ -303,8 +303,13 @@ object EventOps {
       .groupBy(pmod(col("event_id"), lit(8)).as("shard"))
       .agg(expr("count_min_sketch(user_id, 0.0001d, 0.999d, 42)").as("sk"))
       .collect()
+    // Fold from a zero sketch with IDENTICAL parameters (merge requires
+    // matching width/depth/seed): an empty events table then probes all
+    // zeros instead of crashing reduceLeft on an empty shard list.
     val merged = shards.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
-      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+      .foldLeft(CountMinSketch.create(0.0001, 0.999, 42)) { (a, b) =>
+        a.mergeInPlace(b); a
+      }
     CmsProbeIds.map(id => (id, merged.estimateCount(java.lang.Long.valueOf(id))))
       .toDF("user_id", "est_n")
   }
@@ -349,9 +354,15 @@ object EventOps {
         |FROM range(0, 20) t(user_id)
         |LEFT JOIN (SELECT user_id AS u, count(*) AS cnt FROM events GROUP BY 1) c
         |  ON t.user_id = c.u""".stripMargin,
+    // json_valid + TRY_CAST mirror the engine's malformed-payload
+    // tolerance (invalid JSON / non-integer k → NULL, not an error).
+    // Remaining divergence not exercised by any fixture: a JSON float k
+    // TRY_CASTs (rounds) in DuckDB where Spark's BIGINT schema nulls it.
     "ev_variant_extract" ->
       """WITH e AS (SELECT event_type,
-        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |    CASE WHEN json_valid(props)
+        |         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(k) AS BIGINT) AS n_k,
         |  CAST(sum(k) AS BIGINT) AS k_sum,
@@ -359,7 +370,9 @@ object EventOps {
         |FROM e GROUP BY 1""".stripMargin,
     "ev_props_extract" ->
       """WITH e AS (SELECT event_type,
-        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |    CASE WHEN json_valid(props)
+        |         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(k) AS BIGINT) AS n_k,
         |  CAST(sum(k) AS BIGINT) AS k_sum,

@@ -78,7 +78,7 @@ object GraphOps {
   private def iterSql(i: Int): String =
     s"""r$i AS MATERIALIZED (
        |  SELECT e.dst AS node,
-       |    CAST(150000000000 + (17 * sum(r.r // d.deg)) // 20 AS BIGINT) AS r
+       |    CAST(${PageRankScale * 3 / 20} + (17 * sum(r.r // d.deg)) // 20 AS BIGINT) AS r
        |  FROM edges e
        |  JOIN deg d ON d.src = e.src
        |  JOIN r${i - 1} r ON e.src = r.node

@@ -516,7 +516,6 @@ object PipelineOps {
          |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_commonness
          |FROM tok JOIN c USING (token) GROUP BY doc_id""".stripMargin,
     "tx_bm25" -> {
-      val terms = Bm25Terms.map(t => s"('$t')").mkString(", ")
       val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       // Score fold mirrors the Spark side token-for-token: same
       // parenthesization, same FIXED term order, micro-rounded compare.

@@ -58,8 +58,13 @@ class DocStreamingSpec extends AnyFunSuite {
     graft.core.Fs.deleteOnExit(dir)
     docs.write.mode("overwrite").parquet(dir)
     val stream = DocStreaming.docStream(spark, dir, docs.schema)
-    val q = EventStreaming.runToMemory(
-      DocStreaming.decodePngStream(stream), "png_out",
+    val decoded = DocStreaming.decodePngStream(stream)
+    // Stateless contract, asserted on the STREAMING frame's own plan —
+    // the memory-sink table's plan is a LocalRelation where a state
+    // store could never appear, so checking it would be vacuous.
+    assert(!decoded.queryExecution.analyzed.toString.toLowerCase.contains("aggregate"),
+      "decode stream must not be stateful")
+    val q = EventStreaming.runToMemory(decoded, "png_out",
       org.apache.spark.sql.streaming.OutputMode.Append)
     try {
       val streamed = spark.table("png_out")
@@ -69,9 +74,6 @@ class DocStreamingSpec extends AnyFunSuite {
       assert(streamed.count() == batch.count(), "row count mismatch")
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
         "stream/batch PNG decode mismatch")
-      // Stateless contract: no state store operator in the streaming plan.
-      assert(!spark.table("png_out").queryExecution.analyzed.toString
-        .contains("StateStore"), "decode stream must not be stateful")
     } finally q.stop()
   }
 
@@ -86,8 +88,12 @@ class DocStreamingSpec extends AnyFunSuite {
       .trainedMerges(spark, SparkTestBase.sf, graft.queries.BpeOps.DefaultMerges)
       .map(m => (m.l, m.r))
     val stream = DocStreaming.docStream(spark, dir, docs.schema)
-    val q = EventStreaming.runToMemory(
-      DocStreaming.bpeEncodeStream(stream, merges), "bpe_out",
+    val encoded = DocStreaming.bpeEncodeStream(stream, merges)
+    // Stateless contract on the STREAMING frame's plan (the memory-sink
+    // table is a LocalRelation — asserting on it would be vacuous).
+    assert(!encoded.queryExecution.analyzed.toString.toLowerCase.contains("aggregate"),
+      "frozen-vocab encode must not be stateful")
+    val q = EventStreaming.runToMemory(encoded, "bpe_out",
       org.apache.spark.sql.streaming.OutputMode.Append)
     try {
       val streamed = spark.table("bpe_out").select("doc_id", "n_tokens", "tok_md5")
@@ -96,8 +102,6 @@ class DocStreamingSpec extends AnyFunSuite {
       assert(streamed.count() == batch.count(), "row count mismatch")
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
         "stream/batch BPE mismatch")
-      assert(!spark.table("bpe_out").queryExecution.analyzed.toString
-        .contains("StateStore"), "frozen-vocab encode must not be stateful")
     } finally q.stop()
   }
 
