@@ -788,6 +788,40 @@ object Relational {
       .unionByName(delta)
   }
 
+  /** SCD-2 history-preserving merge — [[srcUpsert]]'s sibling for when
+    * the warehouse must keep EVERY version: changed keys get their
+    * current row CLOSED (valid_to stamped, current=false) and a new
+    * open row appended; unchanged keys pass through untouched. The
+    * scale-correct plan is the same asymmetric shape as the SCD-1
+    * merge: the delta (≪ base) broadcasts, the 100 TB base is touched
+    * by one map-side semi/anti split — no window over the unioned
+    * history, no shuffle of the base. Epoch sentinels (valid_to =
+    * [[Scd2Open]] for open rows) keep every output column an exact
+    * integer. */
+  private val srcScd2: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents.as("price_cents"),
+        lit(0L).as("valid_from"), lit(Scd2Open).as("valid_to"),
+        lit(true).as("current"))
+    val deltaKeys = Tables.orders(s, d)
+      .where(pmod(col("o_orderkey"), lit(UpsertDeltaMod)) === 0)
+      .select(col("o_orderkey"))
+    val unchanged = base.join(broadcast(deltaKeys), Seq("o_orderkey"), "left_anti")
+    val closed = base.join(broadcast(deltaKeys), Seq("o_orderkey"), "left_semi")
+      .withColumn("valid_to", lit(1L))
+      .withColumn("current", lit(false))
+    val opened = Tables.orders(s, d)
+      .join(broadcast(deltaKeys), Seq("o_orderkey"), "left_semi")
+      .select(col("o_orderkey"), (cents + 10000).as("price_cents"),
+        lit(1L).as("valid_from"), lit(Scd2Open).as("valid_to"),
+        lit(true).as("current"))
+    unchanged.unionByName(closed).unionByName(opened)
+  }
+
+  /** Open-row sentinel for [[srcScd2]] (integer "infinity" epoch). */
+  val Scd2Open = 9999999999L
+
   /** Window functions: ranking + running totals (window extension). */
   private val w1: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -919,6 +953,7 @@ object Relational {
     "a3_skew_agg" -> a3SkewAgg,
     "q4_priority_exists" -> q4Exists,
     "src_upsert_merge" -> srcUpsert,
+    "src_scd2_merge" -> srcScd2,
     "src_v2_scan" -> srcV2Scan,
     "src_sorted_skipping" -> srcSorted,
     "src_zorder_skipping" -> srcZorder,
@@ -1202,6 +1237,20 @@ object Relational {
     "src_v2_scan" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer WHERE c_acctbal > 1000""".stripMargin,
+    "src_scd2_merge" ->
+      s"""WITH base AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders),
+         |delta AS (SELECT o_orderkey FROM orders WHERE o_orderkey % $UpsertDeltaMod = 0)
+         |SELECT o_orderkey, price_cents, CAST(0 AS BIGINT) AS valid_from,
+         |  CAST($Scd2Open AS BIGINT) AS valid_to, true AS current
+         |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+         |UNION ALL
+         |SELECT o_orderkey, price_cents, CAST(0 AS BIGINT), CAST(1 AS BIGINT), false
+         |FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM delta)
+         |UNION ALL
+         |SELECT o_orderkey, price_cents + 10000, CAST(1 AS BIGINT),
+         |  CAST($Scd2Open AS BIGINT), true
+         |FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM delta)""".stripMargin,
     "src_sorted_skipping" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
