@@ -78,4 +78,28 @@ class HighVolumeSpec extends AnyFunSuite {
       hotRowThreshold = 1000, salts = 4)
     assert(checksum(salted) == ((2000000L, 2000000L, expectedSum)))
   }
+
+  test("BPE trainer at volume: 1.2M-doc corpus, 100k-word table, closed-form merges") {
+    // Four disjoint-alphabet head words with strictly ordered
+    // frequencies give a CLOSED-FORM merge sequence; a 100k-distinct
+    // "w<id>" tail pushes real volume through the word table and the
+    // per-round pair aggregate. The tail cannot perturb the head: its
+    // most frequent pair is ('w', leading-digit-1) = 11,111 occurrences
+    // (ids 1, 10-19, 100-199, ..., 10000-19999), far under the rarest
+    // head pair's 100,000.
+    val head = spark.range(1100000).select(
+      when(col("id") < 500000, "ab")
+        .when(col("id") < 800000, "cd")
+        .when(col("id") < 1000000, "ef")
+        .otherwise("gh").as("text"))
+    val tail = spark.range(100000)
+      .select(concat(lit("w"), col("id")).as("text"))
+    val docs = head.unionByName(tail)
+    val got = graft.queries.BpeOps.train(docs, 4)
+    assert(got == Seq(
+      graft.queries.BpeOps.Merge(1, "a", "b", 500000L),
+      graft.queries.BpeOps.Merge(2, "c", "d", 300000L),
+      graft.queries.BpeOps.Merge(3, "e", "f", 200000L),
+      graft.queries.BpeOps.Merge(4, "g", "h", 100000L)), got.toString)
+  }
 }
