@@ -252,6 +252,19 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(p, "Sort(?!MergeJoin|Aggregate)") <= 1, p.take(1500))
   }
 
+  test("src_scd2_merge: base is split map-side by broadcast semi/anti joins") {
+    val p = planOf("src_scd2_merge")
+    // The history merge must never shuffle the base: the delta keys ride
+    // broadcasts into one anti (unchanged) + two semi (closed, opened)
+    // probes. Any SortMergeJoin here means the 100 TB side shuffled.
+    // (Tree-section matches: the numbered detail list drops join types.)
+    def treeCount(s: String) = s.r.findAllMatchIn(p).size
+    assert(treeCount("BroadcastHashJoin LeftAnti") == 1, p.take(1500))
+    assert(treeCount("BroadcastHashJoin LeftSemi") == 2, p.take(1500))
+    assert(treeCount("SortMergeJoin") == 0, p.take(1500))
+    assert(treeCount("Exchange hashpartitioning") == 0, p.take(1500))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // At 100 TB the big win on a selective dim-filter join is Spark's
