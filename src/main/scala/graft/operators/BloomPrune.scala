@@ -58,7 +58,9 @@ object BloomPrune {
     val bytes = dim.select(GraftSqlShim.column(agg)).head.getAs[Array[Byte]](0)
     if (bytes != null) bytes
     else {
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(expectedKeys)
+      // Minimal, not expectedKeys-sized: ~1 MB of zeros to say
+      // "contains nothing" would be embedded as a plan literal.
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
       val out = new java.io.ByteArrayOutputStream()
       empty.writeTo(out)
       out.toByteArray

@@ -97,24 +97,18 @@ object BpeOps {
   }
 
   /** Deterministic per-(session, dir, k) merge cache: train and apply on
-    * the same corpus share one training run within a session. Same Slot
-    * indirection as [[graft.core.Materialize]]: the multi-job training
-    * must run OUTSIDE computeIfAbsent's bin lock (a training run inside
-    * the mapping function would block unrelated same-bin lookups for its
-    * whole duration, and a reentrant lookup would deadlock). */
-  private final class Slot(body: () => Seq[Merge]) {
-    lazy val value: Seq[Merge] = body()
-  }
-
+    * the same corpus share one training run within a session. The
+    * [[graft.core.LazySlot]] indirection keeps the multi-job training
+    * OUTSIDE computeIfAbsent's bin lock. */
   private val trained = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Slot]]())
+      java.util.concurrent.ConcurrentHashMap[String, graft.core.LazySlot[Seq[Merge]]]]())
 
   def trainedMerges(s: SparkSession, d: String, k: Int): Seq[Merge] = {
     val perKey = trained.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
+      _ => new java.util.concurrent.ConcurrentHashMap[String, graft.core.LazySlot[Seq[Merge]]]())
     perKey.computeIfAbsent(s"$d:$k",
-      _ => new Slot(() => train(Tables.documents(s, d), k))).value
+      _ => new graft.core.LazySlot(() => train(Tables.documents(s, d), k))).value
   }
 
   /** The learned merge table itself (rank, pair, pair count). */

@@ -108,6 +108,12 @@ object SimilarityOps {
     meanVectors(e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x"))),
       "label", "centroid")
 
+  /** [[centroids]] memoized per (session, corpus): ann_ivf_topk and
+    * ann_ivfpq_topk build the identical coarse quantizer — one-row-per-
+    * label model state, same train-once contract as pq_scored. */
+  private def centroidsOnce(s: SparkSession, d: String, e: DataFrame): DataFrame =
+    graft.core.Materialize.once(s, s"ivf_centroids:$d")(centroids(e))
+
   /** IVF top-k: probe the 3 nearest centroids, brute-force inside cells.
     *
     * The probe set is COLLECTED (nprobe = 3 cell ids — bounded metadata,
@@ -122,7 +128,7 @@ object SimilarityOps {
   private val ivf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
-    val cent = centroids(e).cutLineage
+    val cent = centroidsOnce(s, d, e)
     val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
     val probes = cent.crossJoin(broadcast(q))
       .withColumn("csim", cosineCol(col("centroid"), col("qv")))
@@ -355,7 +361,7 @@ object SimilarityOps {
     * shapes). */
   private val ivfpq: Q = (s, d) => {
     val (e, q, scored) = pqScored(s, d)
-    val cent = centroids(e)
+    val cent = centroidsOnce(s, d, e)
     val probes = cent.crossJoin(broadcast(q.select(col("v").as("qv"))))
       .withColumn("csim", cosineCol(col("centroid"), col("qv")))
       .orderBy(col("csim").desc, col("label"))

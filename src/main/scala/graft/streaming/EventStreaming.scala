@@ -41,8 +41,11 @@ object EventStreaming {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      // BOTH the estimate and the sketch bytes: estimates are NOT
+      // mergeable, so the downstream hourly→daily rollup the contract
+      // promises needs the sk column to hll_union_agg over.
       .select(col("window.start").cast("timestamp_ntz").as("w_start"),
-        expr("hll_sketch_estimate(sk)").as("n_users"))
+        expr("hll_sketch_estimate(sk)").as("n_users"), col("sk"))
 
   /** Watermarked session windows per user. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -59,14 +59,16 @@ class DocStreamingSpec extends AnyFunSuite {
     docs.write.mode("overwrite").parquet(dir)
     val stream = DocStreaming.docStream(spark, dir, docs.schema)
     val decoded = DocStreaming.decodePngStream(stream)
-    // Stateless contract, asserted on the STREAMING frame's own plan —
-    // the memory-sink table's plan is a LocalRelation where a state
-    // store could never appear, so checking it would be vacuous.
-    assert(!decoded.queryExecution.analyzed.toString.toLowerCase.contains("aggregate"),
-      "decode stream must not be stateful")
     val q = EventStreaming.runToMemory(decoded, "png_out",
       org.apache.spark.sql.streaming.OutputMode.Append)
     try {
+      // Stateless contract on the RUNNING query's progress: zero state
+      // operators catches any stateful op (agg, dedup, stream-stream
+      // join, *GroupsWithState), where a plan-text substring test would
+      // not — and the memory-sink table's plan is a LocalRelation where
+      // state could never appear at all.
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "decode stream must not be stateful")
       val streamed = spark.table("png_out")
         .select("doc_id", "width", "height", "px_sum")
       val batch = SparkEntry.queries("mm_decode_png")(spark, SparkTestBase.sf)
@@ -89,13 +91,13 @@ class DocStreamingSpec extends AnyFunSuite {
       .map(m => (m.l, m.r))
     val stream = DocStreaming.docStream(spark, dir, docs.schema)
     val encoded = DocStreaming.bpeEncodeStream(stream, merges)
-    // Stateless contract on the STREAMING frame's plan (the memory-sink
-    // table is a LocalRelation — asserting on it would be vacuous).
-    assert(!encoded.queryExecution.analyzed.toString.toLowerCase.contains("aggregate"),
-      "frozen-vocab encode must not be stateful")
     val q = EventStreaming.runToMemory(encoded, "bpe_out",
       org.apache.spark.sql.streaming.OutputMode.Append)
     try {
+      // Stateless contract on the RUNNING query's progress (see the PNG
+      // test for why plan-text checks are the wrong instrument).
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "frozen-vocab encode must not be stateful")
       val streamed = spark.table("bpe_out").select("doc_id", "n_tokens", "tok_md5")
       val batch = SparkEntry.queries("tx_bpe_apply")(spark, SparkTestBase.sf)
         .select("doc_id", "n_tokens", "tok_md5")
