@@ -37,11 +37,22 @@ import org.apache.spark.sql.internal.SQLConf
   * union+window form — the same semantics written with built-in operators
   * only, no extensions required.)
   *
-  * Semantics: left outer; for each probe row the match is the reference row
-  * of the same key with the greatest time ≤ the probe time (ties on the
-  * reference time resolved by the index sort's second component — the
-  * row's column values — making the pick deterministic for any input
-  * order). Unmatched probes carry nulls.
+  * Semantics: left outer; for each probe row the match among reference
+  * rows of the same key is chosen by `direction` (pandas merge_asof's
+  * axis):
+  *
+  *   - 0 = backward (default): greatest reference time ≤ probe time;
+  *   - 1 = forward: smallest reference time ≥ probe time;
+  *   - 2 = nearest: whichever of the two candidates has the smaller
+  *     |Δtime|, preferring the backward candidate on an exact tie;
+  *
+  * optionally bounded by `tolerance` ≥ 0 (same units as the time column —
+  * microseconds for timestamps): a candidate farther than the bound is
+  * discarded, the probe row keeps nulls. Ties on the reference time are
+  * resolved by the carried projection's byte order (backward keeps the
+  * greatest, forward the smallest — both index-sort endpoints), making
+  * every pick deterministic for any input order. Unmatched probes carry
+  * nulls.
   *
   * Reference for the workload shape: amaxa's extraction joins each record
   * batch against previously-extracted parent state
@@ -59,7 +70,9 @@ case class AsOfJoinPlan(
     // Caller's physical-shape pin ("broadcast" | "shuffle"), like a join
     // hint: it travels WITH the node, so unlike a session conf it survives
     // AQE re-optimization replanning the subtree mid-query.
-    hint: Option[String] = None)
+    hint: Option[String] = None,
+    direction: Int = 0, // 0=backward, 1=forward, 2=nearest
+    tolerance: Long = -1L) // max |Δtime| in time-column units; <0 = unbounded
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -87,10 +100,12 @@ object AsOfJoinStrategy extends SparkStrategy {
       }
       if (useBroadcast)
         BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
-          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.carried) :: Nil
+          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.carried,
+          p.direction, p.tolerance) :: Nil
       else
         ShuffleAsOfJoinExec(planLater(p.left), planLater(p.right),
-          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.carried) :: Nil
+          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.carried,
+          p.direction, p.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -114,7 +129,9 @@ case class BroadcastAsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    carried: Seq[Attribute])
+    carried: Seq[Attribute],
+    direction: Int = 0,
+    tolerance: Long = -1L)
   extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
@@ -166,6 +183,8 @@ case class BroadcastAsOfJoinExec(
     val carriedLocal = carried
     val lKeyExpr = leftKey
     val lTimeExpr = leftTime
+    val dir = direction
+    val tol = tolerance
     left.execute().mapPartitions { iter =>
       val keyEval = BindReferences.bindReference(lKeyExpr, leftOut)
       val timeEval = BindReferences.bindReference(lTimeExpr, leftOut)
@@ -185,8 +204,8 @@ case class BroadcastAsOfJoinExec(
         if (k != null && t != null) {
           val entry = index.value.get(k)
           if (entry != null) {
-            val i = BroadcastAsOfJoinExec.floorSearch(
-              entry._1, t.asInstanceOf[Number].longValue())
+            val i = BroadcastAsOfJoinExec.matchIndex(
+              entry._1, t.asInstanceOf[Number].longValue(), dir, tol)
             if (i >= 0) m = entry._2(i)
           }
         }
@@ -236,8 +255,8 @@ case class BroadcastAsOfJoinExec(
          |  scala.Tuple2 $entry = (scala.Tuple2) $idxTerm.get(${keyEv.value});
          |  if ($entry != null) {
          |    long[] ${entry}_t = (long[]) $entry._1();
-         |    int ${entry}_i = graft.plans.BroadcastAsOfJoinExec.floorSearch(
-         |      ${entry}_t, (long) ${timeEv.value});
+         |    int ${entry}_i = graft.plans.BroadcastAsOfJoinExec.matchIndex(
+         |      ${entry}_t, (long) ${timeEv.value}, $direction, ${tolerance}L);
          |    if (${entry}_i >= 0) {
          |      $matched = ((InternalRow[]) $entry._2())[${entry}_i];
          |    }
@@ -285,6 +304,50 @@ object BroadcastAsOfJoinExec {
     }
     ans
   }
+
+  /** Smallest index with times(i) >= t, or -1. */
+  def ceilSearch(times: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = times.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) >= t) { ans = mid; hi = mid - 1 } else lo = mid + 1
+    }
+    ans
+  }
+
+  /** Non-negative a−b for a ≥ b, saturating at Long.MaxValue: a true
+    * difference past 2^63−1 (possible only for raw-long time columns
+    * spanning nearly the full long range — never for timestamps) wraps
+    * negative in two's complement, which would falsely pass a tolerance
+    * check; saturate instead so it compares as "very far". */
+  def delta(a: Long, b: Long): Long = {
+    val d = a - b
+    if (d < 0) Long.MaxValue else d
+  }
+
+  /** The direction's pick in a (time, bytes)-sorted per-key index, or -1.
+    * dir 0=backward (floor, LAST of an equal-time run = max bytes),
+    * 1=forward (ceil, FIRST of a run = min bytes), 2=nearest (smaller
+    * |Δ|, exact tie → backward). tol ≥ 0 bounds the accepted |Δ|.
+    * Public static: the generated consume code calls it with the plan's
+    * direction/tolerance baked in as literals. */
+  def matchIndex(times: Array[Long], t: Long, dir: Int, tol: Long): Int = {
+    if (dir == 0) {
+      val f = floorSearch(times, t)
+      if (f >= 0 && (tol < 0 || delta(t, times(f)) <= tol)) f else -1
+    } else if (dir == 1) {
+      val c = ceilSearch(times, t)
+      if (c >= 0 && (tol < 0 || delta(times(c), t) <= tol)) c else -1
+    } else {
+      val f = floorSearch(times, t)
+      val c = ceilSearch(times, t)
+      val fOk = f >= 0 && (tol < 0 || delta(t, times(f)) <= tol)
+      val cOk = c >= 0 && (tol < 0 || delta(times(c), t) <= tol)
+      if (fOk && (!cOk || delta(t, times(f)) <= delta(times(c), t))) f
+      else if (cOk) c
+      else -1
+    }
+  }
 }
 
 /** Physical co-partitioned merge as-of join — the BOTH-SIDES-LARGE shape.
@@ -301,9 +364,18 @@ object BroadcastAsOfJoinExec {
   * the hot keys through the broadcast form.
   *
   * Tie-break parity with the broadcast form: among reference rows with
-  * equal (key, time) the kept row is the one with the greatest carried-
-  * projection bytes — exactly the row [[BroadcastAsOfJoinExec]]'s
-  * (time, bytes)-sorted index returns.
+  * equal (key, time), backward keeps the greatest carried-projection
+  * bytes and forward the smallest — exactly the two endpoints
+  * [[BroadcastAsOfJoinExec]]'s (time, bytes)-sorted index returns; a
+  * nearest-direction exact-distance tie prefers the backward candidate.
+  *
+  * The merge state is RUN-based (a run = the consecutive reference rows
+  * sharing one (key, time)): the cursor holds at most two runs' picks —
+  * the floor run (greatest time strictly below the pending run) and the
+  * pending run (first at-or-after the last probe time, the forward
+  * candidate) — each reduced to its min-bytes and max-bytes rows as it is
+  * consumed, so state stays O(1) regardless of run length and all three
+  * directions read off the same cursor.
   */
 case class ShuffleAsOfJoinExec(
     left: SparkPlan,
@@ -312,7 +384,9 @@ case class ShuffleAsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    carried: Seq[Attribute])
+    carried: Seq[Attribute],
+    direction: Int = 0,
+    tolerance: Long = -1L)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
@@ -334,6 +408,7 @@ case class ShuffleAsOfJoinExec(
     val carriedLocal = carried
     val lKeyExpr = leftKey; val lTimeExpr = leftTime
     val rKeyExpr = rightKey; val rTimeExpr = rightTime
+    val dir = direction; val tol = tolerance
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     left.execute().zipPartitions(right.execute()) { (liter, riter) =>
       val lKeyEval = BindReferences.bindReference(lKeyExpr, leftOut)
@@ -347,58 +422,107 @@ case class ShuffleAsOfJoinExec(
       val nullRight = new GenericInternalRow(carriedLocal.length)
       val joined = new JoinedRow
       val rIter = riter.buffered
-      // Cursor state: the best reference row seen for `curKey` so far —
-      // max (time, bytes) among consumed rows with time <= the probe time.
-      // Values evaluated off the iterator's reused row buffer are copied
-      // before they outlive a next() (InternalRow.copyValue / row.copy()).
+      // Run-based cursor state for `curKey` (see class doc). Values
+      // evaluated off the iterator's reused row buffer are copied before
+      // they outlive a next() (InternalRow.copyValue / row.copy()).
       var curKey: Any = null
-      var lastTime = Long.MinValue
-      var lastBytes: Array[Byte] = null
-      var lastRow: UnsafeRow = null
+      var prevProbeT = Long.MinValue
+      var floorTime = Long.MinValue
+      var floorRow: UnsafeRow = null // floor run's max-bytes pick
+      var pendValid = false
+      var pendTime = Long.MinValue
+      var pendMinRow: UnsafeRow = null // pending run's min-bytes pick (forward)
+      var pendMaxRow: UnsafeRow = null // pending run's max-bytes pick (→ floor)
+      // Load the next same-key run into the pending state; false when the
+      // next reference row belongs to a later key or the side is drained.
+      // Rows for earlier keys are discarded — both streams ascend by key,
+      // so they can never match again.
+      def fetchRun(k: Any): Boolean = {
+        var found = false
+        var scanning = true
+        while (scanning && rIter.hasNext) {
+          val head = rIter.head
+          val hk = rKeyEval.eval(head)
+          val ht = rTimeEval.eval(head)
+          if (hk == null || ht == null) { rIter.next(); () } // never matchable
+          else {
+            val c = keyOrd.compare(hk, k)
+            if (c < 0) { rIter.next(); () }
+            else if (c > 0) scanning = false
+            else { found = true; scanning = false }
+          }
+        }
+        if (!found) return false
+        val t0 = rTimeEval.eval(rIter.head).asInstanceOf[Number].longValue()
+        var minRow: UnsafeRow = null; var minB: Array[Byte] = null
+        var maxRow: UnsafeRow = null; var maxB: Array[Byte] = null
+        var more = true
+        while (more && rIter.hasNext) {
+          val head = rIter.head
+          val hk = rKeyEval.eval(head)
+          val ht = rTimeEval.eval(head)
+          val same = hk != null && ht != null && keyOrd.compare(hk, k) == 0 &&
+            ht.asInstanceOf[Number].longValue() == t0
+          if (same) {
+            val pr = carryProj(head).copy() // exact-size buffer; getBytes is zero-copy
+            val b = pr.getBytes
+            if (minRow == null || java.util.Arrays.compare(b, minB) < 0) {
+              minRow = pr; minB = b
+            }
+            if (maxRow == null || java.util.Arrays.compare(b, maxB) > 0) {
+              maxRow = pr; maxB = b
+            }
+            rIter.next(); ()
+          } else more = false
+        }
+        pendValid = true; pendTime = t0; pendMinRow = minRow; pendMaxRow = maxRow
+        true
+      }
       liter.map { lrow =>
         val k = lKeyEval.eval(lrow)
         val tv = lTimeEval.eval(lrow)
         var m: InternalRow = nullRight
         if (k != null && tv != null) {
           val t = tv.asInstanceOf[Number].longValue()
-          var continue = true
-          while (continue && rIter.hasNext) {
-            val head = rIter.head
-            val hk = rKeyEval.eval(head)
-            val ht = rTimeEval.eval(head)
-            if (hk == null || ht == null) { rIter.next(); () } // never matchable
-            else {
-              val c = keyOrd.compare(hk, k)
-              if (c < 0) { rIter.next(); () } // left keys only ascend — never needed again
-              else if (c > 0) continue = false
-              else {
-                val time = ht.asInstanceOf[Number].longValue()
-                if (time <= t) {
-                  if (curKey == null || keyOrd.compare(curKey, k) != 0) {
-                    curKey = InternalRow.copyValue(k)
-                    lastTime = Long.MinValue; lastBytes = null; lastRow = null
-                  }
-                  val pr = carryProj(head).copy() // exact-size buffer; getBytes below is zero-copy
-                  val bytes = pr.getBytes
-                  if (lastRow == null || time > lastTime ||
-                      (time == lastTime && java.util.Arrays.compare(bytes, lastBytes) > 0)) {
-                    lastTime = time; lastBytes = bytes; lastRow = pr
-                  }
-                  rIter.next(); ()
-                } else continue = false
-              }
-            }
+          if (curKey == null || keyOrd.compare(curKey, k) != 0) {
+            curKey = InternalRow.copyValue(k)
+            prevProbeT = Long.MinValue
+            floorTime = Long.MinValue; floorRow = null
+            pendValid = false; pendMinRow = null; pendMaxRow = null
           }
-          if (lastRow != null && curKey != null && keyOrd.compare(curKey, k) == 0) {
-            // Contract check: the cursor only ever consumed rows with
-            // time <= some earlier probe's t, so state time > this t means
-            // the probe stream regressed — EnsureRequirements' (key, time)
-            // ordering was violated and any answer would be silently
-            // wrong. Fail loudly instead.
-            if (lastTime > t) throw new IllegalStateException(
-              s"as-of merge: probe stream not time-ascending within key " +
-                s"(state time $lastTime > probe time $t)")
-            m = lastRow
+          // Contract check: the cursor state is valid only if probe times
+          // ascend within a key — EnsureRequirements' (key, time) ordering
+          // violated means any answer would be silently wrong. Fail loudly.
+          if (t < prevProbeT) throw new IllegalStateException(
+            s"as-of merge: probe stream not time-ascending within key " +
+              s"(previous probe time $prevProbeT > probe time $t)")
+          prevProbeT = t
+          // Advance: every run strictly below t converts to the floor (its
+          // max-bytes pick); afterwards the pending run, if any, is the
+          // first at-or-after t.
+          var advancing = true
+          while (advancing) {
+            if (!pendValid && !fetchRun(k)) advancing = false
+            else if (pendTime < t) {
+              floorTime = pendTime; floorRow = pendMaxRow; pendValid = false
+            } else advancing = false
+          }
+          // Backward candidate: an exact-time pending run wins over the
+          // floor (greatest time <= t includes == t, max-bytes pick).
+          var bTime = Long.MinValue
+          var bRow: UnsafeRow = null
+          if (pendValid && pendTime == t) { bTime = t; bRow = pendMaxRow }
+          else if (floorRow != null) { bTime = floorTime; bRow = floorRow }
+          val d = BroadcastAsOfJoinExec.delta _
+          if (dir == 0) {
+            if (bRow != null && (tol < 0 || d(t, bTime) <= tol)) m = bRow
+          } else if (dir == 1) {
+            if (pendValid && (tol < 0 || d(pendTime, t) <= tol)) m = pendMinRow
+          } else {
+            val bOk = bRow != null && (tol < 0 || d(t, bTime) <= tol)
+            val fOk = pendValid && (tol < 0 || d(pendTime, t) <= tol)
+            if (bOk && (!fOk || d(t, bTime) <= d(pendTime, t))) m = bRow
+            else if (fOk) m = pendMinRow
           }
         }
         proj(joined(lrow, m))
@@ -422,10 +546,15 @@ object AsOfJoin {
   }
 
   /** left outer as-of: for each `left` row, the `right` row with equal
-    * `key` and the greatest `rightTimeCol` ≤ `leftTimeCol`; `carry` names
-    * the right columns appended (nullable) to the left schema. `strategy`
-    * optionally pins the physical shape ("broadcast" | "shuffle"); by
-    * default the planner decides from the reference side's size estimate.
+    * `key` picked by `direction` — "backward" (default: greatest right
+    * time ≤ left time), "forward" (smallest right time ≥ left time), or
+    * "nearest" (smaller |Δtime|, exact tie → backward) — optionally
+    * bounded by `tolerance` ≥ 0 in the time column's native units
+    * (MICROSECONDS for timestamps); pandas merge_asof's surface. `carry`
+    * names the right columns appended (nullable) to the left schema.
+    * `strategy` optionally pins the physical shape ("broadcast" |
+    * "shuffle"); by default the planner decides from the reference side's
+    * size estimate.
     *
     * Automatic skew mitigation: when `spark.graft.asof.skew.threshold` is
     * set to a positive row count AND the join will take the merge shape
@@ -442,7 +571,9 @@ object AsOfJoin {
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
-      strategy: Option[String] = None): DataFrame = {
+      strategy: Option[String] = None,
+      direction: String = "backward",
+      tolerance: Long = -1L): DataFrame = {
     val spark0 = left.sparkSession
     val skewThreshold = spark0.conf
       .getOption("spark.graft.asof.skew.threshold")
@@ -464,10 +595,11 @@ object AsOfJoin {
         val salts = spark0.conf.getOption("spark.graft.asof.skew.salts")
           .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
         return asofSkewAware(left, right, key, leftTimeCol, rightTimeCol,
-          carry, skewThreshold, salts)
+          carry, skewThreshold, salts, direction, tolerance)
       }
     }
-    asofPlan(left, right, key, leftTimeCol, rightTimeCol, carry, strategy)
+    asofPlan(left, right, key, leftTimeCol, rightTimeCol, carry, strategy,
+      direction, tolerance)
   }
 
   /** [[asof]] minus the auto-skew gate: builds the logical node directly.
@@ -476,7 +608,8 @@ object AsOfJoin {
     */
   private def asofPlan(left: DataFrame, right: DataFrame, key: String,
       leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
-      strategy: Option[String]): DataFrame = {
+      strategy: Option[String], direction: String = "backward",
+      tolerance: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.col
     // Fail fast on a typo'd hint: silently falling through to the stats
     // decision could broadcast-collect the very side the caller pinned
@@ -484,6 +617,13 @@ object AsOfJoin {
     // per-call argument has no excuse.)
     require(strategy.forall(Set("broadcast", "shuffle")),
       s"asof strategy must be broadcast or shuffle (got ${strategy.get})")
+    val dirCode = direction match {
+      case "backward" => 0
+      case "forward" => 1
+      case "nearest" => 2
+      case other => throw new IllegalArgumentException(
+        s"asof direction must be backward, forward or nearest (got $other)")
+    }
     // The operator does NO implicit key coercion (unlike equi-joins, where
     // the analyzer inserts casts): the broadcast index is a hash lookup
     // and the merge compares with the LEFT key's ordering, so mismatched
@@ -517,7 +657,7 @@ object AsOfJoin {
       lplan, rplan,
       attr(lplan, key), attr(rplan, key),
       attr(lplan, leftTimeCol), attr(rplan, rightTimeCol),
-      carry.map(attr(rplan, _)), strategy))
+      carry.map(attr(rplan, _)), strategy, dirCode, tolerance))
   }
 
   import org.apache.spark.sql.types._
@@ -562,7 +702,8 @@ object AsOfJoin {
     */
   def asofSkewAware(left: DataFrame, right: DataFrame, key: String,
       leftTimeCol: String, rightTimeCol: String, carry: Seq[String],
-      hotRowThreshold: Long, salts: Int): DataFrame = {
+      hotRowThreshold: Long, salts: Int,
+      direction: String = "backward", tolerance: Long = -1L): DataFrame = {
     // Named imports: the functions._ wildcard would shadow the left/right
     // parameters with the same-named SQL string functions.
     import org.apache.spark.sql.functions.{array, broadcast, col, count,
@@ -594,7 +735,8 @@ object AsOfJoin {
           .otherwise(sequence(lit(0), lit(salts - 1)))))
       .withColumn("__asof_k", composite(col("__salt")))
       .drop("__hotk", "__salt")
-    asofPlan(l2, r2, "__asof_k", leftTimeCol, rightTimeCol, carry, Some("shuffle"))
+    asofPlan(l2, r2, "__asof_k", leftTimeCol, rightTimeCol, carry,
+      Some("shuffle"), direction, tolerance)
       .drop("__asof_k")
   }
 }

@@ -247,6 +247,33 @@ object EventOps {
     graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry,
       Some("shuffle")))
 
+  /** FORWARD direction through the merge shape: each click matched to the
+    * EARLIEST view at-or-after it (merge_asof direction="forward") — the
+    * "next touchpoint" question attribution asks alongside "last
+    * touchpoint". Pinned to the co-partitioned merge so the run-based
+    * cursor's forward candidate has its own driver-gated oracle row.
+    */
+  private val asofForward: Q = (s, d) => asofThroughOperator(s, d,
+    graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry,
+      Some("shuffle"), direction = "forward"))
+
+  /** NEAREST direction (smaller |Δt|, exact tie → backward) through the
+    * auto strategy — broadcast at test SF, merge when the reference side
+    * outgrows the threshold, same text either way.
+    */
+  private val asofNearest: Q = (s, d) => asofThroughOperator(s, d,
+    graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry,
+      direction = "nearest"))
+
+  /** Backward with a 1-hour TOLERANCE (micros — the timestamp column's
+    * native units): a view more than an hour before the click is no
+    * longer its attribution, the probe keeps nulls. Merge-pinned so the
+    * tolerance check rides the scale shape.
+    */
+  private val asofTolerance: Q = (s, d) => asofThroughOperator(s, d,
+    graft.plans.AsOfJoin.asof(_, _, "user_id", "ts", "ts", asofCarry,
+      Some("shuffle"), tolerance = 3600L * 1000000L))
+
   /** Typed JSON property extraction — `from_json` with an explicit schema
     * (vectorized Jackson parse to a struct, one pass per row), not the
     * per-path string probing of `get_json_object` that [[enriched]] uses:
@@ -327,6 +354,9 @@ object EventOps {
     "ev_asof_native" -> asofNative,
     "ev_asof_merge" -> asofMerge,
     "ev_asof_skew" -> asofSkew,
+    "ev_asof_forward" -> asofForward,
+    "ev_asof_nearest" -> asofNearest,
+    "ev_asof_tolerance" -> asofTolerance,
     "ev_first_touch" -> firstTouch,
     "ev_interval_join" -> intervalJoin,
     "ev_funnel" -> funnel,
@@ -412,6 +442,55 @@ object EventOps {
     "ev_asof_native" -> asofOracleSql,
     "ev_asof_merge" -> asofOracleSql,
     "ev_asof_skew" -> asofOracleSql,
+    // Direction/tolerance variants: DuckDB's ASOF JOIN is backward-only,
+    // so these unroll to a ranked lateral pick. Tie-break on view_id is
+    // nominal — the fixtures have no duplicate (user_id, ts) view pairs
+    // (the backward oracle's ASOF already relies on that).
+    "ev_asof_forward" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        value AS view_value
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (SELECT c.click_id, v.view_id, v.view_value,
+        |        row_number() OVER (PARTITION BY c.click_id
+        |                           ORDER BY v.ts, v.view_id) AS rn
+        |      FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
+        |SELECT c.click_id, c.user_id, c.ts, c.click_value, m.view_id, m.view_value
+        |FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON c.click_id = m.click_id""".stripMargin,
+    "ev_asof_nearest" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        value AS view_value
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (SELECT c.click_id, v.view_id, v.view_value,
+        |        row_number() OVER (PARTITION BY c.click_id
+        |          ORDER BY abs(epoch_us(v.ts) - epoch_us(c.ts)),
+        |                   (CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END),
+        |                   v.view_id) AS rn
+        |      FROM c JOIN v ON c.user_id = v.user_id)
+        |SELECT c.click_id, c.user_id, c.ts, c.click_value, m.view_id, m.view_value
+        |FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON c.click_id = m.click_id""".stripMargin,
+    "ev_asof_tolerance" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             value AS click_value
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        value AS view_value
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (SELECT c.click_id, v.view_id, v.view_value,
+        |        row_number() OVER (PARTITION BY c.click_id
+        |                           ORDER BY v.ts DESC, v.view_id) AS rn
+        |      FROM c JOIN v ON c.user_id = v.user_id
+        |        AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '1 hour')
+        |SELECT c.click_id, c.user_id, c.ts, c.click_value, m.view_id, m.view_value
+        |FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON c.click_id = m.click_id""".stripMargin,
     "ev_first_touch" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
         |  CAST(ts AS TIMESTAMP) AS first_ts, value AS first_value

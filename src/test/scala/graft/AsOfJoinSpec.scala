@@ -252,6 +252,149 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward and nearest directions: hand-checked boundaries, both physical forms") {
+    val p = probes((1L, 10L, 100L), (2L, 10L, 55L), (3L, 10L, 5L), (4L, 10L, 95L))
+    val r = refs((7L, 10L, 10L), (8L, 10L, 55L), (9L, 10L, 90L))
+    def run(dir: String, mode: String) = withStrategy(mode) {
+      AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), direction = dir)
+        .select("p_id", "r_id").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    }
+    for (mode <- Seq("broadcast", "shuffle")) {
+      // forward: smallest ref time >= probe time; exact time matches (>=).
+      assert(run("forward", mode) ==
+        Map(1L -> -1L, 2L -> 8L, 3L -> 7L, 4L -> -1L), s"forward/$mode")
+      // nearest: probe 5 is 5 from ref 10 (ceil only); probe 95 is 5 from
+      // ref 90 (floor only); probe 100 floor-only; probe 55 exact.
+      assert(run("nearest", mode) ==
+        Map(1L -> 9L, 2L -> 8L, 3L -> 7L, 4L -> 9L), s"nearest/$mode")
+    }
+  }
+
+  test("nearest prefers the backward candidate on an exact distance tie") {
+    val p = probes((1L, 10L, 50L))
+    val r = refs((7L, 10L, 40L), (8L, 10L, 60L)) // both Δ10
+    for (mode <- Seq("broadcast", "shuffle")) withStrategy(mode) {
+      val out = AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"),
+        direction = "nearest").select("r_id").collect()
+      assert(out.head.getLong(0) == 7L, s"mode=$mode")
+    }
+  }
+
+  test("tolerance bounds the accepted distance in every direction") {
+    val p = probes((1L, 10L, 100L), (2L, 10L, 12L))
+    val r = refs((7L, 10L, 10L), (9L, 10L, 103L))
+    def run(dir: String, tol: Long, mode: String) = withStrategy(mode) {
+      AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"),
+        direction = dir, tolerance = tol)
+        .select("p_id", "r_id").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    }
+    for (mode <- Seq("broadcast", "shuffle")) {
+      // backward tol=5: probe 100 is 90 past ref 10 → null; probe 12 is 2 → match.
+      assert(run("backward", 5L, mode) == Map(1L -> -1L, 2L -> 7L), s"b/$mode")
+      // forward tol=5: probe 100 is 3 before ref 103 → match; probe 12 is 91 → null.
+      assert(run("forward", 5L, mode) == Map(1L -> 9L, 2L -> -1L), s"f/$mode")
+      // nearest tol=2: probe 100 (floor Δ90, ceil Δ3) → null; probe 12 Δ2 → match.
+      assert(run("nearest", 2L, mode) == Map(1L -> -1L, 2L -> 7L), s"n/$mode")
+    }
+  }
+
+  test("forward equal-(key,time) ties break identically in both physical forms") {
+    val p = probes((1L, 10L, 30L), (2L, 20L, 30L))
+    val r = refs((3L, 10L, 50L), (9L, 10L, 50L),
+      (4L, 20L, 80L), (8L, 20L, 80L), (6L, 20L, 80L))
+    def run(mode: String) = withStrategy(mode) {
+      AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), direction = "forward")
+        .select("p_id", "r_id").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    val b = run("broadcast")
+    assert(b == run("shuffle"))
+    // Input-order independence of the pick.
+    val rRev = refs((6L, 20L, 80L), (8L, 20L, 80L), (4L, 20L, 80L),
+      (9L, 10L, 50L), (3L, 10L, 50L))
+    val s2 = withStrategy("shuffle") {
+      AsOfJoin.asof(p, rRev, "key", "t", "t", Seq("r_id"), direction = "forward")
+        .select("p_id", "r_id").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    assert(s2 == b)
+  }
+
+  test("invalid direction is rejected up front") {
+    val p = probes((1L, 10L, 100L))
+    val r = refs((7L, 10L, 10L))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), direction = "sideways")
+    }
+  }
+
+  // Randomized differential over all three directions with and without a
+  // tolerance, both physical forms, against an independent scala model.
+  (0 until 2).foreach { trial =>
+    test(s"randomized differential: directions+tolerance vs scala model (trial $trial)") {
+      val rnd = new scala.util.Random(41 + trial)
+      val keys = 10L
+      val refRows = rnd.shuffle((0 until 250).map { i =>
+        (i.toLong + 1000, rnd.nextLong(keys), rnd.nextLong(800))
+      }.distinctBy(r => (r._2, r._3)))
+      val probeRows = (0 until 250).map { i =>
+        (i.toLong, rnd.nextLong(keys + 2), rnd.nextLong(1000))
+      }
+      val model: Map[Long, Seq[(Long, Long)]] = refRows.groupBy(_._2)
+        .map { case (k, rs) => k -> rs.map(r => (r._3, r._1)).sortBy(_._1).toSeq }
+      def expect(dir: String, tol: Long)(k: Long, t: Long): Long = {
+        val rs = model.getOrElse(k, Seq.empty)
+        val f = rs.takeWhile(_._1 <= t).lastOption
+          .filter(x => tol < 0 || t - x._1 <= tol)
+        val c = rs.dropWhile(_._1 < t).headOption
+          .filter(x => tol < 0 || x._1 - t <= tol)
+        (dir match {
+          case "backward" => f
+          case "forward" => c
+          case "nearest" => (f, c) match {
+            case (Some(ff), Some(cc)) =>
+              if (t - ff._1 <= cc._1 - t) Some(ff) else Some(cc)
+            case (x, y) => x.orElse(y)
+          }
+        }).map(_._2).getOrElse(-1L)
+      }
+      val p = probeRows.toDF("p_id", "key", "t").repartition(5)
+      val r = refRows.toDF("r_id", "key", "t").repartition(3)
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(-1L, 37L);
+           mode <- Seq("broadcast", "shuffle")) {
+        val got = withStrategy(mode) {
+          AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"),
+            direction = dir, tolerance = tol).collect()
+            .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+        }
+        val exp = probeRows.map(pr => pr._1 -> expect(dir, tol)(pr._2, pr._3)).toMap
+        assert(got == exp, s"direction=$dir tolerance=$tol mode=$mode")
+      }
+    }
+  }
+
+  test("skew-aware salted form matches plain asof for forward and nearest") {
+    val rnd = new scala.util.Random(17)
+    val probeRows = (0 until 300).map(i => (i.toLong, 1L, rnd.nextLong(1000))) ++
+      (300 until 360).map(i => (i.toLong, 2L + i % 4, rnd.nextLong(1000)))
+    val refRows = (0 until 120).map(i => (i.toLong + 5000, 1L, rnd.nextLong(1000))) ++
+      (120 until 160).map(i => (i.toLong + 5000, 2L + i % 4, rnd.nextLong(1000)))
+    val p = probeRows.toDF("p_id", "key", "t")
+    val r = refRows.toDF("r_id", "key", "t")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    for (dir <- Seq("forward", "nearest")) {
+      val plain = norm(AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"),
+        direction = dir))
+      val salted = norm(AsOfJoin.asofSkewAware(p, r, "key", "t", "t", Seq("r_id"),
+        hotRowThreshold = 80, salts = 4, direction = dir))
+      assert(salted == plain, s"direction=$dir")
+    }
+  }
+
   test("null key / null time probe rows pass through with null carries") {
     val p = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)), (3L, Some(10L), None))
       .toDF("p_id", "key", "t")
