@@ -145,6 +145,56 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Exact-ball radius (as squared L2 distance) for [[rangeSearch]] — a
+    * literal double, spelled identically in the oracle SQL so both
+    * engines compare the same bits at the boundary. */
+  val RangeDistSqMax = 1.69
+
+  /** LOSSLESS IVF cell pruning for an exact range search: a cell (label)
+    * can contain a point within L2 radius R of the query only if
+    * ‖q − centroid‖ ≤ R + r_cell (triangle inequality, with r_cell the
+    * cell's exact max member-to-centroid distance) — so dropping every
+    * other cell provably loses nothing, and the pruned scan's result
+    * EQUALS brute force (the oracle is plain brute force; no pruning to
+    * mirror). The epsilon absorbs sqrt's half-ulp so a boundary point can
+    * never be pruned by rounding. At 100 TB with the table partitioned by
+    * cell this is planning-time partition pruning, same as [[ivf]]'s
+    * probe set; on near-isotropic data (this corpus) the bound correctly
+    * keeps every cell — range search over unclustered vectors IS a full
+    * scan — while clustered corpora prune hard (IvfPruningSpec plants
+    * one and pins both the subset and the equality).
+    *
+    * Returns (kept labels, hit rows) so callers can assert the prune.
+    */
+  def rangeSearchPruned(e: DataFrame, q: DataFrame, cent: DataFrame,
+      distSqMax: Double): (Seq[Any], DataFrame) = {
+    val radii = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), sqrt(distSq(col("v"), col("centroid"))).as("dc"))
+      .groupBy("label").agg(max(col("dc")).as("r"))
+    val keep = cent.join(radii, Seq("label")).crossJoin(broadcast(q))
+      .where(sqrt(distSq(col("centroid"), col("qv"))) <=
+        lit(math.sqrt(distSqMax)) + col("r") + lit(1e-9))
+      .select(col("label"))
+      .collect().map(_.get(0)).toSeq // nlist cell ids — bounded metadata
+    val hits = e.where(col("label").isin(keep: _*)) // partition pruning at scale
+      .crossJoin(broadcast(q))
+      .withColumn("dist_sq", distSq(col("v"), col("qv")))
+      .where(col("dist_sq") <= lit(distSqMax))
+      .select(col("vec_id"), col("label"), col("dist_sq"))
+    (keep, hits)
+  }
+
+  /** Range search: every vector (except the query itself) within the
+    * exact L2 ball dist_sq ≤ [[RangeDistSqMax]] of vec 0, through the
+    * lossless IVF prune. */
+  private val rangeSearch: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val cent = centroidsOnce(s, d, e)
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
+    rangeSearchPruned(e.where(col("vec_id") =!= 0), q, cent, RangeDistSqMax)._2
+  }
+
   /** Symmetric int8 quantization of the embedding column — the embedding
     * compression step before ANN index build (4× memory cut). Per vector:
     * scale = 127/max|v|, q_i = floor(v_i·scale + 0.5) — floor(x+0.5)
@@ -381,6 +431,7 @@ object SimilarityOps {
     "vq_quantize" -> quantize,
     "vq_pq_topk" -> pq,
     "ann_ivfpq_topk" -> ivfpq,
+    "ann_range_search" -> rangeSearch,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -457,6 +508,15 @@ object SimilarityOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Brute force IS the spec: the engine's IVF prune is lossless by the
+    // triangle inequality, so the oracle needs no pruning mirror — only
+    // the same distance composition and the same literal bound.
+    "ann_range_search" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, e.label, ${distSql("e.v", "q.qv")} AS dist_sq
+         |      FROM e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, label, dist_sq FROM d WHERE dist_sq <= $RangeDistSqMax""".stripMargin,
     "ann_ivfpq_topk" -> {
       val joins = (0 until PqM).map(m =>
         s"JOIN code$m ON code$m.vec_id = e.vec_id JOIN dt$m ON dt$m.code = code$m.code")

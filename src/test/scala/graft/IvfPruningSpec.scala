@@ -61,4 +61,60 @@ class IvfPruningSpec extends AnyFunSuite {
       .collect()
     assert(topk.length == 5)
   }
+
+  test("range search: triangle-inequality prune is lossless and actually prunes clustered cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // Plant 6 well-separated cluster centers 40 apart in one coordinate;
+    // members jitter ±0.5 per dim, so every cell radius ≪ the separation
+    // and a ball around a point near center 0 can only touch cell 0.
+    val dim = 8
+    val rows = (0 until 300).map { i =>
+      val label = i % 6
+      val v = Array.tabulate(dim)(j =>
+        (if (j == 0) label * 40.0 else 0.0) + rnd.nextDouble() - 0.5)
+      (i.toLong, label.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val cent = graft.queries.SimilarityOps.centroids(e)
+    val distSqMax = 4.0
+    val (kept, hits) = graft.queries.SimilarityOps.rangeSearchPruned(
+      e.where(col("vec_id") =!= 0), q, cent, distSqMax)
+    // The prune fired: only the query's own cell survives the bound.
+    assert(kept == Seq(0L), s"kept=$kept")
+    // And it lost nothing: pruned result == brute force over ALL cells.
+    val brute = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dist_sq",
+        graft.queries.SimilarityOps.distSq(col("v"), col("qv")))
+      .where(col("dist_sq") <= lit(distSqMax))
+      .select(col("vec_id"), col("label"), col("dist_sq"))
+      .collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty)
+    assert(hits.collect().map(_.toSeq).toSet == brute)
+  }
+
+  test("range search on the isotropic corpus: prune keeps every cell, ball matches brute force") {
+    val d = SparkTestBase.sf
+    val full = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val q = full.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val cent = graft.queries.SimilarityOps.centroids(full)
+    val (kept, hits) = graft.queries.SimilarityOps.rangeSearchPruned(
+      full.where(col("vec_id") =!= 0), q, cent,
+      graft.queries.SimilarityOps.RangeDistSqMax)
+    // Near-isotropic vectors: the bound correctly refuses to prune.
+    assert(kept.toSet == full.select("label").distinct()
+      .collect().map(_.get(0)).toSet)
+    val brute = full.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dist_sq",
+        graft.queries.SimilarityOps.distSq(col("v"), col("qv")))
+      .where(col("dist_sq") <= lit(graft.queries.SimilarityOps.RangeDistSqMax))
+      .count()
+    assert(brute > 0 && hits.count() == brute)
+  }
 }
