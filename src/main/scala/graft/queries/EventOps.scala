@@ -26,6 +26,37 @@ object EventOps {
       .select(col("window.start").cast("timestamp_ntz").as("w_start"),
         col("event_type"), col("n"), col("value_cents"))
 
+  /** Gap-fill + forward-fill resample — the time-series regularization
+    * every downstream model/dashboard needs: per event type, the hourly
+    * count series with MISSING hours materialized (the full min→max hour
+    * grid via `sequence`) and filled with the last observed value
+    * (`last(_, ignoreNulls)` over an hour-ordered window), flagged so the
+    * consumer can tell observed from imputed.
+    *
+    * Scale shape: the only data-sized operation is the hourly count
+    * aggregate (one shuffle, map-side combined); the grid explode, the
+    * left join back, and the forward-fill window all run on the AGGREGATE
+    * (types × hours rows — time-bounded, not corpus-bounded), and a
+    * window partitioned by event_type over a few thousand hour rows per
+    * type cannot skew no matter how many raw events an hour holds.
+    */
+  private val gapFill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_obs"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"),
+        last(col("n_obs"), ignoreNulls = true).over(w).as("n"),
+        col("n_obs").isNull.as("filled"))
+  }
+
   /** Session windows (30-minute gap) per user via session_window; output
     * min/max/count (gap-closure end is engine-specific, min/max are not).
     */
@@ -346,6 +377,7 @@ object EventOps {
     "ev_variant_extract" -> variantExtract,
     "ev_cms_probe" -> cmsProbe,
     "ev_tumbling" -> tumbling,
+    "ev_gap_fill" -> gapFill,
     "ev_retention" -> retention,
     "ev_rate_anomaly" -> rateAnomaly,
     "ev_sessions" -> sessions,
@@ -415,6 +447,23 @@ object EventOps {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH hourly AS (SELECT event_type,
+        |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |        FROM hourly GROUP BY 1)),
+        |j AS (SELECT g.event_type, g.h, hourly.n_obs
+        |      FROM grid g LEFT JOIN hourly
+        |        ON hourly.event_type = g.event_type AND hourly.h = g.h)
+        |SELECT event_type, h,
+        |  CAST(last_value(n_obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |         ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+        |  (n_obs IS NULL) AS filled
+        |FROM j""".stripMargin,
     "ev_sessions" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

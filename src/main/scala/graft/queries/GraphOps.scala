@@ -73,7 +73,59 @@ object GraphOps {
     out
   }
 
-  val queries: Map[String, Q] = Map("q_pagerank" -> pagerank)
+  /** Triangle counting with DEGREE-ORDERED orientation — the classic
+    * bound that makes distributed triangle enumeration feasible: orient
+    * every edge from its lower-(degree, id) endpoint to the higher, so
+    * wedges are enumerated only at each edge's LOW-rank endpoint and the
+    * total wedge work is O(Σ_v d⁺(v)²) = O(m^1.5) instead of Σ d(v)²,
+    * which a hub node would blow up (a 10⁶-degree hub contributes 10¹²
+    * unordered wedges but its oriented out-degree is bounded by O(√m)).
+    * Each triangle is counted exactly once (its rank-minimal corner).
+    *
+    * Graph: customers co-purchasing from the same supplier in the same
+    * week — the (supplier, week) blocking keeps the pair generation
+    * bounded per bucket, the same discipline as the LSH band buckets
+    * (a hot bucket at 100 TB takes the same cap-or-salt remedies).
+    * Output: per-customer triangle participation counts (each triangle
+    * credits its three corners), the local-clustering numerator.
+    */
+  private val triangles: Q = (s, d) => {
+    val co = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"),
+        date_trunc("week", col("o_orderdate")).as("w"),
+        col("o_custkey").as("c"))
+      .distinct()
+    val e = co.toDF("s", "w", "c1")
+      .join(co.toDF("s", "w", "c2"), Seq("s", "w"))
+      .where(col("c1") < col("c2"))
+      .select(col("c1"), col("c2")).distinct()
+    val deg = e.select(col("c1").as("n")).unionByName(e.select(col("c2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val lowerIsC1 = col("dg1") < col("dg2") ||
+      (col("dg1") === col("dg2") && col("c1") < col("c2"))
+    val oriented = e
+      .join(deg.toDF("c1", "dg1"), Seq("c1"))
+      .join(deg.toDF("c2", "dg2"), Seq("c2"))
+      .select(
+        when(lowerIsC1, col("c1")).otherwise(col("c2")).as("u"),
+        when(lowerIsC1, col("c2")).otherwise(col("c1")).as("v"),
+        when(lowerIsC1, col("dg2")).otherwise(col("dg1")).as("dv"))
+    // Wedge at the low corner, ordered so (v, w) is itself oriented; the
+    // closing join then only needs equality.
+    val wedge = oriented.toDF("u", "v", "dv")
+      .join(oriented.toDF("u", "w", "dw"), Seq("u"))
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedge.join(oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("cust"))
+      .groupBy("cust").agg(count(lit(1)).as("n_tri"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_pagerank" -> pagerank,
+    "q_triangles" -> triangles)
 
   private def iterSql(i: Int): String =
     s"""r$i AS MATERIALIZED (
@@ -97,5 +149,22 @@ object GraphOps {
          |  SELECT src AS node, CAST(${PageRankScale} AS BIGINT) AS r FROM deg),
          |${(1 to PageRankIters).map(iterSql).mkString(",\n")}
          |SELECT node, r AS rank_e12 FROM r$PageRankIters""".stripMargin
-    })
+    },
+    // Orientation-free mirror: canonical c1<c2 edges, triangles as
+    // x<y<z 3-joins — any total order counts each triangle exactly once,
+    // so the id order here and the engine's (degree, id) order agree on
+    // the SET of triangles and hence on every per-corner count.
+    "q_triangles" ->
+      """WITH co AS (SELECT DISTINCT l_suppkey AS s,
+        |    date_trunc('week', o_orderdate) AS w, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT DISTINCT a.c AS c1, b.c AS c2
+        |  FROM co a JOIN co b ON a.s = b.s AND a.w = b.w AND a.c < b.c),
+        |tri AS (SELECT e1.c1 AS x, e1.c2 AS y, e2.c2 AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.c1 = e2.c1 AND e1.c2 < e2.c2
+        |  JOIN e e3 ON e3.c1 = e1.c2 AND e3.c2 = e2.c2)
+        |SELECT cust, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([x, y, z]) AS cust FROM tri)
+        |GROUP BY 1""".stripMargin)
 }

@@ -76,6 +76,33 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * [[batchTopK]]: for each query in the batch, the top-k most SIMILAR
+    * vectors from OTHER label groups (same-group rows are presumed
+    * positives/duplicates and excluded). These near-miss negatives are
+    * what a retrieval model trains against; random negatives are too
+    * easy. Identical scale shape to the batch top-k — one corpus scan,
+    * broadcast query batch, per-query WindowGroupLimit — the exclusion
+    * is one more predicate on the scored stream, nothing new shuffles.
+    */
+  private val hardNegatives: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val qs = e.where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(qs))
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("cosine", cosineCol(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"),
+        col("rank"))
+  }
+
   /** ORDER-FREE mean of a double column, the oracle-reproducibility
     * contract for every centroid in this file: per-row values quantize to
     * integers at 1e-7 (exact at float32 precision), the integer sum is
@@ -432,6 +459,7 @@ object SimilarityOps {
     "vq_pq_topk" -> pq,
     "ann_ivfpq_topk" -> ivfpq,
     "ann_range_search" -> rangeSearch,
+    "ann_hard_negatives" -> hardNegatives,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -517,6 +545,15 @@ object SimilarityOps {
          |d AS (SELECT e.vec_id, e.label, ${distSql("e.v", "q.qv")} AS dist_sq
          |      FROM e, q WHERE e.vec_id <> 0)
          |SELECT vec_id, label, dist_sq FROM d WHERE dist_sq <= $RangeDistSqMax""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < $BatchQueries),
+         |c AS (SELECT q.query_id, e.vec_id, e.label, ${cosineSql("e.v", "q.qv")} AS cosine
+         |      FROM e, q WHERE e.label <> q.qlabel)
+         |SELECT query_id, vec_id, label, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         |FROM c QUALIFY rank <= 10""".stripMargin,
     "ann_ivfpq_topk" -> {
       val joins = (0 until PqM).map(m =>
         s"JOIN code$m ON code$m.vec_id = e.vec_id JOIN dt$m ON dt$m.code = code$m.code")

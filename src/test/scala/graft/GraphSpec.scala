@@ -30,4 +30,36 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("q_triangles matches a local brute-force model of the same graph") {
+    import org.apache.spark.sql.functions._
+    // Rebuild the co-purchase edge list independently and enumerate
+    // triangles with a plain adjacency-set model — no orientation, no
+    // Spark — then compare per-corner counts with the degree-oriented
+    // distributed count.
+    val co = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"),
+        date_trunc("week", col("o_orderdate")).as("w"),
+        col("o_custkey").as("c"))
+      .distinct()
+    val edges = co.toDF("s", "w", "c1")
+      .join(co.toDF("s", "w", "c2"), Seq("s", "w"))
+      .where(col("c1") < col("c2"))
+      .select("c1", "c2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      // Count each triangle once at its lexicographically-first edge.
+      (adj(a) intersect adj(b)).filter(c => c > b).foreach { c =>
+        counts(a) += 1; counts(b) += 1; counts(c) += 1
+      }
+    }
+    val got = SparkEntry.queries("q_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == counts.toMap, "per-corner triangle counts diverge")
+    assert(got.values.sum % 3 == 0 && got.values.sum > 0)
+  }
 }
