@@ -422,6 +422,9 @@ case class ShuffleAsOfJoinExec(
       val nullRight = new GenericInternalRow(carriedLocal.length)
       val joined = new JoinedRow
       val rIter = riter.buffered
+      // Hoisted once per partition: inside the probe loop the eta-
+      // expansion would allocate a closure per row.
+      val d = BroadcastAsOfJoinExec.delta _
       // Run-based cursor state for `curKey` (see class doc). Values
       // evaluated off the iterator's reused row buffer are copied before
       // they outlive a next() (InternalRow.copyValue / row.copy()).
@@ -513,7 +516,6 @@ case class ShuffleAsOfJoinExec(
           var bRow: UnsafeRow = null
           if (pendValid && pendTime == t) { bTime = t; bRow = pendMaxRow }
           else if (floorRow != null) { bTime = floorTime; bRow = floorRow }
-          val d = BroadcastAsOfJoinExec.delta _
           if (dir == 0) {
             if (bRow != null && (tol < 0 || d(t, bTime) <= tol)) m = bRow
           } else if (dir == 1) {
@@ -574,6 +576,12 @@ object AsOfJoin {
       strategy: Option[String] = None,
       direction: String = "backward",
       tolerance: Long = -1L): DataFrame = {
+    // Validate the hint BEFORE the skew gate consults it: the gate's
+    // `case _` arm would otherwise swallow a typo'd hint as "auto" and
+    // could route to the salted merge without the fail-fast asofPlan's
+    // require ever seeing the original string.
+    require(strategy.forall(Set("broadcast", "shuffle")),
+      s"asof strategy must be broadcast or shuffle (got ${strategy.getOrElse("")})")
     val spark0 = left.sparkSession
     val skewThreshold = spark0.conf
       .getOption("spark.graft.asof.skew.threshold")
@@ -581,15 +589,21 @@ object AsOfJoin {
     if (skewThreshold > 0) {
       // Mirror the strategy's broadcast-vs-merge decision (hint wins, then
       // the session conf, then the stats estimate) — salting a plan that
-      // would broadcast would only add cost.
+      // would broadcast would only add cost. The estimate runs on the
+      // PRUNED projection (key, time, carry) so a wide reference table
+      // whose joined subtree would broadcast after column pruning is not
+      // mis-routed to the salted merge by its full-width stats.
       val mode = strategy.getOrElse(
         spark0.conf.getOption("spark.graft.asof.strategy").getOrElse("auto"))
       val threshold = spark0.sessionState.conf.autoBroadcastJoinThreshold
+      lazy val prunedStats = right
+        .select((Seq(key, rightTimeCol) ++ carry).distinct
+          .map(org.apache.spark.sql.functions.col): _*)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
       val wouldShuffle = mode match {
         case "broadcast" => false
         case "shuffle" => true
-        case _ => !(threshold > 0 &&
-          right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+        case _ => !(threshold > 0 && prunedStats <= threshold)
       }
       if (wouldShuffle) {
         val salts = spark0.conf.getOption("spark.graft.asof.skew.salts")

