@@ -138,9 +138,52 @@ object GraphOps {
       .groupBy("cust").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Hop cap for [[bfs]] (unrolled in the oracle; covers the trade
+    * graph's small diameter at every test SF). */
+  val BfsMaxHops = 6
+
+  /** Source node: customer 1 (node id 2 in the 2k/2k+1 namespace). */
+  val BfsSource = 2L
+
+  /** Bounded BFS hop distance from one node over the trade graph — the
+    * third iterative pattern next to pagerank's full relaxation and the
+    * dedup components' star contraction: a FRONTIER loop. Each hop
+    * expands only the newly-reached nodes (join frontier → edges,
+    * distinct), anti-joins away everything already settled, and stops
+    * early when the frontier drains (graph diameter, not the hop cap, is
+    * the usual terminator). Distances are exact smallest hop counts —
+    * no tie-break surface. At 100 TB graph scale this is the textbook
+    * Pregel BFS: per-round cost proportional to the frontier's edge
+    * boundary, settled state lineage-cut per round, O(diameter) rounds.
+    */
+  private val bfs: Q = (s, d) => {
+    import org.apache.spark.sql.DataFrame
+    val edges = graft.core.Lineage.cut(edgesOf(s, d))
+    var dist: DataFrame = s.range(1)
+      .select(lit(BfsSource).as("node"), lit(0).as("dist"))
+    var frontier = dist.select("node")
+    var hop = 1
+    var done = false
+    while (hop <= BfsMaxHops && !done) {
+      val (next, n) = graft.core.Lineage.cutCounted(
+        edges.join(frontier, edges("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti"))
+      if (n == 0) done = true
+      else {
+        dist = dist.unionByName(next.withColumn("dist", lit(hop)))
+        frontier = next.select("node")
+        hop += 1
+      }
+    }
+    graft.core.Lineage.release(edges)
+    dist
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
-    "q_triangles" -> triangles)
+    "q_triangles" -> triangles,
+    "q_bfs" -> bfs)
 
   private def iterSql(i: Int): String =
     s"""r$i AS MATERIALIZED (
@@ -181,5 +224,26 @@ object GraphOps {
         |  JOIN e e3 ON e3.c1 = e1.c2 AND e3.c2 = e2.c2)
         |SELECT cust, CAST(count(*) AS BIGINT) AS n_tri
         |FROM (SELECT unnest([x, y, z]) AS cust FROM tri)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // Unrolled k-step-walk levels: a node at hop distance k has a k-walk
+    // (appears in r_k) and no shorter walk (absent from every earlier
+    // level), so min-over-levels IS the BFS distance — no recursive CTE
+    // path explosion.
+    "q_bfs" -> {
+      val levels = (1 to BfsMaxHops).map(i =>
+        s"""r$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+           |  FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.node)""".stripMargin)
+        .mkString(",\n")
+      val union = (0 to BfsMaxHops)
+        .map(i => s"SELECT node, $i AS d FROM r$i").mkString("\nUNION ALL\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |r0 AS (SELECT CAST($BfsSource AS BIGINT) AS node),
+         |$levels,
+         |lvl AS ($union)
+         |SELECT node, CAST(min(d) AS INT) AS dist FROM lvl GROUP BY node""".stripMargin
+    })
 }

@@ -195,6 +195,86 @@ object MultimodalOps {
     }
   }
 
+  /** Resized-image feature row: target dims + the RESIZED raster's pixel
+    * sum, all computed from real decoded-then-resampled image data. */
+  final case class MmResized(doc_id: Long, width: Int, height: Int, rpx_sum: Long)
+
+  /** Resize target (fixed thumbnail geometry, the embedding-model
+    * preprocessing shape). */
+  val ResizeW = 8
+  val ResizeH = 8
+
+  object PngResize extends Serializable {
+    /** Per-pixel closed form the oracle re-derives: f(x, y) =
+      * (3x + 7y + docId) mod 251 — NON-uniform, so a resize that samples
+      * the wrong source coordinates (off-by-one stride, transposed axes,
+      * wrong rounding) changes the sum and fails the oracle row. */
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((x * 3L + y * 7L + docId) % 251L).toInt
+
+    def encodePattern(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+      bos.toByteArray
+    }
+
+    /** Explicit nearest-neighbor resample — src(x·w/W, y·h/H) with floor
+      * division, spelled the same way in the oracle (`//`). An
+      * AffineTransformOp would resize too, but its rounding mode is an
+      * implementation detail; the explicit loop IS the spec. */
+    def resizeSum(img: java.awt.image.BufferedImage, tw: Int, th: Int): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          sum += r.getSample(x * w / tw, y * h / th, 0)
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+  }
+
+  /** Decode → resize, the multimodal preprocessing step after
+    * [[decodePng]]'s pure round-trip: synthesize a NON-uniform pattern
+    * image, push it through the real PNG writer and reader, then
+    * nearest-neighbor resample the decoded raster to a fixed thumbnail
+    * and report the resized pixel sum. The oracle recomputes the sum
+    * from the pattern's closed form at the sampled coordinates, so a
+    * wrong stride/axis/rounding anywhere in encode, decode, or resize
+    * diverges. Same zero-shuffle mapPartitions shape as the decode
+    * query.
+    */
+  private val resizePng: Q = (s, d) => {
+    import s.implicits._
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val (w, h, _) = PngCodec.synthDims(id, nChars)
+        val png = PngResize.encodePattern(id, w, h)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null, s"doc $id: not a decodable image")
+        MmResized(id, ResizeW, ResizeH,
+          PngResize.resizeSum(img, ResizeW, ResizeH))
+      })
+      .toDF()
+  }
+
   /** Synthesize → encode (real PNG writer) → decode (real PNG reader) →
     * typed features, one partition-streaming pass, zero shuffle.
     */
@@ -216,7 +296,8 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "mm_features" -> features,
     "mm_frames" -> frames,
-    "mm_decode_png" -> decodePng)
+    "mm_decode_png" -> decodePng,
+    "mm_resize_png" -> resizePng)
 
   val oracle: Map[String, String] = Map(
     "mm_features" ->
@@ -246,5 +327,20 @@ object MultimodalOps {
         |  CAST(1 + n_chars % 29 AS INT) AS height,
         |  CAST((1 + doc_id % 31) * (1 + n_chars % 29) * (doc_id % 251) AS BIGINT) AS px_sum
         |FROM documents""".stripMargin,
+    // Nearest-neighbor resample of the (3x + 7y + doc_id) mod 251 pattern
+    // at the floor-division source coordinates — the engine reports the
+    // sum from an actually decoded-and-resized raster.
+    "mm_resize_png" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(1 + doc_id % 31 AS BIGINT) AS w,
+         |    CAST(1 + n_chars % 29 AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT d.doc_id, CAST($ResizeW AS INT) AS width,
+         |  CAST($ResizeH AS INT) AS height,
+         |  CAST(sum(((xt.x * d.w // $ResizeW) * 3
+         |            + (yt.y * d.h // $ResizeH) * 7 + d.doc_id) % 251)
+         |       AS BIGINT) AS rpx_sum
+         |FROM d, range(0, $ResizeW) xt(x), range(0, $ResizeH) yt(y)
+         |GROUP BY d.doc_id""".stripMargin,
   )
 }
