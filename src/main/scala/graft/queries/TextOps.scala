@@ -236,7 +236,49 @@ object TextOps {
       .select(col("doc_id"), hits.as("hits"), (hits === 0).as("clean"))
   }
 
+  /** URL canonicalization + dedup — the CommonCrawl-style ingest screen:
+    * raw crawl URLs differing only in case of scheme/host, default port,
+    * `www.` prefix, tracking parameters (`utm_*`, `ref`), fragments, or
+    * a trailing slash are the SAME resource and must collapse before
+    * fetch/dedup accounting. The corpus has no URL column, so raw URLs
+    * are SYNTHESIZED per document (same discipline as the PNG payloads:
+    * the construction is shared with the oracle; the normalization chain
+    * is the operator under test) with per-document-unique `ref=` and
+    * fragment values — groups with n_docs > 1 exist ONLY because the
+    * normalization stripped the varying parts.
+    *
+    * Every step is a regexp/string op with identical semantics in Java
+    * regex and RE2 (character classes, alternation, anchors — no
+    * backrefs, no lookaround), spelled textually the same in the oracle.
+    * Per-row then one hash aggregate: zero extra shuffles at any scale.
+    */
+  private val urlNormalize: Q = (s, d) => {
+    val raw = concat(
+      lit("https://WWW."), col("source"), lit(".Example.COM:443/Path/"),
+      (col("doc_id") % 6).cast("string"), lit("/?utm_source=feed&id="),
+      (col("doc_id") % 3).cast("string"), lit("&ref="),
+      col("doc_id").cast("string"), lit("#sec"), col("doc_id").cast("string"))
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val auth = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]*)", 1)),
+        ":(443|80)$", ""),
+      "^www\\.", "")
+    val rest0 = regexp_replace(noFrag, "^[A-Za-z]+://[^/?#]*", "")
+    val rest1 = regexp_replace(rest0, "&(utm_[a-z]+|ref)=[^&]*", "")
+    val rest2 = regexp_replace(rest1, "\\?(utm_[a-z]+|ref)=[^&]*&", "?")
+    val rest3 = regexp_replace(rest2, "\\?(utm_[a-z]+|ref)=[^&]*$", "")
+    val rest = regexp_replace(regexp_replace(rest3, "/\\?", "?"), "/$", "")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(scheme, lit("://"), auth, rest).as("url"))
+      .groupBy("url")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_url_normalize" -> urlNormalize,
     "tx_source_overlap" -> sourceOverlap,
     "tx_domain_quota" -> domainQuota,
     "tx_blocklist" -> blocklist,
@@ -261,6 +303,36 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same synthesized raw URL, same normalization chain, step by step;
+    // DuckDB regexp_replace defaults to first-match so every step takes
+    // the 'g' flag (Spark's is always global).
+    "tx_url_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |    'https://WWW.' || source || '.Example.COM:443/Path/' ||
+        |    CAST(doc_id % 6 AS VARCHAR) || '/?utm_source=feed&id=' ||
+        |    CAST(doc_id % 3 AS VARCHAR) || '&ref=' || CAST(doc_id AS VARCHAR) ||
+        |    '#sec' || CAST(doc_id AS VARCHAR) AS u
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM raw),
+        |parts AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      ':(443|80)$', '', 'g'), '^www\.', '', 'g') AS auth,
+        |    regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '', 'g') AS rest0
+        |  FROM nf),
+        |clean AS (SELECT doc_id, scheme, auth,
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        rest0, '&(utm_[a-z]+|ref)=[^&]*', '', 'g'),
+        |        '\?(utm_[a-z]+|ref)=[^&]*&', '?', 'g'),
+        |        '\?(utm_[a-z]+|ref)=[^&]*$', '', 'g'),
+        |      '/\?', '?', 'g'), '/$', '', 'g') AS rest
+        |  FROM parts)
+        |SELECT scheme || '://' || auth || rest AS url,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM clean GROUP BY 1""".stripMargin,
     "tx_domain_quota" ->
       s"""SELECT doc_id, source, rn FROM (
          |  SELECT doc_id, source,
