@@ -180,10 +180,45 @@ object GraphOps {
     dist
   }
 
+  /** Synchronous rounds for [[labelProp]] (unrolled in the oracle). */
+  val LpaRounds = 3
+
+  /** Label propagation community detection — synchronous variant with a
+    * TOTAL tie order, because the textbook asynchronous LPA (random
+    * visit order, random tie coin) is exactly what a distributed
+    * reproducible pipeline cannot ship: labels init to node id; each
+    * round every node adopts the most frequent neighbor label, ties to
+    * the smallest label; [[LpaRounds]] fixed rounds. Deterministic by
+    * construction (integer counts, total order), so the oracle unrolls
+    * the same rounds and compares exactly — the q_pagerank discipline
+    * applied to community detection. Per round: one join + two hash
+    * aggregates (the argmax is a min over (−count, label) structs,
+    * map-side combinable), label state lineage-cut — the same
+    * Pregel-without-Pregel loop as pagerank.
+    */
+  private val labelProp: Q = (s, d) => {
+    val edges = graft.core.Lineage.cut(edgesOf(s, d))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaRounds) {
+      val prev = labels
+      labels = graft.core.Lineage.cut(
+        edges.join(prev, col("src") === col("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("cnt")).as("negcnt"), col("label"))).as("best"))
+          .select(col("dst").as("node"), col("best.label").as("label")))
+      graft.core.Lineage.release(prev)
+    }
+    graft.core.Lineage.release(edges)
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
     "q_triangles" -> triangles,
-    "q_bfs" -> bfs)
+    "q_bfs" -> bfs,
+    "q_label_prop" -> labelProp)
 
   private def iterSql(i: Int): String =
     s"""r$i AS MATERIALIZED (
@@ -245,5 +280,27 @@ object GraphOps {
          |$levels,
          |lvl AS ($union)
          |SELECT node, CAST(min(d) AS INT) AS dist FROM lvl GROUP BY node""".stripMargin
+    },
+    // Same unrolled-round discipline as q_pagerank: each round's argmax
+    // is a ranked pick over (count DESC, label ASC) — the engine's
+    // min-over-(−count, label) struct, spelled as a window rank.
+    "q_label_prop" -> {
+      val rounds = (1 to LpaRounds).map(i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.dst
+           |                         ORDER BY count(*) DESC, l.label) AS rk
+           |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+           |    GROUP BY e.dst, l.label)
+           |  WHERE rk = 1)""".stripMargin).mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |$rounds
+         |SELECT node, label FROM l$LpaRounds""".stripMargin
     })
 }

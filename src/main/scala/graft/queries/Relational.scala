@@ -348,6 +348,32 @@ object Relational {
         col("mov4_cents").cast("double") / col("mov4_n").cast("double"))
   }
 
+  /** RANGE-interval window frame — the frame type [[w2]]'s ROWS frame
+    * does not cover: the 7-day trailing revenue per customer includes
+    * every order whose DATE falls in the window, however many rows share
+    * a date (peers enter the frame together — the defined RANGE
+    * semantics in both engines, so same-date ties need no tie-break).
+    * Spark's rangeBetween needs a numeric ordering column; days since a
+    * fixed epoch is the standard encoding and DuckDB's native
+    * `RANGE BETWEEN INTERVAL 6 DAYS PRECEDING` is its exact mirror.
+    * Scale: one shuffle on the partition key; a customer's orders are
+    * bounded, so the frame never skews.
+    */
+  private val w3: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("days"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("days"),
+        cents.as("price_cents"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("price_cents")).over(w).as("rev_7d_cents"))
+  }
+
   /** Exact percentiles per group — the length/score-percentile filter
     * shape a training-data pipeline runs constantly. Inputs are exact
     * integer cents; the interpolated outputs are quantized (×1000 →
@@ -950,6 +976,7 @@ object Relational {
     "f8_fuzzy_match" -> f8FuzzyMatch,
     "w2_moving_window" -> w2,
     "w1_window_topn" -> w1,
+    "w3_range_frame" -> w3,
     "a3_skew_agg" -> a3SkewAgg,
     "q4_priority_exists" -> q4Exists,
     "src_upsert_merge" -> srcUpsert,
@@ -1184,6 +1211,15 @@ object Relational {
         |    / CAST(count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov4_avg
         |FROM c
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "w3_range_frame" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS rev_7d_cents
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_percentiles" ->
       """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |           FROM lineitem)
