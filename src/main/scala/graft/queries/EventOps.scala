@@ -42,9 +42,14 @@ object EventOps {
     */
   private val gapFill: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, d)
+    // Cut after the aggregate: BOTH consumers below (the span/grid
+    // derivation and the left join) read `hourly`, and without the cut
+    // each would re-scan the raw events — two 100 TB scans for one
+    // types×hours-sized frame (PlanSpec pins the single-materialization
+    // shape).
+    val hourly = graft.core.Lineage.cut(Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n_obs"))
+      .agg(count(lit(1)).as("n_obs")))
     val grid = hourly.groupBy("event_type")
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("event_type"),

@@ -97,6 +97,37 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 Exchange, plan:\n${p.take(1200)}")
   }
 
+  test("ann_hard_negatives: broadcast batch + WindowGroupLimit, no cartesian") {
+    val p = planOf("ann_hard_negatives")
+    // Each task forwards <= k rows per query to the shuffle...
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // ...and the batch join is a broadcast, never a shuffled cartesian.
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("w3_range_frame: one exchange (the per-customer window), range frame in plan") {
+    val p = planOf("w3_range_frame")
+    assert(p.contains("RangeFrame"), p.take(1200))
+    assert(countNodes(p, "Exchange") == 1,
+      s"expected 1 Exchange, plan:\n${p.take(1200)}")
+  }
+
+  test("ev_gap_fill: raw events materialized once; grid/join/fill run over the aggregate") {
+    val p = planOf("ev_gap_fill")
+    assert(p.contains("Window"), p.take(1200))
+    // Zero parquet scans in the final plan: the hourly aggregate is
+    // lineage-cut, so the grid derivation and the left join both read
+    // the materialized types×hours frame — without the cut this plan
+    // held TWO raw-event scans (one under each consumer).
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 0, s"expected 0 raw scans, got $scans:\n${p.take(1500)}")
+  }
+
+  test("q_triangles: wedge stream is bloom-pruned before the closing join") {
+    val p = planOf("q_triangles")
+    assert(p.contains("might_contain"), p.take(1500))
+  }
+
   test("q_pivot: partial+final aggregate, no Expand (conditional agg, not pivot op)") {
     val p = planOf("q_pivot")
     assert(p.contains("HashAggregate"))
