@@ -277,7 +277,34 @@ object TextOps {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** Character-level Shannon entropy — the junk detector the
+    * length/punctuation ratios miss: encrypted blobs, base64 runs and
+    * key-mash gibberish sit HIGH (uniform characters), template/boiler
+    * spam sits LOW; natural prose lands mid-range. H = ln n − (Σ
+    * cₓ·ln cₓ)/n over the per-character counts, folded in SORTED
+    * character order (float + is not associative — an arbitrary-order
+    * sum would not be value-stable), micro-rounded like tx_bm25 because
+    * `ln` is the one transcendental whose libm may differ from DuckDB's
+    * by 1 ulp. Per-row only, zero shuffles. The count-per-character via
+    * length-after-replace is O(distinct·n) per document in interpreted
+    * HOFs — fine for a scoring pass; a 100 TB hot path would fuse it
+    * into a single-pass codegen Expression like char_ngrams.
+    */
+  private val entropy: Q = (s, d) => {
+    val n = length(col("text")).cast("double")
+    val distinctChars = array_sort(GraftFunctions.char_ngrams(col("text"), 1))
+    val cnts = transform(distinctChars, c =>
+      (length(col("text")) - length(replace(col("text"), c, lit("")))).cast("double"))
+    val folded = aggregate(cnts, lit(0.0d), (acc, cnt) => acc + cnt * log(cnt))
+    val h = log(n) - folded / n
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(length(col("text")) === 0, lit(null).cast("long"))
+        .otherwise(round(h * 1e6).cast("long")).as("entropy_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_entropy" -> entropy,
     "tx_url_normalize" -> urlNormalize,
     "tx_source_overlap" -> sourceOverlap,
     "tx_domain_quota" -> domainQuota,
@@ -303,6 +330,24 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Distinct characters in the SAME sorted order, counts via the same
+    // length-after-replace, left fold from 0.0 — composition mirrors the
+    // Spark side exactly; micro-rounding absorbs ln's last-ulp slack.
+    "tx_entropy" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    list_sort(list_distinct(list_transform(
+        |      generate_series(1, length(text)),
+        |      i -> substr(text, CAST(i AS INT), 1)))) AS dc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN NULL ELSE
+        |    CAST(round((ln(n) - list_reduce(list_prepend(0.0, list_transform(dc,
+        |        ch -> CAST(length(text) - length(replace(text, ch, '')) AS DOUBLE)
+        |              * ln(CAST(length(text) - length(replace(text, ch, '')) AS DOUBLE)))),
+        |      (a, x) -> a + x) / n) * 1e6) AS BIGINT)
+        |  END AS entropy_micro
+        |FROM c""".stripMargin,
     // Same synthesized raw URL, same normalization chain, step by step;
     // DuckDB regexp_replace defaults to first-match so every step takes
     // the 'g' flag (Spark's is always global).
