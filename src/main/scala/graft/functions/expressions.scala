@@ -77,6 +77,66 @@ object ExprUtil {
     h
   }
 
+  /** Content-defined chunking (CDC) over a string's UTF-8 bytes — the
+    * shift-resistant segmentation used for chunk-level dedup of training
+    * corpora: an insertion near the start of a document moves every
+    * FIXED-stride chunk boundary after it (so fixed chunking sees all-new
+    * chunks), while CDC boundaries are chosen by local content (a rolling
+    * window hash hitting 0 mod `div`), so all chunks after the edit
+    * realign and dedup still fires.
+    *
+    * Kernel: O(n) single pass. The w-byte window hash is the polynomial
+    * H(p) = Σ b[p-w+j]·B^(w-1-j) mod 2^64 (B = 1000003, unsigned bytes);
+    * it rolls by H(p+1) = (H(p) − b[p-w]·B^(w-1))·B + b[p] — one multiply,
+    * one subtract, one add per byte, no per-window recompute. A position p
+    * (1-based end of the window, w ≤ p ≤ n−1) closes a chunk when
+    * H(p) ≡ 0 (mod div); n always closes the last chunk. Each chunk also
+    * carries a 64-bit polynomial fingerprint (seeded fold, same family as
+    * [[rollingHash]] but over unsigned bytes) so chunk-level dedup joins
+    * on a long, never re-shipping chunk text. The DuckDB oracle replays
+    * both folds in HUGEINT arithmetic mod 2^64 over the hex-decoded bytes.
+    *
+    * Returns array<struct<start int, len int, hash long>> (byte offsets);
+    * empty array for empty input. All arithmetic is two's-complement
+    * wraparound == mod 2^64 on the unsigned reading, so Java longs need no
+    * explicit modulus; `div` must be a power of two (masked, not %-ed, to
+    * stay correct on the signed representation).
+    */
+  def cdcChunks(s: UTF8String, w: Int, div: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val B = 1000003L
+    var bPow = 1L // B^(w-1) mod 2^64
+    var j = 1
+    while (j < w) { bPow *= B; j += 1 }
+    val mask = (div - 1).toLong
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var start = 0
+    def emit(end: Int): Unit = {
+      var h = 1125899906842597L
+      var i = start
+      while (i < end) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](start, end - start, h))
+      start = end
+    }
+    if (n > w) {
+      var h = 0L
+      var i = 0
+      while (i < w) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+      // i is now the 1-based end position p of the current window.
+      while (i < n) {
+        if ((h & mask) == 0L) emit(i)
+        h = (h - (bytes(i - w) & 0xFF) * bPow) * B + (bytes(i) & 0xFF)
+        i += 1
+      }
+    }
+    emit(n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Spread the low 31 bits of x so they occupy the even bit positions
     * (the standard mask-shift Morton spreading network).
     */
@@ -721,6 +781,36 @@ case class MinSum64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Content-defined chunk spans+fingerprints of a string column (see
+  * [[ExprUtil.cdcChunks]]). `div` must be a power of two (the boundary
+  * test is a mask); construction enforces it so a bad literal fails at
+  * plan time, not with silently-wrong chunking at runtime.
+  */
+case class CdcChunks(child: Expression, windowBytes: Int, div: Int)
+    extends UnaryExpression {
+  require(div > 0 && (div & (div - 1)) == 0, s"div must be a power of two, got $div")
+  require(windowBytes > 0, s"windowBytes must be positive, got $windowBytes")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("len", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("hash", LongType, nullable = false))),
+      containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.cdcChunks(input.asInstanceOf[UTF8String], windowBytes, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExprUtil.cdcChunks($c, $windowBytes, $div)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** Per-frame byte sums over a binary column (see [[ExprUtil.frameByteSums]]). */
 case class FrameByteSums(child: Expression, frameSize: Int, maxFrames: Int)
     extends UnaryExpression {
@@ -863,6 +953,9 @@ object GraftFunctions {
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     GraftSqlShim.column(BpeEncode(GraftSqlShim.expression(text), merges))
+
+  def cdc_chunks(c: Column, windowBytes: Int = 8, div: Int = 32): Column =
+    GraftSqlShim.column(CdcChunks(GraftSqlShim.expression(c), windowBytes, div))
 
   def rolling_hash64(c: Column): Column =
     GraftSqlShim.column(RollingHash64(GraftSqlShim.expression(c)))

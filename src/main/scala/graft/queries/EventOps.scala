@@ -133,6 +133,34 @@ object EventOps {
         col("value").as("first_value"))
   }
 
+  /** Contiguous event-sequence detection — MATCH_RECOGNIZE's core pattern
+    * (view, then click, then purchase as three CONSECUTIVE events in the
+    * user's timeline, nothing interleaved) without the MATCH_RECOGNIZE
+    * operator Spark lacks: two `lead`s over one (user, ts, event_id)
+    * window turn the pattern into a per-row predicate. This is the
+    * complement of ev_funnel (which allows interleaving); contiguity is
+    * what session-replay and bot-detection pipelines ask for. One shuffle
+    * (the window partition), sort amortized across all three leads, filter
+    * after — no self-joins (the naive 3-way self-join shuffles the events
+    * table three times and explodes on hot users). event_id tiebreak makes
+    * same-timestamp ordering deterministic in both engines.
+    */
+  private val sequenceMatch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .withColumn("ts3", lead("ts", 2).over(w))
+      .where(col("event_type") === "view" &&
+        col("t2") === "click" && col("t3") === "purchase")
+      .select(col("user_id"),
+        col("event_id").as("start_event_id"),
+        col("ts").cast("timestamp_ntz").as("start_ts"),
+        col("ts3").cast("timestamp_ntz").as("end_ts"))
+  }
+
   /** Time-interval join: each click paired with EVERY view of the same
     * user in the preceding hour — the bounded-window variant of the as-of
     * join (all candidates, not just the latest). Equi key (user_id) +
@@ -408,6 +436,7 @@ object EventOps {
     "ev_asof_nearest" -> asofNearest,
     "ev_asof_tolerance" -> asofTolerance,
     "ev_first_touch" -> firstTouch,
+    "ev_sequence_match" -> sequenceMatch,
     "ev_interval_join" -> intervalJoin,
     "ev_funnel" -> funnel,
   )
@@ -564,6 +593,16 @@ object EventOps {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |                           ORDER BY ts, event_id) = 1""".stripMargin,
+    "ev_sequence_match" ->
+      """SELECT user_id, event_id AS start_event_id,
+        |  CAST(ts AS TIMESTAMP) AS start_ts, CAST(ts3 AS TIMESTAMP) AS end_ts
+        |FROM (SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(ts, 2) OVER w AS ts3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'""".stripMargin,
     "ev_funnel" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

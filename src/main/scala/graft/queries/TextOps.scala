@@ -26,6 +26,17 @@ object TextOps {
   /** The fixed screening blocklist (word-exact matches). */
   val BlocklistTerms: Seq[String] = Seq("spark", "merge", "shuffle")
 
+  /** Sliding chunking geometry: 200-char chunks every 150 chars (25%
+    * overlap — the usual RAG default shape). */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** CDC geometry: 8-byte rolling window, boundary when hash ≡ 0 mod 32
+    * (expected chunk ≈ 32 bytes at this SF's 48–550-char docs; a corpus
+    * run would use 2^11–2^13). */
+  val CdcWindow = 8
+  val CdcDiv = 32
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
     * (the usual byte-pair pre-split shape). One constant, interpolated
     * into BOTH the Spark query and the oracle SQL. */
@@ -303,7 +314,55 @@ object TextOps {
         .otherwise(round(h * 1e6).cast("long")).as("entropy_micro"))
   }
 
+  /** Sliding-window character chunking — the RAG/context-window prep step:
+    * fixed-size chunks with overlap so no semantic span is cut without a
+    * copy that contains it whole. Offsets are a per-row `sequence` +
+    * `posexplode` (chunk k starts at k·stride while that start is inside
+    * the text); amplification is bounded at size/stride ≈ 1.33×. Zero
+    * shuffles, no window functions — each document chunks independently,
+    * so the operator is embarrassingly parallel at 100 TB and the output
+    * stays clustered by the input's partitioning (a downstream
+    * per-chunk embed/index step reads it without a repartition). Char
+    * (not byte) offsets: both engines' substr/length count code points,
+    * so multibyte text chunks identically.
+    */
+  private val chunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), length(col("text")) - 1, lit(ChunkStride))))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_idx"),
+        col("col").as("chunk_start"),
+        length(col("text").substr(col("col") + 1, lit(ChunkSize))).as("chunk_len"),
+        col("text").substr(col("col") + 1, lit(ChunkSize)).as("chunk_text"))
+
+  /** Content-defined chunking (see [[graft.functions.ExprUtil.cdcChunks]])
+    * — boundaries picked by a rolling content hash, so an edit anywhere in
+    * a document only reflows the ONE chunk it touches and chunk-level
+    * dedup keeps firing on everything after it (fixed-stride chunking
+    * loses every later chunk). Emits byte spans + a 64-bit chunk
+    * fingerprint per chunk; dedup downstream joins on the long, never
+    * re-shipping chunk text. The kernel is a single O(n) codegen'd pass
+    * per document; the query itself is per-row explode — zero shuffles,
+    * same 100 TB posture as tx_chunk.
+    */
+  private val cdcChunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.cdc_chunks(col("text"), CdcWindow, CdcDiv)))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_idx"),
+        col("col.start").as("chunk_start"),
+        col("col.len").as("chunk_len"),
+        col("col.hash").as("chunk_hash"))
+
   val queries: Map[String, Q] = Map(
+    "tx_chunk" -> chunk,
+    "tx_cdc_chunk" -> cdcChunk,
     "tx_entropy" -> entropy,
     "tx_url_normalize" -> urlNormalize,
     "tx_source_overlap" -> sourceOverlap,
@@ -333,6 +392,53 @@ object TextOps {
     // Distinct characters in the SAME sorted order, counts via the same
     // length-after-replace, left fold from 0.0 — composition mirrors the
     // Spark side exactly; micro-rounding absorbs ln's last-ulp slack.
+    // Same geometry constants interpolated into both engines; substr and
+    // length count code points in both, so char offsets line up.
+    "tx_chunk" ->
+      s"""SELECT doc_id,
+         |  CAST(k // $ChunkStride AS INT) AS chunk_idx,
+         |  CAST(k AS INT) AS chunk_start,
+         |  CAST(length(substr(text, CAST(k + 1 AS INT), $ChunkSize)) AS INT) AS chunk_len,
+         |  substr(text, CAST(k + 1 AS INT), $ChunkSize) AS chunk_text
+         |FROM (SELECT doc_id, text,
+         |    unnest(generate_series(0, length(text) - 1, $ChunkStride)) AS k
+         |  FROM documents WHERE length(text) > 0) t""".stripMargin,
+    // Replays both polynomial folds (w-byte window hash with seed 0;
+    // seeded chunk fingerprint) in HUGEINT arithmetic mod 2^64 over the
+    // hex-decoded UTF-8 bytes (unsigned this time — no signed-byte
+    // adjustment, unlike tx_rolling_hash). The oracle recomputes each
+    // window O(w) where the engine rolls O(1); equality is the point.
+    "tx_cdc_chunk" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    list_transform(generate_series(1, octet_length(encode(text))),
+         |      i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT)-1, 1)) - 1)
+         |           + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT), 1)) - 1)) AS bytes,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |bd AS (SELECT doc_id, bytes,
+         |    list_concat(list_concat([CAST(0 AS BIGINT)],
+         |      list_filter(generate_series($CdcWindow, n - 1), p ->
+         |        list_reduce(list_prepend(0::HUGEINT,
+         |            list_transform(bytes[CAST(p - ${CdcWindow - 1} AS INT):CAST(p AS INT)], x -> x::HUGEINT)),
+         |          (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT)
+         |        % $CdcDiv = 0)),
+         |      [CAST(n AS BIGINT)]) AS bnd
+         |  FROM b),
+         |ch AS (SELECT doc_id, bytes, bnd,
+         |    unnest(generate_series(1, len(bnd) - 1)) AS k
+         |  FROM bd)
+         |SELECT doc_id,
+         |  CAST(k - 1 AS INT) AS chunk_idx,
+         |  CAST(bnd[CAST(k AS INT)] AS INT) AS chunk_start,
+         |  CAST(bnd[CAST(k + 1 AS INT)] - bnd[CAST(k AS INT)] AS INT) AS chunk_len,
+         |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+         |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS chunk_hash
+         |FROM (SELECT doc_id, k, bnd,
+         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+         |        list_transform(bytes[CAST(bnd[CAST(k AS INT)] + 1 AS INT):CAST(bnd[CAST(k + 1 AS INT)] AS INT)],
+         |          x -> x::HUGEINT)),
+         |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT) AS h
+         |  FROM ch) t""".stripMargin,
     "tx_entropy" ->
       """WITH c AS (SELECT doc_id, text,
         |    CAST(length(text) AS DOUBLE) AS n,

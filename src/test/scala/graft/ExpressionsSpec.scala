@@ -24,6 +24,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSpark(2) == ExprUtil.rollingHash(UTF8String.fromString("a")))
   }
 
+  test("cdc_chunks: tiling invariant, edge cases, shift resistance") {
+    import spark.implicits._
+    def chunksOf(texts: String*): Array[Seq[(Int, Int, Long)]] =
+      texts.toDF("s")
+        .select(GraftFunctions.cdc_chunks(col("s"), 8, 32).as("c"))
+        .collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
+    val base = "the quick brown fox jumps over the lazy dog, " * 8
+    val Array(cs, empty, short) = chunksOf(base, "", "ab")
+    // Chunks tile [0, n) exactly: starts are cumulative lens, total == n.
+    assert(cs.head._1 == 0)
+    assert(cs.map(_._2).sum == base.getBytes("UTF-8").length)
+    cs.sliding(2).foreach { case Seq((s1, l1, _), (s2, _, _)) =>
+      assert(s1 + l1 == s2)
+    case _ => ()
+    }
+    assert(cs.forall(_._2 > 0))
+    // Empty text → no chunks; text shorter than the window → one chunk.
+    assert(empty.isEmpty)
+    assert(short == Seq((0, 2, ExprUtil.rollingHash(UTF8String.fromString("ab")))))
+    // THE CDC property: prepending a prefix shifts offsets but preserves
+    // the suffix's chunk fingerprints — fixed-stride chunking would lose
+    // every chunk after the edit, CDC realigns after at most one chunk.
+    val Array(shifted) = chunksOf("EDIT-INSERTED-PREFIX. " + base)
+    val baseHashes = cs.map(_._3).toSet
+    val survivors = shifted.map(_._3).count(baseHashes.contains)
+    assert(survivors >= cs.size - 2,
+      s"expected nearly all of ${cs.size} base chunks to survive a prefix edit, got $survivors")
+  }
+
   test("canonical_id: null-safe on invalid input inside codegen") {
     import spark.implicits._
     val out = Seq("001000000000001", "bad", null.asInstanceOf[String]).toDF("id")

@@ -97,6 +97,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 Exchange, plan:\n${p.take(1200)}")
   }
 
+  test("tx_chunk / tx_cdc_chunk: zero shuffles — chunking is per-row explode") {
+    for (q <- Seq("tx_chunk", "tx_cdc_chunk")) {
+      val p = planOf(q)
+      assert(countNodes(p, "Exchange") == 0, s"$q should not shuffle:\n${p.take(1200)}")
+      assert(p.contains("Generate"), s"$q should explode per-row:\n${p.take(1200)}")
+    }
+  }
+
+  test("ev_sequence_match: one exchange, leads share a single window sort") {
+    val p = planOf("ev_sequence_match")
+    assert(countNodes(p, "Exchange") == 1, s"expected 1 Exchange:\n${p.take(1200)}")
+    assert(countNodes(p, "Window") == 1, s"all three leads must share one Window:\n${p.take(1200)}")
+    assert(countNodes(p, "Sort") == 1, s"expected a single window sort:\n${p.take(1200)}")
+  }
+
   test("ann_hard_negatives: broadcast batch + WindowGroupLimit, no cartesian") {
     val p = planOf("ann_hard_negatives")
     // Each task forwards <= k rows per query to the shuffle...
