@@ -767,7 +767,36 @@ object DedupOps {
         (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
+  /** Chunk-level dedup over content-defined chunks — the payoff of CDC
+    * chunking (TextOps.cdcChunkSpans): repeated passages (boilerplate,
+    * license headers, syndicated paragraphs) share chunk fingerprints
+    * even when the documents CONTAINING them differ, so sub-document
+    * dedup falls out of a first-occurrence election on the 64-bit chunk
+    * hash. Per document: chunk count, duplicate-chunk count, duplicate
+    * bytes. Shapes: one shuffle to cluster by chunk_hash (the
+    * first-occurrence window — per-hash groups are a handful of rows, so
+    * the sort cannot skew), one to re-aggregate by doc_id; only (doc_id,
+    * idx, len, hash) tuples ever shuffle — chunk TEXT never leaves the
+    * map side, which is what makes this viable at 100 TB (longs at
+    * ~1/chunk-size of corpus byte volume). Tie order (doc_id, chunk_idx)
+    * makes the keeper deterministic; a within-doc repeated chunk counts
+    * as dup too (same hash, later idx), matching the d9 span view.
+    */
+  def chunkDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chunk_hash").orderBy(col("doc_id"), col("chunk_idx"))
+    TextOps.cdcChunkSpansOf(docs)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("rn") > 1, col("chunk_len").cast("long")).otherwise(0L)).as("dup_bytes"))
+  }
+
+  private val chunkDedup: Q = (s, d) => chunkDedupOf(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
+    "d11_chunk_dedup" -> chunkDedup,
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
@@ -881,7 +910,21 @@ object DedupOps {
       |            i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)))
       |      >= 0.3""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
+    // Chunk spans come from the SAME shared CTE chain as the
+    // tx_cdc_chunk oracle (TextOps.CdcChunksOracleCtes) — the dedup is a
+    // row_number first-occurrence election on the chunk fingerprint.
+    "d11_chunk_dedup" ->
+      s"""WITH ${TextOps.CdcChunksOracleCtes},
+         |f AS (SELECT doc_id, chunk_len,
+         |    row_number() OVER (PARTITION BY chunk_hash
+         |                       ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM cdc_chunks)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes
+         |FROM f GROUP BY doc_id""".stripMargin,
     "d2_minhash_lsh" -> d2OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d4_ngram_jaccard" ->

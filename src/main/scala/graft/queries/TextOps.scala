@@ -37,6 +37,43 @@ object TextOps {
   val CdcWindow = 8
   val CdcDiv = 32
 
+  /** Shared oracle CTE chain ending in
+    * `cdc_chunks(doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash)`
+    * — ONE definition of the DuckDB replay of [[graft.functions
+    * .ExprUtil.cdcChunks]], used by the tx_cdc_chunk oracle and the
+    * chunk-dedup oracle in DedupOps so the two cannot drift. */
+  val CdcChunksOracleCtes: String =
+    s"""b AS (SELECT doc_id,
+       |    list_transform(generate_series(1, octet_length(encode(text))),
+       |      i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT)-1, 1)) - 1)
+       |           + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT), 1)) - 1)) AS bytes,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |bd AS (SELECT doc_id, bytes,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(generate_series($CdcWindow, n - 1), p ->
+       |        list_reduce(list_prepend(0::HUGEINT,
+       |            list_transform(bytes[CAST(p - ${CdcWindow - 1} AS INT):CAST(p AS INT)], x -> x::HUGEINT)),
+       |          (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT)
+       |        % $CdcDiv = 0)),
+       |      [CAST(n AS BIGINT)]) AS bnd
+       |  FROM b),
+       |chx AS (SELECT doc_id, bytes, bnd,
+       |    unnest(generate_series(1, len(bnd) - 1)) AS k
+       |  FROM bd),
+       |cdc_chunks AS (SELECT doc_id,
+       |  CAST(k - 1 AS INT) AS chunk_idx,
+       |  CAST(bnd[CAST(k AS INT)] AS INT) AS chunk_start,
+       |  CAST(bnd[CAST(k + 1 AS INT)] - bnd[CAST(k AS INT)] AS INT) AS chunk_len,
+       |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS chunk_hash
+       |FROM (SELECT doc_id, k, bnd,
+       |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+       |        list_transform(bytes[CAST(bnd[CAST(k AS INT)] + 1 AS INT):CAST(bnd[CAST(k + 1 AS INT)] AS INT)],
+       |          x -> x::HUGEINT)),
+       |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT) AS h
+       |  FROM chx) t)""".stripMargin
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
     * (the usual byte-pair pre-split shape). One constant, interpolated
     * into BOTH the Spark query and the oracle SQL. */
@@ -348,8 +385,15 @@ object TextOps {
     * per document; the query itself is per-row explode — zero shuffles,
     * same 100 TB posture as tx_chunk.
     */
-  private val cdcChunk: Q = (s, d) =>
-    Tables.documents(s, d)
+  /** Chunk-span frame shared with the chunk-dedup operator in DedupOps
+    * (one definition of "the corpus's CDC chunks" on the Spark side,
+    * mirroring [[CdcChunksOracleCtes]] on the oracle side). */
+  def cdcChunkSpans(s: SparkSession, d: String): DataFrame =
+    cdcChunkSpansOf(Tables.documents(s, d))
+
+  /** Frame-parameterized form (specs plant synthetic corpora). */
+  def cdcChunkSpansOf(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(GraftFunctions.cdc_chunks(col("text"), CdcWindow, CdcDiv)))
@@ -359,6 +403,8 @@ object TextOps {
         col("col.start").as("chunk_start"),
         col("col.len").as("chunk_len"),
         col("col.hash").as("chunk_hash"))
+
+  private val cdcChunk: Q = (s, d) => cdcChunkSpans(s, d)
 
   val queries: Map[String, Q] = Map(
     "tx_chunk" -> chunk,
@@ -388,7 +434,7 @@ object TextOps {
     case (lang, kws) => lang -> kws.map(kwCountSql).mkString(" + ")
   }
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     // Distinct characters in the SAME sorted order, counts via the same
     // length-after-replace, left fold from 0.0 — composition mirrors the
     // Spark side exactly; micro-rounding absorbs ln's last-ulp slack.
@@ -409,36 +455,9 @@ object TextOps {
     // adjustment, unlike tx_rolling_hash). The oracle recomputes each
     // window O(w) where the engine rolls O(1); equality is the point.
     "tx_cdc_chunk" ->
-      s"""WITH b AS (SELECT doc_id,
-         |    list_transform(generate_series(1, octet_length(encode(text))),
-         |      i -> 16 * (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT)-1, 1)) - 1)
-         |           + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT), 1)) - 1)) AS bytes,
-         |    octet_length(encode(text)) AS n
-         |  FROM documents WHERE octet_length(encode(text)) > 0),
-         |bd AS (SELECT doc_id, bytes,
-         |    list_concat(list_concat([CAST(0 AS BIGINT)],
-         |      list_filter(generate_series($CdcWindow, n - 1), p ->
-         |        list_reduce(list_prepend(0::HUGEINT,
-         |            list_transform(bytes[CAST(p - ${CdcWindow - 1} AS INT):CAST(p AS INT)], x -> x::HUGEINT)),
-         |          (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT)
-         |        % $CdcDiv = 0)),
-         |      [CAST(n AS BIGINT)]) AS bnd
-         |  FROM b),
-         |ch AS (SELECT doc_id, bytes, bnd,
-         |    unnest(generate_series(1, len(bnd) - 1)) AS k
-         |  FROM bd)
-         |SELECT doc_id,
-         |  CAST(k - 1 AS INT) AS chunk_idx,
-         |  CAST(bnd[CAST(k AS INT)] AS INT) AS chunk_start,
-         |  CAST(bnd[CAST(k + 1 AS INT)] - bnd[CAST(k AS INT)] AS INT) AS chunk_len,
-         |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-         |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS chunk_hash
-         |FROM (SELECT doc_id, k, bnd,
-         |    list_reduce(list_prepend(1125899906842597::HUGEINT,
-         |        list_transform(bytes[CAST(bnd[CAST(k AS INT)] + 1 AS INT):CAST(bnd[CAST(k + 1 AS INT)] AS INT)],
-         |          x -> x::HUGEINT)),
-         |      (acc, x) -> (acc * 1000003 + x) % 18446744073709551616::HUGEINT) AS h
-         |  FROM ch) t""".stripMargin,
+      s"""WITH $CdcChunksOracleCtes
+         |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_hash
+         |FROM cdc_chunks""".stripMargin,
     "tx_entropy" ->
       """WITH c AS (SELECT doc_id, text,
         |    CAST(length(text) AS DOUBLE) AS n,

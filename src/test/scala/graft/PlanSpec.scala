@@ -105,6 +105,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d11_chunk_dedup: two exchanges (hash window, doc agg), no join") {
+    val p = planOf("d11_chunk_dedup")
+    assert(countNodes(p, "Exchange") == 2, s"expected 2 Exchanges:\n${p.take(1200)}")
+    assert(!p.contains("Join"), s"dedup must be a window election, not a self-join:\n${p.take(1200)}")
+    assert(p.contains("Generate"), "chunk explode must stay map-side")
+  }
+
   test("ev_sequence_match: one exchange, leads share a single window sort") {
     val p = planOf("ev_sequence_match")
     assert(countNodes(p, "Exchange") == 1, s"expected 1 Exchange:\n${p.take(1200)}")
