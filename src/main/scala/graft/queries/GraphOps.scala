@@ -36,12 +36,20 @@ object GraphOps {
   val PageRankScale = 1000000000000L
 
   private def edgesOf(s: SparkSession, d: String): DataFrame = {
-    // Node namespace: customer = 2k, supplier = 2k+1.
-    val e0 = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // Node namespace: customer = 2k, supplier = 2k+1. The directed pair
+    // set is MATERIALIZED once per (session, corpus): four graph queries
+    // (pagerank, bfs, label_prop, kcore) share the same lineitem⋈orders
+    // distinct — the most expensive step of each (~3 s of every ~5 s at
+    // sf0.1) — and a production pipeline lands the edge table once per
+    // corpus delivery for the same reason (the d2 pair-graph argument,
+    // core/Materialize.scala).
+    val e0 = graft.core.Materialize.once(s, s"graph_edges:$d") {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -214,10 +222,83 @@ object GraphOps {
     labels
   }
 
+  /** Peel threshold and bounded round count for [[kcore]]. */
+  val KcoreK = 10
+  val KcoreRounds = 8
+
+  /** k-core decomposition (bounded peeling): repeatedly remove nodes of
+    * degree < K in the SURVIVING subgraph; what remains after
+    * [[KcoreRounds]] rounds is (a bounded-round approximation of) the
+    * K-core — the standard densest-region screen (spam/bot rings, "core"
+    * community extraction). Bounded rounds are the q_pagerank /
+    * q_label_prop determinism discipline: both engines run the SAME fixed
+    * round count, so results match exactly whether or not peeling has
+    * converged — and because peeling is monotone (rounds after the
+    * fixpoint are no-ops) the Spark loop may still early-stop when a
+    * round removes nothing without diverging from the unrolled oracle.
+    * Per round: membership semi-join on both endpoints + one count
+    * aggregate — shuffle keys are node ids, state is one id column,
+    * lineage-cut per round. Output: surviving nodes + their final
+    * in-subgraph degree.
+    */
+  private val kcore: Q = (s, d) => kcoreOf(edgesOf(s, d), KcoreK)
+
+  /** Frame-parameterized peeling (specs plant cascade graphs). `edgesIn`
+    * must be symmetric (both directions present).
+    *
+    * FRONTIER formulation — the naive per-round recount joins the FULL
+    * edge table against the membership twice every round (8 × O(m) semi
+    * joins; measured 5 s at sf0.1); instead, maintain (node, deg) where
+    * deg is the degree WITHIN the current survivor set, and per round
+    * subtract only the edges incident to the just-removed frontier. After
+    * round one the per-round cost is proportional to the frontier's edge
+    * boundary — the cascade's actual size — not the graph. Synchronous
+    * equivalence: the round-t frontier is exactly the set the naive
+    * formulation removes in round t, so the unrolled recount oracle
+    * matches round for round.
+    */
+  def kcoreOf(edgesIn: DataFrame, k: Int): DataFrame = {
+    val edges = graft.core.Lineage.cut(edgesIn)
+    var alive = graft.core.Lineage.cut(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")))
+    var (frontier, nFrontier) = graft.core.Lineage.cutCounted(
+      alive.where(col("deg") < k).select("node"))
+    var round = 0
+    while (round < KcoreRounds && nFrontier > 0) {
+      val dec = edges
+        .join(frontier.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("dec"))
+        .select(col("src").as("node"), col("dec"))
+      val nextAlive = graft.core.Lineage.cut(
+        alive.join(frontier, Seq("node"), "left_anti")
+          .join(dec, Seq("node"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg")))
+      graft.core.Lineage.release(alive)
+      graft.core.Lineage.release(frontier)
+      alive = nextAlive
+      val (f, n) = graft.core.Lineage.cutCounted(
+        alive.where(col("deg") < k).select("node"))
+      frontier = f
+      nFrontier = n
+      round += 1
+    }
+    // deg tracks the survivor-induced degree throughout, so `alive` IS
+    // the answer (already materialized — safe to release edges). The
+    // deg>0 filter mirrors the oracle's final recount, which emits no
+    // row for a not-yet-peeled node whose surviving degree hit zero
+    // (only reachable on a round-limit exit; at convergence deg ≥ k).
+    graft.core.Lineage.release(edges)
+    graft.core.Lineage.release(frontier)
+    alive.where(col("deg") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pagerank" -> pagerank,
     "q_triangles" -> triangles,
     "q_bfs" -> bfs,
+    "q_kcore" -> kcore,
     "q_label_prop" -> labelProp)
 
   private def iterSql(i: Int): String =
@@ -280,6 +361,31 @@ object GraphOps {
          |$levels,
          |lvl AS ($union)
          |SELECT node, CAST(min(d) AS INT) AS dist FROM lvl GROUP BY node""".stripMargin
+    },
+    // Unrolled peel rounds; the final select recomputes the in-subgraph
+    // degree exactly as the engine does after its loop. Extra rounds past
+    // the fixpoint are no-ops (peeling is monotone), so the engine's
+    // early stop cannot diverge from the full unroll.
+    "q_kcore" -> {
+      val rounds = (1 to KcoreRounds).map(i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT e.src AS node FROM edges e
+           |  JOIN n${i - 1} a ON e.src = a.node
+           |  JOIN n${i - 1} b ON e.dst = b.node
+           |  GROUP BY e.src HAVING count(*) >= $KcoreK)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |n0 AS (SELECT DISTINCT src AS node FROM edges),
+         |$rounds
+         |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM edges e
+         |JOIN n$KcoreRounds a ON e.src = a.node
+         |JOIN n$KcoreRounds b ON e.dst = b.node
+         |GROUP BY e.src""".stripMargin
     },
     // Same unrolled-round discipline as q_pagerank: each round's argmax
     // is a ranked pick over (count DESC, label ASC) — the engine's

@@ -62,4 +62,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got == counts.toMap, "per-corner triangle counts diverge")
     assert(got.values.sum % 3 == 0 && got.values.sum > 0)
   }
+
+  test("q_kcore: planted chain peels away by cascade, clique survives intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A 4-clique (every node degree 3) with a pendant chain 4-10-11-12:
+    // at k=3 the chain unravels over THREE cascade rounds (12 first,
+    // then 11, then 10 — each removal exposes the next), and node 4's
+    // degree drops back to 3 but stays; the clique is exactly the 3-core.
+    val clique = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val out = graft.queries.GraphOps.kcoreOf(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"expected exactly the 4-clique at degree 3, got $out")
+  }
 }
