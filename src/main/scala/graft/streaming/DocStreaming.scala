@@ -52,6 +52,18 @@ object DocStreaming {
   def benchmarkGrams(spark: SparkSession, sfDir: String): DataFrame =
     PipelineOps.benchGramsOf(graft.Tables.documents(spark, sfDir))
 
+  /** Streaming content-defined chunking — the ingest twin of batch
+    * tx_cdc_chunk, and the SAME code: cdcChunkSpansOf is a per-row
+    * codegen'd explode with no aggregation, so it runs unmodified on an
+    * unbounded stream (stateless — no watermark, no state store). This
+    * is the landing-zone shape: chunk + fingerprint documents as they
+    * arrive, then hand the (id, idx, len, hash) rows to a downstream
+    * dedup (batch d11 or a within-watermark streaming dedup on
+    * chunk_hash) without the text ever being shuffled.
+    */
+  def cdcChunkStream(stream: DataFrame): DataFrame =
+    graft.queries.TextOps.cdcChunkSpansOf(stream)
+
   /** Streaming multimodal decode — the ingest-side twin of batch
     * mm_decode_png with the SAME real codec: per-row payload synthesis +
     * `javax.imageio` encode→decode via typed mapPartitions, fully

@@ -79,6 +79,26 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC chunking == batch tx_cdc_chunk, stateless explode plan") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val chunks = DocStreaming.cdcChunkStream(stream)
+    val q = EventStreaming.runToMemory(chunks, "cdc_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "chunk stream must not be stateful")
+      val streamed = spark.table("cdc_out")
+      val batch = SparkEntry.queries("tx_cdc_chunk")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch CDC chunks mismatch")
+    } finally q.stop()
+  }
+
   test("streaming BPE encode == batch tx_bpe_apply, stateless frozen-vocab plan") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_stream").toString
