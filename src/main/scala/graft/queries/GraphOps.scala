@@ -206,6 +206,23 @@ object GraphOps {
     */
   private val labelProp: Q = (s, d) => {
     val edges = graft.core.Lineage.cut(edgesOf(s, d))
+    val labels = lpaLabels(s, d, edges)
+    graft.core.Lineage.release(edges)
+    labels
+  }
+
+  /** LPA labels, materialized once per (session, corpus): q_label_prop
+    * and q_modularity consume the same label frame, and the 3-round loop
+    * is the expensive half of each. Materialize.once writes eagerly, so
+    * callers may release `edges` as soon as this returns. */
+  private def lpaLabels(s: SparkSession, d: String, edges: DataFrame): DataFrame =
+    graft.core.Materialize.once(s, s"lpa_labels:$d") { lpaLabelsOf(edges) }
+
+  /** The LPA round loop over an already-cut symmetric edge frame; the
+    * returned label frame is materialized (cut on the final round), so
+    * callers may release `edges` afterwards. Shared by q_label_prop and
+    * q_modularity so the community definition cannot drift. */
+  def lpaLabelsOf(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpaRounds) {
@@ -218,8 +235,43 @@ object GraphOps {
           .select(col("dst").as("node"), col("best.label").as("label")))
       graft.core.Lineage.release(prev)
     }
-    graft.core.Lineage.release(edges)
     labels
+  }
+
+  /** Community-quality metrics (the per-community ingredients of Newman
+    * modularity) over the LPA communities — the evaluation step a
+    * community-detection pipeline runs on its own output: per community,
+    * node count, intra-community directed edge count and degree sum.
+    * Modularity is then Σ_c (intra_c·m2 − degree_sum_c²)/m2² with
+    * m2 = total directed edges — every term an exact integer here, so
+    * the oracle compares values exactly (the q_pagerank discipline:
+    * no float accumulation anywhere). Shapes: two node-keyed label
+    * joins onto the edge list + three hash aggregates; at 100 TB the
+    * label frame co-shuffles with edges on node id — no broadcast
+    * assumption, no skew surface beyond a hub community's single
+    * aggregate row.
+    */
+  private val modularity: Q = (s, d) => {
+    val edges = graft.core.Lineage.cut(edgesOf(s, d))
+    val labels = lpaLabels(s, d, edges)
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("label").as("community")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
+      .where(col("community") === col("dst_label"))
+      .groupBy(col("community")).agg(count(lit(1)).as("intra_edges"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val byComm = labels
+      .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val out = graft.core.Lineage.cut(
+      byComm.join(intra, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum")))
+    graft.core.Lineage.release(edges)
+    graft.core.Lineage.release(labels)
+    out
   }
 
   /** Peel threshold and bounded round count for [[kcore]]. */
@@ -299,7 +351,8 @@ object GraphOps {
     "q_triangles" -> triangles,
     "q_bfs" -> bfs,
     "q_kcore" -> kcore,
-    "q_label_prop" -> labelProp)
+    "q_label_prop" -> labelProp,
+    "q_modularity" -> modularity)
 
   private def iterSql(i: Int): String =
     s"""r$i AS MATERIALIZED (
@@ -390,23 +443,48 @@ object GraphOps {
     // Same unrolled-round discipline as q_pagerank: each round's argmax
     // is a ranked pick over (count DESC, label ASC) — the engine's
     // min-over-(−count, label) struct, spelled as a window rank.
-    "q_label_prop" -> {
-      val rounds = (1 to LpaRounds).map(i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT node, label FROM (
-           |    SELECT e.dst AS node, l.label, count(*) AS cnt,
-           |      row_number() OVER (PARTITION BY e.dst
-           |                         ORDER BY count(*) DESC, l.label) AS rk
-           |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
-           |    GROUP BY e.dst, l.label)
-           |  WHERE rk = 1)""".stripMargin).mkString(",\n")
-      s"""WITH e0 AS MATERIALIZED (
-         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |edges AS MATERIALIZED (
-         |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-         |$rounds
-         |SELECT node, label FROM l$LpaRounds""".stripMargin
-    })
+    "q_label_prop" ->
+      s"""WITH $lpaCtes
+         |SELECT node, label FROM l$LpaRounds""".stripMargin,
+    // SAME unrolled community CTEs as q_label_prop (shared string), then
+    // exact-integer per-community aggregates.
+    "q_modularity" ->
+      s"""WITH $lpaCtes,
+         |lab AS (SELECT node, label FROM l$LpaRounds),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY 1),
+         |intra AS (SELECT a.label AS community,
+         |    CAST(count(*) AS BIGINT) AS intra_edges
+         |  FROM edges e
+         |  JOIN lab a ON e.src = a.node
+         |  JOIN lab b ON e.dst = b.node
+         |  WHERE a.label = b.label GROUP BY 1),
+         |byc AS (SELECT l.label AS community,
+         |    CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         |  FROM lab l JOIN deg d ON l.node = d.node GROUP BY 1)
+         |SELECT byc.community, byc.n_nodes,
+         |  coalesce(intra.intra_edges, 0) AS intra_edges, byc.degree_sum
+         |FROM byc LEFT JOIN intra ON byc.community = intra.community""".stripMargin)
+
+  /** Shared unrolled-LPA CTE chain (edges → l0 → … → l[LpaRounds]) for
+    * the q_label_prop and q_modularity oracles. */
+  private def lpaCtes: String = {
+    val rounds = (1 to LpaRounds).map(i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.dst
+         |                         ORDER BY count(*) DESC, l.label) AS rk
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rk = 1)""".stripMargin).mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds""".stripMargin
+  }
 }

@@ -63,6 +63,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum % 3 == 0 && got.values.sum > 0)
   }
 
+  test("q_modularity: conservation identities and Q in range") {
+    val rows = SparkEntry.queries("q_modularity")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // n_nodes, intra, degsum
+    val m2 = rows.map(_._3).sum // Σ degrees == total directed edges
+    // Every intra edge is also a degree contribution of its community.
+    assert(rows.forall { case (_, intra, dsum) => intra <= dsum })
+    assert(rows.map(_._2).sum <= m2)
+    val q = rows.map { case (_, intra, dsum) =>
+      intra.toDouble / m2 - math.pow(dsum.toDouble / m2, 2)
+    }.sum
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
+  }
+
   test("q_kcore: planted chain peels away by cascade, clique survives intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
