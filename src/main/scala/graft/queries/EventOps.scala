@@ -184,6 +184,41 @@ object EventOps {
         col("view_ts").cast("timestamp_ntz").as("view_ts"))
   }
 
+  /** Multi-touch attribution — the revenue-allocation operator behind
+    * marketing analytics: each purchase's value is split LINEARLY across
+    * the user's view/click touchpoints in the preceding hour. Credit is
+    * EXACT-INTEGER: purchase value → cents (the established rounding
+    * trick), base share = cents div n, and the division remainder goes to
+    * the LATEST touch ((ts, event_id)-max, unique by construction) — so
+    * credits sum to the purchase exactly and both engines agree
+    * bit-for-bit (float division would need a tolerance gate). Shapes:
+    * one user_id-keyed range join (the ev_interval_join shape) + one
+    * purchase-partitioned window for (n, latest) — two shuffles;
+    * purchases with no in-window touch drop out (inner join), the usual
+    * "unattributed revenue" residual a real pipeline reports separately.
+    */
+  private val attribution: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("purchase_id"),
+      col("ts").as("pts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.where(col("event_type").isin("view", "click")).select(
+      col("user_id"), col("event_id").as("touch_id"),
+      col("event_type").as("touch_type"), col("ts").as("tts"))
+    val w = Window.partitionBy("purchase_id")
+    purchases.join(touches, Seq("user_id"))
+      .where(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("latest", max(struct(col("tts"), col("touch_id"))).over(w))
+      .select(col("user_id"), col("purchase_id"), col("touch_id"), col("touch_type"),
+        (expr("cents div n") +
+          when(struct(col("tts"), col("touch_id")) === col("latest"),
+            expr("cents % n")).otherwise(lit(0L))).as("credit_cents"))
+  }
+
   /** Session funnel: per 30-minute session, view/click volumes and
     * whether the session CONVERTED (some click at-or-after the first
     * view). One session_window aggregate; the conversion flag is pure
@@ -438,6 +473,7 @@ object EventOps {
     "ev_first_touch" -> firstTouch,
     "ev_sequence_match" -> sequenceMatch,
     "ev_interval_join" -> intervalJoin,
+    "ev_attribution" -> attribution,
     "ev_funnel" -> funnel,
   )
 
@@ -603,6 +639,27 @@ object EventOps {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'""".stripMargin,
+    // Integer credit split: cents // n everywhere, remainder to the
+    // (ts, id)-max touch — mirrors the engine's struct-max tie-break.
+    "ev_attribution" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS pts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |    CAST(ts AS TIMESTAMP) AS tts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.user_id, p.purchase_id, t.touch_id, t.touch_type,
+        |    p.cents, t.tts,
+        |    count(*) OVER w AS n,
+        |    max(ROW(t.tts, t.touch_id)) OVER w AS latest
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 1 HOUR
+        |  WINDOW w AS (PARTITION BY p.purchase_id))
+        |SELECT user_id, purchase_id, touch_id, touch_type,
+        |  cents // n + CASE WHEN ROW(tts, touch_id) = latest
+        |                    THEN cents % n ELSE 0 END AS credit_cents
+        |FROM j""".stripMargin,
     "ev_funnel" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

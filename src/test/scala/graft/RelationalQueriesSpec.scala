@@ -96,4 +96,22 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
     assert(rows.filter(_._2 == 0).map(_._3).sum == totalUsers)
   }
+
+  test("ev_attribution: credits conserve each attributed purchase's cents exactly") {
+    import org.apache.spark.sql.functions._
+    val credits = SparkEntry.queries("ev_attribution")(spark, SparkTestBase.sf)
+      .groupBy("purchase_id").agg(sum(col("credit_cents")).as("total"))
+    val purchases = Tables.events(spark, SparkTestBase.sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // Inner-join conservation: every purchase that received ANY credit
+    // received exactly its rounded cents (base shares + remainder).
+    val joined = credits.join(purchases, Seq("purchase_id")).collect()
+    assert(joined.nonEmpty, "no attributed purchases at this SF")
+    joined.foreach { r =>
+      assert(r.getAs[Long]("total") == r.getAs[Long]("cents"),
+        s"credit leak on purchase ${r.get(0)}: $r")
+    }
+  }
 }
