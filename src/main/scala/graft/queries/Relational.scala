@@ -537,6 +537,30 @@ object Relational {
     s.read.schema(sup.schema).orc(out)
   }
 
+  /** Schema evolution across deliveries — the lakehouse fact of life a
+    * long-lived 100 TB corpus store must absorb: delivery 1 lands with
+    * the original column set, delivery 2 adds a column (`c_acctbal`),
+    * and a single mergeSchema read serves the UNION with nulls filling
+    * the old files — no rewrite of delivery 1 (at 100 TB a backfill
+    * rewrite is the thing you cannot afford; schema-on-read absorbs the
+    * drift for free). Footer-only schema merge at planning time; column
+    * pruning/pushdown still apply per file (old files simply produce
+    * nulls for the new column).
+    */
+  private val srcSchemaEvolution: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val out = roundTripDir(s, "schema_evo", d)
+    cust.where(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .write.mode("overwrite").parquet(s"$out/delivery1")
+    cust.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/delivery2")
+    s.read.option("mergeSchema", true)
+      .parquet(s"$out/delivery1", s"$out/delivery2")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+  }
+
   /** Hive-style partitioned parquet layout: documents written
     * `partitionBy(lang)`, then read with a partition predicate. The
     * filter never touches row data — it prunes whole directories at
@@ -967,6 +991,7 @@ object Relational {
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
+    "src_schema_evolution" -> srcSchemaEvolution,
     "src_partitioned_pruning" -> srcPartitioned,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
@@ -1143,6 +1168,14 @@ object Relational {
       "SELECT doc_id, lang, n_chars, text FROM documents",
     "src_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // The merged view: old-delivery rows surface NULL for the column
+    // that didn't exist yet.
+    "src_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_nationkey, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
     "src_partitioned_pruning" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'fr')",
     "q_pivot" ->

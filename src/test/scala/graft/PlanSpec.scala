@@ -105,6 +105,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("src_schema_evolution: merged-schema scan, no shuffle, no per-file union plan") {
+    val p = planOf("src_schema_evolution")
+    // Schema merge happens in the footer read at planning: ONE scan over
+    // both delivery dirs, not a Union of two scans, and nothing shuffles.
+    assert(countNodes(p, "Exchange") == 0, s"merged read must not shuffle:\n${p.take(1200)}")
+    assert(countNodes(p, "Union") == 0, s"merge is schema-level, not a plan Union:\n${p.take(1200)}")
+    assert(p.contains("c_acctbal"), "evolved column present in the read schema")
+  }
+
   test("d11_chunk_dedup: two exchanges (hash window, doc agg), no join") {
     val p = planOf("d11_chunk_dedup")
     assert(countNodes(p, "Exchange") == 2, s"expected 2 Exchanges:\n${p.take(1200)}")
