@@ -811,6 +811,84 @@ case class CdcChunks(child: Expression, windowBytes: Int, div: Int)
     copy(child = newChild)
 }
 
+/** Streaming-generator form of [[CdcChunks]]: emits one row per chunk
+  * LAZILY instead of materializing an array<struct> per document. Same
+  * boundaries, same fingerprints (differential-tested), but single-pass
+  * with O(1) memory per row — the shape that matters when documents are
+  * large (a 1 GB document's chunk array would otherwise live on the heap
+  * in full before the explode). The chunk fingerprint is folded
+  * INCREMENTALLY alongside the boundary scan (reset at each cut), so
+  * there is no second pass over chunk bytes at all. Enabled for the
+  * registered query via `spark.graft.cdc.generator`; Generate planning
+  * comes from the analyzer's ExtractGenerator, exactly like explode.
+  * CodegenFallback is the norm for custom Generators (Spark's own
+  * non-explode generators are fallback too); the kernel cost is the
+  * same tight byte loop either way.
+  */
+case class CdcChunksGen(child: Expression, windowBytes: Int, div: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(div > 0 && (div & (div - 1)) == 0, s"div must be a power of two, got $div")
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_start", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_len", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_hash", LongType, nullable = false)))
+  override def prettyName: String = "cdc_chunks_gen"
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksGen =
+    copy(child = newChild)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n == 0) return Iterator.empty
+    val w = windowBytes
+    val B = 1000003L
+    var bPow = 1L
+    var j = 1
+    while (j < w) { bPow *= B; j += 1 }
+    val mask = (div - 1).toLong
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var pos = 0            // bytes consumed
+      private var start = 0          // current chunk start
+      private var idx = 0            // chunk ordinal
+      private var winH = 0L          // rolling window hash (valid once pos >= w)
+      private var chunkH = 1125899906842597L // incremental chunk fingerprint
+      private var done = false
+      override def hasNext: Boolean = !done
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        // Advance until a boundary fires or input ends; the chunk
+        // fingerprint folds in lockstep, so each byte is touched once.
+        var boundary = -1
+        while (boundary < 0 && pos < n) {
+          val b = bytes(pos) & 0xFF
+          chunkH = chunkH * B + b
+          winH =
+            if (pos < w) winH * B + b
+            else (winH - (bytes(pos - w) & 0xFF) * bPow) * B + b
+          pos += 1
+          // A cut fires strictly inside the input (p ∈ [w, n-1]), after
+          // at least one full window.
+          if (pos >= w && pos < n && (winH & mask) == 0L) boundary = pos
+        }
+        val end = if (boundary >= 0) boundary else n
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](idx, start, end - start, chunkH))
+        idx += 1
+        start = end
+        chunkH = 1125899906842597L
+        if (boundary < 0) done = true
+        row
+      }
+    }
+  }
+}
+
 /** Per-frame byte sums over a binary column (see [[ExprUtil.frameByteSums]]). */
 case class FrameByteSums(child: Expression, frameSize: Int, maxFrames: Int)
     extends UnaryExpression {
@@ -956,6 +1034,9 @@ object GraftFunctions {
 
   def cdc_chunks(c: Column, windowBytes: Int = 8, div: Int = 32): Column =
     GraftSqlShim.column(CdcChunks(GraftSqlShim.expression(c), windowBytes, div))
+
+  def cdc_chunks_gen(c: Column, windowBytes: Int = 8, div: Int = 32): Column =
+    GraftSqlShim.column(CdcChunksGen(GraftSqlShim.expression(c), windowBytes, div))
 
   def rolling_hash64(c: Column): Column =
     GraftSqlShim.column(RollingHash64(GraftSqlShim.expression(c)))

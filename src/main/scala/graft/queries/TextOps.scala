@@ -391,18 +391,32 @@ object TextOps {
   def cdcChunkSpans(s: SparkSession, d: String): DataFrame =
     cdcChunkSpansOf(Tables.documents(s, d))
 
+  /** Conf key: lazy-generator CDC path (default off → array+posexplode).
+    * The generator emits chunk rows one at a time with O(1) state — the
+    * remedy once individual documents are large enough that an
+    * array<struct> per row is itself a memory hazard (multi-MB docs at
+    * 100 TB); differentially tested against the array path. */
+  val CdcGeneratorConf = "spark.graft.cdc.generator"
+
   /** Frame-parameterized form (specs plant synthetic corpora). */
-  def cdcChunkSpansOf(docs: DataFrame): DataFrame =
-    docs
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        posexplode(GraftFunctions.cdc_chunks(col("text"), CdcWindow, CdcDiv)))
-      .select(
-        col("doc_id"),
-        col("pos").as("chunk_idx"),
-        col("col.start").as("chunk_start"),
-        col("col.len").as("chunk_len"),
-        col("col.hash").as("chunk_hash"))
+  def cdcChunkSpansOf(docs: DataFrame): DataFrame = {
+    val useGen = docs.sparkSession.conf
+      .getOption(CdcGeneratorConf).contains("true")
+    val nonEmpty = docs.filter(length(col("text")) > 0)
+    if (useGen)
+      nonEmpty.select(col("doc_id"),
+        GraftFunctions.cdc_chunks_gen(col("text"), CdcWindow, CdcDiv))
+    else
+      nonEmpty
+        .select(col("doc_id"),
+          posexplode(GraftFunctions.cdc_chunks(col("text"), CdcWindow, CdcDiv)))
+        .select(
+          col("doc_id"),
+          col("pos").as("chunk_idx"),
+          col("col.start").as("chunk_start"),
+          col("col.len").as("chunk_len"),
+          col("col.hash").as("chunk_hash"))
+  }
 
   private val cdcChunk: Q = (s, d) => cdcChunkSpans(s, d)
 
