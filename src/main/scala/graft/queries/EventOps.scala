@@ -184,6 +184,28 @@ object EventOps {
         col("view_ts").cast("timestamp_ntz").as("view_ts"))
   }
 
+  /** Event-type transition matrix — the Markov-chain view of user
+    * journeys (the input to next-action prediction and journey-drop-off
+    * analysis): count, over every user timeline, how often event type A
+    * is IMMEDIATELY followed by event type B. One lead over the
+    * per-user (ts, event_id) window — the ev_sequence_match shuffle,
+    * reused for an aggregate view — then a global (from, to) count,
+    * map-side combinable into at most |types|² rows. Terminal events
+    * (each user's last) have no successor and drop out, the standard
+    * convention.
+    */
+  private val transitionMatrix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Multi-touch attribution — the revenue-allocation operator behind
     * marketing analytics: each purchase's value is split LINEARLY across
     * the user's view/click touchpoints in the preceding hour. Credit is
@@ -474,6 +496,7 @@ object EventOps {
     "ev_sequence_match" -> sequenceMatch,
     "ev_interval_join" -> intervalJoin,
     "ev_attribution" -> attribution,
+    "ev_transition_matrix" -> transitionMatrix,
     "ev_funnel" -> funnel,
   )
 
@@ -639,6 +662,14 @@ object EventOps {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'""".stripMargin,
+    "ev_transition_matrix" ->
+      """SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM (SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS to_type
+        |  FROM events) t
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // Integer credit split: cents // n everywhere, remainder to the
     // (ts, id)-max touch — mirrors the engine's struct-max tie-break.
     "ev_attribution" ->

@@ -97,6 +97,17 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rows.filter(_._2 == 0).map(_._3).sum == totalUsers)
   }
 
+  test("ev_transition_matrix: transitions sum to events minus users") {
+    import org.apache.spark.sql.functions._
+    val total = SparkEntry.queries("ev_transition_matrix")(spark, SparkTestBase.sf)
+      .agg(sum(col("n_transitions"))).collect()(0).getLong(0)
+    val ev = Tables.events(spark, SparkTestBase.sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    // Every user timeline of k events contributes exactly k-1 transitions.
+    assert(total == nEvents - nUsers, s"$total != $nEvents - $nUsers")
+  }
+
   test("ev_attribution: credits conserve each attributed purchase's cents exactly") {
     import org.apache.spark.sql.functions._
     val credits = SparkEntry.queries("ev_attribution")(spark, SparkTestBase.sf)
