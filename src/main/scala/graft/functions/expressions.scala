@@ -830,6 +830,7 @@ case class CdcChunksGen(child: Expression, windowBytes: Int, div: Int)
     with org.apache.spark.sql.catalyst.expressions.Generator
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(div > 0 && (div & (div - 1)) == 0, s"div must be a power of two, got $div")
+  require(windowBytes > 0, s"windowBytes must be positive, got $windowBytes")
   override def elementSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("chunk_idx", org.apache.spark.sql.types.IntegerType, nullable = false),

@@ -204,19 +204,30 @@ object GraphOps {
     * map-side combinable), label state lineage-cut — the same
     * Pregel-without-Pregel loop as pagerank.
     */
-  private val labelProp: Q = (s, d) => {
-    val edges = graft.core.Lineage.cut(edgesOf(s, d))
-    val labels = lpaLabels(s, d, edges)
-    graft.core.Lineage.release(edges)
-    labels
-  }
+  private val labelProp: Q = (s, d) => lpaLabels(s, d)
 
   /** LPA labels, materialized once per (session, corpus): q_label_prop
     * and q_modularity consume the same label frame, and the 3-round loop
-    * is the expensive half of each. Materialize.once writes eagerly, so
-    * callers may release `edges` as soon as this returns. */
-  private def lpaLabels(s: SparkSession, d: String, edges: DataFrame): DataFrame =
-    graft.core.Materialize.once(s, s"lpa_labels:$d") { lpaLabelsOf(edges) }
+    * is the expensive half of each. The edge cut lives INSIDE the
+    * memoized block so a cache hit runs no Spark job at all (an eager
+    * cut before the cache check would materialize the full edge table
+    * only to throw it away), and the final-round label cut is released
+    * once the parquet write has consumed it — Materialize.once writes
+    * before returning, so by the time the handle is visible here the
+    * blocks are dead weight. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    var lastCut: Option[DataFrame] = None
+    val out = graft.core.Materialize.once(s, s"lpa_labels:$d") {
+      val edges = graft.core.Lineage.cut(edgesOf(s, d))
+      val labels = lpaLabelsOf(edges)
+      graft.core.Lineage.release(edges)
+      lastCut = Some(labels)
+      labels
+    }
+    // Runs only on the computing call (cache hits never set it).
+    lastCut.foreach(graft.core.Lineage.release)
+    out
+  }
 
   /** The LPA round loop over an already-cut symmetric edge frame; the
     * returned label frame is materialized (cut on the final round), so
@@ -253,7 +264,7 @@ object GraphOps {
     */
   private val modularity: Q = (s, d) => {
     val edges = graft.core.Lineage.cut(edgesOf(s, d))
-    val labels = lpaLabels(s, d, edges)
+    val labels = lpaLabels(s, d)
     val intra = edges
       .join(labels.select(col("node").as("src"), col("label").as("community")), Seq("src"))
       .join(labels.select(col("node").as("dst"), col("label").as("dst_label")), Seq("dst"))
@@ -269,8 +280,9 @@ object GraphOps {
         .select(col("community"), col("n_nodes"),
           coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
           col("degree_sum")))
+    // `labels` is a parquet scan from Materialize.once (its blocks were
+    // released inside lpaLabels) — only the edge cut is pinned here.
     graft.core.Lineage.release(edges)
-    graft.core.Lineage.release(labels)
     out
   }
 

@@ -76,13 +76,13 @@ class GraphSpec extends AnyFunSuite {
     assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
   }
 
-  test("q_kcore: planted chain peels away by cascade, clique survives intact") {
+  test("q_kcore: whole sub-threshold chain removed in one synchronous round; clique intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // A 4-clique (every node degree 3) with a pendant chain 4-10-11-12:
-    // at k=3 the chain unravels over THREE cascade rounds (12 first,
-    // then 11, then 10 — each removal exposes the next), and node 4's
-    // degree drops back to 3 but stays; the clique is exactly the 3-core.
+    // at k=3 EVERY chain node starts below threshold (degrees 2, 2, 1),
+    // so the synchronous round removes all three AT ONCE — the
+    // one-round case; node 4's degree drops to 3 and stays.
     val clique = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
     val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
@@ -91,5 +91,25 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
       s"expected exactly the 4-clique at degree 3, got $out")
+  }
+
+  test("q_kcore: multi-round cascade — removal drops a neighbor below k only in a later round") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // k=2 caterpillar into a triangle: pendant 10 (deg 1) hangs off 11
+    // (deg 2 = k, SAFE in round 1), which hangs off 12 (deg 2), which
+    // hangs off triangle corner 3. Each round's removal drops exactly
+    // one more node below k, exercising the frontier formulation's
+    // decremented-degree path across FOUR rounds: {10} → {11} → {12} →
+    // {} (3 drops from deg 3 to 2 and stays). A stale-degree bug in the
+    // iterated decrement would keep 11 or 12 alive.
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val tail = Seq((3L, 12L), (12L, 11L), (11L, 10L))
+    val edges = (tri ++ tail).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val out = graft.queries.GraphOps.kcoreOf(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"expected exactly the triangle at degree 2, got $out")
   }
 }
