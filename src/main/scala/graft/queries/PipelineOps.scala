@@ -444,7 +444,37 @@ object PipelineOps {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
+  /** Dataset-card statistics — the reporting deliverable every corpus
+    * release ships: per (split, lang) cell, document count, token count,
+    * character volume and distinct-source coverage. Reuses the
+    * tx_split hash-bucket assignment and the tx_tokens whitespace
+    * convention VERBATIM (same expressions, same oracle SQL fragments)
+    * so the card can never disagree with the queries it summarizes.
+    * All-integer output (counts and sums, no means) so the oracle
+    * compares exactly. One pass + one map-side-combinable aggregate
+    * into |splits|×|langs| rows; distinct-source is Spark's standard
+    * two-phase distinct aggregate.
+    */
+  private val datasetStats: Q = (s, d) => {
+    val bucket = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 2),
+      16, 10).cast("int")
+    val splitCol = when(bucket < 205, "train")
+      .when(bucket < 230, "valid").otherwise(lit("test"))
+    val nToks = when(trim(col("text")) === "", 0)
+      .otherwise(size(toks(col("text"))))
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"),
+        splitCol.as("split"), nToks.cast("long").as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe_dataset_stats" -> datasetStats,
     "pipe_semdedup" -> semdedup,
     "tx_contamination" -> contamination,
     "tx_line_dedup" -> lineDedup,
@@ -467,6 +497,25 @@ object PipelineOps {
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
 
   val oracle: Map[String, String] = Map(
+    // Same bucket SQL as tx_split, same token convention as tx_tokens.
+    "pipe_dataset_stats" ->
+      s"""WITH s AS (SELECT lang, source, n_chars,
+         |    CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'valid'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '$Ws+')) END AS n_toks
+         |  FROM (SELECT *,
+         |      16 * (strpos('0123456789abcdef',
+         |             substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)) - 1)
+         |      + (strpos('0123456789abcdef',
+         |             substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
+         |    FROM documents) t)
+         |SELECT split, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM s GROUP BY 1, 2""".stripMargin,
     "pipe_semdedup" ->
       s"""WITH ${SimilarityOps.kmeansCtesSql},
          |mm AS (SELECT af.vec_id, af.cluster, e.v FROM af JOIN e USING (vec_id)),
