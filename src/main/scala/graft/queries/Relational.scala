@@ -561,6 +561,44 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
   }
 
+  /** Snapshot diff between two landed deliveries — the change-DETECTION
+    * complement of src_upsert_merge/src_scd2_merge (which APPLY changes):
+    * given yesterday's and today's full snapshots on disk, emit exactly
+    * the added / removed / changed keys with old and new values, so every
+    * downstream incremental job processes the delta instead of the 100 TB
+    * snapshot. One key-keyed full outer join — both sides shuffle once on
+    * the key; at scale both snapshots would be bucketed by key and the
+    * join goes exchange-free (src_bucketed_join is the demonstrated
+    * lever). Value comparison is exact: unchanged rows carry the
+    * IDENTICAL stored double, and the synthesized change is ×2 (an
+    * exponent increment — exact in IEEE754), so engine and oracle agree
+    * bit-for-bit with no tolerance gate.
+    */
+  private val srcDeltaDiff: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val out = roundTripDir(s, "delta_diff", d)
+    base.where(col("c_custkey") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$out/v1")
+    base.where(col("c_custkey") % 10 =!= 1)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") * 2)
+          .otherwise(col("c_acctbal")))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    val v1 = s.read.parquet(s"$out/v1")
+      .select(col("c_custkey"), col("c_acctbal").as("old_acctbal"))
+    val v2 = s.read.parquet(s"$out/v2")
+      .select(col("c_custkey"), col("c_acctbal").as("new_acctbal"))
+    v1.join(v2, Seq("c_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_acctbal").isNull, "added")
+          .when(col("new_acctbal").isNull, "removed")
+          .when(col("old_acctbal") =!= col("new_acctbal"), "changed"))
+      .where(col("change_type").isNotNull)
+      .select(col("c_custkey"), col("change_type"),
+        col("old_acctbal"), col("new_acctbal"))
+  }
+
   /** Hive-style partitioned parquet layout: documents written
     * `partitionBy(lang)`, then read with a partition predicate. The
     * filter never touches row data — it prunes whole directories at
@@ -992,6 +1030,7 @@ object Relational {
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
     "src_schema_evolution" -> srcSchemaEvolution,
+    "src_delta_diff" -> srcDeltaDiff,
     "src_partitioned_pruning" -> srcPartitioned,
     "q_pivot" -> qPivot,
     "q_grouping_sets" -> qGroupingSets,
@@ -1168,6 +1207,24 @@ object Relational {
       "SELECT doc_id, lang, n_chars, text FROM documents",
     "src_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // Same synthesized snapshots, same full-outer diff; ×2 is exact in
+    // IEEE754 so the changed-row compare needs no tolerance.
+    "src_delta_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal AS old_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |v2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS new_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 1)
+        |SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+        |  CASE WHEN v1.c_custkey IS NULL THEN 'added'
+        |       WHEN v2.c_custkey IS NULL THEN 'removed'
+        |       WHEN old_acctbal <> new_acctbal THEN 'changed' END AS change_type,
+        |  old_acctbal, new_acctbal
+        |FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+        |WHERE CASE WHEN v1.c_custkey IS NULL THEN 'added'
+        |           WHEN v2.c_custkey IS NULL THEN 'removed'
+        |           WHEN old_acctbal <> new_acctbal THEN 'changed' END IS NOT NULL""".stripMargin,
     // The merged view: old-delivery rows surface NULL for the column
     // that didn't exist yet.
     "src_schema_evolution" ->
