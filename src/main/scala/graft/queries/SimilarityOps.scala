@@ -176,6 +176,48 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** ANN index-quality evaluation — recall@10 of the IVF probe path
+    * against exact ground truth, per query of the standard batch: the
+    * number every index deployment reports before serving traffic (and
+    * re-checks when the corpus drifts). Ground truth is the batch
+    * one-scan top-k ([[batchScoredTopK]] — shared body, cannot drift
+    * from ann_batch_topk); the IVF side ranks nprobe=3 cells PER QUERY
+    * with a rank window (no driver collect — the per-query probe set
+    * stays distributed, unlike the single-query ivf's bounded-metadata
+    * collect) and scores only probed cells. Overlap counting is exact
+    * because both engines produce bit-identical cosines (the order-exact
+    * fold discipline), so top-10 membership agrees bit-for-bit. Output:
+    * (query_id, hits-of-10) — integers, exact oracle compare.
+    */
+  private val recallEval: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val qs = e.where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = batchScoredTopK(e, qs, col("vec_id") =!= col("query_id"),
+      Seq(col("query_id"), col("vec_id")))
+    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("label"))
+    val probes = centroidsOnce(s, d, e).crossJoin(broadcast(qs))
+      .withColumn("csim", cosineCol(col("centroid"), col("qv")))
+      .withColumn("prk", row_number().over(wp))
+      .where(col("prk") <= 3)
+      .select(col("query_id"), col("label"), col("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val ivfTop = e.join(broadcast(probes), Seq("label"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineCol(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"))
+    qs.select(col("query_id"))
+      .join(exact.join(ivfTop, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("recall_at_10_hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("recall_at_10_hits"), lit(0L)).as("recall_at_10_hits"))
+  }
+
   /** Exact-ball radius (as squared L2 distance) for [[rangeSearch]] — a
     * literal double, spelled identically in the oracle SQL so both
     * engines compare the same bits at the boundary. */
@@ -473,6 +515,7 @@ object SimilarityOps {
     "ann_ivfpq_topk" -> ivfpq,
     "ann_range_search" -> rangeSearch,
     "ann_hard_negatives" -> hardNegatives,
+    "ann_recall_eval" -> recallEval,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -624,6 +667,36 @@ object SimilarityOps {
          |FROM e, q
          |WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probes)
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // Ground truth = the ann_batch_topk CTE; IVF side ranks nprobe=3
+    // cells per query with the same (csim DESC, label) order as the
+    // engine's rank window; hit counting is exact integer.
+    "ann_recall_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $BatchQueries),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosineSql("e.v", "q.qv")} DESC, e.vec_id) AS INT) AS rank
+         |  FROM e, q WHERE e.vec_id <> q.query_id) t WHERE rank <= 10),
+         |px AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
+         |cm AS (SELECT label, pos, ${exactMeanSql("x")} AS m
+         |       FROM px GROUP BY label, pos),
+         |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+         |pr AS (SELECT query_id, label, qv FROM (
+         |  SELECT q.query_id, c.label, q.qv,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosineSql("c.centroid", "q.qv")} DESC, c.label) AS prk
+         |  FROM c, q) t WHERE prk <= 3),
+         |iv AS (SELECT query_id, vec_id FROM (
+         |  SELECT pr.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY pr.query_id
+         |      ORDER BY ${cosineSql("e.v", "pr.qv")} DESC, e.vec_id) AS rank
+         |  FROM e JOIN pr ON e.label = pr.label
+         |  WHERE e.vec_id <> pr.query_id) t WHERE rank <= 10),
+         |o AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n
+         |      FROM ex JOIN iv USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(o.n, 0) AS recall_at_10_hits
+         |FROM q LEFT JOIN o USING (query_id)""".stripMargin,
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
