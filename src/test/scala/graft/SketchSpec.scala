@@ -32,17 +32,17 @@ class SketchSpec extends AnyFunSuite {
       s"estimate $direct vs exact $n out of tolerance")
   }
 
-  test("sparse mode is exact at oracle cardinality (q_hll_distinct regression pin)") {
-    val sf = SparkTestBase.sf
-    val o = Tables.orders(spark, sf)
-    val rows = o.groupBy(col("o_orderpriority"))
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))").as("est"),
-        countDistinct(col("o_custkey")).as("exact"))
+  test("q_hll_distinct: every row's estimate property holds, ALL row present") {
+    // The oracle contract after the sf0.1 lesson: q_hll_distinct gates
+    // the EXACT count plus the |est − exact| ≤ 3% property (sparse-mode
+    // exactness at lgK=14 only holds below ~12k distincts, which sf0.1
+    // exceeds — an exact-estimate oracle was SF-dependent).
+    val rows = SparkEntry.queries("q_hll_distinct")(spark, SparkTestBase.sf)
       .collect()
+    assert(rows.nonEmpty && rows.exists(_.getString(0) == "ALL"))
     rows.foreach { r =>
-      assert(r.getLong(1) == r.getLong(2),
-        s"${r.getString(0)}: est ${r.getLong(1)} != exact ${r.getLong(2)} — " +
-          "the q_hll_distinct oracle depends on sparse-mode exactness at lgK=14")
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: estimate strayed past 3% of exact ${r.getLong(1)}")
     }
   }
 }
