@@ -79,9 +79,22 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, v) => first.contains(k) && v >= 0 }.toMap
     } catch { case _: Throwable => Map.empty }
+    // ONE threshold, shared with tools/bench_check.py via
+    // tools/bench_thresholds.json: the adjudicator must re-run everything
+    // the checker would flag. Round 5's gap (re-run at 2.0x, check at 1.5x)
+    // let a steal-window reading ship as a REGR without adjudication.
+    val (regrRatio, regrFloor): (Double, Double) = (try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("tools/bench_thresholds.json")), "UTF-8")
+      val num = (k: String) => s""""$k"\\s*:\\s*([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      for { r <- num("ratio"); f <- num("floor_sec") } yield (r, f)
+    } catch { case _: Throwable => None }).getOrElse((1.5, 0.5))
+    def regressed(t: Double, b: Double): Boolean =
+      t > b * regrRatio && t - b > regrFloor
     def suspect(name: String, t: Double): Boolean =
       t >= 0 && (baseline.get(name) match {
-        case Some(b) => t > b * 2.0 && t - b > 0.5
+        case Some(b) => regressed(t, b)
         case None    => t > 5.0 // no baseline: only re-check big readings
       })
     val suspects = firstPass.filter((suspect _).tupled)
@@ -101,8 +114,13 @@ object Bench {
         val calib = calibrate()
         var best = t0
         var runs = 0
-        val passBar = baseline.get(name).map(b => b * 2.0).getOrElse(5.0)
-        while (runs < 2 && best > passBar && rerunBudget > 0) {
+        // Stop re-running once the best reading would no longer be flagged
+        // by bench_check (same shared ratio+floor).
+        def stillFlagged(t: Double): Boolean = baseline.get(name) match {
+          case Some(b) => regressed(t, b)
+          case None    => t > 5.0
+        }
+        while (runs < 2 && stillFlagged(best) && rerunBudget > 0) {
           graft.core.Materialize.clear(spark)
           val t = timeQuery(name)
           runs += 1

@@ -17,7 +17,16 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__, file=sys.stderr)
         return 2
-    ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    # Shared gate constants (tools/bench_thresholds.json) — the same file
+    # graft.Bench reads for its adjudication trigger, so a reading that
+    # would fail here is guaranteed to have been re-timed there first.
+    try:
+        thr = json.load(open(os.path.join(os.path.dirname(__file__),
+                                          "bench_thresholds.json")))
+        def_ratio, floor = float(thr["ratio"]), float(thr["floor_sec"])
+    except (OSError, ValueError, KeyError):
+        def_ratio, floor = 1.5, 0.5
+    ratio = float(sys.argv[2]) if len(sys.argv) > 2 else def_ratio
     # A -1 failure sentinel in the baseline is "no baseline", not a bar to
     # clear: comparing against it would flag every passing run forever.
     base = {k: v for k, v in
@@ -62,11 +71,11 @@ def main() -> int:
             rc = 1
         elif name not in base:
             print(f"new  {name}: {t:.2f}s (no baseline)")
-        elif t > base[name] * ratio and t - base[name] > 0.5:
+        elif t > base[name] * ratio and t - base[name] > floor:
             print(f"REGR {name}: {t:.2f}s vs baseline {base[name]:.2f}s "
                   f"({t / base[name]:.1f}x)")
             rc = 1
-        elif t < base[name] / ratio and base[name] - t > 0.5:
+        elif t < base[name] / ratio and base[name] - t > floor:
             print(f"win  {name}: {t:.2f}s vs baseline {base[name]:.2f}s")
     for name in sorted(set(base) - set(cur["queries"])):
         print(f"gone {name}: in baseline but not in this run")
