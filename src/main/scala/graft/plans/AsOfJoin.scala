@@ -582,6 +582,11 @@ object AsOfJoin {
     // require ever seeing the original string.
     require(strategy.forall(Set("broadcast", "shuffle")),
       s"asof strategy must be broadcast or shuffle (got ${strategy.getOrElse("")})")
+    // Only -1 means "unbounded"; any other negative tolerance is a caller
+    // arithmetic bug — pandas merge_asof rejects it, and silently treating
+    // it as unbounded would disable the bound without error.
+    require(tolerance >= 0 || tolerance == -1L,
+      s"asof tolerance must be >= 0, or -1 for unbounded (got $tolerance)")
     val spark0 = left.sparkSession
     val skewThreshold = spark0.conf
       .getOption("spark.graft.asof.skew.threshold")

@@ -773,24 +773,39 @@ object DedupOps {
     * even when the documents CONTAINING them differ, so sub-document
     * dedup falls out of a first-occurrence election on the 64-bit chunk
     * hash. Per document: chunk count, duplicate-chunk count, duplicate
-    * bytes. Shapes: one shuffle to cluster by chunk_hash (the
-    * first-occurrence window — per-hash groups are a handful of rows, so
-    * the sort cannot skew), one to re-aggregate by doc_id; only (doc_id,
-    * idx, len, hash) tuples ever shuffle — chunk TEXT never leaves the
-    * map side, which is what makes this viable at 100 TB (longs at
-    * ~1/chunk-size of corpus byte volume). Tie order (doc_id, chunk_idx)
-    * makes the keeper deterministic; a within-doc repeated chunk counts
-    * as dup too (same hash, later idx), matching the d9 span view.
+    * bytes. Shapes: the first-occurrence election is a map-side-combinable
+    * min(struct(doc_id, chunk_idx, chunk_len)) per chunk_hash — NOT a
+    * row_number window, because the motivating workload (license
+    * headers, boilerplate) makes some chunk_hash groups corpus-sized and
+    * a window would serialize that group's sort on one task. The hot
+    * hash instead collapses to one row per map task in the partial agg.
+    * A doc's dup counts then derive WITHOUT joining back through the
+    * skewed hash key: dups(doc) = chunks(doc) − firsts-won-by(doc), and
+    * dup_bytes(doc) = bytes(doc) − first_bytes-won-by(doc) (chunk_len
+    * rides in the min struct after the unique (doc_id, chunk_idx)
+    * prefix, so it never affects the ordering). Only (doc_id, idx, len,
+    * hash) tuples ever shuffle — chunk TEXT never leaves the map side,
+    * which is what makes this viable at 100 TB (longs at ~1/chunk-size
+    * of corpus byte volume). Tie order (doc_id, chunk_idx) makes the
+    * keeper deterministic; a within-doc repeated chunk counts as dup too
+    * (same hash, later idx), matching the d9 span view.
     */
   def chunkDedupOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("chunk_hash").orderBy(col("doc_id"), col("chunk_idx"))
-    TextOps.cdcChunkSpansOf(docs)
-      .withColumn("rn", row_number().over(w))
-      .groupBy("doc_id")
+    val spans = TextOps.cdcChunkSpansOf(docs)
+    val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
-        sum(when(col("rn") > 1, col("chunk_len").cast("long")).otherwise(0L)).as("dup_bytes"))
+        sum(col("chunk_len").cast("long")).as("total_bytes"))
+    val firstsPerDoc = spans
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"),
+        col("chunk_len").cast("long").as("chunk_len"))).as("first_occ"))
+      .groupBy(col("first_occ.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"),
+        sum(col("first_occ.chunk_len")).as("first_bytes"))
+    perDoc.join(firstsPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_first"), lit(0L))).as("n_dup_chunks"),
+        (col("total_bytes") - coalesce(col("first_bytes"), lit(0L))).as("dup_bytes"))
   }
 
   private val chunkDedup: Q = (s, d) => chunkDedupOf(Tables.documents(s, d))

@@ -222,10 +222,19 @@ object EventOps {
   private val attribution: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
+    // Integer credit split relies on `div`/`%` (truncate toward zero)
+    // agreeing with the oracle's `//`/`%`; that holds only for cents >= 0.
+    // A refund fixture (negative value) must fail loudly here, not
+    // silently diverge per-touch — raise_error keeps the guard codegen'd
+    // and free on the non-negative path.
+    val centsRaw = round(col("value") * 100).cast("long")
     val purchases = ev.where(col("event_type") === "purchase").select(
       col("user_id"), col("event_id").as("purchase_id"),
       col("ts").as("pts"),
-      round(col("value") * 100).cast("long").as("cents"))
+      when(centsRaw < 0, raise_error(concat(
+        lit("ev_attribution: negative purchase cents unsupported "),
+        lit("(integer split assumes cents >= 0), got "),
+        centsRaw.cast("string")))).otherwise(centsRaw).as("cents"))
     val touches = ev.where(col("event_type").isin("view", "click")).select(
       col("user_id"), col("event_id").as("touch_id"),
       col("event_type").as("touch_type"), col("ts").as("tts"))
@@ -600,7 +609,11 @@ object EventOps {
     // Direction/tolerance variants: DuckDB's ASOF JOIN is backward-only,
     // so these unroll to a ranked lateral pick. Tie-break on view_id is
     // nominal — the fixtures have no duplicate (user_id, ts) view pairs
-    // (the backward oracle's ASOF already relies on that).
+    // (the backward oracle's ASOF already relies on that), and
+    // AsOfJoinSpec's "fixture invariant" test asserts exactly this so a
+    // fixture regeneration that breaks it fails with an explanation, not
+    // a silent hash mismatch. view_id also leads the engine's carry list,
+    // so struct byte-order ties and view_id order coincide regardless.
     "ev_asof_forward" ->
       """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |             value AS click_value
@@ -672,6 +685,10 @@ object EventOps {
         |GROUP BY 1, 2""".stripMargin,
     // Integer credit split: cents // n everywhere, remainder to the
     // (ts, id)-max touch — mirrors the engine's struct-max tie-break.
+    // CONSTRAINT: cents >= 0 (the engine raise_errors otherwise) — for
+    // negative cents DuckDB's floor-// and truncate-% disagree with
+    // Spark's truncate-div, so the equivalence below is only claimed on
+    // the non-negative domain.
     "ev_attribution" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id,
         |    CAST(ts AS TIMESTAMP) AS pts,

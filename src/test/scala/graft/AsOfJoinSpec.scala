@@ -403,4 +403,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.isNullAt(3)).toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> true))
   }
+
+  test("negative tolerance other than the -1 unbounded sentinel is rejected") {
+    val p = probes((1L, 10L, 100L))
+    val r = refs((7L, 10L, 10L))
+    // -2 is a miscomputed bound, not a request for "unbounded": pandas
+    // merge_asof rejects negative tolerance and so do we — silently
+    // disabling the bound would be an invisible correctness change.
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), tolerance = -2L)
+    }
+    assert(e.getMessage.contains("tolerance"))
+    // The sentinel and any non-negative value still pass validation.
+    AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), tolerance = -1L).count()
+    AsOfJoin.asof(p, r, "key", "t", "t", Seq("r_id"), tolerance = 0L).count()
+  }
+
+  test("fixture invariant: view rows have unique (user_id, ts) — the " +
+       "forward/nearest oracle tie-break on view_id is only equivalent to " +
+       "the engine's carried-struct order under this uniqueness") {
+    // ev_asof_forward/nearest oracles rank duplicate-(user_id, ts) views
+    // by view_id while the engine's run cursor breaks such ties by the
+    // carried projection's order (view_id first, so they coincide — but
+    // only because view_id leads the carry). If a fixture regeneration
+    // ever introduces duplicate (user_id, ts) view pairs, fail HERE with
+    // an explanation instead of as a silent oracle hash mismatch.
+    val views = spark.read.parquet(s"${SparkTestBase.sf}/events.parquet")
+      .where(col("event_type") === "view")
+    val dups = views.groupBy("user_id", "ts").count().where(col("count") > 1).count()
+    assert(dups == 0L,
+      s"$dups duplicate (user_id, ts) view pairs — ev_asof_forward/nearest " +
+      "oracles' view_id tie-break no longer matches engine byte-order ties; " +
+      "regenerate fixtures or extend the oracle ORDER BY")
+  }
 }

@@ -114,10 +114,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("c_acctbal"), "evolved column present in the read schema")
   }
 
-  test("d11_chunk_dedup: two exchanges (hash window, doc agg), no join") {
+  test("d11_chunk_dedup: skew-proof shape — no window sort over chunk_hash, " +
+       "min-struct election partial-aggregates map-side") {
     val p = planOf("d11_chunk_dedup")
-    assert(countNodes(p, "Exchange") == 2, s"expected 2 Exchanges:\n${p.take(1200)}")
-    assert(!p.contains("Join"), s"dedup must be a window election, not a self-join:\n${p.take(1200)}")
+    // The first-occurrence election must be an aggregate (map-side
+    // combinable min(struct)), never a row_number window: a corpus-wide
+    // boilerplate chunk makes chunk_hash groups corpus-sized, and a
+    // window would sort that whole group on one task.
+    assert(countNodes(p, "Window") == 0,
+      s"election must be an agg, not a window:\n${p.take(1200)}")
+    // The struct-min plans as a SortAggregate (struct buffers are not
+    // hash-agg mutable) — that's fine: the PARTIAL phase still runs
+    // map-side below the exchange (each task sorts only its own
+    // partition by chunk_hash), so the hot hash collapses to one row
+    // per map task before any shuffle.
+    assert(p.contains("partial_min(struct"),
+      s"first-occurrence min must partial-aggregate map-side:\n${p.take(1600)}")
+    // Three hash shuffles (per-doc totals, per-hash firsts, firsts'
+    // per-doc re-agg) + the final doc_id join; the join keys are unique
+    // per side so it cannot skew (and broadcasts at test SF).
+    assert(countNodes(p, "Exchange") <= 4, s"expected <= 4 Exchanges:\n${p.take(1200)}")
     assert(p.contains("Generate"), "chunk explode must stay map-side")
   }
 
