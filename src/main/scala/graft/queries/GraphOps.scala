@@ -233,10 +233,27 @@ object GraphOps {
     * returned label frame is materialized (cut on the final round), so
     * callers may release `edges` afterwards. Shared by q_label_prop and
     * q_modularity so the community definition cannot drift. */
-  def lpaLabelsOf(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    for (_ <- 1 to LpaRounds) {
+  def lpaLabelsOf(edges: DataFrame): DataFrame = lpaLabelsWithRounds(edges)._1
+
+  /** [[lpaLabelsOf]] plus the number of rounds actually executed —
+    * synchronous LPA is a fixpoint iteration, so once a round changes
+    * ZERO labels every further round is a no-op on the same input and
+    * the loop may exit with bit-identical output (the unrolled-round
+    * oracle still matches by construction). The change count is exact
+    * (a node-keyed join of two already-materialized label frames — the
+    * q_kcore monotone early-stop discipline), and it is checked only
+    * between rounds: the final round never pays for a count it cannot
+    * act on. At scale this converts "rounds × shuffles always" into
+    * "rounds-until-convergence × shuffles", which for the many corpora
+    * that settle in 1-2 rounds halves the family's cost.
+    */
+  def lpaLabelsWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    var labels = graft.core.Lineage.cut(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    var rounds = 0
+    var converged = false
+    while (rounds < LpaRounds && !converged) {
       val prev = labels
       labels = graft.core.Lineage.cut(
         edges.join(prev, col("src") === col("node"))
@@ -244,9 +261,18 @@ object GraphOps {
           .groupBy(col("dst"))
           .agg(min(struct((-col("cnt")).as("negcnt"), col("label"))).as("best"))
           .select(col("dst").as("node"), col("best.label").as("label")))
+      rounds += 1
+      if (rounds < LpaRounds) {
+        // Both sides are cut (materialized) frames of (node, label):
+        // the diff count replays no round work.
+        val changed = labels.as("a")
+          .join(prev.as("b"), col("a.node") === col("b.node"))
+          .where(col("a.label") =!= col("b.label")).count()
+        converged = changed == 0L
+      }
       graft.core.Lineage.release(prev)
     }
-    labels
+    (labels, rounds)
   }
 
   /** Community-quality metrics (the per-community ingredients of Newman

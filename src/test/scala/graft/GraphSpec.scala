@@ -112,4 +112,38 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
       s"expected exactly the triangle at degree 2, got $out")
   }
+
+  test("LPA zero-change early-stop: converged graph exits before the round " +
+       "cap with output identical to the full unrolled rounds") {
+    import spark.implicits._
+    // Self-loops make the init labeling (label = node id) an immediate
+    // fixpoint: every node's only neighbor label is its own id, so
+    // round 1 changes zero labels and the loop must exit at rounds=1.
+    val fixed = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("src", "dst")
+    val (labsF, roundsF) = graft.queries.GraphOps.lpaLabelsWithRounds(fixed)
+    assert(roundsF == 1, s"fixpoint graph must stop after round 1, ran $roundsF")
+    assert(labsF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+
+    // Two self-looped nodes joined by an edge: round 1 flips node 2 to
+    // label 1 (tie → min), round 2 changes nothing → exit at rounds=2,
+    // one round under the cap, with the same labels the full unroll
+    // would produce (a fixpoint is invariant under further rounds).
+    val pair = Seq((1L, 1L), (2L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (labsP, roundsP) = graft.queries.GraphOps.lpaLabelsWithRounds(pair)
+    assert(roundsP == 2, s"expected convergence detected at round 2, ran $roundsP")
+    assert(labsP.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+
+    // A complete triangle still changes a label in round 2 (node 1's
+    // 2→1), so the check after round 2 sees a diff and round 3 runs:
+    // the early-stop must NOT fire before a real fixpoint.
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val (labsT, roundsT) = graft.queries.GraphOps.lpaLabelsWithRounds(tri)
+    assert(roundsT == graft.queries.GraphOps.LpaRounds,
+      s"non-converged graph must run the full cap, ran $roundsT")
+    assert(labsT.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
