@@ -810,8 +810,23 @@ object DedupOps {
 
   private val chunkDedup: Q = (s, d) => chunkDedupOf(Tables.documents(s, d))
 
+  /** The registered face of [[embeddingPairsLsh]] — the 100 TB sibling of
+    * d5's exact all-pairs. Threshold 0.4 is the SPARSE regime for this
+    * corpus (the fixture's cosine ceiling is ~0.51, so 0.4 keeps ~5-90
+    * qualifying pairs out of ~10⁴-10⁵ same-label candidates), which is
+    * where banded LSH is honest: collision probability for a qualifying
+    * pair across 16 4-bit bands is high while the bulk at cos≈0 almost
+    * never collides. The exact-cosine verify step makes precision 1 by
+    * construction; DedupSpec's planted-cluster property pins recall vs
+    * [[embeddingPairsExact]].
+    */
+  val D12Threshold = 0.4
+
+  private val embeddingLsh: Q = (s, d) => embeddingPairsLsh(s, d, D12Threshold)
+
   val queries: Map[String, Q] = Map(
     "d11_chunk_dedup" -> chunkDedup,
+    "d12_embedding_lsh" -> embeddingLsh,
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
@@ -925,7 +940,56 @@ object DedupOps {
       |            i -> b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y)))
       |      >= 0.3""".stripMargin
 
+  /** d12 oracle: the engine's hyperplanes are DRIVER-SIDE PLAN LITERALS
+    * (Array.tabulate over splitmix64, baked into Column expressions), so
+    * the oracle receives the SAME doubles as SQL list literals generated
+    * here from the same splitmix64 stream — shortest-repr Double.toString
+    * round-trips bit-exactly through DuckDB's correctly-rounded parser.
+    * DuckDB then reproduces bit = sign(v·plane), 4-bit band-key packing,
+    * the band-bucket self-join, and the exact-cosine verify. The dot
+    * folds in ascending index order on both sides (dot_fold == left fold
+    * with 0.0 init == list_reduce over a transformed list, the proven d5
+    * pattern), so even a near-zero dot's SIGN cannot diverge between
+    * engines. dim is pinned to 64 — every fixture SF ships dim-64
+    * embeddings; a dim change fails loudly as an oracle mismatch rather
+    * than silently gating nothing.
+    */
+  private lazy val d12OracleSql: String = {
+    val dim = 64
+    val bands = 16; val rowsPerBand = 4
+    val planeRows = (0 until bands * rowsPerBand).map { b =>
+      val ws = (0 until dim).map(i =>
+        (splitmix64(0xE5113L * (b.toLong * 4099 + i)).toDouble /
+          (1L << 63).toDouble).toString).mkString(", ")
+      s"($b, [$ws])"
+    }.mkString(",\n")
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_transform(generate_series(1, $dim),
+         |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)""".stripMargin
+    s"""WITH planes(bit, w) AS (VALUES
+       |$planeRows),
+       |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bits AS (SELECT e.vec_id, e.label, p.bit,
+       |    CASE WHEN ${dotSql("e.v", "p.w")} >= 0 THEN 1 ELSE 0 END AS bv
+       |  FROM e, planes p),
+       |sigs AS (SELECT vec_id, label, bit // $rowsPerBand AS band,
+       |    CAST(sum(bv * (1 << (bit % $rowsPerBand))) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1, 2, 3),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.label
+       |  FROM sigs a JOIN sigs b
+       |    ON a.label = b.label AND a.band = b.band AND a.sig = b.sig
+       |       AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b, c.label
+       |FROM cand c
+       |JOIN e ea ON ea.vec_id = c.id_a
+       |JOIN e eb ON eb.vec_id = c.id_b
+       |WHERE ${dotSql("ea.v", "eb.v")}
+       |      / (sqrt(${dotSql("ea.v", "ea.v")})
+       |         * sqrt(${dotSql("eb.v", "eb.v")})) >= $D12Threshold""".stripMargin
+  }
+
   lazy val oracle: Map[String, String] = Map(
+    "d12_embedding_lsh" -> d12OracleSql,
     // Chunk spans come from the SAME shared CTE chain as the
     // tx_cdc_chunk oracle (TextOps.CdcChunksOracleCtes) — the dedup is a
     // row_number first-occurrence election on the chunk fingerprint.
