@@ -176,6 +176,64 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Adaptive-nprobe IVF top-k with a PROVABLY EXACT stop rule — the
+    * remedy for the recall gap `ann_recall_eval` measures at fixed
+    * nprobe (1-6/10 on the isotropic corpus). Round 1 probes the
+    * `initialProbes` nearest cells and collects the k-th shortlist
+    * distance d_k (≤ k rows — bounded metadata). Round 2 expands the
+    * probe set to every cell whose triangle-inequality minimum possible
+    * distance max(0, ‖q−c‖ − r_cell) ≤ d_k (+ε for sqrt's half-ulp,
+    * the rangeSearchPruned discipline): any vector that could enter the
+    * true top-k sits in such a cell, so the expanded top-k EQUALS brute
+    * force — recall 1 by construction, which is why its oracle is plain
+    * brute force with no probing to mirror. On clustered corpora the
+    * expansion stops at a handful of cells (IvfPruningSpec pins this);
+    * on isotropic data it honestly widens toward a full scan — adaptive
+    * probing buys exactness, the CORPUS decides the cost. At 100 TB
+    * with the table partitioned by cell both rounds are planning-time
+    * partition prunes; never more than two scans (shortlist < k rows ⇒
+    * d_k = ∞ ⇒ round 2 is the full scan the data demands).
+    *
+    * Returns (final probe set, lazy top-k) so tests can assert the
+    * prune width.
+    */
+  def ivfAdaptiveTopK(e: DataFrame, q: DataFrame, cent: DataFrame,
+      k: Int, initialProbes: Int = 3): (Seq[Any], DataFrame) = {
+    def dist0(a: Column, b: Column): Column =
+      sqrt(greatest(distSq(a, b), lit(0.0)))
+    val radii = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), dist0(col("v"), col("centroid")).as("dc"))
+      .groupBy("label").agg(max(col("dc")).as("r"))
+    // nlist rows of (cell, centroid distance, radius) — metadata, not data.
+    val cells = cent.join(radii, Seq("label")).crossJoin(broadcast(q))
+      .select(col("label"), dist0(col("centroid"), col("qv")).as("dq"), col("r"))
+      .collect().map(row => (row.get(0), row.getDouble(1), row.getDouble(2)))
+      .sortBy { case (l, dq, _) => (dq, String.valueOf(l)) }.toSeq
+    def topOver(labels: Seq[Any]): DataFrame =
+      e.where(col("label").isin(labels: _*)) // partition pruning at scale
+        .crossJoin(broadcast(q))
+        .withColumn("dist_sq", distSq(col("v"), col("qv")))
+        .orderBy(col("dist_sq").asc, col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("label"), col("dist_sq"))
+    val first = cells.take(math.min(initialProbes, cells.size)).map(_._1)
+    val shortlist = topOver(first).collect()
+    val dK = if (shortlist.length < k) Double.PositiveInfinity
+      else math.sqrt(math.max(shortlist.map(_.getDouble(2)).max, 0.0))
+    val finalProbes = (first ++ cells.collect {
+      case (l, dq, r) if math.max(0.0, dq - r) <= dK + 1e-9 => l
+    }).distinct
+    (finalProbes, topOver(finalProbes))
+  }
+
+  private val ivfAdaptive: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val cent = centroidsOnce(s, d, e)
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
+    ivfAdaptiveTopK(e.where(col("vec_id") =!= 0), q, cent, 10)._2
+  }
+
   /** ANN index-quality evaluation — recall@10 of the IVF probe path
     * against exact ground truth, per query of the standard batch: the
     * number every index deployment reports before serving traffic (and
@@ -509,6 +567,7 @@ object SimilarityOps {
     "ann_brute_topk" -> bruteForce,
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
+    "ann_ivf_adaptive" -> ivfAdaptive,
     "vq_kmeans" -> kmeans,
     "vq_quantize" -> quantize,
     "vq_pq_topk" -> pq,
@@ -667,6 +726,17 @@ object SimilarityOps {
          |FROM e, q
          |WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probes)
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+    // The adaptive probe's stop rule is provably exact, so its oracle is
+    // PLAIN BRUTE FORCE — there is deliberately no probing to mirror:
+    // the engine must reach the same rows no matter how the expansion
+    // went. Same dist_sq composition as ann_range_search.
+    "ann_ivf_adaptive" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, e.label, ${distSql("e.v", "q.qv")} AS dist_sq
+         |      FROM e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, label, dist_sq FROM d
+         |ORDER BY dist_sq, vec_id LIMIT 10""".stripMargin,
     // Ground truth = the ann_batch_topk CTE; IVF side ranks nprobe=3
     // cells per query with the same (csim DESC, label) order as the
     // engine's rank window; hit counting is exact integer.

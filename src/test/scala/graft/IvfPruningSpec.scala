@@ -117,4 +117,56 @@ class IvfPruningSpec extends AnyFunSuite {
       .count()
     assert(brute > 0 && hits.count() == brute)
   }
+
+  test("adaptive IVF top-k: exact (recall 10/10) on the planted-cluster " +
+       "corpus while probing a strict subset of cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // Same planted geometry as the range test: 6 centers 40 apart, cell
+    // radius ≪ separation, so the query's own cell already contains its
+    // true top-k and the expansion bound stops at 1 cell.
+    val dim = 8
+    val rows = (0 until 300).map { i =>
+      val label = i % 6
+      val v = Array.tabulate(dim)(j =>
+        (if (j == 0) label * 40.0 else 0.0) + rnd.nextDouble() - 0.5)
+      (i.toLong, label.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val cent = graft.queries.SimilarityOps.centroids(e)
+    val (probes, top) = graft.queries.SimilarityOps.ivfAdaptiveTopK(
+      e.where(col("vec_id") =!= 0), q, cent, k = 10, initialProbes = 1)
+    val brute = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dist_sq",
+        graft.queries.SimilarityOps.distSq(col("v"), col("qv")))
+      .orderBy(col("dist_sq").asc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), col("dist_sq"))
+      .collect().map(_.toSeq)
+    // Recall 10/10 — adaptive probing is exact by its stop rule...
+    assert(top.collect().map(_.toSeq).toSeq == brute.toSeq)
+    // ...and on clustered data it got there WITHOUT a full scan.
+    assert(probes.size < 6, s"expected a strict subset of cells, probed $probes")
+  }
+
+  test("adaptive IVF top-k on the isotropic corpus: still exact — the " +
+       "expansion honestly widens as far as the data demands") {
+    val full = Tables.embeddings(spark, SparkTestBase.sf)
+      .select(col("vec_id"), col("label"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val q = full.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val cent = graft.queries.SimilarityOps.centroids(full)
+    val (_, top) = graft.queries.SimilarityOps.ivfAdaptiveTopK(
+      full.where(col("vec_id") =!= 0), q, cent, k = 10)
+    val brute = full.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dist_sq",
+        graft.queries.SimilarityOps.distSq(col("v"), col("qv")))
+      .orderBy(col("dist_sq").asc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), col("dist_sq"))
+      .collect().map(_.toSeq)
+    assert(top.collect().map(_.toSeq).toSeq == brute.toSeq)
+  }
 }
