@@ -41,7 +41,12 @@ final case class MmFeature(
   * 3. [[PngCodec]] / `mm_decode_png` is the exception: a REAL codec
   *    (in-JDK `javax.imageio` PNG) running in shape 2's mapPartitions
   *    pipeline, with decoded values oracle-checked against closed
-  *    forms of the synthesized payloads.
+  *    forms of the synthesized payloads. [[GifCodec]] / `mm_frames_gif`
+  *    does the same for the MULTI-FRAME shape (animated GIF,
+  *    writeToSequence → read(i)), so both the one-to-one decode and the
+  *    one-to-many frame-sample paths have a real-codec sibling; the
+  *    stubs remain only as the documented shape demo for codecs this
+  *    container lacks.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -293,9 +298,132 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** One decoded GIF frame: per-frame dims + raster pixel sum, all read
+    * back from REAL decoded multi-frame image data. */
+  final case class MmGifFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, px_sum: Long)
+
+  /** The REAL multi-frame codec — what [[sampleFrames]] stubs, done for
+    * actual animated GIF via in-JDK `javax.imageio`: frames are written
+    * into ONE GIF stream with `ImageWriter.writeToSequence` and read
+    * back frame-by-frame with `ImageReader.read(i)` — the per-frame
+    * random access a video frame-sampler has. Each frame carries the
+    * non-uniform pattern (3x + 7y + 11·frame + docId) mod 251 (the
+    * PngResize discipline with a frame term), which stays lossless
+    * through GIF's palette (≤251 distinct grays ≤ 256 palette slots), so
+    * the closed-form oracle catches a wrong frame count, a misread
+    * frame index, transposed axes, or a palette-index-vs-color mixup
+    * (pixels are read via getRGB, not raw raster samples, exactly
+    * because a decoded GIF raster holds palette INDICES).
+    */
+  object GifCodec extends Serializable {
+    @transient private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** Explicit 256-entry grayscale palette: the JDK GIF writer QUANTIZES
+      * a TYPE_BYTE_GRAY image with many distinct levels to its default
+      * palette (measured: ~10% of fixture frames came back changed), but
+      * stores a TYPE_BYTE_INDEXED image's own ≤256-color table verbatim —
+      * so indexed-with-identity-gray-palette is the lossless encoding,
+      * and pixel sample == palette index == gray level. */
+    @transient private lazy val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Closed-form per-doc geometry: dims like [[PngCodec.synthDims]],
+      * 1-5 frames. */
+    def synth(docId: Long, nChars: Long): (Int, Int, Int) =
+      (1 + (docId % 31).toInt, 1 + (nChars % 29).toInt, 1 + (docId % 5).toInt)
+
+    def pixel(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((x * 3L + y * 7L + f * 11L + docId) % 251L).toInt
+
+    def encode(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      init
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(writers.hasNext, "no GIF writer in this JDK")
+      val writer = writers.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      // The JDK GIF writer INTERLACES by default (MODE_DEFAULT), and the
+      // interlaced round-trip corrupts frames shorter than the 8-row
+      // interlace stride (measured: h ∈ {2,3,4} frames came back with
+      // their last rows zeroed). Non-progressive output is bit-faithful.
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, pixel(docId, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    def decodeFrames(docId: Long, gif: Array[Byte]): Iterator[MmGifFrame] = {
+      init
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no GIF reader in this JDK")
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      val out = (0 until n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          // getRGB resolves the palette to actual color; a gray g decodes
+          // to 0xFF_g_g_g, so the low byte IS the written sample.
+          while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        MmGifFrame(docId, i, w, h, sum)
+      }
+      reader.dispose()
+      iis.close()
+      out.iterator
+    }
+  }
+
+  /** Synthesize → encode (real GIF sequence writer) → decode frame-by-
+    * frame (real GIF reader) → typed per-frame rows; the one-to-many
+    * flatMap shape of [[framesViaCodec]] with a REAL codec in it. Zero
+    * shuffle; documentsSpread for the same single-split reason as
+    * [[decodePng]].
+    */
+  private val framesGif: Q = (s, d) => {
+    import s.implicits._
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val (w, h, nf) = GifCodec.synth(id, nChars)
+        GifCodec.decodeFrames(id, GifCodec.encode(id, w, h, nf))
+      })
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_features" -> features,
     "mm_frames" -> frames,
+    "mm_frames_gif" -> framesGif,
     "mm_decode_png" -> decodePng,
     "mm_resize_png" -> resizePng)
 
@@ -327,6 +455,23 @@ object MultimodalOps {
         |  CAST(1 + n_chars % 29 AS INT) AS height,
         |  CAST((1 + doc_id % 31) * (1 + n_chars % 29) * (doc_id % 251) AS BIGINT) AS px_sum
         |FROM documents""".stripMargin,
+    // Closed form of the per-frame pattern sum — the engine reports only
+    // values read back from a really encoded-then-decoded GIF sequence,
+    // so equality proves multi-frame parsing (frame count, per-frame
+    // index addressing, palette resolution) actually happened.
+    "mm_frames_gif" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 31 AS BIGINT) AS w,
+        |    CAST(1 + n_chars % 29 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(ft.f AS INT) AS frame_idx,
+        |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(sum((xt.x * 3 + yt.y * 7 + ft.f * 11 + d.doc_id) % 251)
+        |       AS BIGINT) AS px_sum
+        |FROM d, range(0, 5) ft(f), range(0, 31) xt(x), range(0, 29) yt(y)
+        |WHERE ft.f < d.nf AND xt.x < d.w AND yt.y < d.h
+        |GROUP BY d.doc_id, ft.f, d.w, d.h""".stripMargin,
     // Nearest-neighbor resample of the (3x + 7y + doc_id) mod 251 pattern
     // at the floor-division source coordinates — the engine reports the
     // sum from an actually decoded-and-resized raster.

@@ -75,4 +75,27 @@ class MultimodalParitySpec extends AnyFunSuite {
     assert(!p.contains("DeserializeToObject"),
       "registered mm query must not pay typed-object serialization")
   }
+
+  test("mm_frames_gif: real multi-frame GIF round-trip, every geometry " +
+       "including sub-interlace-stride heights") {
+    import graft.queries.MultimodalOps.GifCodec
+    // h in 1..8 crosses the 8-row interlace stride — the JDK writer's
+    // DEFAULT (interlaced) output zeroes trailing rows for h < 8, which
+    // is exactly why encode pins MODE_DISABLED; this test fails if that
+    // regresses. Frame count, per-frame dims, and pattern sums must all
+    // survive the real writeToSequence → read(i) round-trip.
+    for (h <- 1 to 8; w <- Seq(1, 5, 31); nf <- Seq(1, 3, 5)) {
+      val id = (w * 100 + h).toLong
+      val frames = GifCodec.decodeFrames(id, GifCodec.encode(id, w, h, nf)).toSeq
+      assert(frames.size == nf, s"w=$w h=$h: ${frames.size} frames, wanted $nf")
+      frames.foreach { fr =>
+        assert(fr.width == w && fr.height == h,
+          s"w=$w h=$h frame ${fr.frame_idx}: got ${fr.width}x${fr.height}")
+        val expected = (0 until w).flatMap(x => (0 until h).map(y =>
+          GifCodec.pixel(id, fr.frame_idx, x, y).toLong)).sum
+        assert(fr.px_sum == expected,
+          s"w=$w h=$h frame ${fr.frame_idx}: sum ${fr.px_sum}, wanted $expected")
+      }
+    }
+  }
 }
