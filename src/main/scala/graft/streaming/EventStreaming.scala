@@ -171,6 +171,61 @@ object EventStreaming {
       }.toDF()
   }
 
+  /** STREAM-STATIC as-of — the broadcast-index shape of the native batch
+    * operator (BroadcastAsOfJoinExec, plans/AsOfJoin.scala) applied to a
+    * streaming probe side: the STATIC reference (views) is collected
+    * into a per-key time-sorted index and broadcast once; every
+    * streaming click binary-searches its user's run for the greatest
+    * view time at-or-before its own. The per-row work is STATELESS, so
+    * the plan has ZERO state operators (asserted in EventStreamingSpec):
+    * no watermark, no state store, no eviction policy to tune — unlike
+    * [[asofMatches]], whose per-user state exists to track a reference
+    * that is itself streaming. This is the landing-zone enrichment
+    * pattern at scale (enrich an event stream against a slowly-changing
+    * dimension snapshot); the bound is the same one the batch strategy
+    * checks before planning the broadcast exec — the reference index
+    * must fit in a broadcast. Ties at one (user, ts) resolve to the
+    * greatest view_id (the fixtures carry none — AsOfJoinSpec asserts
+    * that invariant).
+    */
+  def asofStreamStatic(spark: SparkSession, clicks: DataFrame,
+      views: DataFrame): DataFrame = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    val index: Map[Long, (Array[Long], Array[Long], Array[Double])] = views
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (uid, rows) =>
+        val sorted = rows.sortBy(r => (micros(r._2), r._3))
+        (uid, (sorted.map(r => micros(r._2)), sorted.map(_._3), sorted.map(_._4)))
+      }
+    val bc = spark.sparkContext.broadcast(index)
+    clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .map { case (cid, uid, ts, cv) =>
+        val t = micros(ts)
+        bc.value.get(uid) match {
+          case Some((times, ids, vals)) =>
+            // Greatest i with times(i) <= t — same floor rule as the
+            // batch exec's per-partition binary search.
+            var lo = 0; var hi = times.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans >= 0)
+              AsofMatch(cid, uid, ts, cv, ids(ans), vals(ans))
+            else AsofMatch(cid, uid, ts, cv, null, null)
+          case None => AsofMatch(cid, uid, ts, cv, null, null)
+        }
+      }.toDF()
+  }
+
   final case class FirstTouch(user_id: Long, event_type: String,
       first_event_id: Long, first_ts: java.sql.Timestamp, first_value: Double)
 

@@ -192,6 +192,30 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static as-of (broadcast index) == batch ev_asof_native; " +
+       "zero state operators") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+    val views = ev.where(col("event_type") === "view")
+    val stream = EventStreaming.eventStream(spark, eventsDir, ev.schema)
+    val clicks = stream.where(col("event_type") === "click")
+    val q = EventStreaming.runToMemory(
+      EventStreaming.asofStreamStatic(spark, clicks, views), "asof_ss_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("asof_ss_out")
+        .select(col("click_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("click_value"), col("view_id"), col("view_value"))
+      val batch = graft.queries.EventOps.queries("ev_asof_native")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream-static/batch as-of mismatch")
+      // The whole point of the shape: enrichment with NO state store.
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "stream-static as-of must run stateless")
+    } finally q.stop()
+  }
+
   test("as-of state TTL: idle state evicts once the watermark passes; recent state survives") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_ttl").toString
