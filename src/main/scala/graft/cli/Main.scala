@@ -110,7 +110,8 @@ object Main {
         spark.sparkContext.setLogLevel("WARN")
         try {
           if (load) runLoad(spark, catalog, cfg, dataDir, outDir, stateDir, useState, checkOnly)
-          else runExtract(spark, catalog, cfg, dataDir, outDir, checkOnly)
+          else runExtract(spark, catalog, cfg, dataDir, outDir, checkOnly,
+            stateDir, useState)
         } catch {
           // Transform misconfiguration surfaces as a validation error,
           // not a stack trace (reference validates options at config time).
@@ -121,14 +122,19 @@ object Main {
   }
 
   def runExtract(spark: SparkSession, catalog: Catalog, cfg: OperationConfig,
-      dataDir: String, outDir: String, checkOnly: Boolean): Int = {
+      dataDir: String, outDir: String, checkOnly: Boolean,
+      stateDir: String = "", useState: Option[String] = None): Int = {
     OperationConfig.toExtractSteps(catalog, cfg) match {
       case Left(errs) => errs.foreach(System.err.println); 1
       case Right(steps) =>
         if (checkOnly) return 0
         val store = new FileTableStore(spark, dataDir, catalog.byName)
         val op = new ExtractOperation(store, catalog, steps)
-        val rc = op.execute()
+        // Same resume surface as loads: --use-state <dir> restores the
+        // last step-boundary checkpoint and continues; a non-empty
+        // --state-dir makes the run itself resumable.
+        useState.foreach(op.loadState)
+        val rc = op.execute(Option(stateDir).filter(_.nonEmpty), Int.MaxValue)
         op.errors.filter(_._2.nonEmpty).foreach { case (t, errs) =>
           System.err.println(s"$t: errors took place during extraction:")
           errs.foreach(e => System.err.println(s"  $e"))

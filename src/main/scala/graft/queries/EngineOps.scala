@@ -103,6 +103,41 @@ object EngineOps {
     }.reduce(_ unionAll _)
   }
 
+  /** The same traversal as [[xTraversal]], but KILLED after two completed
+    * steps (the controlled form: execute(stopAfterSteps = 2) with a state
+    * dir, exit 1 = incomplete-but-resumable) and then RESUMED by a fresh
+    * ExtractOperation restoring the step-boundary checkpoint — the
+    * extract-stage counterpart of S7's load resume, because at 100 TB
+    * the extract traversal is the long job. The oracle is x_engine_
+    * traversal's verbatim (one shared SQL constant), so the gate asserts
+    * that a kill + resume changes NOTHING about the extracted id sets.
+    */
+  private val xExtractResume: Q = (s, d) => {
+    val mkSteps = Seq(
+      ExtractStep("orders", ExtractionScope.Query("o_totalprice > 200000.0"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+      ExtractStep("lineitem", ExtractionScope.Descendents,
+        Seq("l_id", "l_orderkey", "l_quantity")),
+      ExtractStep("customer", ExtractionScope.Descendents,
+        Seq("c_custkey", "c_name", "c_nationkey")),
+      ExtractStep("nation", ExtractionScope.Descendents,
+        Seq("n_nationkey", "n_name", "n_regionkey")),
+      ExtractStep("region", ExtractionScope.Descendents,
+        Seq("r_regionkey", "r_name")))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_extract_state").toString
+    val op1 = new ExtractOperation(tpchStore(s, d), tpchCatalog, mkSteps)
+    require(op1.execute(Some(stateDir), stopAfterSteps = 2) == 1,
+      s"expected an incomplete-but-resumable run: ${op1.errors}")
+    val op2 = new ExtractOperation(tpchStore(s, d), tpchCatalog, mkSteps)
+    op2.loadState(stateDir)
+    require(op2.execute(Some(stateDir), Int.MaxValue) == 0,
+      s"resumed extract failed: ${op2.errors}")
+    Seq("orders", "lineitem", "customer", "nation", "region").map { t =>
+      op2.getExtractedIds(t).select(lit(t).as("tbl"), col("__id").as("id"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Self-lookup fixpoint (O2) on the derived node forest: seeds are
     * Id % 1000 == 1; the engine alternates child passes and parent
     * resolution until stable. Oracle: undirected reachability via
@@ -348,6 +383,7 @@ object EngineOps {
   val queries: Map[String, Q] = Map(
     "x_engine_plugin_transform" -> xPluginTransform,
     "x_engine_traversal" -> xTraversal,
+    "x_engine_extract_resume" -> xExtractResume,
     "x_engine_fixpoint" -> xFixpoint,
     "x_engine_load_remap" -> xLoadRemap,
     "x_engine_error_rows" -> xErrorRows,
@@ -357,24 +393,30 @@ object EngineOps {
     "x_engine_config_errors" -> xConfigErrors,
   )
 
+  /** Shared by x_engine_traversal and x_engine_extract_resume: the resume
+    * row's whole claim is that a kill + restore reproduces THIS result,
+    * so the two gates must use one SQL text. */
+  private val traversalOracleSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0),
+      |l AS (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS l_id FROM lineitem
+      |      WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+      |c AS (SELECT c_custkey, c_nationkey FROM customer
+      |      WHERE c_custkey IN (SELECT o_custkey FROM o)),
+      |n AS (SELECT n_nationkey, n_regionkey FROM nation
+      |      WHERE n_nationkey IN (SELECT c_nationkey FROM c)),
+      |r AS (SELECT r_regionkey FROM region
+      |      WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+      |SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS id FROM o
+      |UNION ALL SELECT 'lineitem', CAST(l_id AS VARCHAR) FROM l
+      |UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
+      |UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+      |UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_engine_plugin_transform" ->
       "SELECT c_custkey, reverse(c_name) AS c_name_rev FROM customer",
-    "x_engine_traversal" ->
-      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0),
-        |l AS (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS l_id FROM lineitem
-        |      WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
-        |c AS (SELECT c_custkey, c_nationkey FROM customer
-        |      WHERE c_custkey IN (SELECT o_custkey FROM o)),
-        |n AS (SELECT n_nationkey, n_regionkey FROM nation
-        |      WHERE n_nationkey IN (SELECT c_nationkey FROM c)),
-        |r AS (SELECT r_regionkey FROM region
-        |      WHERE r_regionkey IN (SELECT n_regionkey FROM n))
-        |SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS id FROM o
-        |UNION ALL SELECT 'lineitem', CAST(l_id AS VARCHAR) FROM l
-        |UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
-        |UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
-        |UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r""".stripMargin,
+    "x_engine_extract_resume" -> traversalOracleSql,
+    "x_engine_traversal" -> traversalOracleSql,
     "x_engine_fixpoint" ->
       """WITH RECURSIVE edges AS (
         |  SELECT o.o_orderkey AS child, o.o_orderkey // 8 AS parent
