@@ -301,6 +301,41 @@ object ExprUtil {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** All hyperplane band keys of a vector in ONE pass — the codegen twin
+    * of d12's per-plane `when(dot_fold(v, plane_b) >= 0, ...)` chain,
+    * which pays the HOF setup nBits times per row. Per bit: the SAME
+    * left fold as [[dotFold]] (0.0 init, ascending index), so the sign
+    * of every dot — and therefore every band key — is bit-identical to
+    * the composed form (differential-pinned in ExpressionsSpec). A bit
+    * whose dot is undefined (length mismatch, null element) contributes
+    * 0, exactly like `when(null >= 0) → otherwise(0)`.
+    *
+    * `planes` is flattened row-major: planes(bit * dim + i).
+    */
+  def hyperplaneBands(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Double], dim: Int, bands: Int, rowsPerBand: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val keys = new Array[Long](bands)
+    val n = v.numElements()
+    val nBits = bands * rowsPerBand
+    var bit = 0
+    while (bit < nBits) {
+      if (n == dim) {
+        var acc = 0.0d
+        var ok = true
+        var i = 0
+        while (ok && i < n) {
+          if (v.isNullAt(i)) ok = false
+          else { acc += v.getDouble(i) * planes(bit * dim + i); i += 1 }
+        }
+        if (ok && acc >= 0)
+          keys(bit / rowsPerBand) |= 1L << (bit % rowsPerBand)
+      }
+      bit += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
   /** 64-bucket count histogram of a string array (bucket = hash mod 64).
     * With [[minSum64]] this gives a LOSSLESS upper bound on the size of the
     * intersection of two sets: shared elements land in the same bucket on
@@ -740,6 +775,33 @@ case class MinhashSigs(child: Expression, a: Seq[Long], c: Seq[Long])
     copy(child = newChild)
 }
 
+/** One-pass hyperplane band keys (see [[ExprUtil.hyperplaneBands]]):
+  * array<double> vector → array<long> of `bands` packed sign-bit keys.
+  */
+case class HyperplaneBands(child: Expression, planes: Seq[Double], dim: Int,
+    bands: Int, rowsPerBand: Int) extends UnaryExpression {
+  @transient private lazy val planesArr = planes.toArray
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.hyperplaneBands(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planesArr, dim, bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pName = ctx.addReferenceObj("planes", planesArr, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.ExprUtil.hyperplaneBands($x, $pName, $dim, $bands, $rowsPerBand)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 /** 64-bucket count histogram of a string array (intersection upper-bound
   * screen; see [[ExprUtil.gramHist64]]).
   */
@@ -1121,6 +1183,12 @@ object GraftFunctions {
   def dot_fold(a: Column, b: Column): Column =
     GraftSqlShim.column(DotFold(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** One-pass packed hyperplane band keys (d12's banding hot path). */
+  def hyperplane_bands(v: Column, planes: Seq[Double], dim: Int,
+      bands: Int, rowsPerBand: Int): Column =
+    GraftSqlShim.column(HyperplaneBands(
+      GraftSqlShim.expression(v), planes, dim, bands, rowsPerBand))
 
   /** 3-char key prefix used for polymorphic-lookup dispatch (SURVEY J5/T8). */
   def key_prefix(c: Column): Column = substring(c, 1, 3)

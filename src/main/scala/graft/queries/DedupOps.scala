@@ -464,30 +464,33 @@ object DedupOps {
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot_fold(col("v"), col("v"))))
       .cutLineage
     // Signature bit = sign(v · plane); band key packs rowsPerBand bits.
-    val sigBits: Seq[Column] = planes.toIndexedSeq.map { p =>
-      val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      when(graft.functions.GraftFunctions.dot_fold(col("v"), planeCol) >= 0, 1L).otherwise(0L)
-    }
-    val bandKeys = (0 until bands).map { b =>
-      (0 until rowsPerBand).map(r => sigBits(b * rowsPerBand + r) * lit(1L << r))
-        .reduce(_ + _).as(s"band_$b")
-    }
-    val banded = e.select((col("vec_id") +: col("label") +: col("v") +: col("nrm") +:
-        bandKeys): _*)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), col(s"band_$b").as("sig"))): _*)).as("bk"))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-        col("bk.band"), col("bk.sig"))
-    val a = banded.select(col("label"), col("band"), col("sig"),
-      col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = banded.select(col("label"), col("band"), col("sig"),
-      col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    // ONE codegen pass computes every band key (HyperplaneBands) instead
+    // of nBits separate dot_fold HOF chains — same left-fold order per
+    // bit, so every key is bit-identical to the composed form
+    // (ExpressionsSpec differential); posexplode(pos=band, col=key)
+    // replaces the literal struct-array explode.
+    // Candidate generation is ID-ONLY (the d2 discipline): the band
+    // explode and bucket self-join shuffle (id, label, band, sig) tuples
+    // — NOT the vectors, which would otherwise ride the shuffle `bands`
+    // times per row. Vectors re-join by unique vec_id only for the
+    // deduped candidate pairs, once per side.
+    val banded = e
+      .select(col("vec_id"), col("label"),
+        posexplode(graft.functions.GraftFunctions.hyperplane_bands(
+          col("v"), planes.flatten.toIndexedSeq, dim, bands, rowsPerBand))
+          .as(Seq("band", "sig")))
+    val cand = banded.select(col("label"), col("band"), col("sig"),
+        col("vec_id").as("id_a"))
+      .join(banded.select(col("label"), col("band"), col("sig"),
+        col("vec_id").as("id_b")), Seq("label", "band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"))
+      .dropDuplicates("id_a", "id_b")
+    val va = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val vb = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     val dot = graft.functions.GraftFunctions.dot_fold(col("v_a"), col("v_b"))
     val den = col("n_a") * col("n_b")
-    a.join(b, Seq("label", "band", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine",
         when(den === 0.0d, lit(null).cast("double")).otherwise(dot / den))
       .where(col("cosine") >= threshold)

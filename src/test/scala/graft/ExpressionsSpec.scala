@@ -192,4 +192,37 @@ class ExpressionsSpec extends AnyFunSuite {
     val out = Seq("ABC").toDF("x").select(chain(col("x"))).collect().head.getString(0)
     assert(out == "cba")
   }
+
+  test("hyperplane_bands == the composed per-plane dot_fold/when chain, " +
+       "bit-for-bit, including near-zero dots") {
+    import spark.implicits._
+    val dim = 16; val bands = 8; val rowsPerBand = 4
+    val rnd = new scala.util.Random(41)
+    val planes = Array.tabulate(bands * rowsPerBand, dim)((_, _) => rnd.nextDouble() * 2 - 1)
+    // Random vectors plus adversarial rows: an exact-zero dot (sign
+    // boundary, >= 0 must set the bit) and an all-zeros vector.
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Seq.tabulate(dim)(_ => rnd.nextDouble() * 2 - 1))) :+
+      (200L, Seq.fill(dim)(0.0))
+    val df = rows.toDF("id", "v")
+    val fused = df.select(col("id"),
+      graft.functions.GraftFunctions.hyperplane_bands(
+        col("v"), planes.flatten.toIndexedSeq, dim, bands, rowsPerBand).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigBits = planes.toIndexedSeq.map { p =>
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
+      when(graft.functions.GraftFunctions.dot_fold(col("v"), planeCol) >= 0, 1L)
+        .otherwise(0L)
+    }
+    val composedCols = (0 until bands).map { b =>
+      (0 until rowsPerBand).map(r => sigBits(b * rowsPerBand + r) * lit(1L << r))
+        .reduce(_ + _).as(s"band_$b")
+    }
+    val composed = df.select((col("id") +: composedCols): _*)
+      .collect().map(r => r.getLong(0) -> (1 to bands).map(r.getLong(_)).toSeq).toMap
+    assert(fused.keySet == composed.keySet)
+    fused.foreach { case (id, keys) =>
+      assert(keys == composed(id), s"row $id: fused $keys vs composed ${composed(id)}")
+    }
+  }
 }
