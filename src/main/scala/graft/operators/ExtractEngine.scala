@@ -352,11 +352,20 @@ final class ExtractOperation(
     * previous checkpoint authoritative; id sets are re-derivable from the
     * row frames, so they are not persisted separately.
     */
+  /** Row dirs already persisted: a table's row frame is immutable once
+    * its step completes (later steps only touch their own table), so
+    * per-step saves write ONLY the newly completed table instead of
+    * rewriting every earlier one — keeps checkpoint cost O(step), not
+    * O(steps²) over a run. */
+  private val savedRowDirs = mutable.Set.empty[String]
+
   def saveState(dir: String): Unit = {
     val done = order.take(stepsCompleted)
-    done.foreach { t =>
-      extractedRows.get(t).foreach(
-        _.write.mode("overwrite").parquet(s"$dir/rows/$t"))
+    done.filterNot(savedRowDirs).foreach { t =>
+      extractedRows.get(t).foreach { rows =>
+        rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
+        savedRowDirs += t
+      }
     }
     val reqTables = requiredIds.keys.toSeq.sorted
     reqTables.foreach(t =>
@@ -387,6 +396,7 @@ final class ExtractOperation(
       val rows = graft.core.Lineage.cut(spark.read.parquet(s"$dir/rows/$t"))
       extractedRows(t) = rows
       extractedIds(t) = idsOf(rows, t)
+      savedRowDirs += t
     }
     list("required").foreach { t =>
       requiredIds(t) = graft.core.Lineage.cut(spark.read.parquet(s"$dir/required/$t"))
