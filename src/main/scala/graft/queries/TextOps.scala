@@ -163,6 +163,62 @@ object TextOps {
       col("doc_id"),
       GraftFunctions.rolling_hash64(col("text")).as("rolling_hash"))
 
+  /** Winnowing gram length (k) and window width (w) — Schleimer, Wilkerson
+    * & Aiken 2003 ("Winnowing: Local Algorithms for Document
+    * Fingerprinting", the MOSS algorithm). Any shared substring of at
+    * least w + k − 1 = 8 chars is GUARANTEED to share a selected
+    * fingerprint, while expected selection density is only 2/(w+1) of
+    * all grams. */
+  val WinnowK = 5
+  val WinnowW = 4
+
+  /** Winnowing fingerprint selection — the SELECTION step the fingerprint
+    * family was missing: tx_rolling_hash fingerprints whole documents,
+    * d9 keeps EVERY window fingerprint (full index, w× the storage);
+    * winnowing keeps the per-window MINIMUM hash (rightmost on ties, per
+    * the paper) so storage drops to ~2/(w+1) of grams with the match
+    * guarantee above intact — the standard plagiarism/near-dup index
+    * build at scale. Hashes are md5 hex strings: bit-identical and
+    * identically ORDERED in Spark and DuckDB (ASCII hex), so the min
+    * election itself is oracle-exact. Shapes: grams materialize as a
+    * per-row array (text never duplicated per gram), one per-doc window
+    * over (doc, pos) for the election — per-doc sort, bounded by
+    * document size like every per-doc operator here — then a
+    * map-side-combinable per-doc aggregate. Output: gram count, selected
+    * count, and the lexicographic min/max selected hash (content
+    * witnesses).
+    */
+  private val winnow: Q = (s, d) => {
+    val k = WinnowK; val w = WinnowW
+    // Winnowing is PER-DOCUMENT work, so it runs as one per-row HOF chain
+    // — no gram explode, no per-doc window sort, zero shuffles (a first
+    // cut through explode + window measured 5.5 s at sf0.1; this shape
+    // is a bare scan→project). Docs shorter than k + w − 1 have no valid
+    // window start and drop out, exactly like the oracle's QUALIFY.
+    // Election per start p: min over struct(h, −pos) of grams p..p+w−1 —
+    // min hash, ties to the RIGHTMOST position (the paper's rule); hex
+    // strings order identically in both engines.
+    Tables.documents(s, d)
+      .where(col("text").isNotNull && length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        (length(col("text")) - (k - 1)).cast("long").as("n_grams"),
+        // Each gram hashed ONCE (the election below indexes this array —
+        // inlining md5 into the window lambda would recompute it w×/gram).
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"i -> md5(cast(substring(text, i, $k) AS binary)))").as("gh"))
+      .select(col("doc_id"), col("n_grams"),
+        expr(
+          s"""array_distinct(transform(
+             |  sequence(1, cast(n_grams AS int) - ${w - 1},  1),
+             |  p -> array_min(transform(sequence(p, p + ${w - 1}),
+             |         j -> struct(element_at(gh, j) AS h, -j AS negpos)))))"""
+            .stripMargin).as("sel"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        array_min(expr("transform(sel, x -> x.h)")).as("min_sel"),
+        array_max(expr("transform(sel, x -> x.h)")).as("max_sel"))
+  }
+
   /** Deterministic train/valid/test split — the assignment step of a
     * training-data pipeline. Hash-based (first md5 byte of "doc_id:text"
     * → bucket 0–255; <205 train ≈80%, <230 valid ≈10%, rest test), NOT a
@@ -433,6 +489,7 @@ object TextOps {
     "tx_langid" -> langid,
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
+    "tx_winnow" -> winnow,
     "tx_split" -> splitAssign,
     "tx_pii_scrub" -> piiScrub,
     "d1_exact_dedup" -> exactDedup,
@@ -567,6 +624,29 @@ object TextOps {
     // HUGEINT arithmetic mod 2^64; UTF-8 bytes come from hand-parsing the
     // hex dump (DuckDB has no BLOB→INT cast), signed-byte adjustment for
     // bytes ≥ 128, signed remap at the end.
+    // Winnowing: same md5 hex hashes (ASCII order identical), same
+    // min-of-window election with the rightmost tie (max pos among rows
+    // equal to the window min), same valid-start bound p ≤ n − w + 1.
+    // substr/length count code points in both engines (tx_chunk note).
+    "tx_winnow" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(len(text) - ${WinnowK - 1} AS BIGINT) AS n
+         |  FROM documents WHERE text IS NOT NULL AND len(text) >= $WinnowK),
+         |g AS (SELECT doc_id, n, CAST(t.i AS BIGINT) AS pos,
+         |        md5(substr(text, CAST(t.i AS INT), $WinnowK)) AS h
+         |      FROM d, unnest(generate_series(1, n)) AS t(i)),
+         |w AS (SELECT doc_id, n, pos AS p,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                     ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mh
+         |      FROM g
+         |      QUALIFY p <= n - ${WinnowW - 1}),
+         |sel AS (SELECT DISTINCT w.doc_id, w.n, w.mh AS h,
+         |          (SELECT max(g2.pos) FROM g g2
+         |           WHERE g2.doc_id = w.doc_id AND g2.h = w.mh
+         |             AND g2.pos BETWEEN w.p AND w.p + ${WinnowW - 1}) AS sel_pos
+         |        FROM w)
+         |SELECT doc_id, n AS n_grams, CAST(count(*) AS BIGINT) AS n_selected,
+         |  min(h) AS min_sel, max(h) AS max_sel
+         |FROM sel GROUP BY doc_id, n""".stripMargin,
     "tx_rolling_hash" ->
       """WITH b AS (SELECT doc_id,
         |  list_transform(generate_series(1, octet_length(encode(text))),

@@ -187,4 +187,54 @@ class PipelineOpsSpec extends AnyFunSuite {
         r.getAs[Long]("df"), r.getAs[Int]("rank")))
     assert(out.toSeq == Seq(("zz", 3L, 1L, 1), ("yy", 2L, 1L, 2), ("bb", 2L, 2L, 3)))
   }
+
+  test("winnowing: match guarantee (shared >= w+k-1 substring shares a " +
+       "selected fingerprint) and density bound vs a local model") {
+    import spark.implicits._
+    import graft.queries.TextOps.{WinnowK => k, WinnowW => w}
+    // Local reference model of Schleimer et al.'s algorithm over md5-hex
+    // gram hashes: window min, rightmost tie.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def model(text: String): Set[(String, Int)] = {
+      val grams = (0 to text.length - k).map(i => md5hex(text.substring(i, i + k)))
+      (0 to grams.length - w).flatMap { p =>
+        val win = (p until p + w).map(j => (grams(j), -(j + 1)))
+        Seq(win.min match { case (h, nj) => (h, -nj) })
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = randText(k + w - 1) // exactly the guarantee length
+    val docs = Seq(
+      (1L, randText(60) + shared + randText(60)),
+      (2L, randText(80) + shared + randText(40)),
+      (3L, randText(200)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.queries("tx_winnow")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    docs.foreach { case (id, text) =>
+      val m = model(text)
+      val (nGrams, nSel, minSel, maxSel) = out(id)
+      assert(nGrams == text.length - k + 1)
+      assert(nSel == m.size, s"doc $id: engine $nSel vs model ${m.size}")
+      assert(minSel == m.map(_._1).min && maxSel == m.map(_._1).max)
+      // Density: winnowing selects at most one new fingerprint per
+      // window start and at least one per w consecutive windows.
+      assert(nSel <= nGrams - w + 1 && nSel >= (nGrams - w + 1) / w.toLong)
+    }
+    // The match GUARANTEE: docs 1 and 2 share a w+k-1-char substring, so
+    // they must share at least one selected fingerprint hash.
+    val m1 = model(docs(0)._2).map(_._1)
+    val m2 = model(docs(1)._2).map(_._1)
+    assert((m1 & m2).nonEmpty, "guarantee violated: no shared fingerprint")
+  }
 }
