@@ -188,7 +188,12 @@ object TextOps {
     * count, and the lexicographic min/max selected hash (content
     * witnesses).
     */
-  private val winnow: Q = (s, d) => {
+  private val winnow: Q = (s, d) => winnowOf(Tables.documents(s, d))
+
+  /** [[winnow]] over any (doc_id, text) frame — shared with the
+    * streaming twin (DocStreaming.winnowStream), which can reuse it
+    * verbatim because the whole operator is stateless per-row work. */
+  def winnowOf(docs: DataFrame): DataFrame = {
     val k = WinnowK; val w = WinnowW
     // Winnowing is PER-DOCUMENT work, so it runs as one per-row HOF chain
     // — no gram explode, no per-doc window sort, zero shuffles (a first
@@ -198,7 +203,7 @@ object TextOps {
     // Election per start p: min over struct(h, −pos) of grams p..p+w−1 —
     // min hash, ties to the RIGHTMOST position (the paper's rule); hex
     // strings order identically in both engines.
-    Tables.documents(s, d)
+    docs
       .where(col("text").isNotNull && length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
         (length(col("text")) - (k - 1)).cast("long").as("n_grams"),

@@ -64,6 +64,16 @@ object DocStreaming {
   def cdcChunkStream(stream: DataFrame): DataFrame =
     graft.queries.TextOps.cdcChunkSpansOf(stream)
 
+  /** Streaming winnowing — fingerprint-select documents AS THEY LAND
+    * (the index-build side of a continuously ingested near-dup screen).
+    * Reuses TextOps.winnowOf verbatim: the whole operator is per-row HOF
+    * work, so the streaming plan is the batch plan run per micro-batch —
+    * stateless, no watermark, no state store (asserted in
+    * DocStreamingSpec).
+    */
+  def winnowStream(stream: DataFrame): DataFrame =
+    graft.queries.TextOps.winnowOf(stream)
+
   /** Streaming multimodal decode — the ingest-side twin of batch
     * mm_decode_png with the SAME real codec: per-row payload synthesis +
     * `javax.imageio` encode→decode via typed mapPartitions, fully
