@@ -224,6 +224,41 @@ object TextOps {
         array_max(expr("transform(sel, x -> x.h)")).as("max_sel"))
   }
 
+  /** Weighted-sample size (fixed k of the without-replacement sample). */
+  val WeightedSampleK = 100
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    * (2006): give every row the exponential key −ln(u)/weight (u a
+    * deterministic uniform from the row's md5) and keep the k SMALLEST
+    * keys; inclusion probability is then proportional to weight, and
+    * the whole draw is one scan + a distributed top-k
+    * (TakeOrderedAndProject: per-partition heads, no global sort) — the
+    * canonical way to draw a quality-weighted subsample of a 100 TB
+    * corpus without ever ordering it. Weight = n_chars here (longer
+    * docs proportionally likelier). Deterministic end to end: u comes
+    * from the first 13 md5 hex digits of "ws:<doc_id>" (hex parse
+    * spelled in both engines), and the key is micro-rounded to an
+    * integer (floor at 1e12 — the tx_bm25 ln discipline, since libm and
+    * DuckDB's ln can differ in the last ulp) so selection and order
+    * compare exactly.
+    */
+  private val weightedSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val v = conv(substring(md5(
+      concat(lit("ws:"), col("doc_id").cast("string")).cast("binary")), 1, 13),
+      16, 10).cast("long")
+    val u = (v.cast("double") + lit(1.0)) / lit(4503599627370497.0) // 2^52 + 1
+    val key = floor(lit(1e12) * (-log(u) / col("n_chars").cast("double"))).cast("long")
+    val sampled = Tables.documents(s, d)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"), key.as("key_e12"))
+      .orderBy(col("key_e12"), col("doc_id"))
+      .limit(WeightedSampleK)
+    // Rank window runs over the k already-selected rows only.
+    sampled.withColumn("rank",
+      row_number().over(Window.orderBy(col("key_e12"), col("doc_id"))).cast("int"))
+  }
+
   /** Deterministic train/valid/test split — the assignment step of a
     * training-data pipeline. Hash-based (first md5 byte of "doc_id:text"
     * → bucket 0–255; <205 train ≈80%, <230 valid ≈10%, rest test), NOT a
@@ -495,6 +530,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
     "tx_winnow" -> winnow,
+    "tx_weighted_sample" -> weightedSample,
     "tx_split" -> splitAssign,
     "tx_pii_scrub" -> piiScrub,
     "d1_exact_dedup" -> exactDedup,
@@ -629,6 +665,23 @@ object TextOps {
     // HUGEINT arithmetic mod 2^64; UTF-8 bytes come from hand-parsing the
     // hex dump (DuckDB has no BLOB→INT cast), signed-byte adjustment for
     // bytes ≥ 128, signed remap at the end.
+    // A-ES keys recomputed with the same hex parse, uniform mapping, and
+    // 1e12 floor; ORDER BY (key, doc_id) LIMIT k mirrors the top-k.
+    "tx_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    list_reduce(list_transform(generate_series(1, 13),
+         |        i -> CAST(strpos('0123456789abcdef',
+         |               substr(md5('ws:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1
+         |             AS BIGINT)),
+         |      (a, b) -> a * 16 + b) AS v
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (SELECT doc_id, n_chars,
+         |    CAST(floor(1e12 * (-ln((CAST(v AS DOUBLE) + 1.0) / 4503599627370497.0)
+         |                       / CAST(n_chars AS DOUBLE))) AS BIGINT) AS key_e12
+         |  FROM h)
+         |SELECT doc_id, n_chars, key_e12,
+         |  CAST(row_number() OVER (ORDER BY key_e12, doc_id) AS INT) AS rank
+         |FROM k ORDER BY key_e12, doc_id LIMIT $WeightedSampleK""".stripMargin,
     // Winnowing: same md5 hex hashes (ASCII order identical), same
     // min-of-window election with the rightmost tie (max pos among rows
     // equal to the window min), same valid-start bound p ≤ n − w + 1.

@@ -188,6 +188,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("zz", 3L, 1L, 1), ("yy", 2L, 1L, 2), ("bb", 2L, 2L, 3)))
   }
 
+  test("weighted sample: engine selection == local A-ES model; heavy " +
+       "weights dominate the sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length => flen, lit => flit}
+    // 500 light docs (weight 10) + 20 heavy docs (weight 100000): under
+    // exponential keys the heavy block has ~1000x the light block's
+    // total weight, so essentially the whole sample is heavy docs.
+    val docs = (0 until 500).map(i => (i.toLong, 10L)) ++
+      (1000 until 1020).map(i => (i.toLong, 100000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wsample").toString
+    docs.toDF("doc_id", "n_chars")
+      .withColumn("text", flit("x")).withColumn("lang", flit("en"))
+      .withColumn("source", flit("s"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.queries("tx_weighted_sample")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    // Local model: same md5-hex uniform, same key, same micro-rounding.
+    def key(id: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = java.lang.Long.parseLong(hex.take(13), 16)
+      math.floor(1e12 * (-math.log((v + 1.0) / 4503599627370497.0) / w)).toLong
+    }
+    val model = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(100)
+      .zipWithIndex.map { case ((id, k), i) => (id, k, i + 1) }
+    assert(out.sortBy(_._3).toSeq == model.toSeq,
+      "engine sample must equal the local A-ES model exactly")
+    // All 20 heavy docs must be in the sample (P(miss) is astronomically
+    // small and the draw is deterministic — this pins the weighting).
+    val sampledIds = out.map(_._1).toSet
+    assert((1000L until 1020L).forall(sampledIds.contains),
+      s"heavy docs missing from sample: ${(1000L until 1020L).filterNot(sampledIds.contains)}")
+  }
+
   test("winnowing: match guarantee (shared >= w+k-1 substring shares a " +
        "selected fingerprint) and density bound vs a local model") {
     import spark.implicits._
