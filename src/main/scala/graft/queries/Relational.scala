@@ -1010,7 +1010,52 @@ object Relational {
       .agg(count(lit(1)).as("n_above"), sum(col("bal_cents")).as("above_cents"))
   }
 
+  /** Range-bucket width for [[rangeLookup]] — power of two so `div`
+    * compiles to a shift; spelled identically in the oracle comment's
+    * derivation (the oracle itself needs no buckets). */
+  val RangeBucket = 4096L
+
+  /** PURE range-lookup join (no equi key) — the IP→geo / tier-table
+    * shape: each fact point joins the ONE dimension range containing it.
+    * Spark has no native band-join, so a naive `ON v BETWEEN lo AND hi`
+    * plans a BroadcastNestedLoopJoin — O(facts × ranges) compares. The
+    * scale technique is RANGE BUCKETING: explode each range into the
+    * fixed-width buckets it overlaps (span/B rows — bounded, the dim is
+    * small), key facts by `v div B`, and run an ordinary EQUI join on
+    * the bucket followed by the exact BETWEEN residual — O(facts)
+    * bucket-hash probes, broadcastable build side, no nested loop
+    * (PlanSpec pins the absence of BNL/cartesian). Ranges here are
+    * deliberately IRREGULAR — consecutive gaps between hashed supplier
+    * keys — because uniform ranges would degenerate to pure division.
+    * The dimension build uses one global lead() window over the ~|dim|
+    * bounds: dims are small by definition (the fact side never sorts).
+    * Oracle: DuckDB's native BETWEEN join (IEJoin) over the same
+    * derived ranges — no bucketing to mirror, so the bucketing is
+    * proven LOSSLESS, not just self-consistent.
+    */
+  private val rangeLookup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = Tables.supplier(s, d)
+      .select(((col("s_suppkey") * lit(2654435761L)) % lit(1000000L)).as("lo"),
+        col("s_suppkey"))
+      .groupBy("lo").agg(min(col("s_suppkey")).as("owner"))
+    val ranges = bounds
+      .withColumn("hi", lead(col("lo"), 1).over(Window.orderBy("lo")) - 1)
+      .where(col("hi").isNotNull)
+    val exploded = ranges.select(col("lo"), col("hi"), col("owner"),
+      explode(sequence(expr(s"lo div $RangeBucket"), expr(s"hi div $RangeBucket")))
+        .as("bucket"))
+    val facts = Tables.orders(s, d)
+      .select((round(col("o_totalprice") * 100).cast("long") % lit(1000000L)).as("v"))
+      .withColumn("bucket", expr(s"v div $RangeBucket"))
+    facts.join(exploded, Seq("bucket"))
+      .where(col("v").between(col("lo"), col("hi")))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sum_v"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_range_lookup" -> rangeLookup,
     "q16_brand_suppliers" -> q16,
     "q18_big_orders" -> q18,
     "q21_supplier_chain" -> q21,
@@ -1068,6 +1113,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // Native BETWEEN join (IEJoin) over the same derived irregular
+    // ranges — no bucketing to mirror, proving the engine's
+    // range-bucketed equi join + residual is lossless.
+    "q_range_lookup" ->
+      """WITH b AS (SELECT (s_suppkey * 2654435761) % 1000000 AS lo,
+        |    CAST(min(s_suppkey) AS BIGINT) AS owner
+        |  FROM supplier GROUP BY 1),
+        |r AS (SELECT lo, lead(lo) OVER (ORDER BY lo) - 1 AS hi, owner FROM b
+        |      QUALIFY hi IS NOT NULL),
+        |f AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 1000000 AS v
+        |      FROM orders)
+        |SELECT r.owner, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(f.v) AS BIGINT) AS sum_v
+        |FROM f JOIN r ON f.v BETWEEN r.lo AND r.hi
+        |GROUP BY 1""".stripMargin,
     "q16_brand_suppliers" ->
       """SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supp_cnt,
         |  CAST(count(*) AS BIGINT) AS n_lines

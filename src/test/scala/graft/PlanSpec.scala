@@ -137,6 +137,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "chunk explode must stay map-side")
   }
 
+  test("q_range_lookup: bucketed range join is an EQUI join — no nested " +
+       "loop, no cartesian") {
+    val p = planOf("q_range_lookup")
+    // The whole point of range bucketing: a pure BETWEEN join would plan
+    // BroadcastNestedLoopJoin (O(facts × ranges) compares); the bucketed
+    // form must be an ordinary hash/sort-merge equi join on the bucket.
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNL in plan:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n${p.take(1200)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on the bucket key:\n${p.take(1200)}")
+  }
+
   test("ev_sequence_match: one exchange, leads share a single window sort") {
     val p = planOf("ev_sequence_match")
     assert(countNodes(p, "Exchange") == 1, s"expected 1 Exchange:\n${p.take(1200)}")
