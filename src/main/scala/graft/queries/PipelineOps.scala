@@ -473,7 +473,74 @@ object PipelineOps {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Data-quality expectation checks — the pre-training validation gate
+    * (the Deequ/Great-Expectations role): uniqueness, consistency,
+    * domain membership, range, and referential integrity, each as one
+    * row (check, n_rows, n_violations, observed). Violations are zero
+    * on a healthy corpus — that IS the report — while `observed` carries
+    * a non-trivial witness statistic per check (distinct counts, max
+    * length, min cents, distinct days) so the gate also pins real
+    * values. Shapes: ONE aggregate over each table (all per-table
+    * checks fold in the same pass — map-side combinable counts and
+    * conditional sums), plus one broadcast anti join for the
+    * referential check; single-row frames cross-join for free. A
+    * planted-violation spec (PipelineOpsSpec) proves every check fires.
+    */
+  private val dataChecks: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ev = Tables.events(s, d)
+    val docRows = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("dist_id"),
+      sum(when(col("text").isNull ||
+        col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("bad_text"),
+      sum(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1L)
+        .otherwise(0L)).as("bad_lang"),
+      countDistinct(col("lang")).as("dist_lang"),
+      max(col("n_chars")).as("max_chars"))
+      .select(explode(array(
+        struct(lit("doc_id_unique").as("check"), col("n").as("n_rows"),
+          (col("n") - col("dist_id")).as("n_violations"),
+          col("dist_id").as("observed")),
+        struct(lit("doc_text_consistent").as("check"), col("n").as("n_rows"),
+          col("bad_text").as("n_violations"), col("max_chars").as("observed")),
+        struct(lit("doc_lang_domain").as("check"), col("n").as("n_rows"),
+          col("bad_lang").as("n_violations"), col("dist_lang").as("observed"))
+      )).as("c")).select(col("c.*"))
+    val evAgg = ev.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("event_type").isin(
+        "view", "click", "purchase", "signup", "error"), 1L)
+        .otherwise(0L)).as("bad_type"),
+      countDistinct(col("event_type")).as("dist_type"),
+      sum(when(col("value").isNull || col("value") < 0, 1L).otherwise(0L))
+        .as("bad_value"),
+      coalesce(min(round(col("value") * 100).cast("long")), lit(0L)).as("min_cents"),
+      sum(when(col("ts").isNull || col("ts") < lit("2020-01-01").cast("timestamp") ||
+        col("ts") >= lit("2031-01-01").cast("timestamp"), 1L).otherwise(0L))
+        .as("bad_ts"),
+      countDistinct(to_date(col("ts"))).as("n_days"),
+      countDistinct(col("user_id")).as("dist_users"))
+    val orphans = ev.select(col("user_id"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("user_id") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val evRows = evAgg.crossJoin(orphans)
+      .select(explode(array(
+        struct(lit("event_type_domain").as("check"), col("n").as("n_rows"),
+          col("bad_type").as("n_violations"), col("dist_type").as("observed")),
+        struct(lit("event_value_range").as("check"), col("n").as("n_rows"),
+          col("bad_value").as("n_violations"), col("min_cents").as("observed")),
+        struct(lit("event_ts_range").as("check"), col("n").as("n_rows"),
+          col("bad_ts").as("n_violations"), col("n_days").as("observed")),
+        struct(lit("event_user_ref").as("check"), col("n").as("n_rows"),
+          col("n_orphans").as("n_violations"), col("dist_users").as("observed"))
+      )).as("c")).select(col("c.*"))
+    docRows.unionByName(evRows)
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe_data_checks" -> dataChecks,
     "pipe_dataset_stats" -> datasetStats,
     "pipe_semdedup" -> semdedup,
     "tx_contamination" -> contamination,
@@ -497,6 +564,36 @@ object PipelineOps {
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
 
   val oracle: Map[String, String] = Map(
+    // Same predicates, same domains, same cents/date conventions as the
+    // engine side; one UNION ALL row per check.
+    "pipe_data_checks" ->
+      """WITH da AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS dist_id,
+        |    CAST(count(*) FILTER (text IS NULL OR n_chars <> len(text)) AS BIGINT) AS bad_text,
+        |    CAST(count(*) FILTER (lang NOT IN ('en','de','fr','es','zh')) AS BIGINT) AS bad_lang,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS dist_lang,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (event_type NOT IN ('view','click','purchase','signup','error')) AS BIGINT) AS bad_type,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS dist_type,
+        |    CAST(count(*) FILTER (value IS NULL OR value < 0) AS BIGINT) AS bad_value,
+        |    CAST(coalesce(min(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS min_cents,
+        |    CAST(count(*) FILTER (ts IS NULL
+        |        OR CAST(ts AS TIMESTAMP) < TIMESTAMP '2020-01-01'
+        |        OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2031-01-01') AS BIGINT) AS bad_ts,
+        |    CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS n_days,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dist_users
+        |  FROM events),
+        |orph AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM events
+        |  WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'doc_id_unique' AS "check", n AS n_rows, n - dist_id AS n_violations, dist_id AS observed FROM da
+        |UNION ALL SELECT 'doc_text_consistent', n, bad_text, max_chars FROM da
+        |UNION ALL SELECT 'doc_lang_domain', n, bad_lang, dist_lang FROM da
+        |UNION ALL SELECT 'event_type_domain', n, bad_type, dist_type FROM ea
+        |UNION ALL SELECT 'event_value_range', n, bad_value, min_cents FROM ea
+        |UNION ALL SELECT 'event_ts_range', n, bad_ts, n_days FROM ea
+        |UNION ALL SELECT 'event_user_ref', ea.n, orph.n_orphans, ea.dist_users FROM ea, orph""".stripMargin,
     // Same bucket SQL as tx_split, same token convention as tx_tokens.
     "pipe_dataset_stats" ->
       s"""WITH s AS (SELECT lang, source, n_chars,

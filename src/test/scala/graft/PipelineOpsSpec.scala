@@ -188,6 +188,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("zz", 3L, 1L, 1), ("yy", 2L, 1L, 2), ("bb", 2L, 2L, 3)))
   }
 
+  test("data checks: every check fires on a planted-violation corpus " +
+       "and reads zero on the clean fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // Clean fixture: all violation counts are zero (that IS the report).
+    val clean = graft.queries.PipelineOps.queries("pipe_data_checks")(
+      spark, SparkTestBase.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(clean.size == 7 && clean.values.forall(_ == 0L), s"clean: $clean")
+
+    // Planted corpus: one violation of each kind.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_checks").toString
+    Seq(
+      (1L, "hello world", "en", "s", 11L),
+      (1L, "dup id", "en", "s", 6L),            // doc_id_unique
+      (2L, "short", "en", "s", 999L),           // doc_text_consistent
+      (3L, "ok text", "xx", "s", 7L))           // doc_lang_domain
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    Seq(
+      (1L, ts(1), 10L, "view", 1.0, "{}"),
+      (2L, ts(2), 10L, "teleport", 1.0, "{}"),  // event_type_domain
+      (3L, ts(3), 10L, "click", -5.0, "{}"),    // event_value_range
+      (4L, java.sql.Timestamp.valueOf("1999-01-01 00:00:00"),
+        10L, "view", 1.0, "{}"),                // event_ts_range
+      (5L, ts(4), 999999L, "view", 1.0, "{}"))  // event_user_ref (orphan)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    Seq((10L, "Cust", 1L, 0.0, "SEG")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val planted = graft.queries.PipelineOps.queries("pipe_data_checks")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(planted.forall(_._2 == 1L),
+      s"each planted check must report exactly one violation: $planted")
+  }
+
   test("weighted sample: engine selection == local A-ES model; heavy " +
        "weights dominate the sample") {
     import spark.implicits._
