@@ -1033,6 +1033,20 @@ object Relational {
     * derived ranges — no bucketing to mirror, so the bucketing is
     * proven LOSSLESS, not just self-consistent.
     */
+  /** The bucketing rewrite itself, reusable: `facts(v)` × `ranges(lo,
+    * hi, owner)` → matched rows, as an EQUI join on the overlapped
+    * bucket plus the exact BETWEEN residual. HighVolumeSpec drives it at
+    * 5M facts against a closed form. */
+  def rangeBucketJoin(facts: DataFrame, ranges: DataFrame,
+      bucket: Long): DataFrame = {
+    val exploded = ranges.select(col("lo"), col("hi"), col("owner"),
+      explode(sequence(expr(s"lo div $bucket"), expr(s"hi div $bucket")))
+        .as("bucket"))
+    facts.withColumn("bucket", expr(s"v div $bucket"))
+      .join(exploded, Seq("bucket"))
+      .where(col("v").between(col("lo"), col("hi")))
+  }
+
   private val rangeLookup: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val bounds = Tables.supplier(s, d)
@@ -1042,14 +1056,9 @@ object Relational {
     val ranges = bounds
       .withColumn("hi", lead(col("lo"), 1).over(Window.orderBy("lo")) - 1)
       .where(col("hi").isNotNull)
-    val exploded = ranges.select(col("lo"), col("hi"), col("owner"),
-      explode(sequence(expr(s"lo div $RangeBucket"), expr(s"hi div $RangeBucket")))
-        .as("bucket"))
     val facts = Tables.orders(s, d)
       .select((round(col("o_totalprice") * 100).cast("long") % lit(1000000L)).as("v"))
-      .withColumn("bucket", expr(s"v div $RangeBucket"))
-    facts.join(exploded, Seq("bucket"))
-      .where(col("v").between(col("lo"), col("hi")))
+    rangeBucketJoin(facts, ranges, RangeBucket)
       .groupBy(col("owner"))
       .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sum_v"))
   }

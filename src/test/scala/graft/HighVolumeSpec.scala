@@ -102,4 +102,62 @@ class HighVolumeSpec extends AnyFunSuite {
       graft.queries.BpeOps.Merge(3, "e", "f", 200000L),
       graft.queries.BpeOps.Merge(4, "g", "h", 100000L)), got.toString)
   }
+
+  test("LSH embedding dedup at volume: 200k dim-64 vectors, exactly the " +
+       "500 planted identical pairs survive") {
+    // Noise vectors are deterministic pseudo-random dim-64 floats; at
+    // threshold 0.95 a noise pair needs a ~7.6-sigma cosine (sigma ≈
+    // 1/sqrt(64)), so the ONLY qualifying pairs are the 500 planted
+    // identical copies (cosine exactly 1, same label → same band keys in
+    // every band → guaranteed candidates). 1000 labels keep band buckets
+    // ~12 rows, so the candidate path processes millions of pairs
+    // without blowing up — the shape 100 TB banding relies on.
+    import spark.implicits._
+    val n = 200000L
+    val noise = spark.range(n).select(
+      col("id").as("vec_id"), (col("id") % 1000).cast("int").as("label"),
+      expr("""transform(sequence(1, 64),
+             |  i -> cast((hash(id * 64 + i) % 1000) as float) / 1000.0f)"""
+        .stripMargin).as("embedding"))
+    // Copies of vec 0..499, same label, fresh ids above the noise range.
+    val copies = spark.range(500).select(
+      (col("id") + lit(n)).as("vec_id"), (col("id") % 1000).cast("int").as("label"),
+      expr("""transform(sequence(1, 64),
+             |  i -> cast((hash(id * 64 + i) % 1000) as float) / 1000.0f)"""
+        .stripMargin).as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_vol").toString
+    noise.unionByName(copies).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val pairs = graft.queries.DedupOps.embeddingPairsLsh(spark, tmp, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 500L).map(i => (i, i + n)).toSet
+    assert(pairs == expected,
+      s"got ${pairs.size} pairs; missing ${(expected -- pairs).take(3)}; " +
+      s"extra ${(pairs -- expected).take(3)}")
+  }
+
+  test("range-bucket join at volume: 5M facts x 1000 ranges, closed-form " +
+       "per-owner counts, no nested loop") {
+    // Uniform ranges [k*1000, k*1000+999] (owner k) make every per-owner
+    // aggregate a closed form: 5M points v = id % 1000000 hit each owner
+    // exactly 5000 times, and each owner's v-sum is 5000 per residue ×
+    // Σ residues. The degenerate-uniform geometry is fine HERE — this
+    // test is about candidate volume through the equi join, not about
+    // irregularity (q_range_lookup's oracle covers that).
+    import org.apache.spark.sql.functions.{count => fcount}
+    val ranges = spark.range(1000).select(
+      (col("id") * 1000).as("lo"), (col("id") * 1000 + 999).as("hi"),
+      col("id").as("owner"))
+    val facts = spark.range(5000000).select((col("id") % 1000000).as("v"))
+    val out = graft.queries.Relational.rangeBucketJoin(facts, ranges, 4096L)
+      .groupBy(col("owner"))
+      .agg(fcount(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 1000)
+    // Each owner k: 5 hits per v in [k*1000, k*1000+999] → n = 5000,
+    // sum = 5 * Σ_{j=0}^{999} (k*1000 + j) = 5*(k*1000000 + 499500).
+    (0L until 1000L).foreach { k =>
+      assert(out(k) == ((5000L, 5L * (k * 1000000L + 499500L))), s"owner $k: ${out(k)}")
+    }
+  }
 }
