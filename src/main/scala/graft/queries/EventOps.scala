@@ -279,6 +279,33 @@ object EventOps {
     * offset) cell is Spark's standard two-phase distinct aggregate. A
     * user's weeks are at most a few hundred rows, so the window
     * partition can never skew. */
+  /** Cumulative distinct users per day — the growth-dashboard "total
+    * users to date" curve, and the classic running-distinct trap: a
+    * naive COUNT(DISTINCT) OVER (ORDER BY day) re-scans every prior
+    * day's users per output row (quadratic, and Spark refuses DISTINCT
+    * in window frames anyway). The scale shape: elect each user's
+    * FIRST-SEEN day (one map-side-combinable min per user), count new
+    * users per day, then a running sum over the tiny day axis — the
+    * expensive pass touches each event once, and the window sorts only
+    * ~days rows. Also reports the per-day active count for contrast.
+    */
+  private val cumulativeUsers: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = byDay.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val active = byDay.distinct()
+      .groupBy("day").agg(count(lit(1)).as("active_users"))
+    active.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day").cast("string").as("day"), col("active_users"),
+        col("new_users"), col("cum_users"))
+  }
+
   private val retention: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val active = Tables.events(s, d)
@@ -491,6 +518,7 @@ object EventOps {
     "ev_tumbling" -> tumbling,
     "ev_gap_fill" -> gapFill,
     "ev_retention" -> retention,
+    "ev_cumulative_users" -> cumulativeUsers,
     "ev_rate_anomaly" -> rateAnomaly,
     "ev_sessions" -> sessions,
     "ev_enriched" -> enriched,
@@ -740,6 +768,19 @@ object EventOps {
         |     * (CAST(h.n AS HUGEINT) * s.n_h - s.s1)
         |     > 4 * (s.n_h * s.s2 - s.s1 * s.s1)) AS anomalous
         |FROM hourly h JOIN stats s USING (event_type)""".stripMargin,
+    // First-seen election + per-day running sum — same composition as
+    // the engine (no COUNT(DISTINCT) over a window on either side).
+    "ev_cumulative_users" ->
+      """WITH bd AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |fs AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM (SELECT user_id, min(day) AS day FROM bd GROUP BY 1) GROUP BY 1),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS active_users
+        |        FROM (SELECT DISTINCT user_id, day FROM bd) GROUP BY 1)
+        |SELECT CAST(act.day AS VARCHAR) AS day, act.active_users,
+        |  CAST(coalesce(fs.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(fs.new_users, 0))
+        |       OVER (ORDER BY act.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM act LEFT JOIN fs USING (day)""".stripMargin,
     "ev_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
