@@ -137,6 +137,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "chunk explode must stay map-side")
   }
 
+  test("tx_winnow: zero exchanges — winnowing is pure per-row work") {
+    val p = planOf("tx_winnow")
+    assert(countNodes(p, "Exchange") == 0,
+      s"winnowing must not shuffle:\n${p.take(1200)}")
+    assert(countNodes(p, "Window") == 0 && countNodes(p, "Generate") == 0,
+      s"no per-gram explode or per-doc window may survive:\n${p.take(1200)}")
+  }
+
+  test("tx_weighted_sample: distributed top-k (TakeOrderedAndProject), " +
+       "no global sort") {
+    val p = planOf("tx_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k merge:\n${p.take(1200)}")
+    // The only Sort allowed is the final k-row rank window's — never a
+    // pre-limit global sort of the corpus.
+    assert(countNodes(p, "Sort") <= 1, s"corpus-wide sort leaked in:\n${p.take(1200)}")
+  }
+
+  test("ev_cumulative_users: the running-distinct trap stays avoided — " +
+       "no distinct aggregation inside a window") {
+    val p = planOf("ev_cumulative_users")
+    // One window (the day-axis running sum) over at most ~days rows.
+    assert(countNodes(p, "Window") == 1, s"expected exactly 1 Window:\n${p.take(1200)}")
+  }
+
   test("q_range_lookup: bucketed range join is an EQUI join — no nested " +
        "loop, no cartesian") {
     val p = planOf("q_range_lookup")
