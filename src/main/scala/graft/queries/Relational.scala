@@ -923,6 +923,26 @@ object Relational {
   /** Open-row sentinel for [[srcScd2]] (integer "infinity" epoch). */
   val Scd2Open = 9999999999L
 
+  /** Time travel over the SCD-2 history — the READ side that justifies
+    * keeping versions at all: `AS OF t` is the pure filter
+    * `valid_from <= t < valid_to` over the history (each key has exactly
+    * one valid row per instant by construction), a map-side predicate
+    * the scan pushes down when the history is stored partitioned or
+    * sorted on the validity columns. Reconstructs BOTH epochs: as-of 0
+    * mixes closed rows (changed keys' originals) with unchanged rows —
+    * a nontrivial reconstruction — and as-of 1 is the current state.
+    * The oracle recomputes each epoch DIRECTLY from the source table
+    * (original prices at 0, delta applied at 1), independent of the
+    * history SQL, so it proves the history + filter round-trips the
+    * truth rather than merely agreeing with itself. */
+  private val timeTravel: Q = (s, d) => {
+    val hist = srcScd2(s, d)
+    def asOf(t: Long) = hist
+      .where(col("valid_from") <= t && col("valid_to") > t)
+      .select(lit(t).as("as_of"), col("o_orderkey"), col("price_cents"))
+    asOf(0L).unionByName(asOf(1L))
+  }
+
   /** Window functions: ranking + running totals (window extension). */
   private val w1: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -1112,6 +1132,7 @@ object Relational {
     "q4_priority_exists" -> q4Exists,
     "src_upsert_merge" -> srcUpsert,
     "src_scd2_merge" -> srcScd2,
+    "src_time_travel" -> timeTravel,
     "src_v2_scan" -> srcV2Scan,
     "src_sorted_skipping" -> srcSorted,
     "src_zorder_skipping" -> srcZorder,
@@ -1459,6 +1480,18 @@ object Relational {
          |SELECT o_orderkey, price_cents + 10000, CAST(1 AS BIGINT),
          |  CAST($Scd2Open AS BIGINT), true
          |FROM base WHERE o_orderkey IN (SELECT o_orderkey FROM delta)""".stripMargin,
+    // Direct truth per epoch (no history CTE): the engine reconstructs
+    // through the SCD-2 filter, the oracle states each epoch from the
+    // source — equality proves history + as-of filter round-trip.
+    "src_time_travel" ->
+      s"""SELECT CAST(0 AS BIGINT) AS as_of, o_orderkey,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         |FROM orders
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), o_orderkey,
+         |  CAST(round(o_totalprice * 100) AS BIGINT)
+         |  + CASE WHEN o_orderkey % $UpsertDeltaMod = 0 THEN 10000 ELSE 0 END
+         |FROM orders""".stripMargin,
     "src_sorted_skipping" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
