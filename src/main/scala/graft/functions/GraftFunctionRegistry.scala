@@ -51,6 +51,8 @@ object GraftFunctionRegistry {
       arity("canonical_id", 1)(a => CanonicalId(a.head))),
     ("rolling_hash64", classOf[RollingHash64],
       arity("rolling_hash64", 1)(a => RollingHash64(a.head))),
+    ("nfc_normalize", classOf[NfcNormalize],
+      arity("nfc_normalize", 1)(a => NfcNormalize(a.head))),
     ("md5_64_array", classOf[Md5LongArray],
       arity("md5_64_array", 1)(a => Md5LongArray(a.head))),
     ("simhash_fold", classOf[SimhashFold],

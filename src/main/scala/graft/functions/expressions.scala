@@ -301,6 +301,21 @@ object ExprUtil {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Unicode NFC normalization — the canonicalization multilingual dedup
+    * breaks without (é composed vs e + U+0301 decomposed hash apart).
+    * Both the JDK's Normalizer and DuckDB's nfc_normalize implement the
+    * same Unicode standard, so normalized bytes — and therefore hashes —
+    * agree cross-engine (verified: identical md5 for the decomposed
+    * probe). Fast path: isNormalized is a scan without allocation, so
+    * ASCII/already-NFC corpora pay no copy.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** All hyperplane band keys of a vector in ONE pass — the codegen twin
     * of d12's per-plane `when(dot_fold(v, plane_b) >= 0, ...)` chain,
     * which pays the HOF setup nBits times per row. Per bit: the SAME
@@ -551,6 +566,22 @@ case class CanonicalId(child: Expression) extends UnaryExpression {
     """)
 
   override protected def withNewChildInternal(newChild: Expression): CanonicalId =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization (see [[ExprUtil.nfcNormalize]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprUtil.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprUtil.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 
@@ -1183,6 +1214,10 @@ object GraftFunctions {
   def dot_fold(a: Column, b: Column): Column =
     GraftSqlShim.column(DotFold(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** Unicode NFC normalization (multilingual canonicalization). */
+  def nfc_normalize(c: Column): Column =
+    GraftSqlShim.column(NfcNormalize(GraftSqlShim.expression(c)))
 
   /** One-pass packed hyperplane band keys (d12's banding hot path). */
   def hyperplane_bands(v: Column, planes: Seq[Double], dim: Int,

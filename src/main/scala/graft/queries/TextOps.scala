@@ -224,6 +224,29 @@ object TextOps {
         array_max(expr("transform(sel, x -> x.h)")).as("max_sel"))
   }
 
+  /** Unicode NFC canonicalization report — the normalization pass
+    * multilingual dedup REQUIRES (é composed and e + combining acute are
+    * different byte strings with different fingerprints until
+    * normalized). Per doc: whether normalization changed anything, the
+    * normalized length, and the md5 of the normalized text — which is
+    * the fingerprint every downstream dedup should use. The custom
+    * codegen expression ([[graft.functions.NfcNormalize]], also in the
+    * SQL registry) wraps the JDK Normalizer with an isNormalized fast
+    * path, so already-NFC corpora pay a scan but no copy; DuckDB's
+    * nfc_normalize implements the same Unicode standard, so the hashes
+    * agree byte-for-byte (differential spec plants decomposed text).
+    * Entirely per-row: zero shuffles.
+    */
+  private val nfcReport: Q = (s, d) => {
+    val norm = graft.functions.GraftFunctions.nfc_normalize(col("text"))
+    Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        (norm =!= col("text")).as("changed"),
+        length(norm).cast("long").as("n_chars_nfc"),
+        md5(norm.cast("binary")).as("md5_nfc"))
+  }
+
   /** Weighted-sample size (fixed k of the without-replacement sample). */
   val WeightedSampleK = 100
 
@@ -530,6 +553,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
     "tx_winnow" -> winnow,
+    "tx_nfc_normalize" -> nfcReport,
     "tx_weighted_sample" -> weightedSample,
     "tx_split" -> splitAssign,
     "tx_pii_scrub" -> piiScrub,
@@ -665,6 +689,13 @@ object TextOps {
     // HUGEINT arithmetic mod 2^64; UTF-8 bytes come from hand-parsing the
     // hex dump (DuckDB has no BLOB→INT cast), signed-byte adjustment for
     // bytes ≥ 128, signed remap at the end.
+    // Same Unicode NFC standard on both sides (JDK Normalizer vs DuckDB
+    // nfc_normalize) → identical normalized bytes → identical md5.
+    "tx_nfc_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) <> text AS changed,
+        |  CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  md5(nfc_normalize(text)) AS md5_nfc
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // A-ES keys recomputed with the same hex parse, uniform mapping, and
     // 1e12 floor; ORDER BY (key, doc_id) LIMIT k mirrors the top-k.
     "tx_weighted_sample" ->

@@ -193,6 +193,28 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out == "cba")
   }
 
+  test("nfc_normalize: composes decomposed sequences, fixes fingerprints, " +
+       "identity on NFC input (fast path returns the same bytes)") {
+    import spark.implicits._
+    val composed = "café"            // é as one code point
+    val decomposed = "café"          // e + combining acute
+    val hangulD = "가"           // decomposed 가
+    val rows = Seq((1L, composed), (2L, decomposed), (3L, hangulD),
+      (4L, "plain ascii"), (5L, "é́")) // precomposed base + another combiner
+    val out = rows.toDF("id", "s")
+      .select(col("id"), graft.functions.GraftFunctions.nfc_normalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, s) =>
+      val expect = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(out(id) == expect, s"row $id")
+    }
+    // The canonicalization actually matters: decomposed == composed
+    // after, so fingerprints over normalized text collide as they must.
+    assert(out(1L) == out(2L) && out(1L) == composed)
+    assert(out(3L) == "가") // precomposed Hangul syllable GA
+    assert(out(4L) == "plain ascii")
+  }
+
   test("hyperplane_bands == the composed per-plane dot_fold/when chain, " +
        "bit-for-bit, including near-zero dots") {
     import spark.implicits._
