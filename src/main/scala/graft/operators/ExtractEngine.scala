@@ -348,9 +348,12 @@ final class ExtractOperation(
     * step boundaries: the completed steps' accumulated row frames, every
     * table's required-id set (later steps' sets are registered by earlier
     * steps, so they are part of pass state), and a marker naming what is
-    * valid. The marker is written LAST so a kill mid-save leaves the
-    * previous checkpoint authoritative; id sets are re-derivable from the
-    * row frames, so they are not persisted separately.
+    * valid. Crash safety is structural, not just ordering: required-id
+    * sets go to a fresh `required_v<N>` dir per save and the marker is
+    * published by ATOMIC_MOVE, so a kill at any point leaves the previous
+    * marker pointing at fully intact parquet (see [[saveVersion]]); id
+    * sets are re-derivable from the row frames, so they are not persisted
+    * separately.
     */
   /** Row dirs already persisted: a table's row frame is immutable once
     * its step completes (later steps only touch their own table), so
@@ -358,6 +361,16 @@ final class ExtractOperation(
     * rewriting every earlier one — keeps checkpoint cost O(step), not
     * O(steps²) over a run. */
   private val savedRowDirs = mutable.Set.empty[String]
+
+  /** Version counter for the required-id snapshot directories. Required
+    * sets are REWRITTEN on every save (earlier steps register ids into
+    * later tables' sets), so each save writes them to a fresh
+    * `required_v<N>` directory and only then publishes the marker — the
+    * previous version's parquet stays intact until the new marker lands,
+    * so a kill at ANY byte of the save leaves the old checkpoint fully
+    * authoritative (row dirs are write-once, see [[savedRowDirs]]).
+    */
+  private var saveVersion: Int = 0
 
   def saveState(dir: String): Unit = {
     val done = order.take(stepsCompleted)
@@ -368,14 +381,30 @@ final class ExtractOperation(
       }
     }
     val reqTables = requiredIds.keys.toSeq.sorted
+    val ver = saveVersion
+    saveVersion += 1
     reqTables.foreach(t =>
-      requiredIds(t).write.mode("overwrite").parquet(s"$dir/required/$t"))
-    val json = s"""{"completed":$stepsCompleted,""" +
+      requiredIds(t).write.mode("overwrite").parquet(s"$dir/required_v$ver/$t"))
+    val json = s"""{"completed":$stepsCompleted,"reqver":$ver,""" +
       s""""rows":[${done.filter(extractedRows.contains).map("\"" + _ + "\"").mkString(",")}],""" +
       s""""required":[${reqTables.map("\"" + _ + "\"").mkString(",")}]}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/extract_state.json"), json)
+    // Marker published via temp file + ATOMIC_MOVE: a reader (or a crash)
+    // sees either the complete old marker or the complete new one, never a
+    // torn write.
+    val tmp = java.nio.file.Paths.get(s"$dir/extract_state.json.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$dir/extract_state.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Older required_v* snapshots are now unreferenced — GC them (best
+    // effort; a leftover dir is garbage, never a correctness hazard).
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("required") &&
+        f.getName != s"required_v$ver")
+      .foreach(f => try graft.core.Fs.deleteRecursively(f.getPath)
+        catch { case _: Exception => () })
   }
 
   /** Restore a [[saveState]] checkpoint: completed tables' rows (+ id
@@ -392,6 +421,11 @@ final class ExtractOperation(
           .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     resumeFrom = """"completed":(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(0)
+    // Versioned required-id layout (crash-safe saves); absent key = the
+    // legacy in-place `required/` layout of pre-versioning checkpoints.
+    val reqVer = """"reqver":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    val reqDir = reqVer.map(v => s"required_v$v").getOrElse("required")
+    saveVersion = reqVer.map(_ + 1).getOrElse(0)
     list("rows").foreach { t =>
       val rows = graft.core.Lineage.cut(spark.read.parquet(s"$dir/rows/$t"))
       extractedRows(t) = rows
@@ -399,7 +433,7 @@ final class ExtractOperation(
       savedRowDirs += t
     }
     list("required").foreach { t =>
-      requiredIds(t) = graft.core.Lineage.cut(spark.read.parquet(s"$dir/required/$t"))
+      requiredIds(t) = graft.core.Lineage.cut(spark.read.parquet(s"$dir/$reqDir/$t"))
       depsDirty += t
     }
   }

@@ -46,8 +46,9 @@ import org.apache.spark.sql.internal.SQLConf
   *   - 2 = nearest: whichever of the two candidates has the smaller
   *     |Δtime|, preferring the backward candidate on an exact tie;
   *
-  * optionally bounded by `tolerance` ≥ 0 (same units as the time column —
-  * microseconds for timestamps): a candidate farther than the bound is
+  * optionally bounded by `tolerance` ≥ 0, with -1 the only unbounded
+  * sentinel (same units as the time column — microseconds for
+  * timestamps): a candidate farther than the bound is
   * discarded, the probe row keeps nulls. Ties on the reference time are
   * resolved by the carried projection's byte order (backward keeps the
   * greatest, forward the smallest — both index-sort endpoints), making
@@ -72,7 +73,7 @@ case class AsOfJoinPlan(
     // AQE re-optimization replanning the subtree mid-query.
     hint: Option[String] = None,
     direction: Int = 0, // 0=backward, 1=forward, 2=nearest
-    tolerance: Long = -1L) // max |Δtime| in time-column units; <0 = unbounded
+    tolerance: Long = -1L) // max |Δtime| in time-column units; -1 = unbounded
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -131,7 +132,7 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     carried: Seq[Attribute],
     direction: Int = 0,
-    tolerance: Long = -1L)
+    tolerance: Long = -1L) // -1 = unbounded (public API admits no other negative)
   extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
@@ -386,7 +387,7 @@ case class ShuffleAsOfJoinExec(
     rightTime: Expression,
     carried: Seq[Attribute],
     direction: Int = 0,
-    tolerance: Long = -1L)
+    tolerance: Long = -1L) // -1 = unbounded (public API admits no other negative)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ carried.map(_.withNullability(true))
@@ -551,7 +552,7 @@ object AsOfJoin {
     * `key` picked by `direction` — "backward" (default: greatest right
     * time ≤ left time), "forward" (smallest right time ≥ left time), or
     * "nearest" (smaller |Δtime|, exact tie → backward) — optionally
-    * bounded by `tolerance` ≥ 0 in the time column's native units
+    * bounded by `tolerance` ≥ 0 (-1 = unbounded) in the time column's native units
     * (MICROSECONDS for timestamps); pandas merge_asof's surface. `carry`
     * names the right columns appended (nullable) to the left schema.
     * `strategy` optionally pins the physical shape ("broadcast" |

@@ -126,6 +126,7 @@ object EngineOps {
         Seq("r_regionkey", "r_name")))
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_extract_state").toString
+    graft.core.Fs.deleteOnExit(stateDir) // oracle sweeps + bench re-runs must not accumulate /tmp checkpoints
     val op1 = new ExtractOperation(tpchStore(s, d), tpchCatalog, mkSteps)
     require(op1.execute(Some(stateDir), stopAfterSteps = 2) == 1,
       s"expected an incomplete-but-resumable run: ${op1.errors}")

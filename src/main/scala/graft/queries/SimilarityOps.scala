@@ -220,8 +220,13 @@ object SimilarityOps {
     val shortlist = topOver(first).collect()
     val dK = if (shortlist.length < k) Double.PositiveInfinity
       else math.sqrt(math.max(shortlist.map(_.getDouble(2)).max, 0.0))
+    // Exactness slack must scale with the magnitudes entering the float
+    // arithmetic: dq/r/dK each carry O(|x|·dim·ulp) accumulation error, so
+    // a fixed 1e-9 could drop a boundary cell on large-magnitude/high-dim
+    // corpora. Relative term (sum of the three operands × 1e-12 ≫ double
+    // ulp per unit) plus a tiny absolute floor for near-zero distances.
     val finalProbes = (first ++ cells.collect {
-      case (l, dq, r) if math.max(0.0, dq - r) <= dK + 1e-9 => l
+      case (l, dq, r) if math.max(0.0, dq - r) <= dK + ((dK + dq + r) * 1e-12 + 1e-9) => l
     }).distinct
     (finalProbes, topOver(finalProbes))
   }

@@ -184,7 +184,13 @@ object EventStreaming {
     * pattern at scale (enrich an event stream against a slowly-changing
     * dimension snapshot); the bound is the same one the batch strategy
     * checks before planning the broadcast exec — the reference index
-    * must fit in a broadcast. Ties at one (user, ts) resolve to the
+    * must fit in a broadcast — and it is ENFORCED here before the
+    * collect: the pruned reference projection's optimizer size estimate
+    * must be within `spark.sql.autoBroadcastJoinThreshold`, else the
+    * call fails fast (an oversized snapshot would otherwise OOM the
+    * driver mid-collect). `spark.graft.asof.strategy=broadcast` pins
+    * past the check, mirroring the batch planner's pin, for callers who
+    * know the estimate is pessimistic. Ties at one (user, ts) resolve to the
     * greatest view_id (the fixtures carry none — AsOfJoinSpec asserts
     * that invariant).
     */
@@ -193,8 +199,23 @@ object EventStreaming {
     import spark.implicits._
     def micros(t: java.sql.Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
-    val index: Map[Long, (Array[Long], Array[Long], Array[Double])] = views
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val pruned = views.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val pinned = spark.conf.getOption("spark.graft.asof.strategy").contains("broadcast")
+    if (!pinned) {
+      // Same gate the batch AsOfJoinStrategy applies before planning
+      // BroadcastAsOfJoinExec: size the PRUNED reference projection's
+      // optimized plan against the broadcast threshold. Fail fast here —
+      // the alternative is a driver OOM halfway through the collect.
+      val estBytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(threshold > 0 && estBytes <= threshold,
+        s"asofStreamStatic builds a broadcast index from the static reference, " +
+          s"but its estimated size ($estBytes bytes) exceeds " +
+          s"spark.sql.autoBroadcastJoinThreshold ($threshold). Filter the " +
+          s"snapshot, raise the threshold, or set " +
+          s"spark.graft.asof.strategy=broadcast to pin past this check.")
+    }
+    val index: Map[Long, (Array[Long], Array[Long], Array[Double])] = pruned
       .as[(Long, java.sql.Timestamp, Long, Double)]
       .collect()
       .groupBy(_._1)

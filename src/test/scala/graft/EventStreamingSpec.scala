@@ -216,6 +216,28 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static as-of refuses an oversized reference snapshot " +
+       "(broadcast bound enforced before the collect)") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+    val views = ev.where(col("event_type") === "view")
+    val stream = EventStreaming.eventStream(spark, eventsDir, ev.schema)
+    val clicks = stream.where(col("event_type") === "click")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // 1 byte: nothing fits
+      val err = intercept[IllegalArgumentException] {
+        EventStreaming.asofStreamStatic(spark, clicks, views)
+      }
+      assert(err.getMessage.contains("autoBroadcastJoinThreshold"),
+        s"error should name the governing conf: ${err.getMessage}")
+      // The batch planner's pin works here too: an explicit broadcast pin
+      // bypasses the estimate (caller asserts the snapshot fits).
+      spark.conf.set("spark.graft.asof.strategy", "broadcast")
+      try EventStreaming.asofStreamStatic(spark, clicks, views) // must not throw
+      finally spark.conf.unset("spark.graft.asof.strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("as-of state TTL: idle state evicts once the watermark passes; recent state survives") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_ttl").toString
