@@ -50,6 +50,44 @@ object Materialize {
     spark.read.parquet(slot.value)
   }
 
+  private val bucketedCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Slot]]())
+
+  /** Deterministic catalog name for a bucketed materialization key. */
+  private def bucketedTableName(key: String): String =
+    "graft_mat_b_" + key.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "") + "_" + Integer.toHexString(key.hashCode)
+
+  /** [[once]] with a BUCKETED layout: the frame is written
+    * `bucketBy(nBuckets, bucketCol).sortBy(bucketCol)` into a
+    * session-temp path registered in the session catalog, so every later
+    * join/aggregate on `bucketCol` consumes the scan's hash-clustered
+    * output with NO exchange on this side — the pay-the-shuffle-ONCE
+    * layout (src_bucketed_join) applied to shared intermediates that are
+    * re-joined many times, e.g. the graph edge table whose per-round
+    * rank join would otherwise re-shuffle all m edges every iteration.
+    * The write repartitions by the bucket column first so each bucket is
+    * one file, not tasks × buckets fragments.
+    */
+  def onceBucketed(spark: SparkSession, key: String, nBuckets: Int,
+      bucketCol: String)(f: => DataFrame): DataFrame = {
+    val perKey = bucketedCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Slot]())
+    val slot = perKey.computeIfAbsent(key, _ => new Slot(() => {
+      val out = java.nio.file.Files.createTempDirectory("graft_mat_b").toString
+      Fs.deleteOnExit(out)
+      val name = bucketedTableName(key)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      f.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", out).mode("overwrite").saveAsTable(name)
+      out
+    }))
+    slot.value // force the write before the table lookup
+    spark.table(bucketedTableName(key))
+  }
+
   /** Drop every materialized artifact of one session: forget the keys AND
     * delete the temp parquet directories now (deleteOnExit only fires at
     * JVM exit — a long-lived session cycling through many corpora would
@@ -65,6 +103,14 @@ object Materialize {
       // here would run the whole pipeline just to delete its output.
       if (slot.computed)
         try Fs.deleteRecursively(slot.value) catch { case _: Throwable => () }
+    }
+    val perKeyB = bucketedCache.remove(spark)
+    if (perKeyB != null) perKeyB.forEach { (key, slot) =>
+      if (slot.computed) {
+        try spark.sql(s"DROP TABLE IF EXISTS ${bucketedTableName(key)}")
+        catch { case _: Throwable => () }
+        try Fs.deleteRecursively(slot.value) catch { case _: Throwable => () }
+      }
     }
   }
 }

@@ -146,4 +146,52 @@ class GraphSpec extends AnyFunSuite {
     assert(labsT.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("per-round rank join is exchange-free on the bucketed edge side") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // Force the sort-merge path: at 100 TB the node-sized rank frame does
+    // not broadcast — SMJ against the bucketed edge scan is the shape the
+    // layout exists for (the test-scale planner would broadcast it and
+    // hide the exchange this pin guards against).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ewd = graft.queries.GraphOps.edgesOf(spark, sf)
+      val prev = graft.core.Lineage.cut(
+        ewd.select(col("src").as("node")).distinct()
+          .select(col("node"),
+            lit(graft.queries.GraphOps.PageRankScale).as("r")))
+      // One pagerank round, verbatim shape from GraphOps.pagerank.
+      val round = ewd.join(prev, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("r"))
+      round.collect()
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case q: QueryStageExec => expand(q.plan)
+        case o => o +: o.children.flatMap(expand)
+      }
+      val nodes = expand(round.queryExecution.executedPlan)
+      val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(smj.size == 1, nodes.map(_.nodeName).mkString(", "))
+      val sides = smj.head.children.map(expand)
+      val bucketSides = sides.filter(_.exists {
+        case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+        case _ => false
+      })
+      assert(bucketSides.size == 1,
+        "exactly one join side must read the bucketed edge table: " +
+          sides.map(_.map(_.nodeName).mkString(">")).mkString(" | "))
+      // THE pin: the m-edge side reaches the per-round join straight from
+      // its bucket layout — zero shuffles. Only the node-sized rank frame
+      // (the other side) may move.
+      assert(!bucketSides.head.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "edge side of the per-round join must be exchange-free:\n" +
+          bucketSides.head.map(_.nodeName).mkString("\n"))
+      graft.core.Lineage.release(prev)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
