@@ -318,6 +318,85 @@ object Relational {
         (col("promo_e4").cast("double") / col("total_e4").cast("double")).as("promo_share"))
   }
 
+  /** Correlated-scalar-subquery surface (TPC-H Q2/Q17 class): the SQL
+    * text is shared VERBATIM with the DuckDB oracle (both dialects parse
+    * it), so the gate proves Catalyst's decorrelation — not a hand-
+    * rewritten join — computes the same answer. Catalyst rewrites each
+    * correlated `(SELECT agg ... WHERE corr = outer)` into an aggregate
+    * joined on the correlation key (RewriteCorrelatedScalarSubquery);
+    * PlanSpec pins that the optimized plan carries no subquery expression
+    * and the physical plan has no nested-loop/cartesian shape — the
+    * decorrelated form is all hash/merge joins that scale like any other
+    * join, where a per-outer-row subquery re-execution would be O(n·m).
+    *
+    * Money discipline as q1/q14: integer cents, BIGINT sums. Q17's
+    * small-quantity predicate `qty < 0.2·avg(qty)` is algebraically
+    * rearranged to the integer-exact `5·qty·count < sum` (quantities are
+    * integral), so no float-rounding boundary can flip a row between
+    * engines.
+    */
+  private def registerTpchViews(s: SparkSession, d: String): Unit = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+  }
+
+  /** TPC-H Q2 shape on the available schema (no partsupp table): the
+    * part↔supplier cost relation is derived from lineitem (cheapest
+    * observed line price in cents per pair), and the correlated subquery
+    * finds the minimum cost among EUROPE suppliers per part — with joins
+    * INSIDE the correlated scope, the harder decorrelation case. */
+  val Q2Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |eu AS (
+      |  SELECT s_suppkey, s_name
+      |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE')
+      |SELECT p.p_partkey, eu.s_suppkey, eu.s_name, ps.cost_cents
+      |FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+      |JOIN eu ON eu.s_suppkey = ps.l_suppkey
+      |WHERE p.p_size = 15
+      |  AND ps.cost_cents = (
+      |    SELECT min(ps2.cost_cents)
+      |    FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+      |    WHERE ps2.l_partkey = p.p_partkey)""".stripMargin
+
+  /** TPC-H Q17 shape: revenue lost to small-quantity lines, where
+    * "small" is the integer-exact rearrangement of qty < 0.2·avg(qty)
+    * over the part's own lineitems (two correlated aggregates). */
+  val Q17Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS lost_cents,
+      |  CAST(count(*) AS BIGINT) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#13'
+      |  AND 5 * l.l_quantity *
+      |    (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT sum(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution through a
+    * filtered LEFT OUTER join (the filter lives in the ON clause so
+    * customers with zero surviving orders still count at c_count = 0). */
+  val Q13Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  private val q2MinCost: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q2Sql) }
+  private val q17SmallQty: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q17Sql) }
+  private val q13CustDist: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q13Sql) }
+
   /** JSONL source/sink round-trip over documents — the serialization
     * format training-data pipelines actually exchange. Schema-enforced
     * re-read (JSON escaping covers embedded newlines/quotes in text).
@@ -1113,6 +1192,9 @@ object Relational {
     "q_cube" -> qCube,
     "q5_nation_revenue" -> q5,
     "q14_promo_share" -> q14,
+    "q2_min_cost_supplier" -> q2MinCost,
+    "q17_small_qty" -> q17SmallQty,
+    "q13_customer_distribution" -> q13CustDist,
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
@@ -1432,6 +1514,11 @@ object Relational {
         |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(rev) AS DOUBLE) AS promo_share
         |FROM j""".stripMargin,
+    // Shared verbatim with the Spark side (both dialects parse the same
+    // text): the gate compares Catalyst's decorrelation against DuckDB's.
+    "q2_min_cost_supplier" -> Q2Sql,
+    "q17_small_qty" -> Q17Sql,
+    "q13_customer_distribution" -> Q13Sql,
     "w1_window_topn" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -438,4 +438,39 @@ class PlanSpec extends AnyFunSuite {
       nodes.map(_.nodeName).mkString(", "))
     assert(n(_.nodeName == "Generate") == 1)
   }
+
+  test("q2/q17: correlated scalar subqueries decorrelate into aggregate " +
+       "joins — no subquery expression survives, no nested-loop join") {
+    for (name <- Seq("q2_min_cost_supplier", "q17_small_qty")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // Decorrelation is an optimizer rewrite: the OPTIMIZED plan must
+      // carry no scalar-subquery expression (a surviving one would mean
+      // per-outer-row re-execution) and must contain the Aggregate the
+      // rewrite introduces for the correlated aggregate.
+      val opt = df.queryExecution.optimizedPlan
+      val optStr = opt.toString
+      assert(!optStr.contains("scalar-subquery"),
+        s"$name: correlated subquery not decorrelated:\n" + optStr.take(1500))
+      assert(opt.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size >= 2, s"$name: expected the decorrelated per-key aggregate")
+      // Physical: hash/merge joins only. A BroadcastNestedLoopJoin or
+      // CartesianProduct here would be the O(n·m) shape decorrelation
+      // exists to avoid.
+      val phys = {
+        val out = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+        out.toString
+      }
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"$name: nested-loop shape in physical plan:\n" + phys.take(1500))
+    }
+  }
+
+  test("q13: the distribution partitions every customer exactly once") {
+    val rows = SparkEntry.queries("q13_customer_distribution")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.values.sum == nCust, "distribution must partition all customers")
+  }
 }
