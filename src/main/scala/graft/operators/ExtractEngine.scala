@@ -225,6 +225,9 @@ final class ExtractOperation(
       case Some(acc) => acc.unionByName(out)
       case None => out
     }
+    // Mid-step checkpoint delta: `out` is already lineage-cut, so
+    // buffering it costs nothing until a save drains the buffer.
+    partialBuf += out
     // outIds derives from the checkpointed `out` (cheap projection; no
     // extra materialization needed). Both accumulators fold LAZILY: the
     // id union is distinct-by-construction (see field doc) and every leaf
@@ -372,6 +375,26 @@ final class ExtractOperation(
     */
   private var saveVersion: Int = 0
 
+  /** Mid-step (fixpoint) checkpoint state — see [[saveStatePartial]].
+    * `partialBuf` collects the lineage-cut row batches the CURRENT step
+    * has stored since the last save; each save drains it into one
+    * append-only `partial_p<N>` delta dir, so a mid-step save costs
+    * O(rows discovered since the last save) — NOT O(accumulated rows),
+    * which over a deep fixpoint would be quadratic (the long job at
+    * 100 TB is exactly one table's O2 fixpoint). Delta dirs are
+    * immutable once written (the row-dir discipline), referenced by the
+    * marker's `partial.dirs` list, and GC'd when their step completes.
+    */
+  private val partialBuf = mutable.Buffer.empty[DataFrame]
+  private var partialSeq: Int = 0
+  private val partialDirs = mutable.Buffer.empty[Int]
+  /** Set by [[loadState]] when the checkpoint ended mid-step: the
+    * in-progress table (its scope pass is already contained in the
+    * restored partial rows, so the resumed step skips it) and the pass
+    * counter reached. */
+  private var resumePartial: Option[String] = None
+  private var resumePass: Int = 0
+
   def saveState(dir: String): Unit = {
     val done = order.take(stepsCompleted)
     done.filterNot(savedRowDirs).foreach { t =>
@@ -380,14 +403,59 @@ final class ExtractOperation(
         savedRowDirs += t
       }
     }
-    val reqTables = requiredIds.keys.toSeq.sorted
+    val ver = writeRequired(dir)
+    writeMarker(dir, markerJson(ver, partial = ""))
+    gcStale(dir, ver, keepPartials = false)
+    // The completed step's delta dirs were just deleted; forget them.
+    partialBuf.clear(); partialDirs.clear()
+  }
+
+  /** Fixpoint-granular checkpoint: drains [[partialBuf]] into a fresh
+    * immutable delta dir, rewrites the required-id snapshot, then
+    * publishes a marker whose `partial` entry names the in-progress
+    * table, the pass counter, and every live delta dir. Same crash
+    * discipline as [[saveState]]: all parquet lands before the marker
+    * moves, so a kill at any byte resumes from the previous marker.
+    */
+  private def saveStatePartial(dir: String, table: String, pass: Int): Unit = {
+    val done = order.take(stepsCompleted)
+    done.filterNot(savedRowDirs).foreach { t =>
+      extractedRows.get(t).foreach { rows =>
+        rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
+        savedRowDirs += t
+      }
+    }
+    if (partialBuf.nonEmpty) {
+      partialBuf.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/partial_p$partialSeq/$table")
+      partialDirs += partialSeq
+      partialSeq += 1
+      partialBuf.clear()
+    }
+    val ver = writeRequired(dir)
+    val partial = s""","partial":{"table":"$table","pass":$pass,""" +
+      s""""dirs":[${partialDirs.mkString(",")}]}"""
+    writeMarker(dir, markerJson(ver, partial))
+    gcStale(dir, ver, keepPartials = true)
+  }
+
+  private def writeRequired(dir: String): Int = {
     val ver = saveVersion
     saveVersion += 1
-    reqTables.foreach(t =>
+    requiredIds.keys.toSeq.sorted.foreach(t =>
       requiredIds(t).write.mode("overwrite").parquet(s"$dir/required_v$ver/$t"))
-    val json = s"""{"completed":$stepsCompleted,"reqver":$ver,""" +
+    ver
+  }
+
+  private def markerJson(ver: Int, partial: String): String = {
+    val done = order.take(stepsCompleted)
+    val reqTables = requiredIds.keys.toSeq.sorted
+    s"""{"completed":$stepsCompleted,"reqver":$ver,""" +
       s""""rows":[${done.filter(extractedRows.contains).map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""required":[${reqTables.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""required":[${reqTables.map("\"" + _ + "\"").mkString(",")}]$partial}"""
+  }
+
+  private def writeMarker(dir: String, json: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // Marker published via temp file + ATOMIC_MOVE: a reader (or a crash)
     // sees either the complete old marker or the complete new one, never a
@@ -398,14 +466,20 @@ final class ExtractOperation(
       java.nio.file.Paths.get(s"$dir/extract_state.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // Older required_v* snapshots are now unreferenced — GC them (best
-    // effort; a leftover dir is garbage, never a correctness hazard).
+  }
+
+  /** Unreferenced snapshots after a marker publish — older required_v*
+    * versions always; partial_p* deltas once their step completed (best
+    * effort; a leftover dir is garbage, never a correctness hazard). */
+  private def gcStale(dir: String, ver: Int, keepPartials: Boolean): Unit =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("required") &&
-        f.getName != s"required_v$ver")
+      .filter { f =>
+        f.isDirectory && (
+          (f.getName.startsWith("required") && f.getName != s"required_v$ver") ||
+          (!keepPartials && f.getName.startsWith("partial_p")))
+      }
       .foreach(f => try graft.core.Fs.deleteRecursively(f.getPath)
         catch { case _: Exception => () })
-  }
 
   /** Restore a [[saveState]] checkpoint: completed tables' rows (+ id
     * sets re-derived from them), required-id sets, and the resume point.
@@ -436,6 +510,27 @@ final class ExtractOperation(
       requiredIds(t) = graft.core.Lineage.cut(spark.read.parquet(s"$dir/$reqDir/$t"))
       depsDirty += t
     }
+    // Mid-step (fixpoint) checkpoint: the in-progress table's accumulated
+    // rows are the union of the marker's delta dirs. Its scope pass is
+    // contained in delta 0, so the resumed step re-enters directly at
+    // dependency resolution + the fixpoint loop (idempotent either way —
+    // storeResult dedups against the restored id set).
+    """"partial":\{"table":"([^"]+)","pass":(\d+),"dirs":\[([0-9,\s]*)\]\}""".r
+      .findFirstMatchIn(txt).foreach { m =>
+        val t = m.group(1)
+        resumePass = m.group(2).toInt
+        val dirs = m.group(3).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        if (dirs.nonEmpty) {
+          val rows = graft.core.Lineage.cut(
+            dirs.map(n => spark.read.parquet(s"$dir/partial_p$n/$t"))
+              .reduce(_ unionByName _))
+          extractedRows(t) = rows
+          extractedIds(t) = idsOf(rows, t)
+          resumePartial = Some(t)
+          partialDirs ++= dirs
+          partialSeq = dirs.max + 1
+        }
+      }
   }
 
   private var stepsCompleted: Int = 0
@@ -449,7 +544,23 @@ final class ExtractOperation(
     * x_engine_extract_resume oracle row and ExtractEngineSpec's
     * byte-identical-CSV test exercise).
     */
-  def execute(stateDir: Option[String], stopAfterSteps: Int): Int = {
+  def execute(stateDir: Option[String], stopAfterSteps: Int): Int =
+    execute(stateDir, stopAfterSteps, Int.MaxValue)
+
+  /** [[execute]] with PASS-granular checkpointing on top of the
+    * step-granular form: `stopAfterPasses` ends the run with exit 1
+    * after that many CHANGED fixpoint passes have been saved this run —
+    * the controlled kill for mid-fixpoint resume, mirroring
+    * `stopAfterSteps` one level down. With a `stateDir`, every changed
+    * fixpoint pass publishes a [[saveStatePartial]] checkpoint, so at
+    * 100 TB — where the long job is ONE table's self-lookup fixpoint
+    * (reference loop amaxa/amaxa.py:696-726) — a kill loses at most one
+    * pass, not the whole traversal. Monotone-closure correctness: ids
+    * only grow and every pass dedups against them, so resuming from any
+    * pass boundary converges to the identical extracted set.
+    */
+  def execute(stateDir: Option[String], stopAfterSteps: Int,
+      stopAfterPasses: Int): Int = {
     // Progress lines mirror the reference's logger messages
     // (amaxa/amaxa.py:546-565). The per-step record count is logged at
     // verbose only: it forces a count job the lazy id accumulators
@@ -461,8 +572,16 @@ final class ExtractOperation(
       val t = step.sobject
       graft.core.Log.info(s"$t: starting extraction")
       val ls = catalog.classifyLookups(order, t, step.fieldScope)
+      val resumingMidStep = resumePartial.contains(t)
+      resumePartial = None
+      if (!resumingMidStep) partialBuf.clear()
 
-      step.scope match {
+      // A mid-step resume restored rows that already CONTAIN the scope
+      // pass (delta 0 is scope + first resolves) — skip straight to
+      // dependency resolution. Re-running it would be a correct no-op
+      // (storeResult dedups against the restored ids) but pays a full
+      // scan for zero new rows.
+      if (!resumingMidStep) step.scope match {
         case ExtractionScope.AllRecords =>
           storeResult(step, ls, scanScoped(step))
         case ExtractionScope.Query(where) =>
@@ -487,11 +606,23 @@ final class ExtractOperation(
       if (ls.self.nonEmpty &&
           step.selfLookupBehavior == SelfLookupBehavior.TraceAll &&
           step.scope != ExtractionScope.AllRecords) {
+        var pass = if (resumingMidStep) resumePass else 0
+        var passesThisRun = 0
         var changed = true
         while (changed) {
           changed = false
           if (performLookupPass(step, ls, ls.self.toSeq.sorted)) changed = true
           if (resolveRegisteredDependencies(step, ls)) changed = true
+          if (changed) {
+            pass += 1
+            passesThisRun += 1
+            stateDir.foreach(saveStatePartial(_, t, pass))
+            if (passesThisRun >= stopAfterPasses) {
+              graft.core.Log.info(
+                s"$t: stopping after fixpoint pass $pass (resumable)")
+              return 1
+            }
+          }
         }
       }
 

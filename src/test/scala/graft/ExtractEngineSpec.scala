@@ -270,6 +270,61 @@ class ExtractEngineSpec extends AnyFunSuite {
     assert(a("Account").nonEmpty && a("Contact").nonEmpty)
   }
 
+  test("mid-fixpoint resume: kill after pass 2 of a deep self-lookup " +
+       "chain, restore, finish — CSVs byte-identical to an uninterrupted run") {
+    import spark.implicits._
+    // 10-node parent chain seeded in the middle: closure needs ~5 changed
+    // fixpoint passes (one parent + one child frontier per pass), so a
+    // stop after pass 2 is a genuine MID-fixpoint kill — the state on
+    // disk is a partial marker ("partial" entry, completed = 0), not a
+    // step boundary.
+    val deep = (1 to 10).map(i => (acct(i), if (i == 6) "Seed" else s"A$i",
+      if (i == 1) null.asInstanceOf[String] else acct(i - 1)))
+      .toDF("Id", "Name", "ParentId")
+    def mkSteps = Seq(
+      ExtractStep("Account", ExtractionScope.Query("Name = 'Seed'"),
+        Seq("Id", "Name", "ParentId")))
+    def csvOf(op: ExtractOperation, dir: String): String = {
+      val path = s"$dir/Account"
+      op.writeCsv("Account", path)
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .mkString.linesIterator.toSeq.sorted.mkString("\n")
+    }
+
+    val straightDir = java.nio.file.Files.createTempDirectory("graft_xfp_a").toString
+    val opA = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    assert(opA.execute() == 0)
+    val a = csvOf(opA, straightDir)
+    assert(ids(opA.result("Account")) == (1 to 10).map(acct).toSet,
+      "uninterrupted run must close over the whole chain")
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_xfp_state").toString
+    val opB1 = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    assert(opB1.execute(Some(stateDir), Int.MaxValue, stopAfterPasses = 2) == 1,
+      "expected an incomplete-but-resumable mid-fixpoint stop")
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$stateDir/extract_state.json")), "UTF-8")
+    assert(marker.contains("\"partial\""), s"marker must be mid-step: $marker")
+    assert(marker.contains("\"completed\":0"), s"no step may be complete: $marker")
+
+    val opB2 = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    opB2.loadState(stateDir)
+    assert(opB2.execute(Some(stateDir), Int.MaxValue) == 0)
+    val resumedDir = java.nio.file.Files.createTempDirectory("graft_xfp_b").toString
+    val b = csvOf(opB2, resumedDir)
+    assert(a == b, s"mid-fixpoint resumed CSV differs:\n$a\nvs\n$b")
+    // Step completion reclaimed the delta dirs and dropped the partial
+    // marker entry: the final checkpoint is an ordinary step boundary.
+    val finalMarker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$stateDir/extract_state.json")), "UTF-8")
+    assert(!finalMarker.contains("\"partial\""), finalMarker)
+    assert(!new java.io.File(stateDir).listFiles()
+      .exists(_.getName.startsWith("partial_p")),
+      "delta dirs must be GC'd once their step completes")
+  }
+
   test("15-char ids canonicalize to 18 at ingest (T7)") {
     import spark.implicits._
     val accts15 = Seq(("001000000000001", "A", null.asInstanceOf[String]))
