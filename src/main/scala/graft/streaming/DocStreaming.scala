@@ -58,8 +58,8 @@ object DocStreaming {
     * unbounded stream (stateless — no watermark, no state store). This
     * is the landing-zone shape: chunk + fingerprint documents as they
     * arrive, then hand the (id, idx, len, hash) rows to a downstream
-    * dedup (batch d11 or a within-watermark streaming dedup on
-    * chunk_hash) without the text ever being shuffled.
+    * dedup — batch d11, or [[chunkDedupStream]] for the fully streaming
+    * within-watermark form — without the text ever being shuffled.
     */
   def cdcChunkStream(stream: DataFrame): DataFrame =
     graft.queries.TextOps.cdcChunkSpansOf(stream)
@@ -163,6 +163,33 @@ object DocStreaming {
       .withWatermark("ingest_ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"))
+
+  /** Streaming CHUNK dedup with bounded state — the ingest-side twin of
+    * batch d11_chunk_dedup, completing the landing-zone pair with
+    * [[dedupStream]]: documents are content-defined-chunked per row (the
+    * same codegen'd `cdc_chunks` kernel and constants as batch, so the
+    * chunk definition cannot drift), and the chunk fingerprints pass
+    * through `dropDuplicatesWithinWatermark` — first arrival of each
+    * chunk hash within the late-data horizon survives, later copies are
+    * dropped, and a hash's state row is EVICTED once the watermark
+    * passes its expiry. Only (doc_id, idx, span, hash) rows ever reach
+    * the stateful operator — chunk text never shuffles (the d11 scale
+    * discipline) — and state is bounded by distinct chunk hashes within
+    * the horizon, not the corpus (asserted in DocStreamingSpec).
+    */
+  def chunkDedupStream(stream: DataFrame, delay: String): DataFrame = {
+    import graft.queries.TextOps
+    import graft.functions.GraftFunctions
+    stream.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("ingest_ts"),
+        posexplode(GraftFunctions.cdc_chunks(col("text"),
+          TextOps.CdcWindow, TextOps.CdcDiv)))
+      .select(col("doc_id"), col("ingest_ts"), col("pos").as("chunk_idx"),
+        col("col.start").as("chunk_start"), col("col.len").as("chunk_len"),
+        col("col.hash").as("chunk_hash"))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("chunk_hash")
+  }
 
   /** Streaming per-source ingest quota — the ingest-side twin of batch
     * tx_domain_quota: admit at most `quota` documents per source, then

@@ -247,6 +247,50 @@ class DocStreamingSpec extends AnyFunSuite {
         .map(_.getLong(0)).toSet
       assert(dupRows == Set(1L, 6L),
         s"got $dupRows: in-horizon dup must be suppressed, post-horizon dup must re-emit")
+      // State ∝ keys within the watermark horizon, NOT the corpus: four
+      // distinct texts streamed, but after the clock jump only the hashes
+      // whose expiry is still ahead of the watermark may hold state rows.
+      val stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(stateRows < 4 && stateRows >= 1,
+        s"state rows = $stateRows: expired hashes must be evicted " +
+          "(4 distinct texts were streamed)")
+    } finally q.stop()
+  }
+
+  test("streaming chunk dedup (d11 twin): surviving chunk-hash set equals " +
+       "the batch distinct set; chunk text never reaches the state store") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_dedup_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    // One file → one micro-batch: every duplicate is inside the horizon.
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val deduped = DocStreaming.chunkDedupStream(stream, "10 minutes")
+    // The d11 discipline survives streaming: only fingerprint tuples flow
+    // into the stateful operator — no text column downstream of chunking.
+    assert(!deduped.schema.fieldNames.contains("text"),
+      deduped.schema.fieldNames.mkString(","))
+    val q = EventStreaming.runToMemory(deduped, "chunk_dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("chunk_dedup_out")
+      val perHash = streamed.groupBy("chunk_hash").count().collect()
+      assert(perHash.nonEmpty && perHash.forall(_.getLong(1) == 1L),
+        "each chunk hash must survive exactly once")
+      // Batch twin: the distinct chunk-hash set of the same corpus slice,
+      // by the SAME shared chunk definition (cdcChunkSpansOf).
+      val batchHashes = graft.queries.TextOps
+        .cdcChunkSpansOf(Tables.documents(spark, SparkTestBase.sf))
+        .select("chunk_hash").distinct()
+      assert(streamed.select("chunk_hash").exceptAll(batchHashes).isEmpty &&
+        batchHashes.exceptAll(streamed.select("chunk_hash")).isEmpty,
+        "streamed surviving set must equal the batch distinct chunk set")
+      // State is keyed by chunk hash within the horizon: row count equals
+      // the distinct-hash count, not the (larger) streamed chunk count.
+      val stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(stateRows == batchHashes.count(),
+        s"state rows = $stateRows, expected = distinct chunk hashes")
     } finally q.stop()
   }
 
