@@ -930,6 +930,69 @@ object Relational {
     per.unionByName(all)
   }
 
+  /** KLL sketch parameter and the rank-error slack the oracle gate uses:
+    * k=200 publishes ε≈1.33% normalized rank error at 99% confidence;
+    * 0.05 is ~4× slack so the (randomized-compaction) sketch cannot
+    * flake the gate at any SF, while still being a real error assertion.
+    */
+  val KllK = 200
+  val KllRankEps = 0.05
+
+  /** Mergeable KLL quantile sketches — completes the sketch family
+    * (HLL distinct ✓, count-min ✓, quantiles here). The dashboard/
+    * data-quality shape at 100 TB: sketch each delivery shard once,
+    * persist the ~KB sketches, answer p50/p95/p99 over any union of
+    * shards later by MERGING sketches ([[graft.functions.KllMergeAgg]])
+    * instead of re-sorting the data; `percentile`'s exact answer needs a
+    * full shuffle per question asked.
+    *
+    * Oracle contract (the q_hll_distinct discipline): KLL compaction is
+    * randomized, so the gated columns are the EXACT percentiles plus a
+    * PROPERTY of each estimate — its true INCLUSIVE rank (fraction of
+    * values ≤ estimate, recomputed exactly against the data) within
+    * [[KllRankEps]] of the probed rank. The oracle emits literal TRUE;
+    * a violated bound flips the engine boolean and fails the hash
+    * compare at any SF.
+    */
+  private val qKllQuantiles: Q = (s, d) => {
+    import graft.functions.KllSketch._
+    val base = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").cast("double").as("v"),
+      col("l_orderkey"))
+    // Per-shard sketches (the per-delivery axis), merged cell-wise per
+    // group — exercising the persist-then-merge path, not just one agg.
+    val merged = base.withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("l_returnflag"), col("shard"))
+      .agg(kll_sketch_agg(col("v"), KllK).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(kll_merge_agg(col("sk"), KllK).as("sk"))
+      .select(col("l_returnflag"),
+        kll_quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
+      .select(col("l_returnflag"), col("q")(0).as("e50"),
+        col("q")(1).as("e95"), col("q")(2).as("e99"))
+    // Exact inclusive rank of each estimate, against the data itself.
+    val ranks = base.join(broadcast(merged), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("e95"), 1L).otherwise(0L)).as("r95"),
+        sum(when(col("v") <= col("e99"), 1L).otherwise(0L)).as("r99"))
+    def ok(r: org.apache.spark.sql.Column, p: Double) =
+      abs(r.cast("double") / col("n").cast("double") - lit(p)) <= lit(KllRankEps)
+    val exact = base.groupBy(col("l_returnflag"))
+      .agg(percentile(col("v"), array(lit(0.5), lit(0.95), lit(0.99))).as("p"))
+      .select(col("l_returnflag"),
+        round(col("p")(0) * 1000).cast("long").as("p50_milli"),
+        round(col("p")(1) * 1000).cast("long").as("p95_milli"),
+        round(col("p")(2) * 1000).cast("long").as("p99_milli"))
+    exact.join(ranks, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50_milli"), col("p95_milli"),
+        col("p99_milli"),
+        ok(col("r50"), 0.5).as("kll_p50_within_eps"),
+        ok(col("r95"), 0.95).as("kll_p95_within_eps"),
+        ok(col("r99"), 0.99).as("kll_p99_within_eps"))
+  }
+
   /** TPC-H Q4-shaped EXISTS: orders with at least one returned line,
     * counted by priority. The subquery is a LEFT SEMI join — each order
     * emits at most once regardless of how many lines match, and Spark
@@ -1222,6 +1285,7 @@ object Relational {
     "q_bloom_prune" -> qBloomPrune,
     "src_bucketed_join" -> srcBucketed,
     "q_hll_distinct" -> qHll,
+    "q_kll_quantiles" -> qKllQuantiles,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1626,5 +1690,19 @@ object Relational {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders""".stripMargin,
+    // Exact percentiles + literal-TRUE rank-property booleans (the
+    // q_hll_distinct discipline for the randomized KLL estimates).
+    "q_kll_quantiles" ->
+      """WITH c AS (SELECT l_returnflag,
+        |             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) AS v
+        |           FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(round(quantile_cont(v, 0.5) * 1000) AS BIGINT) AS p50_milli,
+        |  CAST(round(quantile_cont(v, 0.95) * 1000) AS BIGINT) AS p95_milli,
+        |  CAST(round(quantile_cont(v, 0.99) * 1000) AS BIGINT) AS p99_milli,
+        |  TRUE AS kll_p50_within_eps,
+        |  TRUE AS kll_p95_within_eps,
+        |  TRUE AS kll_p99_within_eps
+        |FROM c GROUP BY l_returnflag""".stripMargin,
   )
 }

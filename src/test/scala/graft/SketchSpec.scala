@@ -45,4 +45,63 @@ class SketchSpec extends AnyFunSuite {
         s"${r.getString(0)}: estimate strayed past 3% of exact ${r.getLong(1)}")
     }
   }
+
+  test("KLL quantile sketches: merged shard sketches hold the rank bound, " +
+       "count every item, and survive serialization") {
+    import graft.functions.KllSketch._
+    import graft.functions.KllQuantiles
+    val n = 100000L
+    val data = spark.range(n).select(col("id").cast("double").as("v"),
+      pmod(col("id"), lit(16)).as("shard"))
+    // Shard → sketch → merge (the persist-then-union path), probe three
+    // ranks. KLL compaction is randomized, so the contract is the rank
+    // bound, not a value: for uniform 0..n-1 the true inclusive rank of
+    // value v is (v+1)/n, so |est/n − p| ≤ ε must hold. k=200 publishes
+    // ε≈1.33% at 99% confidence; assert 3% so no run can flake.
+    val merged = data.groupBy(col("shard"))
+      .agg(kll_sketch_agg(col("v")).as("sk"))
+      .agg(kll_merge_agg(col("sk")).as("sk"))
+      .select(kll_quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
+      .head.getSeq[Double](0)
+    for ((p, est) <- Seq(0.5, 0.95, 0.99).zip(merged)) {
+      val rank = (est + 1.0) / n
+      assert(math.abs(rank - p) <= 0.03,
+        s"p=$p: estimate $est has rank $rank, outside the 3% bound")
+    }
+    // The sketch counts every item exactly (n is not estimated), and a
+    // serialize → heapify round-trip preserves the full state.
+    val bytes = data.agg(kll_sketch_agg(col("v")).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    assert(sk.getN == n, s"getN ${sk.getN} != $n")
+    val rt = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(sk.toByteArray))
+    assert(rt.getN == sk.getN &&
+      rt.getQuantile(0.5, org.apache.datasketches.quantilescommon
+        .QuantileSearchCriteria.INCLUSIVE) ==
+      sk.getQuantile(0.5, org.apache.datasketches.quantilescommon
+        .QuantileSearchCriteria.INCLUSIVE),
+      "serialization round-trip must preserve the sketch")
+    // Empty-sketch probe contract: null, not an exception.
+    val emptyBytes = spark.range(0).select(col("id").cast("double").as("v"))
+      .agg(kll_sketch_agg(col("v")).as("sk")).head.getAs[Array[Byte]](0)
+    assert(KllQuantiles.probe(emptyBytes, Array(0.5)) == null)
+  }
+
+  test("q_kll_quantiles: exact percentiles match q_percentiles' p50 and " +
+       "every rank-property boolean is true") {
+    val rows = SparkEntry.queries("q_kll_quantiles")(spark, SparkTestBase.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"rank property violated for group ${r.getString(0)}: $r")
+    }
+    // p50 agrees with the independent q_percentiles computation (same
+    // cents base, same quantization).
+    val p50Kll = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p50Exact = SparkEntry.queries("q_percentiles")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p50Kll == p50Exact, s"$p50Kll vs $p50Exact")
+  }
 }
