@@ -5,98 +5,95 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Opaque binary payload with typed feature row (multimodal column model:
-  * binary content + typed metadata).
+/** Typed image-feature row computed from a REAL decoded raster
+  * (multimodal column model: binary content + typed metadata). Mean is
+  * milli-quantized with floor division so both engines compare integers.
   */
 final case class MmFeature(
     doc_id: Long,
-    n_bytes: Int,
-    sha256: String,
     width: Int,
     height: Int,
+    n_px: Long,
+    px_sum: Long,
+    px_min: Int,
+    px_max: Int,
+    px_mean_milli: Long,
     format: String)
 
 /** Multimodal-column plumbing: treat content as an opaque `binary` column
   * with typed feature extraction over it.
   *
-  * TWO execution shapes, value-identical (MultimodalParitySpec):
+  * The registered queries run REAL in-JDK `javax.imageio` codecs in the
+  * typed `Dataset.mapPartitions` pipeline (the Scala analogue of
+  * mapInPandas: one iterator per partition, streaming, no driver
+  * involvement — the execution shape a codec call needs, since an
+  * image/audio library call cannot be a Catalyst expression):
+  * `mm_decode_png` (encode→decode round-trip), `mm_features` (decode →
+  * raster feature card), `mm_resize_png` (decode → nearest-neighbor
+  * resample), `mm_frames_gif` (multi-frame animated GIF via
+  * writeToSequence → read(i)). The container has no external image
+  * libraries, so payloads are SYNTHESIZED on executors from
+  * per-document properties with closed-form pixel patterns; every
+  * reported value is read back from actually decoded data, so the
+  * DuckDB oracle's closed forms verify that real parsing happened.
   *
-  * 1. The REGISTERED queries compute the stub features with codegen'd
-  *    built-ins (octet_length / sha2 / modular arithmetic, plus one tight
-  *    frame-sum expression) — whole-stage codegen, column pruning and
-  *    pushdown all intact. This is the right plan while the "decode" is
-  *    arithmetic on the payload.
-  * 2. [[featuresViaCodec]] / [[framesViaCodec]] keep the typed
-  *    `Dataset.mapPartitions` pipeline (the Scala analogue of mapInPandas:
-  *    one iterator per partition, streaming, no driver involvement) — the
-  *    execution shape a REAL codec call needs, since an image/audio
-  *    library call cannot be a Catalyst expression. A deployment swaps
-  *    [[decodeStub]]'s body for the codec and registers the codec path.
-  *
-  * The DECODE step of the two shapes above is a STUB — image/audio
-  * codecs are not in this container — producing deterministic
-  * pseudo-dimensions from the byte length, oracle-checked via
-  * sha256/octet_length arithmetic.
-  *
-  * 3. [[PngCodec]] / `mm_decode_png` is the exception: a REAL codec
-  *    (in-JDK `javax.imageio` PNG) running in shape 2's mapPartitions
-  *    pipeline, with decoded values oracle-checked against closed
-  *    forms of the synthesized payloads. [[GifCodec]] / `mm_frames_gif`
-  *    does the same for the MULTI-FRAME shape (animated GIF,
-  *    writeToSequence → read(i)), so both the one-to-one decode and the
-  *    one-to-many frame-sample paths have a real-codec sibling; the
-  *    stubs remain only as the documented shape demo for codecs this
-  *    container lacks.
+  * `mm_frames` is the remaining codec-free demo: one-to-many BYTE-window
+  * sums over the raw payload in two value-identical shapes — a codegen'd
+  * frame-sum expression (registered) and the [[framesViaCodec]]
+  * mapPartitions flatMap (MultimodalParitySpec) — the plan-shape
+  * template for frame samplers whose codec this container lacks
+  * (video/audio); its real-codec sibling is `mm_frames_gif`.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** STUB decoder: deterministic fake dimensions/format from byte length.
-    * A real deployment swaps this body for an actual codec call; the
-    * signature (bytes in, typed feature out) and the partition-batched
-    * execution shape are what matter.
-    */
-  def decodeStub(docId: Long, payload: Array[Byte]): MmFeature = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val n = payload.length
-    MmFeature(
-      doc_id = docId,
-      n_bytes = n,
-      sha256 = hex,
-      width = 64 + n % 512,
-      // Long arithmetic: n*7 overflows Int past ~306 MB payloads and Java's
-      // % would go negative, diverging from the oracle's unbounded math.
-      height = 64 + ((n.toLong * 7) % 512).toInt,
-      format = (n % 3) match { case 0 => "rgb"; case 1 => "rgba"; case _ => "gray" })
-  }
-
   private def payloadCol: Column = col("text").cast("binary")
 
-  /** Stub features as codegen'd built-ins — bit-identical to
-    * [[decodeStub]] (asserted by MultimodalParitySpec). */
-  private val features: Q = (s, d) => {
-    val n = octet_length(payloadCol)
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      n.as("n_bytes"),
-      sha2(payloadCol, 256).as("sha256"),
-      (lit(64) + pmod(n, lit(512))).as("width"),
-      (lit(64) + pmod(n.cast("long") * 7, lit(512L))).cast("int").as("height"),
-      when(pmod(n, lit(3)) === 0, "rgb")
-        .when(pmod(n, lit(3)) === 1, "rgba")
-        .otherwise("gray").as("format"))
+  /** Feature extraction over a REAL decoded raster — the retired-stub
+    * form of mm_features: the per-document pattern PNG
+    * ([[PngResize.encodePattern]]'s (3x + 7y + docId) mod 251 gradient)
+    * is pushed through the real PNG writer and reader, and every
+    * reported feature (dims, pixel count/sum/min/max, milli-quantized
+    * mean, band-derived format) is computed from the decoded
+    * `BufferedImage`, never from the synthesis inputs — so a corrupted
+    * encode, wrong stride, or misread bit depth diverges from the
+    * oracle's closed forms. One partition-streaming pass, zero shuffle.
+    */
+  def rasterFeatures(docId: Long, img: java.awt.image.BufferedImage): MmFeature = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    var sum = 0L
+    var min = Int.MaxValue
+    var max = Int.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = r.getSample(x, y, 0)
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h
+    MmFeature(docId, w, h, nPx, sum, min, max, sum * 1000L / nPx,
+      r.getNumBands match { case 1 => "gray"; case 3 => "rgb"; case _ => "rgba" })
   }
 
-  /** Binary payloads → per-partition feature extraction → typed rows (the
-    * real-codec execution shape; see object doc).
-    */
-  def featuresViaCodec(s: SparkSession, d: String): DataFrame = {
+  private val features: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), payloadCol.as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val (w, h, _) = PngCodec.synthDims(id, nChars)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          PngResize.encodePattern(id, w, h)))
+        require(img != null, s"doc $id: not a decodable image")
+        rasterFeatures(id, img)
+      })
       .toDF()
   }
 
@@ -428,14 +425,27 @@ object MultimodalOps {
     "mm_resize_png" -> resizePng)
 
   val oracle: Map[String, String] = Map(
+    // Closed forms of the (3x + 7y + doc_id) mod 251 pattern raster —
+    // the engine reports only values computed from a really
+    // encoded-then-decoded PNG, so equality proves the parse.
     "mm_features" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
-        |  sha256(text) AS sha256,
-        |  CAST(64 + octet_length(text::BLOB) % 512 AS INT) AS width,
-        |  CAST(64 + (octet_length(text::BLOB) * 7) % 512 AS INT) AS height,
-        |  CASE octet_length(text::BLOB) % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'gray' END AS format
-        |FROM documents""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 31 AS BIGINT) AS w,
+        |    CAST(1 + n_chars % 29 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    CAST(sum((xt.x * 3 + yt.y * 7 + d.doc_id) % 251) AS BIGINT) AS s,
+        |    CAST(min((xt.x * 3 + yt.y * 7 + d.doc_id) % 251) AS INT) AS mn,
+        |    CAST(max((xt.x * 3 + yt.y * 7 + d.doc_id) % 251) AS INT) AS mx
+        |  FROM d, range(0, 31) xt(x), range(0, 29) yt(y)
+        |  WHERE xt.x < d.w AND yt.y < d.h
+        |  GROUP BY d.doc_id, d.w, d.h)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px, s AS px_sum, mn AS px_min,
+        |  mx AS px_max, CAST(s * 1000 // (w * h) AS BIGINT) AS px_mean_milli,
+        |  'gray' AS format
+        |FROM px""".stripMargin,
     // Text is ASCII in the testdata (byte == codepoint), so the oracle can
     // recompute byte sums with ord(); the Spark side works on raw bytes.
     "mm_frames" ->

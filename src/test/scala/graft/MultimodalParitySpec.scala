@@ -2,11 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The multimodal stub has two execution shapes — codegen'd built-ins
-  * (registered queries) and the typed mapPartitions codec pipeline — and
-  * they must stay value-identical: a deployment that swaps the stub for a
-  * real codec relies on the codec path computing exactly what the
-  * registered (oracle-checked) path computes.
+/** Multimodal surface guards: the real-codec queries (PNG decode /
+  * feature card / resize, multi-frame GIF) must report values that match
+  * the synthesized patterns' closed forms, and the one codec-free demo
+  * (mm_frames byte-windows) must keep its two value-identical shapes —
+  * codegen'd built-ins (registered) and the typed mapPartitions flatMap
+  * a real frame sampler would run in.
   */
 class MultimodalParitySpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -15,11 +16,26 @@ class MultimodalParitySpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
 
-  test("mm_features: built-ins plan == mapPartitions codec plan") {
-    val expr = rows(SparkEntry.queries("mm_features")(spark, sf))
-    val codec = rows(graft.queries.MultimodalOps.featuresViaCodec(spark, sf))
-    assert(expr == codec)
-    assert(expr.nonEmpty)
+  test("mm_features: real-raster feature card equals the pattern's closed " +
+       "forms corpus-wide, internally consistent") {
+    import org.apache.spark.sql.functions._
+    val w = (lit(1) + pmod(col("doc_id"), lit(31))).cast("long")
+    val h = (lit(1) + pmod(col("n_chars"), lit(29))).cast("long")
+    val feat = SparkEntry.queries("mm_features")(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "n_chars"),
+        Seq("doc_id"))
+    // Dims and pixel count against independent closed forms; moment
+    // consistency (min ≤ mean ≤ max, mean from sum) against themselves.
+    val bad = feat.where(
+      col("width") =!= w || col("height") =!= h ||
+        col("n_px") =!= w * h ||
+        col("px_mean_milli") =!= expr("px_sum * 1000 div n_px") ||
+        col("px_min").cast("long") * 1000 > col("px_mean_milli") ||
+        col("px_max").cast("long") * 1000 < col("px_mean_milli") ||
+        col("format") =!= "gray")
+      .count()
+    assert(bad == 0L)
+    assert(feat.count() > 0L)
   }
 
   test("mm_frames: built-ins plan == mapPartitions codec plan") {
@@ -65,15 +81,26 @@ class MultimodalParitySpec extends AnyFunSuite {
     assert(decoded.count() > 0L)
   }
 
-  test("mm_features registered plan stays whole-stage codegen (no codec shuffle shapes)") {
+  test("mm_frames registered plan stays whole-stage codegen (no codec shuffle shapes)") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {
-      SparkEntry.queries("mm_features")(spark, sf).explain("formatted")
+      SparkEntry.queries("mm_frames")(spark, sf).explain("formatted")
     }
     val p = out.toString
     assert(p.contains("[codegen id :"), p.take(400))
     assert(!p.contains("DeserializeToObject"),
-      "registered mm query must not pay typed-object serialization")
+      "the codec-free byte-window query must not pay typed-object serialization")
+  }
+
+  test("mm_features: the codec pipeline's only exchange is the deliberate " +
+       "input spread (decode itself is partition-streaming)") {
+    val plan = SparkEntry.queries("mm_features")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // documentsSpread round-robins the single corpus split across tasks
+    // BEFORE the map-heavy decode — that one exchange is the point; the
+    // decode and feature extraction add none (no join, no aggregation).
+    assert(plan.split("Exchange").length - 1 == 1, plan.take(800))
+    assert(plan.contains("RoundRobinPartitioning"), plan.take(800))
   }
 
   test("mm_frames_gif: real multi-frame GIF round-trip, every geometry " +
