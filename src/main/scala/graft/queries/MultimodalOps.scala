@@ -31,7 +31,8 @@ final case class MmFeature(
   * `mm_decode_png` (encode→decode round-trip), `mm_features` (decode →
   * raster feature card), `mm_resize_png` (decode → nearest-neighbor
   * resample), `mm_frames_gif` (multi-frame animated GIF via
-  * writeToSequence → read(i)). The container has no external image
+  * writeToSequence → read(i)), `mm_decode_wav` (audio via
+  * `javax.sound.sampled` WAVE). The container has no external media
   * libraries, so payloads are SYNTHESIZED on executors from
   * per-document properties with closed-form pixel patterns; every
   * reported value is read back from actually decoded data, so the
@@ -295,6 +296,87 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** Decoded-WAV feature row: frame count, rate, and unsigned-sample
+    * moments, all read back from REAL decoded audio data. */
+  final case class MmWav(
+      doc_id: Long, n_frames: Long, sample_rate_hz: Int,
+      byte_sum: Long, byte_min: Int, byte_max: Int)
+
+  /** The REAL audio codec completing the modality set (image: PNG,
+    * multi-frame: GIF, audio: here) — in-JDK `javax.sound.sampled`,
+    * headless-safe: per-document PCM samples are synthesized from the
+    * closed form (13i + docId) mod 251, written through the real WAVE
+    * encoder (RIFF header, fmt/data chunks) and read back through the
+    * real parser; the reported values come only from the DECODED stream
+    * (format fields, frame length, sample moments), so a malformed
+    * header, wrong frame math, or sample-width slip diverges from the
+    * oracle. 8-bit mono PCM_UNSIGNED — the one WAV sample layout whose
+    * bytes are the samples, keeping the oracle's integer forms exact.
+    */
+  object WavCodec extends Serializable {
+    val SampleRate = 8000f
+    /** Frame count from doc properties: 64 + n_chars mod 577 (bounded,
+      * co-prime-ish with the pattern period). */
+    def synthFrames(nChars: Long): Int = 64 + (nChars % 577).toInt
+    def sample(docId: Long, i: Int): Int = ((i * 13L + docId) % 251L).toInt
+
+    def encode(docId: Long, n: Int): Array[Byte] = {
+      val data = new Array[Byte](n)
+      var i = 0
+      while (i < n) { data(i) = sample(docId, i).toByte; i += 1 }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        SampleRate, 8, 1, 1, SampleRate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def decode(docId: Long, wav: Array[Byte]): MmWav = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"doc $docId: not a decodable audio stream", e)
+      }
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 8 && f.getChannels == 1 &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"doc $docId: unexpected decoded format $f")
+      val bytes = in.readAllBytes()
+      var sum = 0L
+      var min = 255
+      var max = 0
+      var i = 0
+      while (i < bytes.length) {
+        val v = bytes(i) & 0xff
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        i += 1
+      }
+      MmWav(docId, in.getFrameLength, f.getSampleRate.toInt, sum, min, max)
+    }
+  }
+
+  /** Synthesize → encode (real WAVE writer) → decode (real WAVE parser)
+    * → typed features; the audio member of the decode family, same
+    * partition-streaming shape. */
+  private val decodeWav: Q = (s, d) => {
+    import s.implicits._
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        WavCodec.decode(id, WavCodec.encode(id, WavCodec.synthFrames(nChars)))
+      })
+      .toDF()
+  }
+
   /** One decoded GIF frame: per-frame dims + raster pixel sum, all read
     * back from REAL decoded multi-frame image data. */
   final case class MmGifFrame(
@@ -422,6 +504,7 @@ object MultimodalOps {
     "mm_frames" -> frames,
     "mm_frames_gif" -> framesGif,
     "mm_decode_png" -> decodePng,
+    "mm_decode_wav" -> decodeWav,
     "mm_resize_png" -> resizePng)
 
   val oracle: Map[String, String] = Map(
@@ -482,6 +565,20 @@ object MultimodalOps {
         |FROM d, range(0, 5) ft(f), range(0, 31) xt(x), range(0, 29) yt(y)
         |WHERE ft.f < d.nf AND xt.x < d.w AND yt.y < d.h
         |GROUP BY d.doc_id, ft.f, d.w, d.h""".stripMargin,
+    // Closed forms of the (13i + doc_id) mod 251 PCM pattern — the
+    // engine reports only values parsed back from a really
+    // encoded-then-decoded WAVE stream.
+    "mm_decode_wav" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(64 + n_chars % 577 AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT d.doc_id, d.n AS n_frames, 8000 AS sample_rate_hz,
+        |  CAST(sum((it.i * 13 + d.doc_id) % 251) AS BIGINT) AS byte_sum,
+        |  CAST(min((it.i * 13 + d.doc_id) % 251) AS INT) AS byte_min,
+        |  CAST(max((it.i * 13 + d.doc_id) % 251) AS INT) AS byte_max
+        |FROM d, range(0, 641) it(i)
+        |WHERE it.i < d.n
+        |GROUP BY d.doc_id, d.n""".stripMargin,
     // Nearest-neighbor resample of the (3x + 7y + doc_id) mod 251 pattern
     // at the floor-division source coordinates — the engine reports the
     // sum from an actually decoded-and-resized raster.

@@ -61,6 +61,37 @@ class MultimodalParitySpec extends AnyFunSuite {
     }
   }
 
+  test("mm_decode_wav: real WAVE round-trip, unit vectors") {
+    import graft.queries.MultimodalOps.{MmWav, WavCodec}
+    val wav = WavCodec.encode(7L, 300)
+    // Real RIFF container, not a stub byte bag.
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val expSum = (0 until 300).map(i => (i * 13L + 7) % 251).sum
+    assert(WavCodec.decode(7L, wav) == MmWav(7L, 300L, 8000, expSum, 0, 250))
+    // Degenerate 1-frame stream.
+    assert(WavCodec.decode(0L, WavCodec.encode(0L, 1)) == MmWav(0L, 1L, 8000, 0L, 0, 0))
+    // Garbage must fail loudly, not decode to zeros.
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(2L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("mm_decode_wav query: decoded values equal the synthesis closed forms corpus-wide") {
+    import org.apache.spark.sql.functions._
+    val n = (lit(64) + pmod(col("n_chars"), lit(577))).cast("long")
+    val decoded = SparkEntry.queries("mm_decode_wav")(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select("doc_id", "n_chars"),
+        Seq("doc_id"))
+    val bad = decoded.where(col("n_frames") =!= n ||
+      col("sample_rate_hz") =!= 8000 ||
+      col("byte_min") > col("byte_max") ||
+      col("byte_sum") < col("byte_min").cast("long") * col("n_frames") ||
+      col("byte_sum") > col("byte_max").cast("long") * col("n_frames")).count()
+    assert(bad == 0L)
+    assert(decoded.count() > 0L)
+  }
+
   test("mm_decode_png query: decoded values equal the synthesis closed forms corpus-wide") {
     import org.apache.spark.sql.functions._
     // Every dimension checked against its INDEPENDENT closed form
