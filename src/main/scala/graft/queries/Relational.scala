@@ -393,9 +393,39 @@ object Relational {
       |  GROUP BY c.c_custkey) t
       |GROUP BY c_count""".stripMargin
 
+  /** TPC-H Q15 shape: top supplier by a windowed revenue view, selected
+    * by an UNcorrelated scalar subquery over the same aggregate (the
+    * view is named once and consumed twice — rows and max). Ties all
+    * surface (= max, no LIMIT), so the result is a deterministic set. */
+  val Q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_e4
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_e4 = (SELECT max(total_e4) FROM rev)""".stripMargin
+
+  /** TPC-H Q20 shape: nested IN chain (supplier ∈ suppliers-of-parts ∈
+    * name-filtered parts) with a HAVING threshold — Catalyst lowers both
+    * INs to LEFT SEMI joins (no per-row subquery; quantities integral so
+    * the HAVING compare is exact). */
+  val Q20Sql: String =
+    """SELECT s.s_suppkey, s.s_name, n.n_name
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 1600)""".stripMargin
+
   private val q2MinCost: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q2Sql) }
   private val q17SmallQty: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q17Sql) }
   private val q13CustDist: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q13Sql) }
+  private val q15TopSupplier: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q15Sql) }
+  private val q20PartSuppliers: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q20Sql) }
 
   /** JSONL source/sink round-trip over documents — the serialization
     * format training-data pipelines actually exchange. Schema-enforced
@@ -1258,6 +1288,8 @@ object Relational {
     "q2_min_cost_supplier" -> q2MinCost,
     "q17_small_qty" -> q17SmallQty,
     "q13_customer_distribution" -> q13CustDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q20_part_suppliers" -> q20PartSuppliers,
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
@@ -1583,6 +1615,8 @@ object Relational {
     "q2_min_cost_supplier" -> Q2Sql,
     "q17_small_qty" -> Q17Sql,
     "q13_customer_distribution" -> Q13Sql,
+    "q15_top_supplier" -> Q15Sql,
+    "q20_part_suppliers" -> Q20Sql,
     "w1_window_topn" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -467,6 +467,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q20: nested IN chain lowers to left-semi joins — no nested loop, " +
+       "no per-row subquery") {
+    val df = SparkEntry.queries("q20_part_suppliers")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val semis = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size >= 2,
+      s"expected both INs as semi joins:\n${opt.toString.take(1200)}")
+    val phys = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      phys.take(1200))
+  }
+
   test("q13: the distribution partitions every customer exactly once") {
     val rows = SparkEntry.queries("q13_customer_distribution")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
