@@ -47,6 +47,30 @@ object EventStreaming {
       .select(col("window.start").cast("timestamp_ntz").as("w_start"),
         expr("hll_sketch_estimate(sk)").as("n_users"), col("sk"))
 
+  /** Watermarked per-window value-quantile SKETCHES — the KLL member of
+    * the streaming sketch pair next to [[windowDistinctUsers]]'s HLL:
+    * exact streaming percentiles would need every value in state
+    * (unbounded per window); the KLL sketch is fixed-size mergeable
+    * state, late arrivals fold in, and the emitted sketch bytes stay
+    * merge-able downstream (hourly → daily via
+    * [[graft.functions.KllMergeAgg]] without re-reading the stream) —
+    * the q_kll_quantiles persist-then-merge contract on an unbounded
+    * stream. Emits probed p50/p95 (cents) AND the sketch (estimates are
+    * not mergeable; the bytes are).
+    */
+  def windowValueQuantiles(events: DataFrame): DataFrame = {
+    import graft.functions.KllSketch._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kll_sketch_agg(
+        round(col("value") * 100).cast("long").cast("double")).as("sk"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        kll_quantiles(col("sk"), Seq(0.5, 0.95)).as("q"), col("sk"))
+      .select(col("w_start"), col("q")(0).as("p50_cents"),
+        col("q")(1).as("p95_cents"), col("sk"))
+  }
+
   /** Watermarked session windows per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -51,6 +51,44 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed KLL quantiles: every per-window estimate holds " +
+       "the inclusive rank bound against the batch values") {
+    import org.apache.spark.sql.functions._
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.windowValueQuantiles(stream), "kll_windows_out")
+    try {
+      val streamed = spark.table("kll_windows_out")
+        .select("w_start", "p50_cents", "p95_cents").collect()
+        .map(r => (r.get(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(streamed.nonEmpty)
+      // Batch truth: the window's exact value multiset; KLL compaction is
+      // randomized, so the contract is each estimate's true INCLUSIVE
+      // rank within the (generously slacked) bound — the q_kll_quantiles
+      // oracle discipline applied per window.
+      val batch = Tables.events(spark, SparkTestBase.sf)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(collect_list(round(col("value") * 100).cast("long")).as("vs"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("vs"))
+        .collect()
+        .map(r => r.get(0) -> r.getSeq[Long](1).sorted).toMap
+      assert(streamed.map(_._1).toSet == batch.keySet, "window set mismatch")
+      for ((w, p50, p95) <- streamed; (p, est) <- Seq((0.5, p50), (0.95, p95))) {
+        val vs = batch(w)
+        // Discrete form of the rank bound (windows can be tiny): the
+        // exact INCLUSIVE target rank is ⌈p·n⌉ items, and the estimate's
+        // item-rank may deviate by at most max(1, ε·n) — the 1-item
+        // floor because ranks are integral.
+        val target = math.ceil(p * vs.size)
+        val r = vs.count(_ <= est.toLong)
+        assert(math.abs(r - target) <=
+          math.max(1.0, graft.queries.Relational.KllRankEps * vs.size),
+          s"window $w p=$p: est $est has item-rank $r of n=${vs.size}, target $target")
+      }
+    } finally q.stop()
+  }
+
   test("streaming session windows == batch session windows") {
     val schema = Tables.events(spark, SparkTestBase.sf).schema
     val stream = EventStreaming.eventStream(spark, eventsDir, schema)
