@@ -160,4 +160,29 @@ class HighVolumeSpec extends AnyFunSuite {
       assert(out(k) == ((5000L, 5L * (k * 1000000L + 499500L))), s"owner $k: ${out(k)}")
     }
   }
+
+  test("KLL quantile sketches at volume: 10M values across 32 shard " +
+       "sketches, merged estimates hold the rank bound") {
+    import graft.functions.KllSketch._
+    val n = 10000000L
+    // Non-uniform value distribution (id^2 mod a prime) so the quantile
+    // surface isn't trivially linear; closed-form inclusive rank check
+    // via recount on the same frame.
+    val data = spark.range(n).select(
+      ((col("id") * col("id")) % 1000003L).cast("double").as("v"),
+      pmod(col("id"), lit(32)).as("shard"))
+    val merged = data.groupBy(col("shard"))
+      .agg(kll_sketch_agg(col("v")).as("sk"))
+      .agg(kll_merge_agg(col("sk")).as("sk"))
+      .select(kll_quantiles(col("sk"), Seq(0.5, 0.99)).as("q"))
+      .head.getSeq[Double](0)
+    val Seq(e50, e99) = merged.toList
+    val r = data.agg(
+      sum(when(col("v") <= e50, 1L).otherwise(0L)),
+      sum(when(col("v") <= e99, 1L).otherwise(0L))).head
+    val (r50, r99) = (r.getLong(0).toDouble / n, r.getLong(1).toDouble / n)
+    // k=200 publishes ~1.33% at 99% confidence; 3% absorbs any run.
+    assert(math.abs(r50 - 0.5) <= 0.03, s"p50 rank $r50")
+    assert(math.abs(r99 - 0.99) <= 0.03, s"p99 rank $r99")
+  }
 }
