@@ -252,6 +252,27 @@ object SimilarityOps {
     * fold discipline), so top-10 membership agrees bit-for-bit. Output:
     * (query_id, hits-of-10) — integers, exact oracle compare.
     */
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * production shape every vector store grows into (serve "nearest
+    * docs WHERE lang = X / license = Y"). Post-filtering a fixed-nprobe
+    * shortlist silently under-fills k when the predicate is selective;
+    * pre-filtering + the adaptive exact stop rule keeps the guarantee:
+    * [[ivfAdaptiveTopK]] runs over the PREDICATE-FILTERED rows against
+    * the SHARED corpus centroids (one index, any filter), its per-cell
+    * radii shrink to the filtered subset, and the result EQUALS brute
+    * force over the filtered set — so the oracle is plain filtered
+    * brute force, no probing to mirror. At scale the probe stays a
+    * cell-partition prune and the predicate rides the same scan.
+    */
+  private val filteredTopK: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val cent = centroidsOnce(s, d, e)
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
+    val filtered = e.where(col("vec_id") =!= 0 && pmod(col("vec_id"), lit(3)) === 1)
+    ivfAdaptiveTopK(filtered, q, cent, 10)._2
+  }
+
   private val recallEval: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
@@ -580,6 +601,7 @@ object SimilarityOps {
     "ann_range_search" -> rangeSearch,
     "ann_hard_negatives" -> hardNegatives,
     "ann_recall_eval" -> recallEval,
+    "ann_filtered_topk" -> filteredTopK,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -740,6 +762,15 @@ object SimilarityOps {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |d AS (SELECT e.vec_id, e.label, ${distSql("e.v", "q.qv")} AS dist_sq
          |      FROM e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, label, dist_sq FROM d
+         |ORDER BY dist_sq, vec_id LIMIT 10""".stripMargin,
+    // Filtered brute force IS the truth: the engine's adaptive probe is
+    // exact over the filtered subset by construction.
+    "ann_filtered_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id, e.label, ${distSql("e.v", "q.qv")} AS dist_sq
+         |      FROM e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 = 1)
          |SELECT vec_id, label, dist_sq FROM d
          |ORDER BY dist_sq, vec_id LIMIT 10""".stripMargin,
     // Ground truth = the ann_batch_topk CTE; IVF side ranks nprobe=3

@@ -106,4 +106,41 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = got.map(_._1).count(exactTop.contains) / 10.0
     assert(recall >= 0.3, s"recall@10 $recall below floor")
   }
+
+  test("filtered ANN: exact under a highly selective predicate (where a " +
+       "post-filtered fixed-probe shortlist would under-fill k)") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestBase.sf
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        graft.queries.SimilarityOps.vDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    // ~1% of vectors qualify: the scattered survivors span many cells, so
+    // a fixed nprobe=3 post-filter would return fewer than the matches;
+    // the adaptive exact rule must return EVERY qualifying vector here
+    // (matches < k), in brute-force order.
+    val pred = col("vec_id") =!= 0 && pmod(col("vec_id"), lit(101)) === 1
+    val filtered = e.where(pred)
+    val nMatch = filtered.count()
+    val cent = graft.queries.SimilarityOps.centroids(e)
+    val got = graft.queries.SimilarityOps
+      .ivfAdaptiveTopK(filtered, q, cent, 10)._2.collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    if (nMatch <= 10)
+      assert(got.length == nMatch,
+        s"selective filter: expected ALL $nMatch matches, got ${got.length}")
+    val truth = filtered.crossJoin(broadcast(q))
+      .withColumn("d", graft.queries.SimilarityOps.distSq(col("v"), col("qv")))
+      .select(col("vec_id"), col("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = truth.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(10).map { case (id, d) => (id, d) }
+    assert(got.toSeq == exact, s"filtered top-k != filtered brute force")
+  }
+
+  test("ann_filtered_topk: every result satisfies the predicate") {
+    val rows = SparkEntry.queries("ann_filtered_topk")(spark, SparkTestBase.sf)
+      .collect().map(_.getLong(0))
+    assert(rows.nonEmpty && rows.forall(id => id % 3 == 1 && id != 0))
+  }
 }
