@@ -54,10 +54,15 @@ object Materialize {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Slot]]())
 
-  /** Deterministic catalog name for a bucketed materialization key. */
-  private def bucketedTableName(key: String): String =
+  /** Deterministic catalog name for a (session, key) bucketed
+    * materialization. The SESSION component matters: saveAsTable
+    * registers in the shared metastore, so two concurrent sessions
+    * materializing the same key would otherwise fight over one table
+    * name (the second's DROP+rewrite yanking the first's live scan). */
+  private def bucketedTableName(spark: SparkSession, key: String): String =
     "graft_mat_b_" + key.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-      .replaceAll("^_+|_+$", "") + "_" + Integer.toHexString(key.hashCode)
+      .replaceAll("^_+|_+$", "") + "_" + Integer.toHexString(key.hashCode) +
+      "_" + Integer.toHexString(System.identityHashCode(spark))
 
   /** [[once]] with a BUCKETED layout: the frame is written
     * `bucketBy(nBuckets, bucketCol).sortBy(bucketCol)` into a
@@ -77,7 +82,7 @@ object Materialize {
     val slot = perKey.computeIfAbsent(key, _ => new Slot(() => {
       val out = java.nio.file.Files.createTempDirectory("graft_mat_b").toString
       Fs.deleteOnExit(out)
-      val name = bucketedTableName(key)
+      val name = bucketedTableName(spark, key)
       spark.sql(s"DROP TABLE IF EXISTS $name")
       f.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
         .write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
@@ -85,7 +90,7 @@ object Materialize {
       out
     }))
     slot.value // force the write before the table lookup
-    spark.table(bucketedTableName(key))
+    spark.table(bucketedTableName(spark, key))
   }
 
   /** Drop every materialized artifact of one session: forget the keys AND
@@ -107,7 +112,7 @@ object Materialize {
     val perKeyB = bucketedCache.remove(spark)
     if (perKeyB != null) perKeyB.forEach { (key, slot) =>
       if (slot.computed) {
-        try spark.sql(s"DROP TABLE IF EXISTS ${bucketedTableName(key)}")
+        try spark.sql(s"DROP TABLE IF EXISTS ${bucketedTableName(spark, key)}")
         catch { case _: Throwable => () }
         try Fs.deleteRecursively(slot.value) catch { case _: Throwable => () }
       }
