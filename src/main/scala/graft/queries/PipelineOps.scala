@@ -539,7 +539,31 @@ object PipelineOps {
     docRows.unionByName(evRows)
   }
 
+  /** Split-leakage report — the gate a training pipeline runs AFTER
+    * splitting and BEFORE training: near-duplicate pairs that STRADDLE
+    * train/valid/test boundaries (a near-copy of a validation document
+    * in train inflates eval exactly like benchmark contamination, but
+    * between a corpus's own splits). Composes the two existing
+    * definitions verbatim — the d2 verified near-dup pairs (materialized
+    * once per session, core/Materialize) and tx_split's hash
+    * assignment — so the report cannot drift from either: two id-keyed
+    * joins over the pair output + a filter, cost O(pairs) beyond the
+    * shared pair graph (the tx_source_overlap shape pointed at splits).
+    * The remedy (re-home or drop one side of each leaked pair) consumes
+    * these rows directly.
+    */
+  private val splitLeakage: Q = (s, d) => {
+    val sp = TextOps.queries("tx_split")(s, d).select(col("doc_id"), col("split"))
+    DedupOps.queries("d2_minhash_lsh")(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipe_split_leakage" -> splitLeakage,
     "pipe_data_checks" -> dataChecks,
     "pipe_dataset_stats" -> datasetStats,
     "pipe_semdedup" -> semdedup,
@@ -564,6 +588,14 @@ object PipelineOps {
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
 
   val oracle: Map[String, String] = Map(
+    // Composes the d2 pair oracle and the tx_split assignment verbatim.
+    "pipe_split_leakage" ->
+      s"""WITH pairs AS (${DedupOps.oracle("d2_minhash_lsh")}),
+         |sp AS (${TextOps.oracle("tx_split")})
+         |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+         |FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+         |JOIN sp b ON b.doc_id = p.doc_b
+         |WHERE a.split <> b.split""".stripMargin,
     // Same predicates, same domains, same cents/date conventions as the
     // engine side; one UNION ALL row per check.
     "pipe_data_checks" ->

@@ -310,4 +310,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val m2 = model(docs(1)._2).map(_._1)
     assert((m1 & m2).nonEmpty, "guarantee violated: no shared fingerprint")
   }
+
+  test("pipe_split_leakage is exactly the cross-split subset of the " +
+       "near-dup pair graph, splits reported faithfully") {
+    val sf = SparkTestBase.sf
+    val splits = SparkEntry.queries("tx_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("pipe_split_leakage")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getString(3))))
+    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }
+    assert(got.map(_._1).toSet == expected,
+      s"leaked set mismatch: got ${got.length}, expected ${expected.size}")
+    got.foreach { case ((a, b), (sa, sb)) =>
+      assert(sa == splits(a) && sb == splits(b), s"split labels wrong for ($a,$b)")
+    }
+  }
 }
