@@ -325,6 +325,41 @@ class ExtractEngineSpec extends AnyFunSuite {
       "delta dirs must be GC'd once their step completes")
   }
 
+  test("double-kill mid-fixpoint: kill at pass 1, resume, kill again one " +
+       "pass later, resume to completion — still byte-identical") {
+    import spark.implicits._
+    val deep = (1 to 10).map(i => (acct(i), if (i == 6) "Seed" else s"A$i",
+      if (i == 1) null.asInstanceOf[String] else acct(i - 1)))
+      .toDF("Id", "Name", "ParentId")
+    def mkSteps = Seq(
+      ExtractStep("Account", ExtractionScope.Query("Name = 'Seed'"),
+        Seq("Id", "Name", "ParentId")))
+    val opA = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    assert(opA.execute() == 0)
+    val want = ids(opA.result("Account"))
+    assert(want == (1 to 10).map(acct).toSet)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_xfp2_state").toString
+    // Kill 1: one changed pass into the fixpoint.
+    val op1 = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    assert(op1.execute(Some(stateDir), Int.MaxValue, stopAfterPasses = 1) == 1)
+    // Kill 2: the RESUMED run is killed again after one more pass — this
+    // exercises a resumed operation re-saving on top of restored delta
+    // dirs (partial dir numbering must continue, not collide).
+    val op2 = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    op2.loadState(stateDir)
+    assert(op2.execute(Some(stateDir), Int.MaxValue, stopAfterPasses = 1) == 1)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$stateDir/extract_state.json")), "UTF-8")
+    assert(marker.contains("\"partial\""), marker)
+    // Final resume runs to convergence.
+    val op3 = new ExtractOperation(store("Account" -> deep), catalog, mkSteps)
+    op3.loadState(stateDir)
+    assert(op3.execute(Some(stateDir), Int.MaxValue) == 0)
+    assert(ids(op3.result("Account")) == want,
+      "twice-killed, twice-resumed extract must close over the whole chain")
+  }
+
   test("15-char ids canonicalize to 18 at ingest (T7)") {
     import spark.implicits._
     val accts15 = Seq(("001000000000001", "A", null.asInstanceOf[String]))
