@@ -562,8 +562,44 @@ object PipelineOps {
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
   }
 
+  /** Flag threshold for [[embedContamination]] (the corpus's near-dup
+    * cosine ceiling is ~0.5; 0.35 splits genuinely-similar from bulk). */
+  val EmbedContamTau = 0.35
+
+  /** EMBEDDING-level benchmark contamination — the semantic sibling of
+    * the n-gram [[contamination]] screen (decontamination pipelines run
+    * BOTH: n-grams catch verbatim/near-verbatim inclusion, embeddings
+    * catch paraphrase): every candidate document's max cosine against
+    * the benchmark-source embedding set, flagged at [[EmbedContamTau]].
+    * The benchmark suite is bounded by nature, so its vectors BROADCAST
+    * and the corpus side streams through one codegen stage + a hash
+    * max-aggregate — no corpus self-join anywhere; at a benchmark suite
+    * too big to broadcast, the d12 banded-LSH candidate path is the
+    * remedy (same pattern, bench vectors banded instead of broadcast).
+    * Max over per-pair cosines is order-independent and each cosine is
+    * the same fixed-order fold in both engines, so doubles compare
+    * exactly.
+    */
+  private val embedContamination: Q = (s, d) => {
+    import SimilarityOps.{cosineCol, vDouble}
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), vDouble(col("embedding")).as("v"))
+    val withSrc = e.join(docs, Seq("doc_id"))
+    val bench = withSrc.where(col("source") === BenchmarkSource)
+      .select(col("v").as("bv"))
+    withSrc.where(col("source") =!= BenchmarkSource)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", cosineCol(col("v"), col("bv")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cos")).as("max_bench_cosine"))
+      .select(col("doc_id"), col("max_bench_cosine"),
+        (col("max_bench_cosine") >= lit(EmbedContamTau)).as("contaminated"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipe_split_leakage" -> splitLeakage,
+    "pipe_embed_contamination" -> embedContamination,
     "pipe_data_checks" -> dataChecks,
     "pipe_dataset_stats" -> datasetStats,
     "pipe_semdedup" -> semdedup,
@@ -596,6 +632,19 @@ object PipelineOps {
          |FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
          |JOIN sp b ON b.doc_id = p.doc_b
          |WHERE a.split <> b.split""".stripMargin,
+    // Same per-pair cosine fold as the engine (SimilarityOps.cosineSql);
+    // max over pairs is order-independent, so doubles compare exactly.
+    "pipe_embed_contamination" ->
+      s"""WITH ds AS (SELECT doc_id, source FROM documents),
+         |e AS (SELECT vec_id AS doc_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |m AS (SELECT e.doc_id, e.v, ds.source FROM e JOIN ds USING (doc_id)),
+         |bench AS (SELECT v AS bv FROM m WHERE source = '$BenchmarkSource'),
+         |cand AS (SELECT doc_id, v FROM m WHERE source <> '$BenchmarkSource')
+         |SELECT c.doc_id, max(${SimilarityOps.cosineSql("c.v", "b.bv")}) AS max_bench_cosine,
+         |  max(${SimilarityOps.cosineSql("c.v", "b.bv")}) >= $EmbedContamTau AS contaminated
+         |FROM cand c, bench b GROUP BY c.doc_id""".stripMargin,
     // Same predicates, same domains, same cents/date conventions as the
     // engine side; one UNION ALL row per check.
     "pipe_data_checks" ->

@@ -328,4 +328,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(sa == splits(a) && sb == splits(b), s"split labels wrong for ($a,$b)")
     }
   }
+
+  test("pipe_embed_contamination: flag consistent with the reported max, " +
+       "benchmark docs excluded, max verified against a local model") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestBase.sf
+    val rows = SparkEntry.queries("pipe_embed_contamination")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val benchIds = Tables.documents(spark, sf)
+      .where(col("source") === graft.queries.PipelineOps.BenchmarkSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(!benchIds.contains(r.getLong(0)), "benchmark doc in candidate output")
+      if (!r.isNullAt(1))
+        assert(r.getBoolean(2) ==
+          (r.getDouble(1) >= graft.queries.PipelineOps.EmbedContamTau))
+    }
+    // Local-model check on a handful of candidates: max cosine recomputed
+    // in plain Scala from the raw vectors.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val benchVs = benchIds.toSeq.sorted.flatMap(vecs.get)
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val expect = benchVs.map(bv => cos(vecs(id), bv)).max
+      assert(math.abs(r.getDouble(1) - expect) < 1e-9,
+        s"doc $id: reported ${r.getDouble(1)} vs model $expect")
+    }
+  }
 }
