@@ -54,15 +54,25 @@ object Materialize {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Slot]]())
 
+  /** Unique-per-session suffix for catalog names. Not identityHashCode
+    * (not guaranteed unique — a collision would recreate the exact
+    * DROP+rewrite race the suffix exists to prevent): a monotone counter
+    * assigned on first use, weak-keyed so stopped sessions don't pin. */
+  private val sessionTag = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Integer]())
+  private val nextTag = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Deterministic catalog name for a (session, key) bucketed
     * materialization. The SESSION component matters: saveAsTable
-    * registers in the shared metastore, so two concurrent sessions
-    * materializing the same key would otherwise fight over one table
-    * name (the second's DROP+rewrite yanking the first's live scan). */
+    * registers in the shared metastore, so two concurrent sessions in
+    * this JVM materializing the same key would otherwise fight over one
+    * table name (the second's DROP+rewrite yanking the first's live
+    * scan). Sessions in SEPARATE JVMs sharing an external metastore are
+    * out of scope — point them at distinct databases. */
   private def bucketedTableName(spark: SparkSession, key: String): String =
     "graft_mat_b_" + key.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .replaceAll("^_+|_+$", "") + "_" + Integer.toHexString(key.hashCode) +
-      "_" + Integer.toHexString(System.identityHashCode(spark))
+      "_s" + sessionTag.computeIfAbsent(spark, _ => nextTag.getAndIncrement())
 
   /** [[once]] with a BUCKETED layout: the frame is written
     * `bucketBy(nBuckets, bucketCol).sortBy(bucketCol)` into a

@@ -403,9 +403,10 @@ final class ExtractOperation(
         savedRowDirs += t
       }
     }
-    val ver = writeRequired(dir)
-    writeMarker(dir, markerJson(ver, partial = ""))
-    gcStale(dir, ver, keepPartials = false)
+    val reqVers = writeRequired(dir)
+    val errVer = writeErrors(dir)
+    writeMarker(dir, markerJson(reqVers, errVer, partial = ""))
+    gcStale(dir, reqVers.map(_._2).toSet, errVer, keepPartials = false)
     // The completed step's delta dirs were just deleted; forget them.
     partialBuf.clear(); partialDirs.clear()
   }
@@ -432,27 +433,71 @@ final class ExtractOperation(
       partialSeq += 1
       partialBuf.clear()
     }
-    val ver = writeRequired(dir)
+    val reqVers = writeRequired(dir)
+    val errVer = writeErrors(dir)
     val partial = s""","partial":{"table":"$table","pass":$pass,""" +
       s""""dirs":[${partialDirs.mkString(",")}]}"""
-    writeMarker(dir, markerJson(ver, partial))
-    gcStale(dir, ver, keepPartials = true)
+    writeMarker(dir, markerJson(reqVers, errVer, partial))
+    gcStale(dir, reqVers.map(_._2).toSet, errVer, keepPartials = true)
   }
 
-  private def writeRequired(dir: String): Int = {
+  /** Last persisted (version, frame identity) per required set — a set
+    * whose frame was not REASSIGNED since its last save (every mutation
+    * replaces the DataFrame reference) is not rewritten: the marker
+    * re-references the old version. Keeps per-pass checkpoint cost
+    * proportional to what the pass actually changed, not to every
+    * table's outstanding required ids. */
+  private val reqSaved = mutable.Map.empty[String, (Int, DataFrame)]
+
+  private def writeRequired(dir: String): Seq[(String, Int)] = {
     val ver = saveVersion
     saveVersion += 1
-    requiredIds.keys.toSeq.sorted.foreach(t =>
-      requiredIds(t).write.mode("overwrite").parquet(s"$dir/required_v$ver/$t"))
-    ver
+    requiredIds.keys.toSeq.sorted.map { t =>
+      val cur = requiredIds(t)
+      reqSaved.get(t) match {
+        case Some((v, prev)) if prev eq cur => t -> v
+        case _ =>
+          cur.write.mode("overwrite").parquet(s"$dir/required_v$ver/$t")
+          reqSaved(t) = (ver, cur)
+          t -> ver
+      }
+    }
   }
 
-  private def markerJson(ver: Int, partial: String): String = {
+  /** Error buffers are PASS STATE too: a mid-fixpoint kill after
+    * storeResult recorded outside-reference errors must not let the
+    * resumed run (whose scope/lookup passes dedup to zero new rows and
+    * so never re-detect them) exit 0 where the uninterrupted run exits
+    * -1. Persisted as a NUL-separated sidecar (messages are single-line
+    * human text; the record separator cannot appear in them), versioned
+    * and GC'd like the required snapshots. Returns -1 when there are no
+    * errors (marker omits the file). */
+  private var errSaved: (Int, Int) = (-1, 0) // (version, error count at save)
+
+  private def writeErrors(dir: String): Int = {
+    val all = errors.toSeq.sortBy(_._1)
+      .flatMap { case (t, buf) => buf.map(m => t + "\u0001" + m) }
+    if (all.isEmpty) -1
+    else if (all.size == errSaved._2 && errSaved._1 >= 0) errSaved._1
+    else {
+      val ver = saveVersion
+      saveVersion += 1
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/errors_v$ver.txt"), all.mkString("\u0000"))
+      errSaved = (ver, all.size)
+      ver
+    }
+  }
+
+  private def markerJson(reqVers: Seq[(String, Int)], errVer: Int,
+      partial: String): String = {
     val done = order.take(stepsCompleted)
-    val reqTables = requiredIds.keys.toSeq.sorted
-    s"""{"completed":$stepsCompleted,"reqver":$ver,""" +
+    val err = if (errVer >= 0) s""","errver":$errVer""" else ""
+    s"""{"completed":$stepsCompleted,""" +
       s""""rows":[${done.filter(extractedRows.contains).map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""required":[${reqTables.map("\"" + _ + "\"").mkString(",")}]$partial}"""
+      s""""required":[${reqVers.map { case (t, v) => s"""{"t":"$t","v":$v}""" }.mkString(",")}]""" +
+      err + partial + "}"
   }
 
   private def writeMarker(dir: String, json: String): Unit = {
@@ -468,15 +513,23 @@ final class ExtractOperation(
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Unreferenced snapshots after a marker publish — older required_v*
-    * versions always; partial_p* deltas once their step completed (best
-    * effort; a leftover dir is garbage, never a correctness hazard). */
-  private def gcStale(dir: String, ver: Int, keepPartials: Boolean): Unit =
+  /** Unreferenced snapshots after a marker publish — required_v*
+    * versions no live table references and superseded errors_v* files
+    * always; partial_p* deltas once their step completed (best effort;
+    * a leftover dir is garbage, never a correctness hazard). */
+  private def gcStale(dir: String, liveReqVers: Set[Int], errVer: Int,
+      keepPartials: Boolean): Unit =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        f.isDirectory && (
-          (f.getName.startsWith("required") && f.getName != s"required_v$ver") ||
-          (!keepPartials && f.getName.startsWith("partial_p")))
+        val n = f.getName
+        (f.isDirectory && (
+          (n.startsWith("required_v") &&
+            !scala.util.Try(n.stripPrefix("required_v").toInt).toOption
+              .exists(liveReqVers.contains)) ||
+          n == "required" || // legacy in-place layout, superseded
+          (!keepPartials && n.startsWith("partial_p")))) ||
+        (n.startsWith("errors_v") && n.endsWith(".txt") &&
+          n != s"errors_v$errVer.txt")
       }
       .foreach(f => try graft.core.Fs.deleteRecursively(f.getPath)
         catch { case _: Exception => () })
@@ -495,21 +548,43 @@ final class ExtractOperation(
           .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     resumeFrom = """"completed":(\d+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toInt).getOrElse(0)
-    // Versioned required-id layout (crash-safe saves); absent key = the
-    // legacy in-place `required/` layout of pre-versioning checkpoints.
-    val reqVer = """"reqver":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-    val reqDir = reqVer.map(v => s"required_v$v").getOrElse("required")
-    saveVersion = reqVer.map(_ + 1).getOrElse(0)
     list("rows").foreach { t =>
       val rows = graft.core.Lineage.cut(spark.read.parquet(s"$dir/rows/$t"))
       extractedRows(t) = rows
       extractedIds(t) = idsOf(rows, t)
       savedRowDirs += t
     }
-    list("required").foreach { t =>
-      requiredIds(t) = graft.core.Lineage.cut(spark.read.parquet(s"$dir/$reqDir/$t"))
+    // Required-id snapshots: per-table versioned entries ({"t":..,"v":N}
+    // — only sets a save actually changed were rewritten at that save's
+    // version); legacy fallbacks: a single global "reqver", or the
+    // original in-place `required/` layout.
+    val perTable = """\{"t":"([^"]+)","v":(\d+)\}""".r
+      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toSeq
+    val legacyVer = """"reqver":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    val reqEntries: Seq[(String, String, Option[Int])] =
+      if (perTable.nonEmpty)
+        perTable.map { case (t, v) => (t, s"required_v$v/$t", Some(v)) }
+      else list("required").map { t =>
+        (t, legacyVer.map(v => s"required_v$v/$t").getOrElse(s"required/$t"), legacyVer)
+      }
+    reqEntries.foreach { case (t, path, v) =>
+      val frame = graft.core.Lineage.cut(spark.read.parquet(s"$dir/$path"))
+      requiredIds(t) = frame
+      v.foreach(ver => reqSaved(t) = (ver, frame))
       depsDirty += t
     }
+    val errVer = """"errver":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    errVer.foreach { v =>
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/errors_v$v.txt")), "UTF-8")
+      val recs = raw.split("\u0000").filter(_.nonEmpty)
+      recs.foreach { r =>
+        val i = r.indexOf('\u0001')
+        errBuf(r.substring(0, i)) += r.substring(i + 1)
+      }
+      errSaved = (v, recs.length)
+    }
+    saveVersion = ((reqEntries.flatMap(_._3) ++ errVer) :+ -1).max + 1
     // Mid-step (fixpoint) checkpoint: the in-progress table's accumulated
     // rows are the union of the marker's delta dirs. Its scope pass is
     // contained in delta 0, so the resumed step re-enters directly at
@@ -561,6 +636,12 @@ final class ExtractOperation(
     */
   def execute(stateDir: Option[String], stopAfterSteps: Int,
       stopAfterPasses: Int): Int = {
+    // A pass-bounded stop without a state dir would return the
+    // "incomplete-but-resumable" code with nothing on disk to resume
+    // from — all work silently lost. Fail fast instead.
+    require(stopAfterPasses == Int.MaxValue || stateDir.nonEmpty,
+      "stopAfterPasses requires a stateDir: a pass-bounded stop is only " +
+        "meaningful when each pass was checkpointed")
     // Progress lines mirror the reference's logger messages
     // (amaxa/amaxa.py:546-565). The per-step record count is logged at
     // verbose only: it forces a count job the lazy id accumulators

@@ -155,7 +155,7 @@ object MultimodalOps {
     * (header dims + raster pixel sum), so the DuckDB oracle's closed
     * forms verify that actual PNG parsing happened — a corrupted encode,
     * a wrong stride, or a misread bit depth all diverge from the oracle.
-    * Runs in the same `mapPartitions` shape [[featuresViaCodec]]
+    * Runs in the same `mapPartitions` shape [[framesViaCodec]]
     * documents as the real-codec execution plan.
     */
   object PngCodec extends Serializable {

@@ -231,13 +231,21 @@ object EventStreaming {
       // BroadcastAsOfJoinExec: size the PRUNED reference projection's
       // optimized plan against the broadcast threshold. Fail fast here —
       // the alternative is a driver OOM halfway through the collect.
+      // `autoBroadcastJoinThreshold <= 0` means "never auto-broadcast
+      // JOINS" — the batch planner degrades to shuffle there, but this
+      // operator HAS no shuffle form (the broadcast index is its whole
+      // mechanism), so treating <=0 as "always refuse" would break the
+      // common -1 tuning for a 10-row snapshot. Fall back to Spark's
+      // default 10 MB bound instead; the explicit pin remains the
+      // override for larger snapshots.
+      val bound = if (threshold > 0) threshold else 10L * 1024 * 1024
       val estBytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
-      require(threshold > 0 && estBytes <= threshold,
+      require(estBytes <= bound,
         s"asofStreamStatic builds a broadcast index from the static reference, " +
-          s"but its estimated size ($estBytes bytes) exceeds " +
-          s"spark.sql.autoBroadcastJoinThreshold ($threshold). Filter the " +
-          s"snapshot, raise the threshold, or set " +
-          s"spark.graft.asof.strategy=broadcast to pin past this check.")
+          s"but its estimated size ($estBytes bytes) exceeds $bound bytes " +
+          s"(spark.sql.autoBroadcastJoinThreshold, or the 10 MB default when " +
+          s"that is disabled). Filter the snapshot, raise the threshold, or " +
+          s"set spark.graft.asof.strategy=broadcast to pin past this check.")
     }
     val index: Map[Long, (Array[Long], Array[Long], Array[Double])] = pruned
       .as[(Long, java.sql.Timestamp, Long, Double)]

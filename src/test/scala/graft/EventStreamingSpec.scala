@@ -273,6 +273,11 @@ class EventStreamingSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.asof.strategy", "broadcast")
       try EventStreaming.asofStreamStatic(spark, clicks, views) // must not throw
       finally spark.conf.unset("spark.graft.asof.strategy")
+      // threshold <= 0 disables AUTO-broadcast for joins; this operator
+      // has no shuffle form, so a small snapshot must still pass (the
+      // 10 MB default bound applies, not "always refuse").
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      EventStreaming.asofStreamStatic(spark, clicks, views) // must not throw
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 

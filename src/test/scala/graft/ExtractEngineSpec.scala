@@ -360,6 +360,48 @@ class ExtractEngineSpec extends AnyFunSuite {
       "twice-killed, twice-resumed extract must close over the whole chain")
   }
 
+  test("mid-fixpoint kill preserves recorded row errors: the resumed run " +
+       "still fails the step like the uninterrupted run would") {
+    import spark.implicits._
+    // Contacts of the Caprica tree, where the self-lookup fixpoint's pass
+    // 1 discovers a contact (c9) whose AccountId is an OUTSIDE reference
+    // under Error behavior — the error is recorded by that pass's
+    // storeResult, BEFORE the kill. Without error-buffer persistence the
+    // resumed run's passes dedup to zero new rows, never re-detect it,
+    // and the extract "succeeds" where the uninterrupted run fails.
+    val contacts2 = Seq(
+      (cont(1), "Adama", "false", acct(3), null.asInstanceOf[String]),
+      (cont(2), "Roslin", "true", acct(3), cont(1)),
+      (cont(9), "Zarek", "false", acct(5), cont(1)) // outside acct ref, found via ReportsToId
+    ).toDF("Id", "LastName", "IsEmailBounced", "AccountId", "ReportsToId")
+    def mkSteps = Seq(
+      ExtractStep("Account", ExtractionScope.Query("Name = 'Caprica Cosmetics'"),
+        Seq("Id", "Name", "ParentId"),
+        selfLookupBehavior = SelfLookupBehavior.TraceNone),
+      ExtractStep("Contact", ExtractionScope.Descendents,
+        Seq("Id", "LastName", "AccountId", "ReportsToId"),
+        outsideBehaviors = Map("AccountId" -> OutsideLookupBehavior.Error)))
+    def mkOp() = new ExtractOperation(
+      store("Account" -> accounts, "Contact" -> contacts2), catalog, mkSteps)
+
+    val straight = mkOp()
+    assert(straight.execute() == -1, "uninterrupted run must fail the step")
+    val wantErrs = straight.errors("Contact").toSeq
+    assert(wantErrs.exists(_.contains("outside reference")), wantErrs)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_xerr_state").toString
+    val killed = mkOp()
+    assert(killed.execute(Some(stateDir), Int.MaxValue, stopAfterPasses = 1) == 1)
+    assert(killed.errors.get("Contact").exists(_.nonEmpty),
+      "the kill must land after the error was recorded")
+    val resumed = mkOp()
+    resumed.loadState(stateDir)
+    assert(resumed.execute(Some(stateDir), Int.MaxValue) == -1,
+      "resumed run must fail exactly like the uninterrupted one")
+    assert(resumed.errors("Contact").toSeq == wantErrs,
+      s"restored errors differ: ${resumed.errors("Contact")} vs $wantErrs")
+  }
+
   test("15-char ids canonicalize to 18 at ingest (T7)") {
     import spark.implicits._
     val accts15 = Seq(("001000000000001", "A", null.asInstanceOf[String]))
