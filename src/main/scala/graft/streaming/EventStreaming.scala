@@ -357,6 +357,49 @@ object EventStreaming {
         col("click_ts"), col("view_ts"))
   }
 
+  /** REFRESHING stream-static as-of — [[asofStreamStatic]] freezes the
+    * reference snapshot at query start (one collect, one broadcast),
+    * which is right for an immutable corpus-delivery dimension; real
+    * slowly-changing dimensions UPDATE while the stream runs. This is
+    * the Spark-native refresh pattern: `foreachBatch` hands each
+    * micro-batch to the BATCH as-of operator (the custom
+    * AsOfJoinPlan/Exec, which streaming cannot host natively) against a
+    * FRESH read of the reference path — every micro-batch sees the
+    * snapshot as of its own start, the broadcast is rebuilt only when
+    * the batch runs, and the whole batch planner (size-based
+    * broadcast/shuffle choice, skew salting) applies per batch.
+    * foreachBatch-plus-batch-operator is the standard escape hatch for
+    * any operator Structured Streaming can't express; results land in
+    * `sinkTable` (created on first batch).
+    */
+  def asofRefreshing(spark: SparkSession, clicks: DataFrame,
+      viewsPath: String, viewsSchema: org.apache.spark.sql.types.StructType,
+      sinkTable: String): StreamingQuery = {
+    val q = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val views = spark.read.schema(viewsSchema).parquet(viewsPath)
+          .where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_id"), col("value").as("view_value"))
+        val joined = graft.plans.AsOfJoin.asof(
+          batch, views, "user_id", "ts", "ts",
+          carry = Seq("view_id", "view_value"))
+        joined.write.mode("append").saveAsTable(sinkTable)
+        // The session caches the table's resolved relation; without an
+        // explicit refresh a concurrent reader of `sinkTable` keeps
+        // seeing the pre-append file listing (measured: batch 2's rows
+        // invisible to spark.table until refreshTable).
+        spark.catalog.refreshTable(sinkTable)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Drive a streaming DataFrame through a memory sink to completion. */
   def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete): StreamingQuery = {

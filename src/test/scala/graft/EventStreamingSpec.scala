@@ -281,6 +281,46 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("refreshing stream-static as-of: each micro-batch joins against the " +
+       "CURRENT reference snapshot (dimension updates are visible)") {
+    import spark.implicits._
+    val viewsDir = java.nio.file.Files.createTempDirectory("graft_asof_views").toString
+    val clicksDir = java.nio.file.Files.createTempDirectory("graft_asof_clicks").toString
+    graft.core.Fs.deleteOnExit(viewsDir); graft.core.Fs.deleteOnExit(clicksDir)
+    def t(min: Long) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    def write(dir: String, rows: (Long, java.sql.Timestamp, Long, String, Double)*): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // Snapshot A: user 1 has one view at t0.
+    write(viewsDir, (100L, t(0), 1L, "view", 1.0))
+    write(clicksDir, (200L, t(5), 1L, "click", 9.0))
+    val schema = spark.read.parquet(viewsDir).schema
+    val stream = EventStreaming.eventStream(spark, clicksDir, schema)
+      .where(col("event_type") === "click")
+    spark.sql("DROP TABLE IF EXISTS asof_refresh_out")
+    val q = EventStreaming.asofRefreshing(spark, stream, viewsDir, schema,
+      "asof_refresh_out")
+    try {
+      // Batch 1 joined against snapshot A.
+      val b1 = spark.table("asof_refresh_out")
+        .select("click_id", "view_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(b1.toSeq == Seq(200L -> 100L), b1.mkString(","))
+      // The DIMENSION updates: user 1 gets a newer view; a frozen index
+      // would keep matching view 100 — the refreshed join must pick 101.
+      write(viewsDir, (101L, t(10), 1L, "view", 2.0))
+      write(clicksDir, (201L, t(15), 1L, "click", 9.0))
+      q.processAllAvailable()
+      val b2 = spark.table("asof_refresh_out")
+        .where(col("click_id") === 201L)
+        .select("view_id").collect().map(_.getLong(0))
+      assert(b2.toSeq == Seq(101L),
+        s"batch 2 must see the updated snapshot: got ${b2.mkString(",")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS asof_refresh_out")
+    }
+  }
+
   test("as-of state TTL: idle state evicts once the watermark passes; recent state survives") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_ttl").toString
