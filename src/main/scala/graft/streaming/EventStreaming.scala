@@ -371,6 +371,13 @@ object EventStreaming {
     * foreachBatch-plus-batch-operator is the standard escape hatch for
     * any operator Structured Streaming can't express; results land in
     * `sinkTable` (created on first batch).
+    *
+    * EXACTLY-ONCE: foreachBatch is at-least-once (a failed batch
+    * replays), so a plain append would duplicate the replayed batch's
+    * rows. The sink partitions by the engine-stable `_batch_id` and
+    * OVERWRITES dynamically — a replay rewrites its own partition
+    * instead of appending next to the first attempt's rows, the
+    * standard idempotent-foreachBatch discipline.
     */
   def asofRefreshing(spark: SparkSession, clicks: DataFrame,
       viewsPath: String, viewsSchema: org.apache.spark.sql.types.StructType,
@@ -379,7 +386,7 @@ object EventStreaming {
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
         col("value").as("click_value"))
       .writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val views = spark.read.schema(viewsSchema).parquet(viewsPath)
           .where(col("event_type") === "view")
           .select(col("user_id"), col("ts"),
@@ -387,7 +394,18 @@ object EventStreaming {
         val joined = graft.plans.AsOfJoin.asof(
           batch, views, "user_id", "ts", "ts",
           carry = Seq("view_id", "view_value"))
-        joined.write.mode("append").saveAsTable(sinkTable)
+        val out = joined.withColumn("_batch_id", lit(batchId))
+        if (!spark.catalog.tableExists(sinkTable))
+          out.write.partitionBy("_batch_id").saveAsTable(sinkTable)
+        else
+          // insertInto (not saveAsTable: overwrite there replaces the
+          // whole table) + dynamic mode: only the partitions present in
+          // this batch — i.e. its own _batch_id — are rewritten, so a
+          // replayed batch lands exactly once. Positional resolution is
+          // safe: the projection order is fixed and the partition column
+          // is last, matching the created table's layout.
+          out.write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").insertInto(sinkTable)
         // The session caches the table's resolved relation; without an
         // explicit refresh a concurrent reader of `sinkTable` keeps
         // seeing the pre-append file listing (measured: batch 2's rows

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreaming
@@ -315,6 +316,22 @@ class EventStreamingSpec extends AnyFunSuite {
         .select("view_id").collect().map(_.getLong(0))
       assert(b2.toSeq == Seq(101L),
         s"batch 2 must see the updated snapshot: got ${b2.mkString(",")}")
+      // Exactly-once under replay: re-running a batch's write through the
+      // same dynamic-partition-overwrite discipline must leave the table
+      // unchanged (a replayed foreachBatch rewrites its own _batch_id
+      // partition, never appends beside the first attempt).
+      val before = spark.table("asof_refresh_out").count()
+      // (Materialized copy: a real replay recomputes the batch from the
+      // SOURCE; reading the sink to overwrite itself is refused by Spark.)
+      val replay = spark.createDataFrame(
+        spark.table("asof_refresh_out").where(col("_batch_id") === 1L)
+          .collect().toList.asJava,
+        spark.table("asof_refresh_out").schema)
+      replay.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").insertInto("asof_refresh_out")
+      spark.catalog.refreshTable("asof_refresh_out")
+      assert(spark.table("asof_refresh_out").count() == before,
+        "replayed batch must overwrite its partition, not append")
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS asof_refresh_out")
