@@ -492,4 +492,18 @@ class PlanSpec extends AnyFunSuite {
     val nCust = Tables.customer(spark, sf).count()
     assert(rows.values.sum == nCust, "distribution must partition all customers")
   }
+
+  test("pipe_embed_contamination: the cross join is the DELIBERATE bounded-" +
+       "broadcast shape — bench side broadcast, no shuffle feeds the join") {
+    val p = planOf("pipe_embed_contamination")
+    // No equi key exists (every candidate scores every benchmark vector),
+    // so BroadcastNestedLoopJoin with the BOUNDED benchmark side broadcast
+    // is the correct plan — the corpus side streams through it map-side;
+    // the only exchange is the per-doc max aggregate's.
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(countNodes(p, "Exchange") <= 2, // partial/final agg only
+      "corpus side must not shuffle for the join:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }
