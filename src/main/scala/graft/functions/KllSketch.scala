@@ -83,6 +83,8 @@ case class KllMergeAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
 
+  require(k >= 8 && k <= 65535, s"kll_merge_agg k must be in [8, 65535], got $k")
+
   override def prettyName: String = "kll_merge_agg"
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType

@@ -468,15 +468,18 @@ final class ExtractOperation(
     * storeResult recorded outside-reference errors must not let the
     * resumed run (whose scope/lookup passes dedup to zero new rows and
     * so never re-detect them) exit 0 where the uninterrupted run exits
-    * -1. Persisted as a NUL-separated sidecar (messages are single-line
-    * human text; the record separator cannot appear in them), versioned
-    * and GC'd like the required snapshots. Returns -1 when there are no
+    * -1. Records are one-per-line `base64(table):base64(message)` —
+    * messages interpolate DATA values (ids, field contents), so no
+    * plain-text separator is injection-proof; base64 is. Versioned and
+    * GC'd like the required snapshots. Returns -1 when there are no
     * errors (marker omits the file). */
   private var errSaved: (Int, Int) = (-1, 0) // (version, error count at save)
 
   private def writeErrors(dir: String): Int = {
+    def b64(x: String): String = java.util.Base64.getEncoder
+      .encodeToString(x.getBytes("UTF-8"))
     val all = errors.toSeq.sortBy(_._1)
-      .flatMap { case (t, buf) => buf.map(m => t + "\u0001" + m) }
+      .flatMap { case (t, buf) => buf.map(m => b64(t) + ":" + b64(m)) }
     if (all.isEmpty) -1
     else if (all.size == errSaved._2 && errSaved._1 >= 0) errSaved._1
     else {
@@ -484,7 +487,7 @@ final class ExtractOperation(
       saveVersion += 1
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/errors_v$ver.txt"), all.mkString("\u0000"))
+        java.nio.file.Paths.get(s"$dir/errors_v$ver.txt"), all.mkString("\n"))
       errSaved = (ver, all.size)
       ver
     }
@@ -575,12 +578,14 @@ final class ExtractOperation(
     }
     val errVer = """"errver":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
     errVer.foreach { v =>
+      def un64(x: String): String =
+        new String(java.util.Base64.getDecoder.decode(x), "UTF-8")
       val raw = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/errors_v$v.txt")), "UTF-8")
-      val recs = raw.split("\u0000").filter(_.nonEmpty)
+      val recs = raw.split("\n").filter(_.nonEmpty)
       recs.foreach { r =>
-        val i = r.indexOf('\u0001')
-        errBuf(r.substring(0, i)) += r.substring(i + 1)
+        val i = r.indexOf(':')
+        errBuf(un64(r.substring(0, i))) += un64(r.substring(i + 1))
       }
       errSaved = (v, recs.length)
     }

@@ -90,10 +90,8 @@ object MultimodalOps {
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val (w, h, _) = PngCodec.synthDims(id, nChars)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-          PngResize.encodePattern(id, w, h)))
-        require(img != null, s"doc $id: not a decodable image")
-        rasterFeatures(id, img)
+        rasterFeatures(id,
+          PngCodec.readImage(id, PngResize.encodePattern(id, w, h)))
       })
       .toDF()
   }
@@ -181,10 +179,19 @@ object MultimodalOps {
       bos.toByteArray
     }
 
-    def decode(docId: Long, png: Array[Byte]): MmPng = {
+    /** Shared raster read: in-memory (init disables ImageIO's disk
+      * cache — without it every read churns a /tmp cache file on the
+      * hot decode path) + the fail-loudly null check. Every query that
+      * decodes an image goes through here. */
+    def readImage(docId: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
       init
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, s"doc $docId: not a decodable image")
+      img
+    }
+
+    def decode(docId: Long, png: Array[Byte]): MmPng = {
+      val img = readImage(docId, png)
       val (w, h) = (img.getWidth, img.getHeight)
       val r = img.getRaster
       var sum = 0L
@@ -268,10 +275,7 @@ object MultimodalOps {
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val (w, h, _) = PngCodec.synthDims(id, nChars)
-        val png = PngResize.encodePattern(id, w, h)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(png))
-        require(img != null, s"doc $id: not a decodable image")
+        val img = PngCodec.readImage(id, PngResize.encodePattern(id, w, h))
         MmResized(id, ResizeW, ResizeH,
           PngResize.resizeSum(img, ResizeW, ResizeH))
       })

@@ -1000,15 +1000,26 @@ object Relational {
         kll_quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
       .select(col("l_returnflag"), col("q")(0).as("e50"),
         col("q")(1).as("e95"), col("q")(2).as("e99"))
-    // Exact inclusive rank of each estimate, against the data itself.
+    // Exact rank INTERVAL of each estimate against the data itself. Under
+    // tied values a single item occupies the whole rank run
+    // [count(<v)/n, count(<=v)/n]; KLL guarantees the SELECTION rank is
+    // within ε of p, so the sound property is that the interval
+    // intersects [p−ε, p+ε] — gating on the inclusive endpoint alone
+    // would false-fail a perfect sketch whenever one value carries more
+    // than ε of a group's mass at the probed rank.
     val ranks = base.join(broadcast(merged), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("v") <= col("e50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("v") <= col("e95"), 1L).otherwise(0L)).as("r95"),
-        sum(when(col("v") <= col("e99"), 1L).otherwise(0L)).as("r99"))
-    def ok(r: org.apache.spark.sql.Column, p: Double) =
-      abs(r.cast("double") / col("n").cast("double") - lit(p)) <= lit(KllRankEps)
+        sum(when(col("v") < col("e50"), 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("v") <= col("e50"), 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("v") < col("e95"), 1L).otherwise(0L)).as("lo95"),
+        sum(when(col("v") <= col("e95"), 1L).otherwise(0L)).as("hi95"),
+        sum(when(col("v") < col("e99"), 1L).otherwise(0L)).as("lo99"),
+        sum(when(col("v") <= col("e99"), 1L).otherwise(0L)).as("hi99"))
+    def ok(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+        p: Double) =
+      lo.cast("double") / col("n").cast("double") <= lit(p + KllRankEps) &&
+        hi.cast("double") / col("n").cast("double") >= lit(p - KllRankEps)
     val exact = base.groupBy(col("l_returnflag"))
       .agg(percentile(col("v"), array(lit(0.5), lit(0.95), lit(0.99))).as("p"))
       .select(col("l_returnflag"),
@@ -1018,9 +1029,9 @@ object Relational {
     exact.join(ranks, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50_milli"), col("p95_milli"),
         col("p99_milli"),
-        ok(col("r50"), 0.5).as("kll_p50_within_eps"),
-        ok(col("r95"), 0.95).as("kll_p95_within_eps"),
-        ok(col("r99"), 0.99).as("kll_p99_within_eps"))
+        ok(col("lo50"), col("hi50"), 0.5).as("kll_p50_within_eps"),
+        ok(col("lo95"), col("hi95"), 0.95).as("kll_p95_within_eps"),
+        ok(col("lo99"), col("hi99"), 0.99).as("kll_p99_within_eps"))
   }
 
   /** TPC-H Q4-shaped EXISTS: orders with at least one returned line,
