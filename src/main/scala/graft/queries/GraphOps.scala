@@ -177,40 +177,68 @@ object GraphOps {
   /** Source node: customer 1 (node id 2 in the 2k/2k+1 namespace). */
   val BfsSource = 2L
 
+  /** Level rows below which [[bfs]] broadcasts a level frame into the
+    * per-hop joins (one bigint column — 4M rows ≈ 32 MB, far inside the
+    * 8 GB broadcast hard cap). Every level's row count is already known
+    * EXACTLY (cutCounted materializes it), so the decision costs
+    * nothing and cannot mis-estimate; above the bound the level falls
+    * back to a shuffled join of its own size — never of the
+    * accumulated reach. */
+  val BfsLevelBroadcastRows = 4L * 1000 * 1000
+
   /** Bounded BFS hop distance from one node over the trade graph — the
     * third iterative pattern next to pagerank's full relaxation and the
     * dedup components' star contraction: a FRONTIER loop. Each hop
     * expands only the newly-reached nodes (join frontier → edges,
-    * distinct), anti-joins away everything already settled, and stops
-    * early when the frontier drains (graph diameter, not the hop cap, is
-    * the usual terminator). Distances are exact smallest hop counts —
-    * no tie-break surface. At 100 TB graph scale this is the textbook
-    * Pregel BFS: per-round cost proportional to the frontier's edge
-    * boundary, settled state lineage-cut per round, O(diameter) rounds.
+    * distinct) and stops early when the frontier drains (graph diameter,
+    * not the hop cap, is the usual terminator). Distances are exact
+    * smallest hop counts — no tie-break surface.
+    *
+    * Settled-set subtraction uses the BFS LEVEL INVARIANT instead of an
+    * ever-growing dist frame: a neighbor of a dist-(h−1) node has dist
+    * ∈ {h−2, h−1, h} (dist < h−2 would give the frontier node a path
+    * shorter than h−1), so anti-joining the candidate set against ONLY
+    * the two previous levels is a complete settled check. Per hop that
+    * is constant work in the frontier's size — each level participates
+    * in exactly two later hops and then never moves again, total
+    * anti-join volume O(2·reached) across the whole run, vs the
+    * round-7 shape that rebuilt and RE-SHUFFLED the accumulated dist
+    * union into every hop (O(diameter · reached)). Levels below
+    * [[BfsLevelBroadcastRows]] (known exactly — no estimator) broadcast
+    * into both the edge join and the anti-joins, making the common hop
+    * a SINGLE shuffle (the candidate distinct, which IS the algorithm)
+    * over the exchange-free bucketed edge scan; a 100 TB-scale frontier
+    * past the bound degrades to shuffled joins of the LEVEL's size,
+    * never the accumulated reach. O(diameter) rounds, per-round cost
+    * proportional to the frontier's edge boundary — the textbook Pregel
+    * BFS with the settled check kept O(1) frames per hop.
     */
   private val bfs: Q = (s, d) => {
-    import org.apache.spark.sql.DataFrame
     // Bucketed scan (projection keeps the src clustering): per-hop
     // frontier joins need no exchange on the edge side.
     val edges = edgesOf(s, d).select(col("src"), col("dst"))
-    var dist: DataFrame = s.range(1)
-      .select(lit(BfsSource).as("node"), lit(0).as("dist"))
-    var frontier = dist.select("node")
+    // levels(h) = the (node, rows) set at exact hop distance h, each a
+    // lineage-cut frame with its exact row count.
+    var levels = Vector((graft.core.Lineage.cut(
+      s.range(1).select(lit(BfsSource).as("node"))), 1L))
+    def sized(l: (DataFrame, Long)): DataFrame =
+      if (l._2 <= BfsLevelBroadcastRows) broadcast(l._1) else l._1
     var hop = 1
     var done = false
     while (hop <= BfsMaxHops && !done) {
-      val (next, n) = graft.core.Lineage.cutCounted(
-        edges.join(frontier, edges("src") === frontier("node"))
-          .select(col("dst").as("node")).distinct()
-          .join(dist, Seq("node"), "left_anti"))
-      if (n == 0) done = true
-      else {
-        dist = dist.unionByName(next.withColumn("dist", lit(hop)))
-        frontier = next.select("node")
-        hop += 1
-      }
+      val fr = sized(levels(hop - 1))
+      var cand = edges.join(fr, edges("src") === fr("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(sized(levels(hop - 1)), Seq("node"), "left_anti")
+      if (hop >= 2)
+        cand = cand.join(sized(levels(hop - 2)), Seq("node"), "left_anti")
+      val (next, n) = graft.core.Lineage.cutCounted(cand)
+      if (n == 0) { done = true; graft.core.Lineage.release(next) }
+      else { levels = levels :+ (next, n); hop += 1 }
     }
-    dist
+    levels.zipWithIndex
+      .map { case ((l, _), h) => l.select(col("node"), lit(h).as("dist")) }
+      .reduce(_ unionByName _)
   }
 
   /** Synchronous rounds for [[labelProp]] (unrolled in the oracle). */

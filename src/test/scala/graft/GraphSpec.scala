@@ -147,6 +147,53 @@ class GraphSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("q_bfs hop plan: level anti-joins and the edge side are exchange-free — " +
+       "only the candidate distinct shuffles") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // Force the non-broadcast planner (the scale shape) — the level
+    // frames keep their EXPLICIT broadcast hints (bfs broadcasts below
+    // an exact row bound), but nothing else may be bailed out by the
+    // test-scale planner's tiny-table broadcasts.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val G = graft.queries.GraphOps
+      val edges = G.edgesOf(spark, sf).select(col("src"), col("dst"))
+      // Verbatim hop shapes from GraphOps.bfs: seed level, hop-1 level,
+      // then the hop-2 candidate plan (the steady-state two-anti shape).
+      val l0 = graft.core.Lineage.cut(
+        spark.range(1).select(lit(G.BfsSource).as("node")))
+      val l1 = graft.core.Lineage.cut(
+        edges.join(broadcast(l0), edges("src") === l0("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(broadcast(l0), Seq("node"), "left_anti"))
+      val hop2 = edges.join(broadcast(l1), edges("src") === l1("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(l1), Seq("node"), "left_anti")
+        .join(broadcast(l0), Seq("node"), "left_anti")
+      assert(hop2.count() > 0, "hop-2 frontier must be non-empty on the trade graph")
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case q: QueryStageExec => expand(q.plan)
+        case o => o +: o.children.flatMap(expand)
+      }
+      val nodes = expand(hop2.queryExecution.executedPlan)
+      val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+      // THE pin: one hop = ONE shuffle (the candidate distinct, which IS
+      // the algorithm). The bounded levels broadcast into the edge join
+      // and both anti-joins, keeping the bucketed edge scan's side
+      // exchange-free — a growing-dist re-shuffle (the round-7 shape)
+      // would surface here as extra exchanges.
+      assert(shuffles.size == 1,
+        s"expected exactly 1 shuffle (the distinct), got ${shuffles.size}:\n" +
+          nodes.map(_.nodeName).mkString("\n"))
+      graft.core.Lineage.release(l0)
+      graft.core.Lineage.release(l1)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("per-round rank join is exchange-free on the bucketed edge side") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
