@@ -25,10 +25,20 @@ object Materialize {
     * ConcurrentHashMap bin lock for its whole duration (blocking unrelated
     * keys in the same bin) and make a reentrant once() from inside `f` an
     * IllegalStateException.
+    *
+    * The body reference is DROPPED once the value computes: the body
+    * closes over the session (it builds and writes a DataFrame), so a
+    * retained body would strongly reference the weak map's key from its
+    * value and the advertised stopped-sessions-don't-pin cleanup could
+    * never fire. Cleared, a computed slot holds only the path string.
+    * (Uncomputed slots are transient — both call sites force `.value`
+    * immediately after computeIfAbsent; a body that THREW stays set so
+    * the lazy val can retry.)
     */
-  private final class Slot(body: () => String) {
+  private final class Slot(body0: () => String) {
     @volatile var computed = false
-    lazy val value: String = { val v = body(); computed = true; v }
+    private[this] var body: () => String = body0
+    lazy val value: String = { val v = body(); computed = true; body = null; v }
   }
 
   private val cache = java.util.Collections.synchronizedMap(

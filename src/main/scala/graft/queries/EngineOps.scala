@@ -279,6 +279,9 @@ object EngineOps {
         "orders" -> ordersInput(s, d, col("o_orderpriority"))))
     require(op1.execute() == -1, "first load must fail on orders by design")
     val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    // The happy path deletes eagerly below; this covers a throw between
+    // here and there (same leak class as the extract-resume dir fix).
+    graft.core.Fs.deleteOnExit(dir)
     op1.saveState(dir)
     val (idMap2, stage2) = LoadOperation.loadState(s, dir)
     val op2 = new LoadOperation(target, loadErrCatalog, steps,
@@ -322,6 +325,7 @@ object EngineOps {
         "orders" -> ordersInput(s, d, validFlag)))
     require(op.execute() == 0, "load must succeed")
     val dir = java.nio.file.Files.createTempDirectory("graft_results_csv").toString
+    graft.core.Fs.deleteOnExit(dir) // covers a throw before the eager delete
     val out = Seq("customer", "orders").map { t =>
       val p = s"$dir/$t-results.csv"
       op.results(t).select(col("originalId").as("Original Id"),

@@ -335,14 +335,26 @@ object Relational {
     * integral), so no float-rounding boundary can flip a row between
     * engines.
     */
-  private def registerTpchViews(s: SparkSession, d: String): Unit = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    Tables.part(s, d).createOrReplaceTempView("part")
-    Tables.supplier(s, d).createOrReplaceTempView("supplier")
-    Tables.nation(s, d).createOrReplaceTempView("nation")
-    Tables.region(s, d).createOrReplaceTempView("region")
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
+  /** Run one of the shared-with-oracle SQL texts against a CHILD session
+    * (`newSession`: own temp-view namespace and SQL conf, shared
+    * SparkContext and cache). Registering the bare tpch view names in
+    * the CALLER's session would both race two concurrent corpora in one
+    * session (view swapped between createOrReplaceTempView and sql) and
+    * leave session-global views shadowing `lineitem`/`orders`/… for any
+    * later spark.sql — the same session-concurrency discipline as
+    * Materialize.onceBucketed's per-session table names. The SQL text
+    * itself stays VERBATIM-shared with the DuckDB oracle, which a
+    * corpus-suffixed-view-name scheme would break. */
+  private def tpchSql(s: SparkSession, d: String, sql: String): DataFrame = {
+    val child = s.newSession()
+    Tables.lineitem(child, d).createOrReplaceTempView("lineitem")
+    Tables.part(child, d).createOrReplaceTempView("part")
+    Tables.supplier(child, d).createOrReplaceTempView("supplier")
+    Tables.nation(child, d).createOrReplaceTempView("nation")
+    Tables.region(child, d).createOrReplaceTempView("region")
+    Tables.customer(child, d).createOrReplaceTempView("customer")
+    Tables.orders(child, d).createOrReplaceTempView("orders")
+    child.sql(sql)
   }
 
   /** TPC-H Q2 shape on the available schema (no partsupp table): the
@@ -421,11 +433,11 @@ object Relational {
       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
       |  GROUP BY l_suppkey HAVING sum(l_quantity) > 1600)""".stripMargin
 
-  private val q2MinCost: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q2Sql) }
-  private val q17SmallQty: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q17Sql) }
-  private val q13CustDist: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q13Sql) }
-  private val q15TopSupplier: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q15Sql) }
-  private val q20PartSuppliers: Q = (s, d) => { registerTpchViews(s, d); s.sql(Q20Sql) }
+  private val q2MinCost: Q = (s, d) => tpchSql(s, d, Q2Sql)
+  private val q17SmallQty: Q = (s, d) => tpchSql(s, d, Q17Sql)
+  private val q13CustDist: Q = (s, d) => tpchSql(s, d, Q13Sql)
+  private val q15TopSupplier: Q = (s, d) => tpchSql(s, d, Q15Sql)
+  private val q20PartSuppliers: Q = (s, d) => tpchSql(s, d, Q20Sql)
 
   /** JSONL source/sink round-trip over documents — the serialization
     * format training-data pipelines actually exchange. Schema-enforced
@@ -1020,12 +1032,37 @@ object Relational {
         p: Double) =
       lo.cast("double") / col("n").cast("double") <= lit(p + KllRankEps) &&
         hi.cast("double") / col("n").cast("double") >= lit(p - KllRankEps)
-    val exact = base.groupBy(col("l_returnflag"))
-      .agg(percentile(col("v"), array(lit(0.5), lit(0.95), lit(0.99))).as("p"))
-      .select(col("l_returnflag"),
-        round(col("p")(0) * 1000).cast("long").as("p50_milli"),
-        round(col("p")(1) * 1000).cast("long").as("p95_milli"),
-        round(col("p")(2) * 1000).cast("long").as("p99_milli"))
+    // Exact percentiles via the INTEGER closed form of linear
+    // interpolation, not `percentile`: values are integral cents and
+    // p = k/100, so the interpolated value at exact rational position
+    // (n−1)·k/100 is milli = lo·1000 + (hi−lo)·rem·10 with
+    // rem = ((n−1)·k) mod 100 — every term a BIGINT. Both engines
+    // (`percentile` here, `quantile_cont` in DuckDB) linearly
+    // interpolate in FLOAT, where a one-ulp interpolation-order
+    // difference can flip round(x·1000) at a .5 boundary; the closed
+    // form removes the float from both sides of the compare.
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("c"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val ranked = base
+      .select(col("l_returnflag"), col("v").cast("long").as("c"))
+      .withColumn("rn", row_number().over(wRank).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wAll))
+    def pAggs(k: Int) = Seq(
+      min(when(col("rn") === expr(s"((n-1)*$k) div 100"), col("c")))
+        .as(s"lo$k"),
+      min(when(col("rn") === expr(s"((n-1)*$k) div 100 + " +
+        s"(CASE WHEN ((n-1)*$k) % 100 > 0 THEN 1 ELSE 0 END)"), col("c")))
+        .as(s"hi$k"),
+      max(expr(s"((n-1)*$k) % 100")).as(s"rem$k"))
+    def pMilli(k: Int) =
+      (col(s"lo$k") * 1000 + (col(s"hi$k") - col(s"lo$k")) * col(s"rem$k") * 10)
+        .as(s"p${k}_milli")
+    val pCols = Seq(50, 95, 99).flatMap(pAggs)
+    val exact = ranked.groupBy(col("l_returnflag"))
+      .agg(pCols.head, pCols.tail: _*)
+      .select(col("l_returnflag"), pMilli(50), pMilli(95), pMilli(99))
     exact.join(ranks, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50_milli"), col("p95_milli"),
         col("p99_milli"),
@@ -1736,18 +1773,45 @@ object Relational {
         |UNION ALL
         |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders""".stripMargin,
     // Exact percentiles + literal-TRUE rank-property booleans (the
-    // q_hll_distinct discipline for the randomized KLL estimates).
+    // q_hll_distinct discipline for the randomized KLL estimates). The
+    // percentile is the SAME integer closed form of linear interpolation
+    // as the engine side (milli = lo·1000 + (hi−lo)·rem·10 at exact
+    // rational position (n−1)·k/100) — quantile_cont's float
+    // interpolation could diverge from Spark's by one ulp at a
+    // round-half boundary.
     "q_kll_quantiles" ->
       """WITH c AS (SELECT l_returnflag,
-        |             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) AS v
-        |           FROM lineitem)
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |r AS (SELECT l_returnflag, c,
+        |        CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY c) - 1
+        |          AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |      FROM c),
+        |g AS (SELECT l_returnflag,
+        |        min(CASE WHEN rn = ((n-1)*50)//100 THEN c END) AS lo50,
+        |        min(CASE WHEN rn = ((n-1)*50)//100
+        |          + (CASE WHEN ((n-1)*50)%100 > 0 THEN 1 ELSE 0 END)
+        |          THEN c END) AS hi50,
+        |        max(((n-1)*50)%100) AS rem50,
+        |        min(CASE WHEN rn = ((n-1)*95)//100 THEN c END) AS lo95,
+        |        min(CASE WHEN rn = ((n-1)*95)//100
+        |          + (CASE WHEN ((n-1)*95)%100 > 0 THEN 1 ELSE 0 END)
+        |          THEN c END) AS hi95,
+        |        max(((n-1)*95)%100) AS rem95,
+        |        min(CASE WHEN rn = ((n-1)*99)//100 THEN c END) AS lo99,
+        |        min(CASE WHEN rn = ((n-1)*99)//100
+        |          + (CASE WHEN ((n-1)*99)%100 > 0 THEN 1 ELSE 0 END)
+        |          THEN c END) AS hi99,
+        |        max(((n-1)*99)%100) AS rem99
+        |      FROM r GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  CAST(round(quantile_cont(v, 0.5) * 1000) AS BIGINT) AS p50_milli,
-        |  CAST(round(quantile_cont(v, 0.95) * 1000) AS BIGINT) AS p95_milli,
-        |  CAST(round(quantile_cont(v, 0.99) * 1000) AS BIGINT) AS p99_milli,
+        |  CAST(lo50*1000 + (hi50-lo50)*rem50*10 AS BIGINT) AS p50_milli,
+        |  CAST(lo95*1000 + (hi95-lo95)*rem95*10 AS BIGINT) AS p95_milli,
+        |  CAST(lo99*1000 + (hi99-lo99)*rem99*10 AS BIGINT) AS p99_milli,
         |  TRUE AS kll_p50_within_eps,
         |  TRUE AS kll_p95_within_eps,
         |  TRUE AS kll_p99_within_eps
-        |FROM c GROUP BY l_returnflag""".stripMargin,
+        |FROM g""".stripMargin,
   )
 }

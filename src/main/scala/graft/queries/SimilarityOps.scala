@@ -337,10 +337,18 @@ object SimilarityOps {
     val radii = e.join(broadcast(cent), Seq("label"))
       .select(col("label"), dist0(col("v"), col("centroid")).as("dc"))
       .groupBy("label").agg(max(col("dc")).as("r"))
-    val keep = cent.join(radii, Seq("label")).crossJoin(broadcast(q))
-      .where(dist0(col("centroid"), col("qv")) <=
-        lit(math.sqrt(distSqMax)) + col("r") + lit(1e-9))
-      .select(col("label"))
+    val keep = {
+      // Same relative-slack form as ivfAdaptiveTopK's stop rule: the
+      // float error in dc/r/ball scales with their magnitudes, so a
+      // fixed 1e-9 could drop a boundary cell on large-magnitude
+      // corpora — relative term plus a tiny absolute floor.
+      val dc = dist0(col("centroid"), col("qv"))
+      val ball = lit(math.sqrt(distSqMax))
+      cent.join(radii, Seq("label")).crossJoin(broadcast(q))
+        .where(dc <= ball + col("r") +
+          ((dc + ball + col("r")) * lit(1e-12) + lit(1e-9)))
+        .select(col("label"))
+    }
       .collect().map(_.get(0)).toSeq // nlist cell ids — bounded metadata
     val hits = e.where(col("label").isin(keep: _*)) // partition pruning at scale
       .crossJoin(broadcast(q))
