@@ -827,9 +827,50 @@ object DedupOps {
 
   private val embeddingLsh: Q = (s, d) => embeddingPairsLsh(s, d, D12Threshold)
 
+  /** d13: perceptual-hash IMAGE near-dup — the dedup × multimodal cell.
+    * Per document a pattern PNG is synthesized on the executors, pushed
+    * through the REAL `javax.imageio` round trip, and reduced to a
+    * 56-bit dHash from the DECODED raster
+    * ([[MultimodalOps.PhashCodec]]); pairs at Hamming ≤ 3 then come out
+    * of the d3 pigeonhole discipline — 4 × 14-bit chunks, ≥ 1 equal
+    * chunk for any qualifying pair (LOSSLESS), so the equality join on
+    * (chunk_idx, chunk) generates candidates and the exact bit_count
+    * filter decides. Scale shape: the image bytes never shuffle — only
+    * (doc_id, 56-bit hash) rows enter the band explode and join, and a
+    * hot band takes the same cap-or-salt remedies as d2/d3. The hash
+    * side is one zero-shuffle codec pass, exactly how a 100 TB image
+    * corpus dedups: hash once near the data, join the tiny hash table.
+    */
+  private val phashNearDup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = Tables.documentsSpread(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MultimodalOps.DocPhash(id, MultimodalOps.PhashCodec.phashOf(id))))
+      .toDF().cutLineage
+    val bands: Seq[Column] = (0 until 4).map { j =>
+      struct(lit(j).as("chunk_idx"),
+        shiftright(col("phash"), j * 14).bitwiseAND(0x3FFFL).as("chunk"))
+    }
+    val chunked = hashes.select(col("doc_id"), col("phash"),
+      explode(array(bands: _*)).as("c"))
+      .select(col("doc_id"), col("phash"), col("c.chunk_idx"), col("c.chunk"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(expr("ph_a ^ ph_b")))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d11_chunk_dedup" -> chunkDedup,
     "d12_embedding_lsh" -> embeddingLsh,
+    "d13_phash_neardup" -> phashNearDup,
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
@@ -931,6 +972,37 @@ object DedupOps {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
+  private val d13OracleSql: String = {
+    // Closed-form 56-bit dHash of the group/variant pattern at the
+    // floor-division sample coordinates (the engine reads the same
+    // values back from a REAL PNG encode→decode); pigeonhole banding is
+    // LOSSLESS for hamming ≤ 3 (4 × 14-bit chunks), so the oracle is
+    // simply all pairs at hamming ≤ 3 over the same hashes.
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+      |dim AS (SELECT doc_id, g, v,
+      |    CAST(16 + g % 17 AS BIGINT) AS w, CAST(16 + g % 13 AS BIGINT) AS h
+      |  FROM d),
+      |sv AS (SELECT doc_id, cx.i AS cx, cy.j AS cy,
+      |    ((cx.i * w // 8) * 5 + (cy.j * h // 8) * 11 + g * 7
+      |     + (cx.i * w // 8) * (cy.j * h // 8) * (3 + g % 7)) % 120
+      |    + (CASE WHEN v > 0 AND cx.i * w // 8 = 2 * v * w // 8
+      |              AND cy.j * h // 8 = 3 * h // 8
+      |       THEN 100 ELSE 0 END) AS s
+      |  FROM dim, range(0, 8) cx(i), range(0, 8) cy(j)),
+      |hb AS (SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN b.s > a.s
+      |      THEN 1::BIGINT << CAST(a.cy * 7 + a.cx AS INT) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM sv a JOIN sv b
+      |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 7
+      |  GROUP BY a.doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
+  }
+
   private val d5PairsSql =
     """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
@@ -1009,6 +1081,7 @@ object DedupOps {
          |FROM f GROUP BY doc_id""".stripMargin,
     "d2_minhash_lsh" -> d2OracleSql,
     "d3_simhash" -> d3OracleSql,
+    "d13_phash_neardup" -> d13OracleSql,
     "d4_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, ${gramsSql("text")} AS grams FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang

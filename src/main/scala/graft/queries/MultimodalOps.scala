@@ -381,6 +381,160 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** One analysis window of decoded PCM: sample count, INTEGER energy
+    * (sum of squared centered samples — the RMS numerator, kept as the
+    * exact integer instead of its float square root) and zero-crossing
+    * count (centered sign flips between consecutive in-window samples).
+    */
+  final case class MmWavWindow(
+      doc_id: Long, win_idx: Int, n_samples: Int,
+      energy_sq: Long, zero_cross: Int)
+
+  /** Samples per [[wavFeatures]] analysis window (8 ms at 8 kHz — the
+    * usual short-time frame order of magnitude, sized so every test doc
+    * spans several windows). */
+  val WavWindow = 64
+
+  /** Windowed audio features over REALLY DECODED PCM — the per-window
+    * analysis step a pipeline runs after [[decodeWav]] proves the codec
+    * (the image family's decode → features pair, for audio): per
+    * non-overlapping [[WavWindow]]-sample window, RMS energy numerator
+    * Σ(v−128)² and zero-crossing count #{i : (vᵢ−128)·(vᵢ₊₁−128) < 0,
+    * both in-window} over the unsigned 8-bit samples. Both are EXACT
+    * integers on 8-bit PCM (energy ≤ 64·128² per window — the oracle's
+    * closed forms compare values, not float tolerances); the float RMS
+    * is sqrt(energy_sq/n), derivable downstream. One partition-streaming
+    * mapPartitions flatMap (one-to-many: doc → windows), zero shuffle —
+    * at 100 TB audio scale this is a map-only pass whose output is
+    * ~n/64 the input rows.
+    */
+  private val wavFeatures: Q = (s, d) => {
+    import s.implicits._
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val wav = WavCodec.encode(id, WavCodec.synthFrames(nChars))
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val bytes = in.readAllBytes() // decoded 8-bit unsigned PCM
+        val n = bytes.length
+        (0 until (n + WavWindow - 1) / WavWindow).iterator.map { wi =>
+          val start = wi * WavWindow
+          val end = math.min(n, start + WavWindow)
+          var energy = 0L
+          var zc = 0
+          var i = start
+          while (i < end) {
+            val c = (bytes(i) & 0xff) - 128
+            energy += c.toLong * c
+            if (i + 1 < end) {
+              val c2 = (bytes(i + 1) & 0xff) - 128
+              if (c * c2 < 0) zc += 1
+            }
+            i += 1
+          }
+          MmWavWindow(id, wi, end - start, energy, zc)
+        }
+      })
+      .toDF()
+  }
+
+  /** Per-document perceptual hash computed from a REAL decoded raster
+    * (the d13_phash_neardup row). */
+  final case class DocPhash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash codec for `d13_phash_neardup` — the dedup ×
+    * multimodal cell: synthesizes GROUPED pattern PNGs (four variants
+    * per group; variant v > 0 brightens exactly ONE source pixel, the
+    * one resample cell (2v, 3) samples, so within-group hashes differ in
+    * ≤ 2 bits while groups differ broadly), pushes them through the real
+    * PNG writer and reader, and computes a 56-bit DIFFERENCE hash
+    * (dHash) from the DECODED raster: nearest-neighbor-sample an 8×8
+    * grid at the [[PngResize]] floor-division coordinates, set bit
+    * cy·7+cx iff sample(cx+1, cy) > sample(cx, cy). 56 bits (7
+    * comparisons × 8 rows) keeps the packed hash sign-free in both
+    * engines' BIGINTs. Every hashed value is read back from really
+    * decoded bytes — a wrong stride, bit depth, or sample coordinate
+    * diverges from the closed-form oracle.
+    */
+  object PhashCodec extends Serializable {
+    val Grid = 8
+    def groupOf(docId: Long): Long = docId / 4
+    def variantOf(docId: Long): Int = (docId % 4).toInt
+    /** Group-level dims ≥ 2× the sample grid so the 8 floor-division
+      * sample coordinates are distinct source pixels. */
+    def widthOf(g: Long): Int = 16 + (g % 17).toInt
+    def heightOf(g: Long): Int = 16 + (g % 13).toInt
+
+    /** Base texture < 120; the one perturbed source pixel gets +100
+      * (≤ 219, still a byte). The x·y·(3 + g mod 7) mixing term is
+      * load-bearing: a pure linear gradient gives near-identical dHash
+      * bit patterns ACROSS groups (mostly-monotone rows), measured as
+      * ~47k spurious cross-group pairs at 5k docs vs ~70 with the
+      * mixing term — without it the operator's output would be
+      * dominated by pattern-family artifacts instead of the planted
+      * near-dups. */
+    def pixel(docId: Long, x: Int, y: Int): Int = {
+      val g = groupOf(docId)
+      val v = variantOf(docId)
+      val w = widthOf(g)
+      val h = heightOf(g)
+      val base =
+        ((x * 5L + y * 11L + g * 7L + x.toLong * y * (3 + g % 7)) % 120L).toInt
+      if (v > 0 && x == 2 * v * w / Grid && y == 3 * h / Grid) base + 100
+      else base
+    }
+
+    def encode(docId: Long): Array[Byte] = {
+      val g = groupOf(docId)
+      val (w, h) = (widthOf(g), heightOf(g))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { r.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+      bos.toByteArray
+    }
+
+    /** 56-bit dHash from a real decoded raster. */
+    def dhash56(img: java.awt.image.BufferedImage): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val r = img.getRaster
+      val s = Array.ofDim[Int](Grid, Grid)
+      var cy = 0
+      while (cy < Grid) {
+        var cx = 0
+        while (cx < Grid) {
+          s(cy)(cx) = r.getSample(cx * w / Grid, cy * h / Grid, 0)
+          cx += 1
+        }
+        cy += 1
+      }
+      var hash = 0L
+      cy = 0
+      while (cy < Grid) {
+        var cx = 0
+        while (cx < Grid - 1) {
+          if (s(cy)(cx + 1) > s(cy)(cx)) hash |= 1L << (cy * 7 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      hash
+    }
+
+    /** Synthesize → real PNG encode → real decode → dHash. */
+    def phashOf(docId: Long): Long =
+      dhash56(PngCodec.readImage(docId, encode(docId)))
+  }
+
   /** One decoded GIF frame: per-frame dims + raster pixel sum, all read
     * back from REAL decoded multi-frame image data. */
   final case class MmGifFrame(
@@ -509,6 +663,7 @@ object MultimodalOps {
     "mm_frames_gif" -> framesGif,
     "mm_decode_png" -> decodePng,
     "mm_decode_wav" -> decodeWav,
+    "mm_wav_features" -> wavFeatures,
     "mm_resize_png" -> resizePng)
 
   val oracle: Map[String, String] = Map(
@@ -583,6 +738,26 @@ object MultimodalOps {
         |FROM d, range(0, 641) it(i)
         |WHERE it.i < d.n
         |GROUP BY d.doc_id, d.n""".stripMargin,
+    // Closed forms of the per-window moments over the (13i + doc_id)
+    // mod 251 PCM pattern — the engine computes them only from really
+    // decoded WAVE bytes. The next-sample term is the pattern's own
+    // closed form at i+1, guarded by the engine's exact window-membership
+    // condition (same window AND i+1 < n).
+    "mm_wav_features" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(64 + n_chars % 577 AS BIGINT) AS n
+         |  FROM documents),
+         |sv AS (SELECT d.doc_id, d.n, it.i,
+         |    ((it.i * 13 + d.doc_id) % 251) - 128 AS c
+         |  FROM d, range(0, 641) it(i) WHERE it.i < d.n)
+         |SELECT doc_id, CAST(i // $WavWindow AS INT) AS win_idx,
+         |  CAST(count(*) AS INT) AS n_samples,
+         |  CAST(sum(c * c) AS BIGINT) AS energy_sq,
+         |  CAST(sum(CASE WHEN (i + 1) // $WavWindow = i // $WavWindow
+         |                 AND i + 1 < n
+         |                 AND c * ((((i + 1) * 13 + doc_id) % 251) - 128) < 0
+         |           THEN 1 ELSE 0 END) AS INT) AS zero_cross
+         |FROM sv GROUP BY doc_id, i // $WavWindow""".stripMargin,
     // Nearest-neighbor resample of the (3x + 7y + doc_id) mod 251 pattern
     // at the floor-division source coordinates — the engine reports the
     // sum from an actually decoded-and-resized raster.

@@ -259,6 +259,51 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(1L), "corpus docs are not re-emitted")
   }
 
+  test("d13 phash near-dup: codec-path result equals the closed-form brute " +
+       "force; planted variants found; banded plan never goes all-pairs") {
+    import graft.queries.MultimodalOps.PhashCodec
+    val sf = SparkTestBase.sf
+    // INDEPENDENT local model: the dHash computed straight from the
+    // pattern math, no codec anywhere — the engine derives the same bits
+    // from a REAL PNG encode→decode, so set equality proves the codec
+    // round trip is faithful AND that the banding lost no pair.
+    def localHash(id: Long): Long = {
+      val g = PhashCodec.groupOf(id)
+      val (w, h) = (PhashCodec.widthOf(g), PhashCodec.heightOf(g))
+      val s = Array.tabulate(8, 8)((cy, cx) =>
+        PhashCodec.pixel(id, cx * w / 8, cy * h / 8))
+      var hash = 0L
+      for (cy <- 0 until 8; cx <- 0 until 7)
+        if (s(cy)(cx + 1) > s(cy)(cx)) hash |= 1L << (cy * 7 + cx)
+      hash
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    val hs = ids.map(id => id -> localHash(id)).toMap
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 3
+    } yield (a, b, hd)).toSet
+    val df = DedupOps.queries("d13_phash_neardup")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // The planted near-dups: every full group's three (base, variant)
+    // pairs qualify (≤ 2 flipped bits each) and must be present.
+    val fullGroups = ids.groupBy(_ / 4).filter(_._2.length == 4).keys
+    assert(fullGroups.nonEmpty)
+    for (g <- fullGroups; v <- 1 to 3) {
+      val (a, b) = (g * 4, g * 4 + v)
+      assert(got.exists(p => p._1 == a && p._2 == b),
+        s"planted pair ($a, $b) missing")
+    }
+    // Banded candidate generation, never all-pairs: the pair join is an
+    // equality join on (chunk_idx, chunk).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "d13 must generate candidates from band equality, not all pairs")
+  }
+
   test("d3 two-level pigeonhole banding is lossless: identical pairs to single-level") {
     val sf = SparkTestBase.sf
     val q = DedupOps.queries("d3_simhash")

@@ -92,6 +92,42 @@ class MultimodalParitySpec extends AnyFunSuite {
     assert(decoded.count() > 0L)
   }
 
+  test("mm_wav_features: windowed moments from really decoded PCM equal an " +
+       "independent local model corpus-wide") {
+    import graft.queries.MultimodalOps.{WavCodec, WavWindow}
+    // Local model straight from the sample closed form — no codec, no
+    // Spark: the query computes the same windows from REALLY decoded
+    // WAVE bytes, so equality proves decode + window math end to end.
+    def model(id: Long, nChars: Long): Seq[(Long, Int, Int, Long, Int)] = {
+      val n = WavCodec.synthFrames(nChars)
+      val c = Array.tabulate(n)(i => WavCodec.sample(id, i) - 128)
+      (0 until (n + WavWindow - 1) / WavWindow).map { wi =>
+        val start = wi * WavWindow
+        val end = math.min(n, start + WavWindow)
+        val energy = (start until end).map(i => c(i).toLong * c(i)).sum
+        val zc = (start until end - 1).count(i => c(i) * c(i + 1) < 0)
+        (id, wi, end - start, energy, zc)
+      }
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.flatMap { case (id, nc) => model(id, nc) }.toSet
+    val got = SparkEntry.queries("mm_wav_features")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got == expected, s"got ${got.size} windows, expected ${expected.size}")
+    assert(got.nonEmpty)
+    // Every doc's windows partition its frames exactly.
+    // toSeq before summing: mapping a SET of windows to their (mostly
+    // equal) sample counts would collapse duplicates.
+    val bySum = got.groupBy(_._1).view.mapValues(_.toSeq.map(_._3.toLong).sum)
+    docs.foreach { case (id, nc) =>
+      assert(bySum(id) == WavCodec.synthFrames(nc).toLong,
+        s"doc $id: window sample counts must sum to the frame count")
+    }
+  }
+
   test("mm_decode_png query: decoded values equal the synthesis closed forms corpus-wide") {
     import org.apache.spark.sql.functions._
     // Every dimension checked against its INDEPENDENT closed form
