@@ -70,6 +70,21 @@ object DedupOps {
           PermA, PermC).as("sig"))
   }
 
+  /** THE band definition, shared verbatim by d2 and d14 (the incremental
+    * index reuses it so the persisted table and fresh batches cannot
+    * drift): bucket key = band index + the band's signature values,
+    * joined as a string (unambiguous: fixed arity, ':' cannot appear in
+    * a signed decimal). A hash would narrow the shuffle a little, but
+    * the key must be REPRODUCIBLE in the oracle, and only
+    * (bucket, doc_id) flows through the shuffle anyway. */
+  def bandBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
+          col("sig")(b * BandRows + r))): _*)
+      }: _*)).as("bucket"))
+
   /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
     * exact-Jaccard verification on candidates (threshold 0.5).
     *
@@ -92,17 +107,7 @@ object DedupOps {
       .cutLineage
     // Candidate generation on (band, bucket, id) only — no array payloads
     // through the shuffle.
-    // Bucket key = band index + the band's signature values, joined as a
-    // string (unambiguous: fixed arity, ':' cannot appear in a signed
-    // decimal). A hash would narrow the shuffle a little, but the key must
-    // be REPRODUCIBLE in the oracle, and only (bucket, doc_id) flows
-    // through the shuffle anyway.
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
-          col("sig")(b * BandRows + r))): _*)
-      }: _*)).as("bucket"))
+    val banded = bandBuckets(sigs)
     val candidates = banded.select(col("bucket"), col("doc_id").as("doc_a"))
       .join(banded.select(col("bucket"), col("doc_id").as("doc_b")), Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
@@ -111,13 +116,7 @@ object DedupOps {
     // Verification: fetch the two shingle sets per surviving candidate.
     val shA = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
-      .withColumn("inter",
-        graft.functions.GraftFunctions.sorted_intersect_size(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .where(col("jaccard") >= 0.5)
+    verifyJaccard(candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -827,6 +826,80 @@ object DedupOps {
 
   private val embeddingLsh: Q = (s, d) => embeddingPairsLsh(s, d, D12Threshold)
 
+  /** Exact-Jaccard verification shared by d2's batch path and d14: the
+    * candidate frame must carry sorted shingle arrays `sh_a`/`sh_b`. */
+  private def verifyJaccard(cands: DataFrame): DataFrame = cands
+    .withColumn("inter",
+      graft.functions.GraftFunctions.sorted_intersect_size(col("sh_a"), col("sh_b")))
+    .withColumn("jaccard",
+      col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+    .where(col("jaccard") >= 0.5)
+
+  /** d14: incremental NEAR-dup index maintenance — the production ingest
+    * shape d7 covers for exact dedup, done for MinHash/LSH: a new
+    * delivery ([[IncomingSource]]) is merged into the PERSISTED corpus
+    * index without recomputing the corpus. The index is two bucketed
+    * artifacts a lake keeps between deliveries, here materialized once
+    * per (session, corpus): the signature table bucketed by doc_id
+    * (verification lookups) and the band table bucketed by bucket
+    * (candidate joins) — both consumed with NO exchange below the
+    * corpus side, so per delivery only BATCH-sized data shuffles
+    * (batch bands into the persisted band layout, candidate ids into
+    * the signature layout). The band definition is [[bandBuckets]],
+    * shared VERBATIM with d2, so the persisted table and fresh batches
+    * cannot drift. Output: the delivery's new near-dup pairs — exactly
+    * d2's pairs restricted to ≥1 batch endpoint (batch × corpus plus
+    * intra-batch; corpus × corpus pairs were found at earlier
+    * deliveries). The append step is then an O(batch) write of the new
+    * band/signature rows into the same layouts.
+    */
+  private val incrementalMinhash: Q = (s, d) => {
+    val all = Tables.documents(s, d)
+    val par = s.sparkContext.defaultParallelism
+    val corpusSigs = graft.core.Materialize.onceBucketed(
+        s, s"d14_corpus_sigs:$d", 32, "doc_id") {
+      minhashSignatures(
+        all.where(col("source") =!= IncomingSource).repartition(par))
+    }
+    val corpusBands = graft.core.Materialize.onceBucketed(
+        s, s"d14_corpus_bands:$d", 32, "bucket") {
+      bandBuckets(corpusSigs)
+    }
+    val batchSigs = minhashSignatures(
+      all.where(col("source") === IncomingSource).repartition(par)).cutLineage
+    val batchBands = bandBuckets(batchSigs)
+    // Batch × corpus candidates: the corpus band table is consumed in
+    // its bucket layout — only batch bands move.
+    val bc = batchBands.select(col("bucket"), col("doc_id").as("bid"))
+      .join(corpusBands.select(col("bucket"), col("doc_id").as("cid")),
+        Seq("bucket"))
+      .select(col("bid"), col("cid")).dropDuplicates("bid", "cid")
+    // Intra-batch candidates: a delivery can near-duplicate itself (the
+    // d7 intra-batch discipline); batch-sized self-join.
+    val bb = batchBands.select(col("bucket"), col("doc_id").as("doc_a"))
+      .join(batchBands.select(col("bucket"), col("doc_id").as("doc_b")),
+        Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    // Verification (Jaccard is symmetric, so side labels are free): the
+    // corpus shingle lookup rides the doc_id bucket layout.
+    val bcv = verifyJaccard(bc
+        .join(batchSigs.select(col("doc_id").as("bid"),
+          col("shingles").as("sh_a")), Seq("bid"))
+        .join(corpusSigs.select(col("doc_id").as("cid"),
+          col("shingles").as("sh_b")), Seq("cid")))
+      .select(least(col("bid"), col("cid")).as("doc_a"),
+        greatest(col("bid"), col("cid")).as("doc_b"), col("jaccard"))
+    val bbv = verifyJaccard(bb
+        .join(batchSigs.select(col("doc_id").as("doc_a"),
+          col("shingles").as("sh_a")), Seq("doc_a"))
+        .join(batchSigs.select(col("doc_id").as("doc_b"),
+          col("shingles").as("sh_b")), Seq("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    bcv.unionByName(bbv)
+  }
+
   /** d13: perceptual-hash IMAGE near-dup — the dedup × multimodal cell.
     * Per document a pattern PNG is synthesized on the executors, pushed
     * through the REAL `javax.imageio` round trip, and reduced to a
@@ -871,6 +944,7 @@ object DedupOps {
     "d11_chunk_dedup" -> chunkDedup,
     "d12_embedding_lsh" -> embeddingLsh,
     "d13_phash_neardup" -> phashNearDup,
+    "d14_incremental_minhash" -> incrementalMinhash,
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
@@ -935,7 +1009,11 @@ object DedupOps {
     s"list_min(list_transform(hs, hv -> ${signedSql(perm)}))"
   }
 
-  private val d2OracleSql: String = {
+  /** One SQL text builder for d2 and d14: the SAME CTE chain and band/
+    * jaccard predicates, with d14 adding only the ≥1-batch-endpoint
+    * restriction — composing the definitions instead of restating them,
+    * so the two oracles cannot drift. */
+  private def minhashPairsSql(extraWhere: String): String = {
     val bandCond = (0 until NumBands).map { b =>
       (0 until BandRows).map { r =>
         val i = b * BandRows + r + 1
@@ -944,16 +1022,21 @@ object DedupOps {
     }.mkString("(", " OR ", ")")
     val jac = "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
       "CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rtoks FROM documents),
-       |sh AS (SELECT doc_id, ${shinglesSql("rtoks")} AS shingles FROM t),
-       |bh AS (SELECT doc_id, shingles, list_transform(shingles, sv -> ${foldSql("sv")}) AS hs FROM sh),
-       |sg AS (SELECT doc_id, shingles,
+    s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS rtoks FROM documents),
+       |sh AS (SELECT doc_id, source, ${shinglesSql("rtoks")} AS shingles FROM t),
+       |bh AS (SELECT doc_id, source, shingles, list_transform(shingles, sv -> ${foldSql("sv")}) AS hs FROM sh),
+       |sg AS (SELECT doc_id, source, shingles,
        |         [${(0 until NumPerms).map(sigSlotSql).mkString(",\n          ")}] AS sig
        |       FROM bh)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard
        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND $bandCond
-       |WHERE $jac >= 0.5""".stripMargin
+       |WHERE $jac >= 0.5$extraWhere""".stripMargin
   }
+
+  private val d2OracleSql: String = minhashPairsSql("")
+
+  private val d14OracleSql: String = minhashPairsSql(
+    s"\n  AND (a.source = '$IncomingSource' OR b.source = '$IncomingSource')")
 
   private val d3OracleSql: String = {
     // SimHash bit b is set iff 2·(#token-hashes with bit b) − #tokens > 0;
@@ -1082,6 +1165,7 @@ object DedupOps {
     "d2_minhash_lsh" -> d2OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d13_phash_neardup" -> d13OracleSql,
+    "d14_incremental_minhash" -> d14OracleSql,
     "d4_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, ${gramsSql("text")} AS grams FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang

@@ -304,6 +304,64 @@ class DedupSpec extends AnyFunSuite {
       "d13 must generate candidates from band equality, not all pairs")
   }
 
+  test("d14 incremental minhash: equals d2 restricted to batch-endpoint " +
+       "pairs; corpus index consumed in its bucket layout, no corpus-side " +
+       "exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val sf = SparkTestBase.sf
+    val batchIds = Tables.documents(spark, sf)
+      .where(col("source") === DedupOps.IncomingSource)
+      .select("doc_id").as[Long].collect().toSet
+    // The incremental result must be EXACTLY the full d2 recompute
+    // restricted to pairs touching the arriving batch — merging a batch
+    // into the persisted index may not find different pairs than
+    // rebuilding from scratch (same bands, same verification).
+    val full = DedupOps.queries("d2_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    // Force the merge path (the scale shape): test-scale sizes would
+    // broadcast everything and hide a corpus-side exchange.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = DedupOps.queries("d14_incremental_minhash")(spark, sf)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == full,
+        s"incremental found ${got.size} pairs, full recompute ${full.size}")
+      assert(got.nonEmpty, "differential is vacuous with no batch near-dups")
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case q: QueryStageExec => expand(q.plan)
+        case o => o +: o.children.flatMap(expand)
+      }
+      val nodes = expand(df.queryExecution.executedPlan)
+      // THE pin: wherever a join side is one of the persisted bucketed
+      // artifacts (a leaf side holding a bucketed scan and no further
+      // join), that side reaches the join with NO exchange — only
+      // batch/candidate-sized data may move.
+      val smjs = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "expected forced sort-merge joins")
+      val pinnedSides = for {
+        j <- smjs
+        side <- j.children.map(expand)
+        if side.exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+        if !side.exists(_.isInstanceOf[SortMergeJoinExec])
+      } yield side
+      assert(pinnedSides.nonEmpty, "expected bucketed corpus-side scans")
+      pinnedSides.foreach { side =>
+        assert(!side.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          "corpus side of an index join must be exchange-free:\n" +
+            side.map(_.nodeName).mkString("\n"))
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("d3 two-level pigeonhole banding is lossless: identical pairs to single-level") {
     val sf = SparkTestBase.sf
     val q = DedupOps.queries("d3_simhash")
