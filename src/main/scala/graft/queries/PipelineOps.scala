@@ -168,6 +168,74 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("rate"))
   }
 
+  /** Total document budget of [[temperatureMix]] — a query constant (at
+    * a real 100 TB curation run this is the target corpus size). */
+  val TempMixBudget = 100
+
+  /** Temperature-based source mixing — the data-curation upgrade of
+    * [[sampleMix]]'s fixed per-source rates: per-source sampling weight
+    * ∝ count^α with α = 0.5, which UP-weights small sources relative to
+    * proportional sampling (the multilingual/low-resource mixing rule;
+    * α ∈ [0.3, 0.7] in practice — 0.5 is the one α whose weight has an
+    * exact integer form, ⌊√c⌋, keeping the whole quota pipeline in the
+    * ev_attribution integer-cents discipline).
+    *
+    * Everything is integer-exact: the integer square root self-corrects
+    * float sqrt's boundary rounding ((w+1)² ≤ c / w² > c adjustments,
+    * exact because √int64 fits double's 53-bit mantissa within ±1);
+    * quotas use largest-remainder (Hamilton) apportionment — base =
+    * ⌊N·w/W⌋, the N − Σbase deficit goes to the largest remainders
+    * (ties to source name) — so Σ quota == N EXACTLY (the conservation
+    * property spec). Selection inside each source is the deterministic
+    * md5-order sample: keep the quota smallest (hash, doc_id) rows.
+    *
+    * Scale shape: the per-source count is one map-side-combinable
+    * aggregate; the quota math runs on the SOURCES-sized frame (global
+    * windows over bounded metadata — the IVF-cells argument). The
+    * per-source selection window sorts each source's partition; at
+    * 100 TB with a hot source the remedy is the standard threshold
+    * form — the quota-th smallest hash per source from a distributed
+    * quantile (the KLL family), then a map-side hash < threshold
+    * filter — same selection, no single-partition sort.
+    */
+  /** The integer-exact quota pipeline over a `(source, c)` counts frame:
+    * ⌊√c⌋ weights (self-correcting), Hamilton largest-remainder
+    * apportionment of `n`. Public for the conservation property spec. */
+  def temperatureQuotas(counts: DataFrame, n: Long): DataFrame = {
+    val w0 = floor(sqrt(col("c").cast("double"))).cast("long")
+    val weights = counts.select(col("source"),
+      (w0 + when((w0 + 1) * (w0 + 1) <= col("c"), 1L).otherwise(0L)
+          - when(w0 * w0 > col("c"), 1L).otherwise(0L)).as("wgt"))
+    val all = Window.partitionBy()
+    // `div`, not `/`: Column./ is DOUBLE division; the quota must be the
+    // exact integer floor.
+    val q0 = weights.select(col("source"), col("wgt"),
+        (lit(n) * col("wgt")).as("n1"),
+        sum(col("wgt")).over(all).as("wsum"))
+      .select(col("source"), col("wgt"),
+        expr("n1 div wsum").as("base"), expr("n1 % wsum").as("rem"))
+    q0.select(col("source"),
+      (col("base") + when(
+        row_number().over(Window.orderBy(col("rem").desc, col("source")))
+          <= lit(n) - sum(col("base")).over(all), 1L).otherwise(0L))
+        .as("quota"))
+  }
+
+  private val temperatureMix: Q = (s, d) => {
+    val quotas = temperatureQuotas(
+      Tables.documents(s, d).groupBy(col("source")).agg(count(lit(1)).as("c")),
+      TempMixBudget.toLong)
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit("~"), col("text")))
+          .as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .where(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("quota"))
+  }
+
   /** End-to-end corpus cleaning — the composed pipeline (quality gate →
     * exact dedup keep-min → split assignment) built from the standalone
     * operators' exact column expressions. Execution is TWO stages by
@@ -611,6 +679,7 @@ object PipelineOps {
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_sample_mix" -> sampleMix,
+    "tx_temperature_mix" -> temperatureMix,
     "tx_vocab_topk" -> vocabTopK,
     "pipe_clean_corpus" -> cleanCorpus,
   )
@@ -829,6 +898,37 @@ object PipelineOps {
          |               substr(md5(CAST(doc_id AS VARCHAR) || '#' || text), 2, 1)) - 1) AS bucket
          |      FROM documents)
          |WHERE bucket < $rateCase""".stripMargin
+    },
+    // Same integer-exact pipeline: self-correcting ⌊√c⌋, Hamilton
+    // largest-remainder quotas (Σ quota == N), md5-order selection.
+    "tx_temperature_mix" -> {
+      val N = TempMixBudget
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, c,
+         |    CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+         |    + (CASE WHEN (CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1)
+         |               * (CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) + 1) <= c
+         |       THEN 1 ELSE 0 END)
+         |    - (CASE WHEN CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)
+         |               * CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) > c
+         |       THEN 1 ELSE 0 END) AS wgt
+         |  FROM c),
+         |q0 AS (SELECT source, wgt,
+         |    ($N * wgt) // (sum(wgt) OVER ()) AS base,
+         |    ($N * wgt) % (sum(wgt) OVER ()) AS rem
+         |  FROM w),
+         |q AS (SELECT source,
+         |    base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+         |                 <= $N - sum(base) OVER () THEN 1 ELSE 0 END) AS quota
+         |  FROM q0),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '~' || text), doc_id) AS rn
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, CAST(q.quota AS BIGINT) AS quota
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE r.rn <= q.quota""".stripMargin
     },
     "tx_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id % $PackShards AS shard,

@@ -362,4 +362,51 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"doc $id: reported ${r.getDouble(1)} vs model $expect")
     }
   }
+
+  test("temperature quotas: conserve the budget exactly, follow sqrt " +
+       "monotonicity, upweight small sources vs proportional") {
+    import spark.implicits._
+    // Heavily skewed source sizes — the regime temperature mixing exists
+    // for. √c weights: 100, 31, 10, 3, 1 (1000 → 31: non-square, the
+    // self-correcting isqrt path).
+    val counts = Seq(("big", 10000L), ("mid", 1000L), ("small", 100L),
+      ("tiny", 10L), ("one", 1L)).toDF("source", "c")
+    val n = 97L // deliberately not divisible: exercises the remainders
+    val q = PipelineOps.temperatureQuotas(counts, n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q.values.sum == n, s"quotas must conserve the budget: $q")
+    // Monotone in c.
+    assert(q("big") >= q("mid") && q("mid") >= q("small") &&
+      q("small") >= q("tiny") && q("tiny") >= q("one"), q.toString)
+    // The point of α < 1: small sources get MORE than their proportional
+    // share, the big source less. Proportional share of "big" would be
+    // 97·10000/11111 ≈ 87; √-weighted it is 97·100/145 ≈ 66.
+    val totalDocs = 11111.0
+    assert(q("big") < 97.0 * 10000.0 / totalDocs)
+    // Proportional would give "tiny" 97·10/11111 ≈ 0.09 → nothing;
+    // √-weighted it gets a real allocation (97·3/145 ≈ 2).
+    assert(q("tiny") >= 2, s"small source must be upweighted: $q")
+    // Deterministic.
+    val q2 = PipelineOps.temperatureQuotas(counts, n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q2 == q)
+  }
+
+  test("tx_temperature_mix: per-source selections equal min(quota, available)") {
+    import org.apache.spark.sql.functions.col
+    val out = q("tx_temperature_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val bynSrc = out.groupBy(_._2)
+    val avail = Tables.documents(spark, SparkTestBase.sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bynSrc.foreach { case (src, rows) =>
+      val quota = rows.head._3
+      assert(rows.map(_._3).distinct.size == 1, s"$src: quota must be constant")
+      assert(rows.size.toLong == math.min(quota, avail(src)),
+        s"$src: selected ${rows.size}, quota $quota, available ${avail(src)}")
+    }
+    assert(out.map(_._1).distinct.length == out.length, "no doc selected twice")
+  }
 }
