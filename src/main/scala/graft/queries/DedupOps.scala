@@ -78,12 +78,17 @@ object DedupOps {
     * the key must be REPRODUCIBLE in the oracle, and only
     * (bucket, doc_id) flows through the shuffle anyway. */
   def bandBuckets(sigs: DataFrame): DataFrame =
-    sigs.select(
-      col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
-          col("sig")(b * BandRows + r))): _*)
-      }: _*)).as("bucket"))
+    sigs.select(col("doc_id"), explode(bandBucketArray).as("bucket"))
+
+  /** The bucket-key array over a `sig` column — the expression form of
+    * [[bandBuckets]] for callers that must carry extra columns through
+    * the explode (the streaming screen rides the arriving doc's shingles
+    * along its band rows; a join-back would be a stream–stream join). */
+  def bandBucketArray: Column =
+    array((0 until NumBands).map { b =>
+      concat_ws(":", (lit(b) +: (0 until BandRows).map(r =>
+        col("sig")(b * BandRows + r))): _*)
+    }: _*)
 
   /** MinHash+LSH near-dup pairs: shingle → minhash → band → bucket join →
     * exact-Jaccard verification on candidates (threshold 0.5).
@@ -826,9 +831,10 @@ object DedupOps {
 
   private val embeddingLsh: Q = (s, d) => embeddingPairsLsh(s, d, D12Threshold)
 
-  /** Exact-Jaccard verification shared by d2's batch path and d14: the
-    * candidate frame must carry sorted shingle arrays `sh_a`/`sh_b`. */
-  private def verifyJaccard(cands: DataFrame): DataFrame = cands
+  /** Exact-Jaccard verification shared by d2's batch path, d14, and the
+    * streaming ingest screen: the candidate frame must carry sorted
+    * shingle arrays `sh_a`/`sh_b`. */
+  def verifyJaccard(cands: DataFrame): DataFrame = cands
     .withColumn("inter",
       graft.functions.GraftFunctions.sorted_intersect_size(col("sh_a"), col("sh_b")))
     .withColumn("jaccard",
@@ -854,18 +860,29 @@ object DedupOps {
     * deliveries). The append step is then an O(batch) write of the new
     * band/signature rows into the same layouts.
     */
+  /** The persisted corpus-index artifacts (see [[incrementalMinhash]]),
+    * shared with the streaming ingest screen
+    * ([[graft.streaming.DocStreaming.neardupScreenStream]]): signatures
+    * bucketed by doc_id, bands bucketed by bucket. */
+  def corpusIndexSigs(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.onceBucketed(
+        s, s"d14_corpus_sigs:$d", 32, "doc_id") {
+      minhashSignatures(
+        Tables.documents(s, d).where(col("source") =!= IncomingSource)
+          .repartition(s.sparkContext.defaultParallelism))
+    }
+
+  def corpusIndexBands(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.onceBucketed(
+        s, s"d14_corpus_bands:$d", 32, "bucket") {
+      bandBuckets(corpusIndexSigs(s, d))
+    }
+
   private val incrementalMinhash: Q = (s, d) => {
     val all = Tables.documents(s, d)
     val par = s.sparkContext.defaultParallelism
-    val corpusSigs = graft.core.Materialize.onceBucketed(
-        s, s"d14_corpus_sigs:$d", 32, "doc_id") {
-      minhashSignatures(
-        all.where(col("source") =!= IncomingSource).repartition(par))
-    }
-    val corpusBands = graft.core.Materialize.onceBucketed(
-        s, s"d14_corpus_bands:$d", 32, "bucket") {
-      bandBuckets(corpusSigs)
-    }
+    val corpusSigs = corpusIndexSigs(s, d)
+    val corpusBands = corpusIndexBands(s, d)
     val batchSigs = minhashSignatures(
       all.where(col("source") === IncomingSource).repartition(par)).cutLineage
     val batchBands = bandBuckets(batchSigs)

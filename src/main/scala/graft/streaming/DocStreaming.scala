@@ -235,6 +235,50 @@ object DocStreaming {
     * the correct shape for an unbounded stream (a stream-side groupBy
     * argmin would grow keyed state forever).
     */
+  /** Streaming near-dup screen against the PERSISTED corpus MinHash
+    * index — the ingest twin of batch d14: each arriving document's band
+    * buckets ([[graft.queries.DedupOps.bandBuckets]], the SAME definition
+    * as d2/d14, over the same signature fold) join the static corpus
+    * band table; candidates verify by exact Jaccard
+    * ([[graft.queries.DedupOps.verifyJaccard]], shared) against the
+    * static corpus signature table; one streaming aggregation folds the
+    * verdict to a row per arriving doc: how many corpus near-dups it
+    * has and its best match. The stream side is STATELESS up to that
+    * final per-doc aggregate (signature fold and banding are per-row
+    * projections; both joins are stream–static); corpus-side state
+    * never enters the state store — at 100 TB the static sides are the
+    * same bucketed artifacts batch d14 maintains, refreshed per
+    * delivery. min(struct(-jaccard, corpus_id)) makes the best-match
+    * pick deterministic under ties (smallest corpus id wins).
+    */
+  def neardupScreenStream(stream: DataFrame, corpusBands: DataFrame,
+      corpusSigs: DataFrame): DataFrame = {
+    import graft.queries.DedupOps
+    // Shingles ride along the exploded band rows (the contaminationScores
+    // ride-along discipline — a join-back against the stream's own
+    // signatures would be a stream–stream self-join).
+    val banded = DedupOps.minhashSignatures(stream)
+      .select(col("doc_id").as("in_doc"), col("shingles").as("sh_a"),
+        explode(DedupOps.bandBucketArray).as("bucket"))
+    val verified = DedupOps.verifyJaccard(banded
+        .join(corpusBands.select(col("bucket"), col("doc_id").as("corpus_id")),
+          Seq("bucket"))
+        .join(corpusSigs.select(col("doc_id").as("corpus_id"),
+          col("shingles").as("sh_b")), Seq("corpus_id")))
+    // A pair matching on several bands yields several verified rows;
+    // both aggregates are DUPLICATE-INSENSITIVE (collect_set dedups,
+    // min(struct) ignores repeats) — a streaming dropDuplicates here
+    // would grow (in_doc, corpus_id) state without bound.
+    verified
+      .groupBy(col("in_doc").as("doc_id"))
+      .agg(collect_set(col("corpus_id")).as("cs"),
+        min(struct((-col("jaccard")).as("nj"), col("corpus_id"))).as("best"))
+      .select(col("doc_id"),
+        size(col("cs")).cast("long").as("n_corpus_neardups"),
+        col("best.corpus_id").as("best_match"),
+        (-col("best.nj")).as("best_jaccard"))
+  }
+
   def assignClusters(stream: DataFrame, model: DataFrame): DataFrame = {
     import graft.queries.SimilarityOps
     val cent = model.select(col("cluster").cast("int"), col("c")).collect()

@@ -52,6 +52,47 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen == batch d14's batch×corpus pairs " +
+       "aggregated per arriving doc") {
+    import graft.queries.DedupOps
+    val sf = SparkTestBase.sf
+    val docs = Tables.documents(spark, sf)
+    val batchIds = docs.where(col("source") === DedupOps.IncomingSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.where(col("source") === DedupOps.IncomingSource)
+      .write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.neardupScreenStream(stream,
+        DedupOps.corpusIndexBands(spark, sf),
+        DedupOps.corpusIndexSigs(spark, sf)), "neardup_out")
+    try {
+      val streamed = spark.table("neardup_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      // Batch model: d14's pairs with exactly one batch endpoint,
+      // re-oriented (batch doc, corpus partner), aggregated with the
+      // same duplicate-insensitive count and (-jaccard, corpus_id)
+      // tie-broken best pick.
+      val bc = SparkEntry.queries("d14_incremental_minhash")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .flatMap { case (a, b, j) =>
+          if (batchIds(a) && !batchIds(b)) Some((a, b, j))
+          else if (batchIds(b) && !batchIds(a)) Some((b, a, j))
+          else None
+        }
+      val expected = bc.groupBy(_._1).map { case (d, ps) =>
+        val best = ps.minBy(p => (-p._3, p._2))
+        d -> (ps.map(_._2).distinct.length.toLong, best._2, best._3)
+      }
+      assert(streamed == expected,
+        s"stream $streamed vs batch model $expected")
+      assert(expected.nonEmpty, "vacuous without batch×corpus near-dups")
+    } finally q.stop()
+  }
+
   test("streaming PNG decode == batch mm_decode_png, stateless real-codec plan") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_png_stream").toString
