@@ -239,6 +239,58 @@ object SimilarityOps {
     ivfAdaptiveTopK(e.where(col("vec_id") =!= 0), q, cent, 10)._2
   }
 
+  /** Modulus selecting [[ivfAppend]]'s arriving delta (~5% of vectors,
+    * the src_upsert_merge regime). */
+  val AnnDeltaMod = 20
+
+  /** Incremental IVF index maintenance — the vector member of the
+    * incremental family (d7 exact text, d14 near-dup text, here ANN):
+    * a delivery of new vectors merges into the SERVING index without
+    * retraining it. The coarse quantizer is trained on the BASE corpus
+    * only and memoized (production indexes retrain on a schedule, not
+    * per delivery); each arriving vector is ASSIGNED to its nearest
+    * fixed centroid by the deterministic min-struct argmin (distance
+    * ties → smallest cell — the assignClusters discipline), appended to
+    * the index, and serving runs the adaptive EXACT top-k over
+    * base ∪ delta against the same fixed centroids. Exactness is the
+    * stop rule's, NOT the assignment's: per-cell radii are recomputed
+    * over the appended index, so even a badly-assigned delta vector is
+    * reachable — the top-k equals brute force over the whole appended
+    * corpus by construction, which is what the oracle states. Per
+    * delivery the work is O(delta · nlist) assignment (centroids are
+    * nlist-row metadata, broadcast) + an O(delta) append; at 100 TB the
+    * base index is the partitioned-by-cell layout every other IVF query
+    * serves from, and the append is a partition-wise insert — no base
+    * re-read, no retrain.
+    */
+  private val ivfAppend: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val isDelta = col("vec_id") % AnnDeltaMod === 7
+    val base = e.where(!isDelta && col("vec_id") =!= 0)
+    val cent = graft.core.Materialize.once(
+      s, s"ann_append_centroids:$d")(centroids(base))
+    val assigned = e.where(isDelta)
+      .crossJoin(broadcast(cent.select(col("label").as("clabel"),
+        col("centroid"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(distSq(col("v"), col("centroid")).as("ds"),
+        col("clabel"), col("v"))).as("b"))
+      .select(col("vec_id"), col("b.clabel").as("cell"),
+        col("b.v").as("v"), lit(true).as("is_new"))
+    val index = base
+      .select(col("vec_id"), col("label").as("cell"), col("v"),
+        lit(false).as("is_new"))
+      .unionByName(assigned)
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
+    val topk = ivfAdaptiveTopK(
+      index.select(col("vec_id"), col("cell").as("label"), col("v")),
+      q, cent, 10)._2
+    topk.join(index.select(col("vec_id"), col("is_new")), Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("cell"), col("dist_sq"),
+        col("is_new"))
+  }
+
   /** ANN index-quality evaluation — recall@10 of the IVF probe path
     * against exact ground truth, per query of the standard batch: the
     * number every index deployment reports before serving traffic (and
@@ -602,6 +654,7 @@ object SimilarityOps {
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
     "ann_ivf_adaptive" -> ivfAdaptive,
+    "ann_ivf_append" -> ivfAppend,
     "vq_kmeans" -> kmeans,
     "vq_quantize" -> quantize,
     "vq_pq_topk" -> pq,
@@ -772,6 +825,31 @@ object SimilarityOps {
          |      FROM e, q WHERE e.vec_id <> 0)
          |SELECT vec_id, label, dist_sq FROM d
          |ORDER BY dist_sq, vec_id LIMIT 10""".stripMargin,
+    // The appended-index top-k is exact by the adaptive stop rule, so the
+    // value truth is brute force over base ∪ delta; the oracle ALSO
+    // recomputes the delta cell assignments (argmin against the base-only
+    // exact-mean centroids, distance-then-label tie order — the engine's
+    // min-struct) so a drifted quantizer or assignment would fail the
+    // compare even when the distances alone still match.
+    "ann_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |base AS (SELECT * FROM e WHERE vec_id % $AnnDeltaMod <> 7 AND vec_id <> 0),
+         |delta AS (SELECT * FROM e WHERE vec_id % $AnnDeltaMod = 7),
+         |bpx AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM base),
+         |bcm AS (SELECT label, pos, ${exactMeanSql("x")} AS m FROM bpx GROUP BY label, pos),
+         |bc AS (SELECT label, list(m ORDER BY pos) AS centroid FROM bcm GROUP BY label),
+         |asg AS (SELECT vec_id, label AS cell FROM (
+         |    SELECT d.vec_id, c.label,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY ${distSql("d.v", "c.centroid")}, c.label) AS rk
+         |    FROM delta d, bc c) WHERE rk = 1),
+         |idx AS (SELECT vec_id, label AS cell, v, FALSE AS is_new FROM base
+         |        UNION ALL
+         |        SELECT d.vec_id, a.cell, d.v, TRUE AS is_new
+         |        FROM delta d JOIN asg a USING (vec_id))
+         |SELECT idx.vec_id, idx.cell, ${distSql("idx.v", "q.qv")} AS dist_sq, idx.is_new
+         |FROM idx, q ORDER BY dist_sq, idx.vec_id LIMIT 10""".stripMargin,
     // Filtered brute force IS the truth: the engine's adaptive probe is
     // exact over the filtered subset by construction.
     "ann_filtered_topk" ->

@@ -143,4 +143,25 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(rows.nonEmpty && rows.forall(id => id % 3 == 1 && id != 0))
   }
+
+  test("ann_ivf_append: appended-index serve equals the full-corpus " +
+       "adaptive top-k; delta rows flagged and re-assigned") {
+    import graft.queries.SimilarityOps
+    // Same vector universe (base ∪ delta == everything but the query),
+    // so the appended index must return the IDENTICAL (vec_id, dist)
+    // top-k the retrained full index returns — appending without
+    // retraining may not change the answer, only the cell bookkeeping.
+    val ap = SparkEntry.queries("ann_ivf_append")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val ad = SparkEntry.queries("ann_ivf_adaptive")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ap.map(r => (r._1, r._3)).toSet == ad.toSet,
+      "appended-index top-k diverges from the full adaptive top-k")
+    ap.foreach { case (id, _, _, isNew) =>
+      assert(isNew == (id % SimilarityOps.AnnDeltaMod == 7),
+        s"vec $id: is_new flag must mark exactly the arriving delta")
+    }
+    assert(ap.nonEmpty)
+  }
 }
