@@ -999,7 +999,10 @@ object DedupOps {
     * a hex-digit fold over the first 16 chars of the (lowercase) digest —
     * bit-identical to [[graft.functions.GraftFunctions.md5_64]]'s
     * shift/or recombination. */
-  private def foldSql(sv: String): String =
+  /** md5-64 (unsigned HUGEINT) of a DuckDB string expression — the oracle
+    * twin of GraftFunctions.md5_64; package-visible so the KMV oracle
+    * (Relational) hashes with the same fold. */
+  private[queries] def foldSql(sv: String): String =
     s"list_reduce(list_prepend(0::HUGEINT, " +
       s"list_transform(generate_series(1, 16), " +
       s"hi -> CAST(strpos('0123456789abcdef', substr(md5($sv), CAST(hi AS INT), 1)) - 1 AS HUGEINT))), " +

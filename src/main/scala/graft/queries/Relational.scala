@@ -1071,6 +1071,68 @@ object Relational {
         ok(col("lo99"), col("hi99"), 0.99).as("kll_p99_within_eps"))
   }
 
+  /** K for [[qKmvSetOps]]: unsaturated (EXACT estimates) at sf0.001's
+    * ~130 distinct customers per priority, saturated (real estimation)
+    * from sf0.01 up — both code paths oracle-gated across the SFs. */
+  val KmvK: Int = graft.functions.KmvSketch.DefaultK
+
+  /** KMV (theta-style) distinct SET-OPERATION sketches — the member of
+    * the sketch family HLL cannot provide: per-segment sketches that
+    * answer UNION and INTERSECTION distinct counts for any segment pair
+    * from the persisted sketches alone. Per order priority, the K
+    * smallest md5-64 hashes of the customer set
+    * ([[graft.functions.KmvSketchAgg]], mergeable — built through the
+    * partial/final path over 32 partitions); every pair of priorities
+    * then reports est/exact distinct counts for A, B, A∪B, A∩B. The
+    * hash and the K-minimum selection are DETERMINISTIC, so unlike the
+    * q_hll/q_kll property gates the oracle reproduces the estimate
+    * VALUES exactly (integer ⌊·⌋ arithmetic end to end, milli-scaled).
+    *
+    * Shapes: one map-side-combinable sketch aggregate over the corpus
+    * (K longs per group); the pair frame is nlist²-sized metadata (a
+    * deliberate bounded non-equi join); the exact columns cost one
+    * distinct + one self-join on custkey — the cross-check a real
+    * pipeline runs once to validate the sketches it then trusts. At
+    * 100 TB only the sketch aggregate and the exact cross-check touch
+    * data; segment-pair analytics (audience overlap, contamination
+    * between corpus slices) then run entirely on sketch rows.
+    */
+  private val qKmvSetOps: Q = (s, d) => {
+    import graft.functions.KmvSketch._
+    val h = Tables.orders(s, d).select(col("o_orderpriority").as("p"),
+      graft.functions.GraftFunctions.md5_64(col("o_custkey").cast("string"))
+        .as("h"))
+    // 5-row sketch frame, cut: the pair join consumes it twice.
+    val sk = graft.core.Lineage.cut(
+      h.groupBy(col("p")).agg(kmv_sketch_agg(col("h"), KmvK).as("sk")))
+    val est = sk.select(col("p").as("pa"), col("sk").as("sk_a"))
+      .join(sk.select(col("p").as("pb"), col("sk").as("sk_b")),
+        col("pa") < col("pb"))
+      .select(col("pa"), col("pb"),
+        kmv_est_milli(col("sk_a"), KmvK).as("est_a_milli"),
+        kmv_est_milli(col("sk_b"), KmvK).as("est_b_milli"),
+        kmv_union_milli(col("sk_a"), col("sk_b"), KmvK).as("est_union_milli"),
+        kmv_inter_milli(col("sk_a"), col("sk_b"), KmvK).as("est_inter_milli"))
+    val pc = graft.core.Lineage.cut(Tables.orders(s, d)
+      .select(col("o_orderpriority").as("p"), col("o_custkey").as("c"))
+      .distinct())
+    val na = pc.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val inter = pc.select(col("p").as("pa"), col("c"))
+      .join(pc.select(col("p").as("pb"), col("c")), Seq("c"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("xi"))
+    est
+      .join(na.select(col("p").as("pa"), col("n").as("n_a")), Seq("pa"))
+      .join(na.select(col("p").as("pb"), col("n").as("n_b")), Seq("pb"))
+      .join(inter, Seq("pa", "pb"), "left")
+      .select(col("pa"), col("pb"),
+        col("est_a_milli"), col("est_b_milli"),
+        col("est_union_milli"), col("est_inter_milli"),
+        (col("n_a") + col("n_b") - coalesce(col("xi"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("xi"), lit(0L)).as("exact_inter"))
+  }
+
   /** TPC-H Q4-shaped EXISTS: orders with at least one returned line,
     * counted by priority. The subquery is a LEFT SEMI join — each order
     * emits at most once regardless of how many lines match, and Spark
@@ -1366,6 +1428,7 @@ object Relational {
     "src_bucketed_join" -> srcBucketed,
     "q_hll_distinct" -> qHll,
     "q_kll_quantiles" -> qKllQuantiles,
+    "q_kmv_set_ops" -> qKmvSetOps,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1772,6 +1835,70 @@ object Relational {
         |FROM orders GROUP BY 1
         |UNION ALL
         |SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders""".stripMargin,
+    // KMV is DETERMINISTIC (md5 hash + K-minimum selection), so the
+    // oracle reproduces the estimate VALUES themselves — the same sorted
+    // retained-hash convention (theta = K-th smallest or 2^64; live =
+    // entries strictly below), the same integer floor arithmetic.
+    "q_kmv_set_ops" -> {
+      val K = KmvK
+      val M64 = "18446744073709551616::HUGEINT"
+      val hu = DedupOps.foldSql("CAST(o_custkey AS VARCHAR)")
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority AS p, $hu AS hu FROM orders),
+         |r AS (SELECT p, hu, row_number() OVER (PARTITION BY p ORDER BY hu) AS rk,
+         |        count(*) OVER (PARTITION BY p) AS n
+         |      FROM h),
+         |th AS (SELECT p,
+         |         CAST(CASE WHEN max(n) >= $K THEN max(CASE WHEN rk = $K THEN hu END)
+         |              ELSE $M64 END AS HUGEINT) AS theta
+         |       FROM r GROUP BY p),
+         |live AS (SELECT r.p, r.hu FROM r JOIN th ON th.p = r.p
+         |         WHERE r.rk <= $K AND r.hu < th.theta),
+         |est AS (SELECT th.p, th.theta,
+         |          CAST((SELECT CAST(count(*) AS HUGEINT) FROM live
+         |                WHERE live.p = th.p) * 1000 * $M64 // th.theta AS BIGINT)
+         |            AS est_milli
+         |        FROM th),
+         |pairs AS (SELECT a.p AS pa, b.p AS pb,
+         |            a.est_milli AS est_a_milli, b.est_milli AS est_b_milli,
+         |            least(a.theta, b.theta) AS theta
+         |          FROM est a JOIN est b ON a.p < b.p),
+         |com AS (SELECT pr.pa, pr.pb, CAST(count(*) AS HUGEINT) AS c
+         |        FROM pairs pr
+         |        JOIN live la ON la.p = pr.pa AND la.hu < pr.theta
+         |        JOIN live lb ON lb.p = pr.pb AND lb.hu = la.hu
+         |        GROUP BY pr.pa, pr.pb),
+         |um AS (SELECT pr.pa, pr.pb, l.hu, pr.theta
+         |       FROM pairs pr
+         |       JOIN live l ON (l.p = pr.pa OR l.p = pr.pb) AND l.hu < pr.theta
+         |       GROUP BY pr.pa, pr.pb, l.hu, pr.theta),
+         |ur AS (SELECT pa, pb, hu, theta,
+         |         row_number() OVER (PARTITION BY pa, pb ORDER BY hu) AS rk,
+         |         count(*) OVER (PARTITION BY pa, pb) AS n
+         |       FROM um),
+         |uth AS (SELECT pa, pb,
+         |          CAST(CASE WHEN max(n) >= $K THEN max(CASE WHEN rk = $K THEN hu END)
+         |               ELSE max(theta) END AS HUGEINT) AS theta_u,
+         |          CAST(CASE WHEN max(n) >= $K THEN ${K - 1} ELSE max(n) END
+         |            AS HUGEINT) AS live_u
+         |        FROM ur GROUP BY pa, pb),
+         |pc AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+         |na AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM pc GROUP BY p),
+         |xi AS (SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS xi
+         |       FROM pc x JOIN pc y ON x.c = y.c AND x.p < y.p GROUP BY 1, 2)
+         |SELECT pr.pa, pr.pb, pr.est_a_milli, pr.est_b_milli,
+         |  CAST(coalesce(u.live_u * 1000 * $M64 // u.theta_u, 0) AS BIGINT)
+         |    AS est_union_milli,
+         |  CAST(coalesce(cm.c, 0::HUGEINT) * 1000 * $M64 // pr.theta AS BIGINT)
+         |    AS est_inter_milli,
+         |  CAST(la.n + lb.n - coalesce(xi.xi, 0) AS BIGINT) AS exact_union,
+         |  CAST(coalesce(xi.xi, 0) AS BIGINT) AS exact_inter
+         |FROM pairs pr
+         |LEFT JOIN uth u ON u.pa = pr.pa AND u.pb = pr.pb
+         |LEFT JOIN com cm ON cm.pa = pr.pa AND cm.pb = pr.pb
+         |JOIN na la ON la.p = pr.pa
+         |JOIN na lb ON lb.p = pr.pb
+         |LEFT JOIN xi ON xi.pa = pr.pa AND xi.pb = pr.pb""".stripMargin
+    },
     // Exact percentiles + literal-TRUE rank-property booleans (the
     // q_hll_distinct discipline for the randomized KLL estimates). The
     // percentile is the SAME integer closed form of linear interpolation

@@ -89,6 +89,70 @@ class SketchSpec extends AnyFunSuite {
     assert(KllQuantiles.probe(emptyBytes, Array(0.5)) == null)
   }
 
+  test("KMV set-op sketches: unsaturated == exact, saturated estimator " +
+       "matches a local model, insert/merge bounded at K") {
+    import graft.functions.KmvSketch
+    val rnd = new scala.util.Random(42)
+    val k = 64
+    // Two overlapping synthetic key sets, hashed like the engine does.
+    def h(x: Long): Long = graft.functions.ExprUtil
+      .md5Long(org.apache.spark.unsafe.types.UTF8String.fromString(x.toString))
+    val aKeys = (0L until 500L).map(_ => rnd.nextLong().abs % 100000).distinct
+    val bKeys = (0L until 500L).map(_ => rnd.nextLong().abs % 100000).distinct
+    def sketchOf(keys: Seq[Long]): Array[Long] = {
+      // Build through two buffers + merge so the partial/final path runs.
+      val (b1, b2) = (KmvSketch.newBuffer(), KmvSketch.newBuffer())
+      keys.zipWithIndex.foreach { case (x, i) =>
+        KmvSketch.insert(if (i % 2 == 0) b1 else b2, h(x), k)
+      }
+      val it = b2.iterator()
+      while (it.hasNext) KmvSketch.insert(b1, it.next(), k)
+      assert(b1.size <= k, "buffer must stay bounded at K")
+      val arr = new Array[Long](b1.size)
+      var i = 0
+      val jt = b1.iterator()
+      while (jt.hasNext) { arr(i) = jt.next(); i += 1 }
+      arr
+    }
+    val (sa, sb) = (sketchOf(aKeys), sketchOf(bKeys))
+    // Saturated: the estimate must land within the published ~3/sqrt(K-2)
+    // relative band of the truth (deterministic — this is a fixed fact
+    // about these keys, not a flaky draw; seed pinned).
+    val estA = KmvSketch.estMilli(sa, k) / 1000.0
+    assert(math.abs(estA - aKeys.size) <= 3.0 * aKeys.size / math.sqrt(k - 2.0),
+      s"estimate $estA vs truth ${aKeys.size}")
+    val exactU = (aKeys.toSet ++ bKeys.toSet).size
+    val exactI = (aKeys.toSet & bKeys.toSet).size
+    val estU = KmvSketch.unionMilli(sa, sb, k) / 1000.0
+    val estI = KmvSketch.interMilli(sa, sb, k) / 1000.0
+    assert(math.abs(estU - exactU) <= 3.0 * exactU / math.sqrt(k - 2.0),
+      s"union estimate $estU vs truth $exactU")
+    // Intersection error is relative to the UNION size (theta comes from
+    // the union-scale thetas), the standard theta-sketch bound.
+    assert(math.abs(estI - exactI) <= 3.0 * exactU / math.sqrt(k - 2.0),
+      s"intersection estimate $estI vs truth $exactI")
+    // Unsaturated sketches are EXACT for every operation — including the
+    // union, as long as the COMBINED live set stays under K (30+20 < 64).
+    val (ua, ub) = (aKeys.take(30), bKeys.take(20))
+    val (su, sv) = (sketchOf(ua), sketchOf(ub))
+    assert(KmvSketch.estMilli(su, k) == ua.size * 1000L)
+    assert(KmvSketch.unionMilli(su, sv, k) == (ua.toSet ++ ub.toSet).size * 1000L)
+    assert(KmvSketch.interMilli(su, sv, k) == (ua.toSet & ub.toSet).size * 1000L)
+  }
+
+  test("q_kmv_set_ops: unsaturated regime at this SF — set-op estimates " +
+       "equal the exact columns") {
+    val rows = SparkEntry.queries("q_kmv_set_ops")(spark, SparkTestBase.sf)
+      .collect()
+    assert(rows.length == 10, "5 priorities -> 10 pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_union_milli") ==
+        r.getAs[Long]("exact_union") * 1000L, r.toString)
+      assert(r.getAs[Long]("est_inter_milli") ==
+        r.getAs[Long]("exact_inter") * 1000L, r.toString)
+    }
+  }
+
   test("q_kll_quantiles: exact percentiles match q_percentiles' p50 and " +
        "every rank-property boolean is true") {
     val rows = SparkEntry.queries("q_kll_quantiles")(spark, SparkTestBase.sf).collect()
