@@ -71,6 +71,29 @@ object EventStreaming {
         col("q")(1).as("p95_cents"), col("sk"))
   }
 
+  /** Per-(hour window, event type) distinct-USER KMV sketches — the
+    * streaming PRODUCER of the persisted segment sketches q_kmv_set_ops
+    * serves from: each window emits a mergeable array of the K smallest
+    * user-hash values plus its milli distinct estimate. Downstream
+    * audience-overlap questions (union/intersection between any two
+    * windows or event types) then run on sketch rows alone via
+    * kmv_union_milli/kmv_inter_milli — never a replay of the stream.
+    * KMV is DETERMINISTIC (md5 + K-minimum selection), so unlike the
+    * windowed-KLL twin the batch-parity spec compares sketch bytes and
+    * estimates EXACTLY; state per open window is K longs, bounded by
+    * the watermark horizon like every windowed aggregate here.
+    */
+  def windowAudienceSketch(events: DataFrame): DataFrame = {
+    import graft.functions.KmvSketch._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(kmv_sketch_agg(graft.functions.GraftFunctions.md5_64(
+        col("user_id").cast("string"))).as("sk"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("sk"), kmv_est_milli(col("sk")).as("est_milli"))
+  }
+
   /** Watermarked session windows per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -52,6 +52,47 @@ class EventStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed KMV audience sketches: EXACT batch parity " +
+       "(deterministic sketch) and exact estimates in the unsaturated regime") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvSketch._
+    val schema = Tables.events(spark, SparkTestBase.sf).schema
+    val stream = EventStreaming.eventStream(spark, eventsDir, schema)
+    val q = EventStreaming.runToMemory(
+      EventStreaming.windowAudienceSketch(stream), "kmv_windows_out")
+    try {
+      val streamed = spark.table("kmv_windows_out").collect()
+        .map(r => (r.get(0), r.getString(1), r.getSeq[Long](2), r.getLong(3)))
+        .toSet
+      assert(streamed.nonEmpty)
+      // Batch truth: KMV is deterministic, so the streamed sketch ARRAYS
+      // and estimates must equal the batch build bit-for-bit (the KLL
+      // twin can only assert rank bands; this one is exact).
+      val batch = Tables.events(spark, SparkTestBase.sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(kmv_sketch_agg(graft.functions.GraftFunctions.md5_64(
+          col("user_id").cast("string"))).as("sk"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("sk"), kmv_est_milli(col("sk")).as("est_milli"))
+        .collect()
+        .map(r => (r.get(0), r.getString(1), r.getSeq[Long](2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch, "stream/batch KMV sketch mismatch")
+      // This SF's windows are far under K distinct users → the estimate
+      // is the exact distinct count.
+      val exact = Tables.events(spark, SparkTestBase.sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+      streamed.foreach { case (w, t, _, estMilli) =>
+        assert(estMilli == exact((w, t)) * 1000L,
+          s"($w, $t): est $estMilli vs exact ${exact((w, t))}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming windowed KLL quantiles: every per-window estimate holds " +
        "the inclusive rank bound against the batch values") {
     import org.apache.spark.sql.functions._
