@@ -104,6 +104,78 @@ case class KmvSketchAgg(
     copy(child = newChild)
 }
 
+/** Cell-wise merge of retained-hash KMV sketch arrays — the persist-then-
+  * merge aggregate (the kll_merge_agg contract for set sketches): shard
+  * sketches land as K-long arrays, and any union of shards answers later
+  * by merging the arrays. KMV merge is DETERMINISTIC AND LOSSLESS w.r.t.
+  * the direct build: the K smallest of a union of K-smallest subsets is
+  * the K smallest of the union, so merged == direct bit-for-bit
+  * (spec-pinned) — not merely error-preserving like HLL/KLL merges. */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65536, s"kmv_merge_agg k must be in [8, 65536], got $k")
+
+  override def prettyName: String = "kmv_merge_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    KmvSketch.newBuffer()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      var i = 0
+      while (i < arr.length) { KmvSketch.insert(buf, arr(i), k); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) KmvSketch.insert(buf, it.next(), k)
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+    buf.forEach(h => bb.putLong(h))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = KmvSketch.newBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) buf.add(bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMergeAgg =
+    copy(child = newChild)
+}
+
 /** Distinct-count estimate (milli-scaled BIGINT) of one KMV sketch. */
 case class KmvEstMilli(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "kmv_est_milli"
@@ -230,6 +302,10 @@ object KmvSketch {
   def kmv_sketch_agg(h: Column, k: Int = DefaultK): Column =
     GraftSqlShim.column(
       KmvSketchAgg(GraftSqlShim.expression(h), k).toAggregateExpression())
+
+  def kmv_merge_agg(sk: Column, k: Int = DefaultK): Column =
+    GraftSqlShim.column(
+      KmvMergeAgg(GraftSqlShim.expression(sk), k).toAggregateExpression())
 
   def kmv_est_milli(sk: Column, k: Int = DefaultK): Column =
     GraftSqlShim.column(KmvEstMilli(GraftSqlShim.expression(sk), k))

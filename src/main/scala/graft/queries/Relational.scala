@@ -1100,11 +1100,19 @@ object Relational {
   private val qKmvSetOps: Q = (s, d) => {
     import graft.functions.KmvSketch._
     val h = Tables.orders(s, d).select(col("o_orderpriority").as("p"),
+      col("o_custkey"),
       graft.functions.GraftFunctions.md5_64(col("o_custkey").cast("string"))
         .as("h"))
-    // 5-row sketch frame, cut: the pair join consumes it twice.
+    // Per-shard sketches merged cell-wise (the q_kll persist-then-merge
+    // path — KMV merge is deterministic AND lossless, so this equals the
+    // direct build bit-for-bit; SketchSpec pins it). 5-row frame, cut:
+    // the pair join consumes it twice.
     val sk = graft.core.Lineage.cut(
-      h.groupBy(col("p")).agg(kmv_sketch_agg(col("h"), KmvK).as("sk")))
+      h.withColumn("shard", pmod(col("o_custkey"), lit(8)))
+        .groupBy(col("p"), col("shard"))
+        .agg(kmv_sketch_agg(col("h"), KmvK).as("sk"))
+        .groupBy(col("p"))
+        .agg(kmv_merge_agg(col("sk"), KmvK).as("sk")))
     val est = sk.select(col("p").as("pa"), col("sk").as("sk_a"))
       .join(sk.select(col("p").as("pb"), col("sk").as("sk_b")),
         col("pa") < col("pb"))

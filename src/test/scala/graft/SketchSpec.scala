@@ -140,6 +140,26 @@ class SketchSpec extends AnyFunSuite {
     assert(KmvSketch.interMilli(su, sv, k) == (ua.toSet & ub.toSet).size * 1000L)
   }
 
+  test("KMV persist-then-merge: shard sketches merged cell-wise equal the " +
+       "direct single-pass sketch bit-for-bit") {
+    import graft.functions.KmvSketch._
+    val h = Tables.orders(spark, SparkTestBase.sf)
+      .select(col("o_orderpriority").as("p"), col("o_custkey"),
+        graft.functions.GraftFunctions.md5_64(
+          col("o_custkey").cast("string")).as("h"))
+    val direct = h.groupBy(col("p")).agg(kmv_sketch_agg(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val merged = h.withColumn("shard", pmod(col("o_custkey"), lit(8)))
+      .groupBy(col("p"), col("shard")).agg(kmv_sketch_agg(col("h")).as("sk"))
+      .groupBy(col("p")).agg(kmv_merge_agg(col("sk")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // KMV merge is LOSSLESS vs the direct build (K smallest of a union
+    // of K-smallest subsets == K smallest of the union) — bit equality,
+    // not an error band.
+    assert(merged == direct)
+    assert(direct.nonEmpty && direct.values.forall(_.nonEmpty))
+  }
+
   test("q_kmv_set_ops: unsaturated regime at this SF — set-op estimates " +
        "equal the exact columns") {
     val rows = SparkEntry.queries("q_kmv_set_ops")(spark, SparkTestBase.sf)
