@@ -931,7 +931,13 @@ object DedupOps {
     * side is one zero-shuffle codec pass, exactly how a 100 TB image
     * corpus dedups: hash once near the data, join the tiny hash table.
     */
-  private val phashNearDup: Q = (s, d) => {
+  private val phashNearDup: Q = (s, d) =>
+    // Materialized once per (session, corpus) now that two consumers
+    // exist (the registered query and d15's components) — the d2 pair-
+    // graph discipline applied to the image pairs.
+    graft.core.Materialize.once(s, s"d13_pairs:$d")(computePhashPairs(s, d))
+
+  private def computePhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hashes = Tables.documentsSpread(s, d)
       .select(col("doc_id")).as[Long]
@@ -957,11 +963,41 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** d15: canonical-image election over the d13 near-dup clusters — d10's
+    * keep-best applied to the image family: connected components over the
+    * (materialized) perceptual-hash pairs, then per cluster the keeper is
+    * the LARGEST image (pixel area from the real decoded dims — here the
+    * closed-form dims the oracle re-derives), ties to the smallest
+    * doc_id. Same machinery end to end: the d6/d8 star-contraction
+    * components, the d10 top_k_by(…, 1) election (map-side combinable —
+    * no per-cluster window sort), O(pairs + docs) beyond the shared pair
+    * frame.
+    */
+  private val phashKeepBest: Q = (s, d) => {
+    val comp = connectedComponents(
+      phashNearDup(s, d).select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+      Tables.documents(s, d).select(col("doc_id").as("id")))
+      .withColumnRenamed("id", "doc_id")
+    val g = expr("doc_id div 4")
+    val area = ((lit(16) + pmod(g, lit(17))) * (lit(16) + pmod(g, lit(13))))
+      .cast("long")
+    val best = comp.withColumn("area", area)
+      .groupBy(col("cluster_rep"))
+      .agg(graft.functions.TopKByLong.top_k_by(col("area"), col("doc_id"), 1)
+        .as("top"))
+      .select(col("cluster_rep"),
+        col("top").getItem(0).getField("id").as("keeper_id"))
+    comp.join(best, Seq("cluster_rep"))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d11_chunk_dedup" -> chunkDedup,
     "d12_embedding_lsh" -> embeddingLsh,
     "d13_phash_neardup" -> phashNearDup,
     "d14_incremental_minhash" -> incrementalMinhash,
+    "d15_phash_keep_best" -> phashKeepBest,
     "d2_minhash_lsh" -> minhashPairs,
     "d3_simhash" -> simhashPairs,
     "d4_ngram_jaccard" -> ngramJaccard,
@@ -1186,6 +1222,22 @@ object DedupOps {
     "d3_simhash" -> d3OracleSql,
     "d13_phash_neardup" -> d13OracleSql,
     "d14_incremental_minhash" -> d14OracleSql,
+    // d10's keeper election over the d13 pair closure: keeper = largest
+    // image area (closed-form dims), ties to min doc_id — the same
+    // componentsCtes and list-order election as d8/d10.
+    "d15_phash_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($d13OracleSql),
+         |$componentsCtes,
+         |ar AS (SELECT doc_id,
+         |    CAST((16 + (doc_id // 4) % 17) * (16 + (doc_id // 4) % 13)
+         |      AS BIGINT) AS area
+         |  FROM documents),
+         |best AS (SELECT c.cluster_rep,
+         |    (list(c.doc_id ORDER BY ar.area DESC, c.doc_id))[1] AS keeper_id
+         |  FROM comp c JOIN ar USING (doc_id) GROUP BY 1)
+         |SELECT c.doc_id, CAST(b.keeper_id AS BIGINT) AS keeper_id,
+         |  c.doc_id = b.keeper_id AS keep
+         |FROM comp c JOIN best b USING (cluster_rep)""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, ${gramsSql("text")} AS grams FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
