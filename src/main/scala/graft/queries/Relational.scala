@@ -433,11 +433,174 @@ object Relational {
       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
       |  GROUP BY l_suppkey HAVING sum(l_quantity) > 1600)""".stripMargin
 
+  /** TPC-H Q6: single-table filter + aggregate — the canonical pushdown
+    * showcase (every predicate reaches the parquet scan; no join, no
+    * shuffle beyond the final partial/final agg pair). The discount band
+    * compares integer basis points (`round(l_discount*100)`), not raw
+    * doubles, so no float-literal/decimal-literal dialect difference can
+    * flip a row between engines. */
+  val Q6Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7 (volume shipping): six-table join, bidirectional nation
+    * pair, revenue per (supp_nation, cust_nation, year). Nation pair
+    * chosen so both directions are populated at every test SF. */
+  val Q7Sql: String =
+    """WITH shipping AS (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT) AS rev_e4
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM shipping GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 (national market share): eight-table join; the share is a
+    * division of two identical-integer-operand sums (the q14 discipline —
+    * bit-identical doubles on both engines). */
+  val Q8Sql: String =
+    """WITH all_nations AS (
+      |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT) AS volume_e4,
+      |    n2.n_name AS supp_nation
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+      |SELECT o_year,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+      |  CAST(sum(volume_e4) AS BIGINT) AS total_e4,
+      |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume_e4 ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(volume_e4) AS DOUBLE) AS mkt_share
+      |FROM all_nations GROUP BY o_year""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit) on the available schema: no
+    * partsupp table, so the per-(part,supplier) unit cost is DERIVED from
+    * lineitem — min observed per-unit price in cents (the Q2 `ps` CTE
+    * discipline; the division happens before rounding on identical
+    * double operands, so both engines derive the same integer). Profit
+    * is then revenue cents − qty·unit_cost, all integer. */
+  val Q9Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)) AS unit_cost_cents
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT nation, o_year, CAST(sum(amount_cents) AS BIGINT) AS profit_cents,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM (
+      |  SELECT n.n_name AS nation,
+      |    CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT)
+      |      - CAST(l.l_quantity AS BIGINT) * ps.unit_cost_cents AS amount_cents
+      |  FROM lineitem l
+      |  JOIN ps ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_name LIKE '%gear%') profit
+      |GROUP BY nation, o_year""".stripMargin
+
+  /** TPC-H Q10 (returned items): top 20 customers by returned-line
+    * revenue in a quarter. The ORDER BY carries c_custkey as tiebreak so
+    * the LIMIT cut is a deterministic set on both engines. */
+  val Q10Sql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue_e4 DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q11 shape (important stock) without partsupp: per-part value
+    * held by one nation's suppliers, kept where value exceeds 2× the
+    * average — the defining uncorrelated-scalar-subquery-threshold shape,
+    * rearranged to integer cross-multiplication (value·count > 2·total)
+    * so no fraction literal or float division is compared. */
+  val Q11Sql: String =
+    """WITH val AS (
+      |  SELECT l.l_partkey AS partkey,
+      |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE n.n_name = 'NATION_3'
+      |  GROUP BY l.l_partkey)
+      |SELECT partkey, value_cents FROM val
+      |WHERE value_cents * (SELECT CAST(count(*) AS BIGINT) FROM val)
+      |    > 2 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM val)""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-priority audit) on the available schema:
+    * no l_shipmode/l_receiptdate, so "late" is shipped ≥60 days after the
+    * order date and the group key is l_linestatus; the conditional
+    * high/low-priority counts are the Q12 signature. */
+  val Q12Sql: String =
+    """SELECT l.l_linestatus AS linestatus,
+      |  CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l.l_linestatus""".stripMargin
+
+  /** TPC-H Q19 shape (disjunctive predicate revenue) without
+    * p_container/l_shipmode: OR-of-ANDs over brand × size × quantity
+    * bands. The point is the optimizer extracting the common join key and
+    * pushing the per-side conjuncts (brand/size to the part scan) while
+    * the cross-table disjunction stays a post-join filter. */
+  val Q19Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin
+
   private val q2MinCost: Q = (s, d) => tpchSql(s, d, Q2Sql)
   private val q17SmallQty: Q = (s, d) => tpchSql(s, d, Q17Sql)
   private val q13CustDist: Q = (s, d) => tpchSql(s, d, Q13Sql)
   private val q15TopSupplier: Q = (s, d) => tpchSql(s, d, Q15Sql)
   private val q20PartSuppliers: Q = (s, d) => tpchSql(s, d, Q20Sql)
+  private val q6Forecast: Q = (s, d) => tpchSql(s, d, Q6Sql)
+  private val q7Shipping: Q = (s, d) => tpchSql(s, d, Q7Sql)
+  private val q8MktShare: Q = (s, d) => tpchSql(s, d, Q8Sql)
+  private val q9Profit: Q = (s, d) => tpchSql(s, d, Q9Sql)
+  private val q10Returned: Q = (s, d) => tpchSql(s, d, Q10Sql)
+  private val q11Stock: Q = (s, d) => tpchSql(s, d, Q11Sql)
+  private val q12Late: Q = (s, d) => tpchSql(s, d, Q12Sql)
+  private val q19Disjunctive: Q = (s, d) => tpchSql(s, d, Q19Sql)
 
   /** JSONL source/sink round-trip over documents — the serialization
     * format training-data pipelines actually exchange. Schema-enforced
@@ -1408,6 +1571,14 @@ object Relational {
     "q13_customer_distribution" -> q13CustDist,
     "q15_top_supplier" -> q15TopSupplier,
     "q20_part_suppliers" -> q20PartSuppliers,
+    "q6_forecast_revenue" -> q6Forecast,
+    "q7_volume_shipping" -> q7Shipping,
+    "q8_market_share" -> q8MktShare,
+    "q9_product_profit" -> q9Profit,
+    "q10_returned_items" -> q10Returned,
+    "q11_important_stock" -> q11Stock,
+    "q12_late_lines" -> q12Late,
+    "q19_disjunctive_revenue" -> q19Disjunctive,
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
@@ -1736,6 +1907,14 @@ object Relational {
     "q13_customer_distribution" -> Q13Sql,
     "q15_top_supplier" -> Q15Sql,
     "q20_part_suppliers" -> Q20Sql,
+    "q6_forecast_revenue" -> Q6Sql,
+    "q7_volume_shipping" -> Q7Sql,
+    "q8_market_share" -> Q8Sql,
+    "q9_product_profit" -> Q9Sql,
+    "q10_returned_items" -> Q10Sql,
+    "q11_important_stock" -> Q11Sql,
+    "q12_late_lines" -> Q12Sql,
+    "q19_disjunctive_revenue" -> Q19Sql,
     "w1_window_topn" ->
       """WITH r AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

@@ -486,6 +486,38 @@ class PlanSpec extends AnyFunSuite {
       phys.take(1200))
   }
 
+  test("q6: every pushable predicate reaches the lineitem scan") {
+    val p = planOf("q6_forecast_revenue")
+    // The shipdate band and quantity bound are plain column comparisons —
+    // they must appear in PushedFilters (row-group pruning at 100 TB);
+    // the basis-point discount band wraps the column in round() so it
+    // legitimately stays a post-scan filter.
+    assert(p.contains("PushedFilters:"), p.take(800))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"q6 scan filters not pushed: $pushed")
+    // Single-table agg: the only exchange is the partial/final agg pair's.
+    assert(countNodes(p, "Exchange") <= 1, p.take(1200))
+  }
+
+  test("q19: the disjunctive predicate keeps the equi join — no nested " +
+       "loop, and the join key is extracted from the OR-of-ANDs") {
+    val p = planOf("q19_disjunctive_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q19 degenerated to a nested loop:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
+  test("q11/q12: scalar-subquery threshold and interval lateness stay " +
+       "hash-join shapes — no per-row re-execution, no nested loop") {
+    for (name <- Seq("q11_important_stock", "q12_late_lines")) {
+      val p = planOf(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: nested-loop shape:\n" + p.take(1200))
+    }
+  }
+
   test("q13: the distribution partitions every customer exactly once") {
     val rows = SparkEntry.queries("q13_customer_distribution")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
