@@ -324,10 +324,28 @@ object MultimodalOps {
     def synthFrames(nChars: Long): Int = 64 + (nChars % 577).toInt
     def sample(docId: Long, i: Int): Int = ((i * 13L + docId) % 251L).toInt
 
-    def encode(docId: Long, n: Int): Array[Byte] = {
+    /** Samples per silence/voice burst in [[MultimodalOps.silenceSplit]]'s
+      * synthesized pattern: 3 analysis windows, so silent and voiced runs
+      * span whole windows and both run lengths vary per document. */
+    val SplitBurst = 192
+
+    /** The silence-split pattern: burst b of a document is SILENT
+      * (constant 128 — centered zero) when (b + docId) mod 3 == 0, else
+      * the voiced (13i + docId) mod 251 pattern. */
+    def sampleSplit(docId: Long, i: Int): Int =
+      if (((i / SplitBurst) + docId) % 3 == 0) 128 else sample(docId, i)
+
+    def encode(docId: Long, n: Int): Array[Byte] =
+      encodeWith(docId, n, sample)
+
+    def encodeSplit(docId: Long, n: Int): Array[Byte] =
+      encodeWith(docId, n, sampleSplit)
+
+    private def encodeWith(docId: Long, n: Int,
+        f: (Long, Int) => Int): Array[Byte] = {
       val data = new Array[Byte](n)
       var i = 0
-      while (i < n) { data(i) = sample(docId, i).toByte; i += 1 }
+      while (i < n) { data(i) = f(docId, i).toByte; i += 1 }
       val fmt = new javax.sound.sampled.AudioFormat(
         javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
         SampleRate, 8, 1, 1, SampleRate, false)
@@ -435,6 +453,118 @@ object MultimodalOps {
             i += 1
           }
           MmWavWindow(id, wi, end - start, energy, zc)
+        }
+      })
+      .toDF()
+  }
+
+  /** One silence/voice segment of decoded audio (a maximal run of
+    * equally-classified analysis windows). */
+  final case class MmWavSegment(
+      doc_id: Long, seg_idx: Int, is_silence: Boolean,
+      start_win: Int, n_windows: Int, n_samples: Long, energy_sq: Long)
+
+  /** Window energy below this is "silence". The synthesized silent bursts
+    * are exactly centered (energy 0) and voiced windows carry ~64·2000+,
+    * so any threshold in between classifies identically on both engines;
+    * 64 (avg squared amplitude 1 per sample) is the defensible knob. */
+  val SilenceThresh = 64L
+
+  /** Silence-based audio segmentation (the VAD-style chunking a speech
+    * pipeline runs before transcription/embedding): decode REAL WAVE
+    * audio whose synthesized pattern interleaves silent and voiced bursts
+    * ([[WavCodec.sampleSplit]]), classify each [[WavWindow]]-sample
+    * window by integer energy against [[SilenceThresh]], and group
+    * CONTIGUOUS equally-classified windows into segments (start, length,
+    * sample count, total energy). Segmentation is per-document local —
+    * one partition-streaming flatMap, ZERO shuffle, output ~segments per
+    * doc — so at 100 TB of audio it stays a map-only pass; the oracle
+    * reproduces the windows from the closed form and re-derives the runs
+    * with a gaps-and-islands window chain, so a wrong run boundary,
+    * window membership, or energy sum diverges.
+    */
+  private val silenceSplit: Q = (s, d) => {
+    import s.implicits._
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val wav = WavCodec.encodeSplit(id, WavCodec.synthFrames(nChars))
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val bytes = in.readAllBytes() // decoded 8-bit unsigned PCM
+        val n = bytes.length
+        val nWin = (n + WavWindow - 1) / WavWindow
+        // Per-window (n_samples, energy) from the DECODED stream.
+        val wins = Array.tabulate(nWin) { wi =>
+          val start = wi * WavWindow
+          val end = math.min(n, start + WavWindow)
+          var energy = 0L
+          var i = start
+          while (i < end) {
+            val c = (bytes(i) & 0xff) - 128
+            energy += c.toLong * c
+            i += 1
+          }
+          (end - start, energy)
+        }
+        // Maximal runs of equal silence classification, streamed in
+        // window order (local per doc — no shuffle anywhere).
+        val segs = scala.collection.mutable.ArrayBuffer.empty[MmWavSegment]
+        var wi = 0
+        while (wi < nWin) {
+          val silent = wins(wi)._2 < SilenceThresh
+          val start = wi
+          var samples = 0L
+          var energy = 0L
+          while (wi < nWin && (wins(wi)._2 < SilenceThresh) == silent) {
+            samples += wins(wi)._1
+            energy += wins(wi)._2
+            wi += 1
+          }
+          segs += MmWavSegment(id, segs.length, silent, start, wi - start,
+            samples, energy)
+        }
+        segs.iterator
+      })
+      .toDF()
+  }
+
+  /** One consecutive-frame comparison of a decoded GIF sequence. */
+  final case class MmSceneDiff(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      diff_sum: Long, is_cut: Boolean)
+
+  /** Scene-change detection over a REALLY decoded multi-frame GIF (the
+    * video analogue of [[silenceSplit]] — the frame-sampling pass a
+    * multimodal pipeline runs to pick one keyframe per shot): frames are
+    * synthesized in SCENES of two ([[GifCodec.scenePixel]] keys the
+    * pattern by f/2), encoded through the real GIF sequence writer, read
+    * back frame-by-frame, and every consecutive pair is compared by the
+    * integer sum of absolute per-pixel differences — within a scene the
+    * decoded rasters must be identical (diff 0), across a cut they
+    * differ at every pixel. Per-document local, one flatMap, zero
+    * shuffle; the oracle re-derives each pair's diff from the pattern's
+    * closed form, so a frame-index slip, palette corruption, or stride
+    * bug shows up as a nonzero within-scene diff.
+    */
+  private val sceneDetect: Q = (s, d) => {
+    import s.implicits._
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, nChars) =>
+        val (w, h, nf) = GifCodec.synth(id, nChars)
+        val rasters = GifCodec.decodeRasters(id,
+          GifCodec.encodeScenes(id, w, h, nf))
+        (1 until rasters.length).iterator.map { f =>
+          val (prev, cur) = (rasters(f - 1), rasters(f))
+          var diff = 0L
+          var i = 0
+          while (i < cur.length) {
+            diff += math.abs(cur(i) - prev(i)); i += 1
+          }
+          MmSceneDiff(id, f, w, h, diff, diff > 0L)
         }
       })
       .toDF()
@@ -575,7 +705,20 @@ object MultimodalOps {
     def pixel(docId: Long, f: Int, x: Int, y: Int): Int =
       ((x * 3L + y * 7L + f * 11L + docId) % 251L).toInt
 
-    def encode(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    /** The scene-detect pattern: frames come in SCENES of two (keyed by
+      * f/2), so consecutive same-scene frames are pixel-identical and a
+      * scene boundary changes every pixel (+17 mod 251 ≠ 0). */
+    def scenePixel(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((x * 3L + y * 7L + (f / 2) * 17L + docId) % 251L).toInt
+
+    def encode(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+      encodeWith(docId, w, h, nFrames, pixel)
+
+    def encodeScenes(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+      encodeWith(docId, w, h, nFrames, scenePixel)
+
+    private def encodeWith(docId: Long, w: Int, h: Int, nFrames: Int,
+        px: (Long, Int, Int, Int) => Int): Array[Byte] = {
       init
       val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
       require(writers.hasNext, "no GIF writer in this JDK")
@@ -598,7 +741,7 @@ object MultimodalOps {
         var y = 0
         while (y < h) {
           var x = 0
-          while (x < w) { r.setSample(x, y, 0, pixel(docId, f, x, y)); x += 1 }
+          while (x < w) { r.setSample(x, y, 0, px(docId, f, x, y)); x += 1 }
           y += 1
         }
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
@@ -637,6 +780,35 @@ object MultimodalOps {
       iis.close()
       out.iterator
     }
+
+    /** Frame rasters as flat row-major gray arrays, read back through the
+      * real GIF reader (palette resolved via getRGB like [[decodeFrames]]).
+      */
+    def decodeRasters(docId: Long, gif: Array[Byte]): Array[Array[Int]] = {
+      init
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no GIF reader in this JDK")
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      val out = Array.tabulate(n) { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        px
+      }
+      reader.dispose()
+      iis.close()
+      out
+    }
   }
 
   /** Synthesize → encode (real GIF sequence writer) → decode frame-by-
@@ -664,6 +836,8 @@ object MultimodalOps {
     "mm_decode_png" -> decodePng,
     "mm_decode_wav" -> decodeWav,
     "mm_wav_features" -> wavFeatures,
+    "mm_silence_split" -> silenceSplit,
+    "mm_scene_detect" -> sceneDetect,
     "mm_resize_png" -> resizePng)
 
   val oracle: Map[String, String] = Map(
@@ -758,6 +932,65 @@ object MultimodalOps {
          |                 AND c * ((((i + 1) * 13 + doc_id) % 251) - 128) < 0
          |           THEN 1 ELSE 0 END) AS INT) AS zero_cross
          |FROM sv GROUP BY doc_id, i // $WavWindow""".stripMargin,
+    // Closed form of the silence-split pattern: windows re-derived from
+    // the per-sample CASE, runs re-derived with a lag + running-sum
+    // gaps-and-islands chain — the engine computes everything from
+    // really decoded WAVE bytes and groups runs imperatively, so the two
+    // derivations only agree if windowing, classification, and run
+    // boundaries all match.
+    "mm_silence_split" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(64 + n_chars % 577 AS BIGINT) AS n
+         |  FROM documents),
+         |sv AS (SELECT d.doc_id, it.i,
+         |    CASE WHEN ((it.i // ${WavCodec.SplitBurst}) + d.doc_id) % 3 = 0
+         |         THEN 0
+         |         ELSE ((it.i * 13 + d.doc_id) % 251) - 128 END AS c
+         |  FROM d, range(0, 641) it(i) WHERE it.i < d.n),
+         |w AS (SELECT doc_id, i // $WavWindow AS win_idx,
+         |    CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(sum(c * c) AS BIGINT) AS energy_sq
+         |  FROM sv GROUP BY doc_id, i // $WavWindow),
+         |f AS (SELECT doc_id, win_idx, n_samples, energy_sq,
+         |    energy_sq < $SilenceThresh AS silent FROM w),
+         |g AS (SELECT *,
+         |    CAST(sum(CASE WHEN prev IS NULL OR prev <> silent
+         |                  THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY win_idx) AS BIGINT) - 1
+         |      AS seg_idx
+         |  FROM (SELECT *, lag(silent)
+         |          OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev
+         |        FROM f))
+         |SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+         |  silent AS is_silence,
+         |  CAST(min(win_idx) AS INT) AS start_win,
+         |  CAST(count(*) AS INT) AS n_windows,
+         |  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+         |  CAST(sum(energy_sq) AS BIGINT) AS energy_sq
+         |FROM g GROUP BY doc_id, seg_idx, silent""".stripMargin,
+    // Closed form of the scene pattern's consecutive-frame diffs: within
+    // a scene (same f/2) the per-pixel diff is 0, across a boundary it is
+    // |((p+17) mod 251) − p| at every pixel — the engine sums absolute
+    // diffs of really decoded rasters.
+    "mm_scene_detect" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 31 AS BIGINT) AS w,
+        |    CAST(1 + n_chars % 29 AS BIGINT) AS h,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS nf
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(ft.f AS INT) AS frame_idx,
+        |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  CAST(sum(abs(
+        |    ((xt.x * 3 + yt.y * 7 + (ft.f // 2) * 17 + d.doc_id) % 251)
+        |    - ((xt.x * 3 + yt.y * 7 + ((ft.f - 1) // 2) * 17 + d.doc_id) % 251)
+        |  )) AS BIGINT) AS diff_sum,
+        |  CAST(sum(abs(
+        |    ((xt.x * 3 + yt.y * 7 + (ft.f // 2) * 17 + d.doc_id) % 251)
+        |    - ((xt.x * 3 + yt.y * 7 + ((ft.f - 1) // 2) * 17 + d.doc_id) % 251)
+        |  )) > 0 AS BOOLEAN) AS is_cut
+        |FROM d, range(1, 5) ft(f), range(0, 31) xt(x), range(0, 29) yt(y)
+        |WHERE ft.f < d.nf AND xt.x < d.w AND yt.y < d.h
+        |GROUP BY d.doc_id, ft.f, d.w, d.h""".stripMargin,
     // Nearest-neighbor resample of the (3x + 7y + doc_id) mod 251 pattern
     // at the floor-division source coordinates — the engine reports the
     // sum from an actually decoded-and-resized raster.

@@ -192,4 +192,58 @@ class MultimodalParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mm_silence_split: segments alternate, partition the windows, and " +
+       "land on the synthesized burst boundaries") {
+    import graft.queries.MultimodalOps.{WavCodec, WavWindow}
+    val segs = SparkEntry.queries("mm_silence_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6)))
+    assert(segs.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._2)
+      // seg_idx dense from 0; consecutive segments alternate class
+      // (otherwise they'd be one run); start/extent tile the window axis.
+      assert(ordered.map(_._2).toSeq == ordered.indices.toSeq)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"doc $id: adjacent segments same class")
+          assert(b._4 == a._4 + a._5, s"doc $id: segment gap/overlap")
+        case _ =>
+      }
+      assert(ordered.head._4 == 0)
+      val n = WavCodec.synthFrames(docs(id))
+      assert(ordered.map(_._6).sum == n.toLong,
+        s"doc $id: segment samples must sum to the frame count")
+      assert(ordered.map(_._5.toLong).sum == ((n + WavWindow - 1) / WavWindow).toLong)
+      // Silent segments carry zero energy by construction; voiced never.
+      ordered.foreach { s =>
+        if (s._3) assert(s._7 == 0L, s"doc $id: silent segment with energy")
+        else assert(s._7 > 0L, s"doc $id: voiced segment without energy")
+      }
+    }
+  }
+
+  test("mm_scene_detect: within-scene pairs are pixel-identical through " +
+       "the real codec, scene boundaries differ at every pixel") {
+    val diffs = SparkEntry.queries("mm_scene_detect")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(diffs.nonEmpty)
+    diffs.foreach { case (id, f, w, h, diff, cut) =>
+      val boundary = (f / 2) != ((f - 1) / 2)
+      assert(cut == boundary,
+        s"doc $id frame $f: cut=$cut but scene boundary=$boundary")
+      if (boundary) {
+        // +17 mod 251 moves EVERY pixel by 17 or 234.
+        assert(diff >= 17L * w * h && diff <= 234L * w * h,
+          s"doc $id frame $f: boundary diff $diff outside per-pixel bounds")
+      } else assert(diff == 0L, s"doc $id frame $f: within-scene diff $diff")
+    }
+    // Docs with ≥3 frames must show both classes.
+    assert(diffs.exists(_._6) && diffs.exists(!_._6))
+  }
 }
