@@ -354,6 +354,54 @@ object SimilarityOps {
         coalesce(col("recall_at_10_hits"), lit(0L)).as("recall_at_10_hits"))
   }
 
+  /** Dimensions retained by [[dimTruncationEval]]'s truncated arm: a
+    * quarter of the 64-dim embeddings — deep enough truncation that the
+    * rankings genuinely reorder (the interesting regime for the eval). */
+  val TruncDims = 16
+
+  /** Truncated-dimension retrieval eval (the matryoshka-representation
+    * question): if retrieval ran on only the first [[TruncDims]] of the
+    * embedding dims — the standard cost lever for a first-stage index,
+    * since a prefix slice needs no re-embedding — how much of the exact
+    * full-dimension top-10 survives? Per batch query: overlap@10 between
+    * the full-cosine top-10 and the prefix-cosine top-10, both exact
+    * (same [[batchScoredTopK]] one-scan WindowGroupLimit shape; the
+    * truncated arm scores `slice(v, 1, TruncDims)` with the same fold).
+    * This is an offline calibration query — you run it on a sample to
+    * decide whether the cheap index is safe, then serve with
+    * full-dimension re-ranking of the truncated shortlist. Both arms'
+    * shuffles are ≤ k·|batch| rows; the corpus is scanned twice (once per
+    * arm), each scan map-only.
+    */
+  private val dimTruncationEval: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v"))
+    val qs = e.where(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def arm(score: Column): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", score)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = arm(cosineCol(col("v"), col("qv")))
+    val trunc = arm(cosineCol(
+      slice(col("v"), 1, TruncDims), slice(col("qv"), 1, TruncDims)))
+    qs.select(col("query_id"))
+      .join(full.join(trunc, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(10.0d))
+          .as("overlap_frac"))
+  }
+
   /** Exact-ball radius (as squared L2 distance) for [[rangeSearch]] — a
     * literal double, spelled identically in the oracle SQL so both
     * engines compare the same bits at the boundary. */
@@ -663,6 +711,7 @@ object SimilarityOps {
     "ann_hard_negatives" -> hardNegatives,
     "ann_recall_eval" -> recallEval,
     "ann_filtered_topk" -> filteredTopK,
+    "ann_dim_truncation_eval" -> dimTruncationEval,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -888,6 +937,31 @@ object SimilarityOps {
          |o AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n
          |      FROM ex JOIN iv USING (query_id, vec_id) GROUP BY 1)
          |SELECT q.query_id, coalesce(o.n, 0) AS recall_at_10_hits
+         |FROM q LEFT JOIN o USING (query_id)""".stripMargin,
+    // Both arms mirrored exactly: the truncated arm scores the same
+    // ordered fold over list_slice(·, 1, TruncDims) — the prefix slice is
+    // the same elements in the same order as the engine's slice().
+    "ann_dim_truncation_eval" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $BatchQueries),
+         |p AS (SELECT q.query_id, e.vec_id, e.v, q.qv,
+         |    list_slice(e.v, 1, $TruncDims) AS tv,
+         |    list_slice(q.qv, 1, $TruncDims) AS tqv
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |fl AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosineSql("v", "qv")} DESC, vec_id) AS rank
+         |  FROM p) t WHERE rank <= 10),
+         |tr AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosineSql("tv", "tqv")} DESC, vec_id) AS rank
+         |  FROM p) t WHERE rank <= 10),
+         |o AS (SELECT fl.query_id, CAST(count(*) AS BIGINT) AS n
+         |      FROM fl JOIN tr USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(o.n, 0) AS DOUBLE) / 10.0 AS overlap_frac
          |FROM q LEFT JOIN o USING (query_id)""".stripMargin,
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
