@@ -140,6 +140,56 @@ object PipelineOps {
       .withColumn("chunk_off", col("start_off") % ChunkTokens)
   }
 
+  /** Documents per padded batch in [[lengthBatching]]. */
+  val BatchDocs = 8
+
+  /** Length-sorted micro-batching with padding-waste accounting — the
+    * PADDED-batch regime's companion to [[pack]]'s packed regime (packing
+    * concatenates for pre-training; fine-tuning/inference pad each batch
+    * to its longest member, so batch composition IS the cost). Within
+    * each (lang, shard) stream, documents are sorted by (token count
+    * DESCENDING, doc_id) — descending so the one partial batch takes the
+    * SHORTEST docs (ascending hands it the longest, which can pad WORSE
+    * than unsorted) — and cut into [[BatchDocs]]-doc batches; each batch
+    * reports
+    * its doc count, max/sum token counts, and pad_tokens =
+    * n_docs·max − sum — and, joined by batch index, the pad cost the
+    * SAME stream pays when batched in naive doc_id order. The delta is
+    * the measured win of length bucketing, all exact integers.
+    *
+    * Scale shape: the [[PackShards]] discipline again — per-(lang,
+    * shard) window partitions are independent and parallel, no global
+    * sort exists, and raising the shard count is the 100 TB lever. Two
+    * windows over the same token-counted frame, one join on the batch
+    * axis (batches ≪ docs).
+    */
+  private val lengthBatching: Q = (s, d) => {
+    val nTok = when(trim(col("text")) === "", 0)
+      .otherwise(size(toks(col("text"))))
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        nTok.cast("long").as("n_tokens"))
+    def batches(order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(order: _*)
+      t.withColumn("rn0", row_number().over(w) - lit(1))
+        .withColumn("batch_idx", expr(s"rn0 div $BatchDocs").cast("int"))
+        .groupBy(col("lang"), col("shard"), col("batch_idx"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+    }
+    val byLen = batches(Seq(col("n_tokens").desc, col("doc_id")))
+      .select(col("lang"), col("shard"), col("batch_idx"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .as("pad_tokens"))
+    val naive = batches(Seq(col("doc_id")))
+      .select(col("lang"), col("shard"), col("batch_idx"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .as("pad_naive_tokens"))
+    byLen.join(naive, Seq("lang", "shard", "batch_idx"))
+  }
+
   /** Per-source sampling rates out of 256 — the "data mixing" weights a
     * pre-training corpus assigns per provenance (upsample curated
     * sources, downsample scrapes). */
@@ -732,6 +782,7 @@ object PipelineOps {
     "tx_bm25" -> bm25,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
+    "tx_length_batching" -> lengthBatching,
     "tx_sample_mix" -> sampleMix,
     "tx_temperature_mix" -> temperatureMix,
     "tx_vocab_topk" -> vocabTopK,
@@ -1032,6 +1083,36 @@ object PipelineOps {
          |  start_off // $ChunkTokens AS chunk_id,
          |  start_off % $ChunkTokens AS chunk_off
          |FROM o""".stripMargin,
+    // Both batch assignments re-derived with the same (rn−1)//B windows;
+    // pad arithmetic all integer.
+    "tx_length_batching" ->
+      s"""WITH t AS (SELECT doc_id, lang, doc_id % $PackShards AS shard,
+         |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len($toksSql) AS BIGINT) END AS n_tokens
+         |  FROM documents),
+         |bl AS (SELECT lang, shard,
+         |    CAST((row_number() OVER (PARTITION BY lang, shard
+         |      ORDER BY n_tokens DESC, doc_id) - 1) // $BatchDocs AS INT) AS batch_idx,
+         |    n_tokens FROM t),
+         |gl AS (SELECT lang, shard, batch_idx,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |  FROM bl GROUP BY 1, 2, 3),
+         |bn AS (SELECT lang, shard,
+         |    CAST((row_number() OVER (PARTITION BY lang, shard
+         |      ORDER BY doc_id) - 1) // $BatchDocs AS INT) AS batch_idx,
+         |    n_tokens FROM t),
+         |gn AS (SELECT lang, shard, batch_idx,
+         |    CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+         |      AS pad_naive_tokens
+         |  FROM bn GROUP BY 1, 2, 3)
+         |SELECT gl.lang, gl.shard, gl.batch_idx, gl.n_docs, gl.max_tokens,
+         |  gl.sum_tokens,
+         |  CAST(gl.n_docs * gl.max_tokens - gl.sum_tokens AS BIGINT)
+         |    AS pad_tokens,
+         |  gn.pad_naive_tokens
+         |FROM gl JOIN gn USING (lang, shard, batch_idx)""".stripMargin,
   )
 
   val rowsOnly: Set[String] = Set.empty

@@ -446,4 +446,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(out.map(_._1).distinct.length == out.length, "no doc selected twice")
   }
+
+  test("tx_length_batching: batches conserve tokens and docs, and length " +
+       "sorting never pads more than naive order stream-wide") {
+    import org.apache.spark.sql.functions._
+    val rows = q("tx_length_batching").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // Conservation: every stream's batches tile its docs and tokens.
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val nTok = when(trim(col("text")) === "", 0)
+      .otherwise(size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")))
+    val byStream = docs.select(col("lang"),
+        pmod(col("doc_id"),
+          lit(graft.queries.PipelineOps.PackShards)).as("shard"),
+        nTok.cast("long").as("n"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("docs"), sum("n").as("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(t => (t._1, t._2)).foreach { case (k, bs) =>
+      val (nd, nt) = byStream(k)
+      assert(bs.map(_._4).sum == nd, s"$k: docs")
+      assert(bs.map(_._6).sum == nt, s"$k: tokens")
+      assert(bs.forall(b => b._7 == b._4 * b._5 - b._6), s"$k: pad identity")
+      assert(bs.count(_._4 < graft.queries.PipelineOps.BatchDocs.toLong) <= 1,
+        s"$k: at most one partial batch")
+    }
+    // Descending length order wins corpus-wide (it is NOT a per-stream
+    // theorem — a stream whose naive order happens to group equal
+    // lengths can tie or beat it — but across many streams the sorted
+    // total must come out ahead on any length-varied corpus).
+    assert(rows.map(_._7).sum < rows.map(_._8).sum)
+  }
 }
