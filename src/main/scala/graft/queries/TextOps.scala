@@ -340,6 +340,72 @@ object TextOps {
       md5(scrubbed).as("scrub_hash"))
   }
 
+  /** HTML-extraction regexes, spelled in the Java-regex ∩ RE2 common
+    * dialect like the PII patterns ((?s) dot-all + lazy .*? parse
+    * identically in both). Public: value-level spec runs them on
+    * hand-written adversarial markup. */
+  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  val CommentRe = "(?s)<!--.*?-->"
+  val TagRe = "<[^>]*>"
+  val HtmlWsRe = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** The extraction chain as a column function: drop script/style
+    * subtrees and comments (their CONTENT is not text), replace remaining
+    * tags with a space, decode the five core entities (&amp; LAST, so
+    * double-escaped text does not double-decode), collapse whitespace.
+    * Mirrored operator-for-operator in the oracle SQL. */
+  def stripHtml(c: Column): Column = {
+    // Blocks are replaced with a SPACE (like tags), not deleted — the
+    // text on either side of a removed subtree must not fuse.
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(c,
+      ScriptRe, " "), StyleRe, " "), CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, HtmlWsRe, " "))
+  }
+
+  /** HTML boilerplate stripping — the markup-extraction pass at the very
+    * front of a web-scrape pretraining pipeline (the trafilatura-class
+    * step, regex-scale): since the corpus is plain text, each document is
+    * first WRAPPED in deterministic markup (head/title, style and script
+    * subtrees, attributes, a comment, entity-escaped text content — the
+    * piiScrub inject-then-process discipline), then extracted back by
+    * [[stripHtml]]. Pure per-row codegen regexp work, zero shuffle. The
+    * oracle rebuilds the same wrapper and runs the same chain, so a
+    * regex-dialect divergence, a greedy-match slip (script content
+    * leaking into text), or a decode-order bug (&amp;lt; double-decoding)
+    * breaks hash equality; the `clean` boolean additionally pins that no
+    * markup survives extraction.
+    */
+  private val htmlStrip: Q = (s, d) => {
+    val wrapped = concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">p { color: #333; }</style>"),
+      lit("</head><body><h1 class=\"t\">"), col("lang"),
+      lit("</h1><!-- id "), col("doc_id").cast("string"),
+      lit(" --><p id=\"main\">"),
+      // Entity-escape the body so every doc exercises decode: & first.
+      replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+      lit(" &quot;q&#39;s&quot; 1 &lt; 2 &amp; 3 &gt; 2</p>"),
+      lit("<script>var x = 1 < 2;</script></body></html>"))
+    val extracted = stripHtml(wrapped)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(wrapped, lit(TagRe)).cast("long").as("n_tags"),
+      length(extracted).cast("long").as("extract_len"),
+      md5(extracted).as("extract_hash"),
+      // Decoded entities may legitimately form "1 < 2 & 3 > 2", so the
+      // no-markup-survives pin checks for structural leftovers, not the
+      // bare tag regex: closing-tag syntax, script body, style body.
+      (!extracted.contains("</") && !extracted.contains("var x") &&
+        !extracted.contains("color:")).as("clean"))
+  }
+
   /** Exact dedup by content hash: keep min doc_id per group (hash-groupBy;
     * map-side partial aggregation, one shuffle on the hash).
     */
@@ -557,6 +623,7 @@ object TextOps {
     "tx_weighted_sample" -> weightedSample,
     "tx_split" -> splitAssign,
     "tx_pii_scrub" -> piiScrub,
+    "tx_html_strip" -> htmlStrip,
     "d1_exact_dedup" -> exactDedup,
   )
 
@@ -779,6 +846,41 @@ object TextOps {
          |  CAST(length(scrubbed) AS INT) AS scrub_len,
          |  md5(scrubbed) AS scrub_hash
          |FROM s""".stripMargin,
+    // The same wrapper rebuilt || by ||, the same strip chain operator
+    // for operator ('g' flags — Spark replaces all matches by default,
+    // DuckDB only the first without it), entities decoded in the same
+    // order with &amp; last.
+    "tx_html_strip" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+         |    || '</title><style type="text/css">p { color: #333; }</style>'
+         |    || '</head><body><h1 class="t">' || lang
+         |    || '</h1><!-- id ' || CAST(doc_id AS VARCHAR)
+         |    || ' --><p id="main">'
+         |    || replace(replace(replace(text,
+         |         '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         |    || ' &quot;q&#39;s&quot; 1 &lt; 2 &amp; 3 &gt; 2</p>'
+         |    || '<script>var x = 1 < 2;</script></body></html>' AS wrapped
+         |  FROM documents),
+         |x AS (SELECT doc_id, wrapped,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(
+         |        regexp_replace(
+         |          regexp_replace(regexp_replace(regexp_replace(wrapped,
+         |            '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g'),
+         |            '$CommentRe', ' ', 'g'),
+         |          '$TagRe', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', ''''), '&amp;', '&'),
+         |      '$HtmlWsRe', ' ', 'g')) AS extracted
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(wrapped, '$TagRe')) AS BIGINT) AS n_tags,
+         |  CAST(length(extracted) AS BIGINT) AS extract_len,
+         |  md5(extracted) AS extract_hash,
+         |  (NOT contains(extracted, '</') AND NOT contains(extracted, 'var x')
+         |    AND NOT contains(extracted, 'color:')) AS clean
+         |FROM x""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
         |  CAST(count(*) AS BIGINT) AS n_dupes

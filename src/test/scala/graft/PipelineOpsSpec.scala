@@ -110,6 +110,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("html strip: extracts adversarial hand-written markup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // script/style/comment CONTENT must vanish, not just the tags.
+      ("<p>a</p><script>if (x < 9) alert('<b>')</script><p>b</p>", "a b"),
+      ("<style>h1 > p { x: y }</style>text", "text"),
+      ("before<!-- <p>hidden</p>\nstill hidden -->after", "before after"),
+      // Attributes, self-closing and void tags, multi-line tags.
+      ("<a href=\"/x?a=1&b=2\" title='t'>link</a><br/><img src=x>", "link"),
+      ("<div\n  class=\"wide\"\n>in</div>", "in"),
+      // Entities: &amp;lt; is a LITERAL "&lt;", never double-decoded to <.
+      ("1 &lt; 2 &amp; 3 &gt; 2", "1 < 2 & 3 > 2"),
+      ("&amp;lt;not-a-tag&amp;gt;", "&lt;not-a-tag&gt;"),
+      ("say &quot;hi&quot; it&#39;s fine", "say \"hi\" it's fine"),
+      // Whitespace collapse across removed block boundaries.
+      ("  <p>\n\ta b\f</p>  ", "a b"))
+    val out = cases.map(_._1).toDF("s")
+      .select(queries.TextOps.stripHtml(col("s")).as("r"))
+      .collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got '$got', want '$want'")
+    }
+  }
+
   test("pii scrub on sf0.001: every injected row found and scrubbed") {
     val rows = q("tx_pii_scrub").collect()
     assert(rows.nonEmpty)
