@@ -163,13 +163,10 @@ object PipelineOps {
     * windows over the same token-counted frame, one join on the batch
     * axis (batches ≪ docs).
     */
-  private val lengthBatching: Q = (s, d) => {
-    val nTok = when(trim(col("text")) === "", 0)
-      .otherwise(size(toks(col("text"))))
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(PackShards)).as("shard"),
-        nTok.cast("long").as("n_tokens"))
+  /** The batching core over a (doc_id, lang, shard, n_tokens) frame —
+    * public so HighVolumeSpec can drive the same windows at millions of
+    * docs with a raised shard count. */
+  def lengthBatchesOf(t: DataFrame): DataFrame = {
     def batches(order: Seq[Column]): DataFrame = {
       val w = Window.partitionBy(col("lang"), col("shard")).orderBy(order: _*)
       t.withColumn("rn0", row_number().over(w) - lit(1))
@@ -188,6 +185,15 @@ object PipelineOps {
         (col("n_docs") * col("max_tokens") - col("sum_tokens"))
           .as("pad_naive_tokens"))
     byLen.join(naive, Seq("lang", "shard", "batch_idx"))
+  }
+
+  private val lengthBatching: Q = (s, d) => {
+    val nTok = when(trim(col("text")) === "", 0)
+      .otherwise(size(toks(col("text"))))
+    lengthBatchesOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(PackShards)).as("shard"),
+        nTok.cast("long").as("n_tokens")))
   }
 
   /** Per-source sampling rates out of 256 — the "data mixing" weights a

@@ -161,6 +161,33 @@ class HighVolumeSpec extends AnyFunSuite {
     }
   }
 
+  test("length batching at volume: 5M docs across 320 streams, closed-form " +
+       "token conservation, sorted pad beats naive") {
+    // The 100 TB lever is the shard count: 5 langs x 64 shards = 320
+    // independent window partitions (the registered query uses 16).
+    // Token counts follow id^2 mod 997 so lengths vary within streams.
+    val docs = spark.range(5000000).select(
+      col("id").as("doc_id"),
+      concat(lit("l"), pmod(col("id"), lit(5))).as("lang"),
+      pmod(col("id"), lit(64)).as("shard"),
+      ((col("id") * col("id")) % 997L).as("n_tokens"))
+    val out = graft.queries.PipelineOps.lengthBatchesOf(docs)
+    val agg = out.agg(
+      sum(col("n_docs")), sum(col("sum_tokens")),
+      sum(col("pad_tokens")), sum(col("pad_naive_tokens")),
+      count(lit(1))).head
+    assert(agg.getLong(0) == 5000000L, "docs conserved")
+    val expectedTokens = (0L until 5000000L).iterator
+      .map(i => (i * i) % 997L).sum
+    assert(agg.getLong(1) == expectedTokens, "tokens conserved")
+    assert(agg.getLong(2) < agg.getLong(3),
+      s"sorted pad ${agg.getLong(2)} must beat naive ${agg.getLong(3)}")
+    // 5M docs / 8 per batch spread over 320 streams: every stream has
+    // ceil(docs/8) batches; totals must tile exactly.
+    assert(agg.getLong(4) == out.groupBy("lang", "shard")
+      .count().agg(sum(col("count"))).head.getLong(0))
+  }
+
   test("KLL quantile sketches at volume: 10M values across 32 shard " +
        "sketches, merged estimates hold the rank bound") {
     import graft.functions.KllSketch._
