@@ -381,7 +381,10 @@ object TextOps {
     * breaks hash equality; the `clean` boolean additionally pins that no
     * markup survives extraction.
     */
-  private val htmlStrip: Q = (s, d) => {
+  /** The wrap→extract body over any (doc_id, lang, text) frame — public
+    * and schema-stable so [[graft.streaming.DocStreaming.htmlStripStream]]
+    * runs the IDENTICAL per-row plan on an unbounded stream. */
+  def htmlStripOf(docs: DataFrame): DataFrame = {
     val wrapped = concat(
       lit("<html><head><title>doc "), col("doc_id").cast("string"),
       lit("</title><style type=\"text/css\">p { color: #333; }</style>"),
@@ -394,7 +397,7 @@ object TextOps {
       lit(" &quot;q&#39;s&quot; 1 &lt; 2 &amp; 3 &gt; 2</p>"),
       lit("<script>var x = 1 < 2;</script></body></html>"))
     val extracted = stripHtml(wrapped)
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       regexp_count(wrapped, lit(TagRe)).cast("long").as("n_tags"),
       length(extracted).cast("long").as("extract_len"),
@@ -405,6 +408,8 @@ object TextOps {
       (!extracted.contains("</") && !extracted.contains("var x") &&
         !extracted.contains("color:")).as("clean"))
   }
+
+  private val htmlStrip: Q = (s, d) => htmlStripOf(Tables.documents(s, d))
 
   /** Exact dedup by content hash: keep min doc_id per group (hash-groupBy;
     * map-side partial aggregation, one shuffle on the hash).

@@ -64,6 +64,17 @@ object DocStreaming {
   def cdcChunkStream(stream: DataFrame): DataFrame =
     graft.queries.TextOps.cdcChunkSpansOf(stream)
 
+  /** Streaming HTML extraction — strip markup from documents AS THEY
+    * LAND (the very first hop of a web-scrape ingest). Reuses
+    * TextOps.htmlStripOf verbatim: the whole operator is per-row
+    * regexp/replace codegen, so the streaming plan is the batch plan run
+    * per micro-batch — stateless, no watermark, no state store (asserted
+    * in DocStreamingSpec). Raw markup never shuffles; only the extracted
+    * feature row flows downstream.
+    */
+  def htmlStripStream(stream: DataFrame): DataFrame =
+    graft.queries.TextOps.htmlStripOf(stream)
+
   /** Streaming winnowing — fingerprint-select documents AS THEY LAND
     * (the index-build side of a continuously ingested near-dup screen).
     * Reuses TextOps.winnowOf verbatim: the whole operator is per-row HOF

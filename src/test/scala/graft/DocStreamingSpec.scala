@@ -139,6 +139,25 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HTML strip == batch tx_html_strip, stateless per-row plan") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_html_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = EventStreaming.runToMemory(DocStreaming.htmlStripStream(stream),
+      "html_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "html strip stream must not be stateful")
+      val streamed = spark.table("html_out")
+      val batch = SparkEntry.queries("tx_html_strip")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch html strip mismatch")
+    } finally q.stop()
+  }
+
   test("streaming CDC chunking == batch tx_cdc_chunk, stateless explode plan") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
