@@ -775,7 +775,81 @@ object PipelineOps {
         (col("max_bench_cosine") >= lit(EmbedContamTau)).as("contaminated"))
   }
 
+  /** Token-length histogram geometry for the drift monitor: fixed-width
+    * bins, top bin open-ended. Fixed and shared with the oracle so the
+    * binning definition exists exactly once per engine. */
+  val DriftBinWidth = 16
+  val DriftNBins = 8
+
+  /** Delivery drift monitor — Population Stability Index (the standard
+    * production drift score) plus exact total-variation distance between
+    * the ARRIVING delivery's token-length distribution and the
+    * accumulated corpus, per lang slice. This is the observability pass
+    * a 100 TB ingest runs on every delivery: "did the new crawl's shape
+    * move?" — a PSI spike on one lang is the canonical early warning for
+    * a scraper regression or a source mix shift. The delivery convention
+    * is [[DedupOps.IncomingSource]], shared with d7/d14's ingest ops.
+    *
+    * Distributions are Laplace-smoothed (+1 per bin over n+[[DriftNBins]])
+    * so empty bins are well-defined on both engines; every PSI term
+    * `(p_cur - p_ref) * ln(p_cur / p_ref)` is ≥ 0 by construction (the
+    * factors share a sign), so `psi_micro ≥ 0` is an invariant the spec
+    * pins. Cross-engine float discipline: both probabilities derive from
+    * identical integers by one division each, the per-bin terms fold in
+    * FIXED bin order (float + is not associative — the bm25 discipline),
+    * and the comparable outputs are MICRO-ROUNDED integers; `ln` is the
+    * only transcendental (libm may differ by 1 ulp, sub-micro). The TVD
+    * companion needs no `ln` at all.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over (lang, phase,
+    * bin) collapses the corpus to |langs|×2×[[DriftNBins]] rows —
+    * everything downstream is metadata-sized. The corpus is scanned
+    * once, projected to two columns, and never shuffled (the aggregate
+    * ships partial counts only); the monitor costs a scan, full stop.
+    */
+  def driftPsiOf(docs: DataFrame): DataFrame = {
+    val nTok = when(trim(col("text")) === "", lit(0))
+      .otherwise(size(toks(col("text"))))
+    val binned = docs.select(col("lang"),
+      when(col("source") === DedupOps.IncomingSource, lit("cur"))
+        .otherwise(lit("ref")).as("phase"),
+      least(floor(nTok.cast("double") / lit(DriftBinWidth.toDouble)),
+        lit((DriftNBins - 1).toDouble)).cast("long").as("bin"))
+    val counts = binned.groupBy("lang", "phase", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val axis = binned.select("lang").distinct()
+      .select(col("lang"),
+        explode(sequence(lit(0L), lit((DriftNBins - 1).toLong))).as("bin"))
+    val cells = axis
+      .join(counts.where(col("phase") === "ref")
+        .select(col("lang"), col("bin"), col("cnt").as("ref_cnt")),
+        Seq("lang", "bin"), "left")
+      .join(counts.where(col("phase") === "cur")
+        .select(col("lang"), col("bin"), col("cnt").as("cur_cnt")),
+        Seq("lang", "bin"), "left")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+    val tot = cells.groupBy("lang")
+      .agg(sum("ref_cnt").as("ref_n"), sum("cur_cnt").as("cur_n"))
+    val pr = (col("ref_cnt") + lit(1L)).cast("double") /
+      (col("ref_n") + lit(DriftNBins.toLong)).cast("double")
+    val pc = (col("cur_cnt") + lit(1L)).cast("double") /
+      (col("cur_n") + lit(DriftNBins.toLong)).cast("double")
+    val terms = cells.join(tot, Seq("lang"))
+      .withColumn("psi_t", (pc - pr) * log(pc / pr))
+      .withColumn("tvd_t", abs(pc - pr))
+    def fold(c: String): Column = (0 until DriftNBins).map(i =>
+      coalesce(max(when(col("bin") === i, col(c))), lit(0.0d)))
+      .reduceLeft(_ + _)
+    terms.groupBy("lang").agg(
+      max(col("ref_n")).as("ref_n"), max(col("cur_n")).as("cur_n"),
+      round(fold("psi_t") * lit(1e6)).cast("long").as("psi_micro"),
+      round(fold("tvd_t") * lit(0.5) * lit(1e6)).cast("long").as("tvd_micro"))
+  }
+
+  private val driftPsi: Q = (s, d) => driftPsiOf(Tables.documentsSpread(s, d))
+
   val queries: Map[String, Q] = Map(
+    "pipe_drift_psi" -> driftPsi,
     "pipe_split_leakage" -> splitLeakage,
     "pipe_embed_contamination" -> embedContamination,
     "pipe_data_checks" -> dataChecks,
@@ -828,6 +902,45 @@ object PipelineOps {
        |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Mirrors driftPsiOf stage-for-stage: same binning, same Laplace
+    // smoothing, same FIXED bin-order fold, micro-rounded outputs.
+    "pipe_drift_psi" -> {
+      val B = DriftNBins
+      def foldSql(c: String) = (0 until B).map(i =>
+        s"coalesce(max(CASE WHEN bin = $i THEN $c END), 0.0)")
+        .mkString("\n    + ")
+      s"""WITH t AS (SELECT lang,
+         |    CASE WHEN source = '${DedupOps.IncomingSource}' THEN 'cur' ELSE 'ref' END AS phase,
+         |    CAST(LEAST(floor((CASE WHEN trim(text) = '' THEN 0
+         |        ELSE CAST(len($toksSql) AS INT) END) / ${DriftBinWidth}.0),
+         |      ${B - 1}.0) AS BIGINT) AS bin
+         |  FROM documents),
+         |c AS (SELECT lang, phase, bin, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY 1, 2, 3),
+         |axis AS (SELECT l.lang, CAST(gs.b AS BIGINT) AS bin
+         |  FROM (SELECT DISTINCT lang FROM t) l
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${B - 1})) AS b) gs),
+         |cells AS (SELECT axis.lang, axis.bin,
+         |    CAST(coalesce(r.cnt, 0) AS BIGINT) AS ref_cnt,
+         |    CAST(coalesce(u.cnt, 0) AS BIGINT) AS cur_cnt
+         |  FROM axis
+         |  LEFT JOIN (SELECT lang, bin, cnt FROM c WHERE phase = 'ref') r USING (lang, bin)
+         |  LEFT JOIN (SELECT lang, bin, cnt FROM c WHERE phase = 'cur') u USING (lang, bin)),
+         |tot AS (SELECT lang, CAST(sum(ref_cnt) AS BIGINT) AS ref_n,
+         |    CAST(sum(cur_cnt) AS BIGINT) AS cur_n FROM cells GROUP BY 1),
+         |terms AS (SELECT cells.lang, cells.bin, tot.ref_n, tot.cur_n,
+         |    (CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_n + $B AS DOUBLE)
+         |     - CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_n + $B AS DOUBLE))
+         |    * ln((CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_n + $B AS DOUBLE))
+         |        / (CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_n + $B AS DOUBLE))) AS psi_t,
+         |    abs(CAST(cur_cnt + 1 AS DOUBLE) / CAST(cur_n + $B AS DOUBLE)
+         |        - CAST(ref_cnt + 1 AS DOUBLE) / CAST(ref_n + $B AS DOUBLE)) AS tvd_t
+         |  FROM cells JOIN tot USING (lang))
+         |SELECT lang, max(ref_n) AS ref_n, max(cur_n) AS cur_n,
+         |  CAST(round((${foldSql("psi_t")}) * 1e6) AS BIGINT) AS psi_micro,
+         |  CAST(round((${foldSql("tvd_t")}) * 0.5 * 1e6) AS BIGINT) AS tvd_micro
+         |FROM terms GROUP BY lang""".stripMargin
+    },
     // Composes the d2 pair oracle and the tx_split assignment verbatim.
     "pipe_split_leakage" ->
       s"""WITH pairs AS (${DedupOps.oracle("d2_minhash_lsh")}),

@@ -107,6 +107,97 @@ object SimilarityOps {
         col("rank")))
   }
 
+  /** k-NN depth for the margin-mining penalties, the mined pairs kept
+    * per query, and the acceptance threshold in micro units (ratio
+    * margin > 1 ⇔ "closer than your average near neighbor"; production
+    * miners run ~1.06 on LASER spaces — here calibrated to this corpus's
+    * margin spread, 1.27–1.76 across SFs, so the flag genuinely splits
+    * the mined pairs — the EmbedContamTau discipline). Shared with the
+    * oracle. */
+  val MarginK = 4
+  val MarginTopK = 3
+  val MarginAcceptMicro = 1400000L
+
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 — the LASER /
+    * CCMatrix bitext-mining score). Raw cosine is miscalibrated across
+    * embedding-space neighborhoods: hub vectors score high against
+    * everything, sparse regions against nothing, so a global cosine
+    * threshold over- and under-mines at once. The fix is to score each
+    * candidate pair (x, y) RELATIVE to its endpoints' neighborhoods:
+    * margin = cos(x, y) / ((penx + peny) / 2), where penx / peny are the
+    * mean cosines of x's / y's [[MarginK]] nearest neighbors on the
+    * OPPOSITE side. This is the standard aligned-pair miner for
+    * parallel-corpus construction (and the general cross-set matcher for
+    * any "find my translation/caption/duplicate on the other side"
+    * pass); pairs are accepted at margin ≥ [[MarginAcceptMicro]].
+    *
+    * Scale shape: the query side is bounded (a batch), so its vectors
+    * ride into every task as an 8-element LITERAL array — each corpus
+    * row computes all its query cosines AND its own peny penalty
+    * locally, with zero shuffle. penx is the batch-top-k shape (per-query
+    * WindowGroupLimit: ≤ k rows per query leave any task) folded to
+    * |batch| rows and broadcast back. Net cost: two corpus scans (one
+    * per branch of the penalty join) and a k·|batch|-row exchange —
+    * the 8×N scored frame is never materialized or shuffled.
+    *
+    * Float discipline: every cosine is the shared ordered fold
+    * ([[cosineCol]]); both penalty means fold their k terms in FIXED
+    * ascending (cosine, id) order after an explicit sort (a plain
+    * float sum() would vary with arrival order); the comparable outputs
+    * are micro-rounded integers and the final rank orders by the ROUNDED
+    * margin (bm25 discipline — a sub-micro ulp can never flip a rank).
+    * Tie-break fine print the oracle mirrors exactly: peny's top-k is
+    * selected as the largest k under ascending (cosine, qid) — i.e.
+    * cosine DESC with qid DESC on ties — while penx selects cosine DESC
+    * with vec_id ASC on ties (the batchScoredTopK convention).
+    */
+  private val marginMining: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v"))
+    val corpus = e.where(col("vec_id") >= BatchQueries)
+    // Bounded-metadata collect: the query batch itself (8 × dim doubles),
+    // the same budget class as the broadcast it would otherwise feed.
+    val qRows = e.where(col("vec_id") < BatchQueries)
+      .orderBy("vec_id").collect()
+    val qArr = array(qRows.map { r =>
+      struct(lit(r.getLong(0)).as("qid"),
+        typedLit(r.getSeq[Double](1)).as("qv"))
+    }: _*)
+    val withCos = corpus.withColumn("qc",
+      transform(qArr, q => struct(
+        cosineCol(col("v"), q.getField("qv")).as("c"),
+        q.getField("qid").as("qid"))))
+    val topAsc = slice(sort_array(col("qc")), -MarginK, MarginK)
+    val penyCol = aggregate(topAsc, lit(0.0d),
+      (a, x) => a + x.getField("c")) / lit(MarginK.toDouble)
+    val pairs = withCos.withColumn("peny", penyCol)
+      .select(col("vec_id"), col("peny"), explode(col("qc")).as("p"))
+      .select(col("vec_id"), col("peny"),
+        col("p.qid").as("query_id"), col("p.c").as("cosine"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val penx = pairs.withColumn("r", row_number().over(wq))
+      .where(col("r") <= MarginK)
+      .groupBy("query_id")
+      .agg((aggregate(
+        sort_array(collect_list(struct(col("cosine"), col("vec_id")))),
+        lit(0.0d), (a, x) => a + x.getField("cosine"))
+        / lit(MarginK.toDouble)).as("penx"))
+    val wm = Window.partitionBy("query_id")
+      .orderBy(col("margin_micro").desc, col("vec_id"))
+    pairs.join(broadcast(penx), Seq("query_id"))
+      .withColumn("margin_micro",
+        round(col("cosine") / ((col("penx") + col("peny")) * lit(0.5d))
+          * lit(1e6)).cast("long"))
+      .withColumn("cos_micro", round(col("cosine") * lit(1e6)).cast("long"))
+      .withColumn("rank", row_number().over(wm))
+      .where(col("rank") <= MarginTopK)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("cos_micro"),
+        col("margin_micro"),
+        (col("margin_micro") >= lit(MarginAcceptMicro)).as("accepted"))
+  }
+
   /** ORDER-FREE mean of a double column, the oracle-reproducibility
     * contract for every centroid in this file: per-row values quantize to
     * integers at 1e-7 (exact at float32 precision), the integer sum is
@@ -712,6 +803,7 @@ object SimilarityOps {
     "ann_recall_eval" -> recallEval,
     "ann_filtered_topk" -> filteredTopK,
     "ann_dim_truncation_eval" -> dimTruncationEval,
+    "ann_margin_mining" -> marginMining,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -1005,6 +1097,43 @@ object SimilarityOps {
         |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(qv, x -> x * x)), (a, x) -> a + x) AS BIGINT) AS q_sq_sum,
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
         |FROM q""".stripMargin,
+    // Mirrors marginMining's tie-break fine print: penx selects
+    // (cosine DESC, vec_id ASC), peny selects (cosine DESC, qid DESC) —
+    // the largest k under ascending (cosine, qid) — and BOTH penalty
+    // means fold in ascending (cosine, id) order. list_reduce seeds with
+    // the first element where Spark's aggregate seeds 0.0; 0.0 + c == c
+    // exactly, so the folds agree bit-for-bit.
+    "ann_margin_mining" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $BatchQueries),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $BatchQueries),
+         |p AS (SELECT c.vec_id, q.query_id, ${cosineSql("c.v", "q.qv")} AS cosine
+         |  FROM c CROSS JOIN q),
+         |kx AS (SELECT query_id, cosine, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS r FROM p),
+         |penx AS (SELECT query_id,
+         |    list_reduce(list(cosine ORDER BY cosine, vec_id),
+         |      (a, b) -> a + b) / $MarginK.0 AS penx
+         |  FROM kx WHERE r <= $MarginK GROUP BY query_id),
+         |ky AS (SELECT vec_id, cosine, query_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, query_id DESC) AS r FROM p),
+         |peny AS (SELECT vec_id,
+         |    list_reduce(list(cosine ORDER BY cosine, query_id),
+         |      (a, b) -> a + b) / $MarginK.0 AS peny
+         |  FROM ky WHERE r <= $MarginK GROUP BY vec_id),
+         |m AS (SELECT p.query_id, p.vec_id,
+         |    CAST(round(p.cosine * 1e6) AS BIGINT) AS cos_micro,
+         |    CAST(round(p.cosine / ((penx.penx + peny.peny) * 0.5) * 1e6)
+         |      AS BIGINT) AS margin_micro
+         |  FROM p JOIN penx USING (query_id) JOIN peny USING (vec_id))
+         |SELECT query_id, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY margin_micro DESC, vec_id) AS INT) AS rank,
+         |  cos_micro, margin_micro,
+         |  (margin_micro >= $MarginAcceptMicro) AS accepted
+         |FROM m QUALIFY rank <= $MarginTopK""".stripMargin,
   )
 
   /** Empty since the centroid mean became integer-exact (order-free sums,

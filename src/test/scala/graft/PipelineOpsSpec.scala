@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.PipelineOps
+import graft.queries.{DedupOps, PipelineOps}
 
 /** Value-level coverage for the pipeline operators (contamination,
   * repetition, packing). The DuckDB oracle proves cross-engine equality;
@@ -504,5 +504,81 @@ class PipelineOpsSpec extends AnyFunSuite {
     // lengths can tie or beat it — but across many streams the sorted
     // total must come out ahead on any length-varied corpus).
     assert(rows.map(_._7).sum < rows.map(_._8).sum)
+  }
+
+  test("drift psi: invariants + conservation on sf0.001") {
+    val rows = q("pipe_drift_psi").collect()
+    val langs = Tables.documents(spark, SparkTestBase.sf)
+      .select("lang").distinct().count()
+    assert(rows.length == langs, "one row per lang slice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("psi_micro") >= 0L,
+        "every PSI term has matching factor signs, so PSI >= 0")
+      val tvd = r.getAs[Long]("tvd_micro")
+      assert(tvd >= 0L && tvd <= 1000000L, "TVD is a probability distance")
+    }
+    val byLang = Tables.documents(spark, SparkTestBase.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ref_n") + r.getAs[Long]("cur_n")
+        == byLang(r.getAs[String]("lang")), "phase split tiles the slice")
+    }
+  }
+
+  test("drift psi: identical distributions score zero, a displaced one spikes") {
+    import spark.implicits._
+    def doc(id: Long, nTok: Int, lang: String, src: String) =
+      (id, Seq.fill(nTok)("w").mkString(" "), lang, src)
+    val same = // ref and cur identical in count AND shape -> p_ref == p_cur
+      (0L to 3L).map(i => doc(i, 20, "sm", "srcA")) ++
+        (4L to 7L).map(i => doc(i, 40, "sm", "srcA")) ++
+        (8L to 11L).map(i => doc(i, 20, "sm", DedupOps.IncomingSource)) ++
+        (12L to 15L).map(i => doc(i, 40, "sm", DedupOps.IncomingSource))
+    val moved = // cur mass entirely displaced to the top bin
+      (16L to 23L).map(i => doc(i, 20, "mv", "srcA")) ++
+        (24L to 31L).map(i => doc(i, 120, "mv", DedupOps.IncomingSource))
+    val d = (same ++ moved).toDF("doc_id", "text", "lang", "source")
+    val out = PipelineOps.driftPsiOf(d).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("psi_micro"), r.getAs[Long]("tvd_micro"))).toMap
+    assert(out("sm") == (0L, 0L),
+      "equal smoothed distributions must score exactly zero")
+    assert(out("mv")._1 > 1000000L, s"displaced slice PSI=${out("mv")._1}")
+    assert(out("mv")._2 > out("sm")._2)
+  }
+
+  test("drift psi: micro values equal a local fixed-order model bit-exactly") {
+    import graft.queries.PipelineOps.{DriftBinWidth, DriftNBins}
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .select("lang", "source", "text").collect()
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String, Int), Long].withDefaultValue(0L)
+    docs.foreach { r =>
+      val t = r.getAs[String]("text").trim
+      val n = if (t.isEmpty) 0 else t.split("[ \\t\\n\\x0B\\f\\r]+").length
+      val bin = math.min(n / DriftBinWidth, DriftNBins - 1)
+      val ph = if (r.getAs[String]("source") == DedupOps.IncomingSource) "cur"
+        else "ref"
+      counts((r.getAs[String]("lang"), ph, bin)) += 1L
+    }
+    val langs = docs.map(_.getAs[String]("lang")).distinct
+    val model = langs.map { l =>
+      val refN = (0 until DriftNBins).map(b => counts((l, "ref", b))).sum
+      val curN = (0 until DriftNBins).map(b => counts((l, "cur", b))).sum
+      var psi = 0.0d; var tvd = 0.0d
+      (0 until DriftNBins).foreach { b => // FIXED bin order, like the query
+        val pr = (counts((l, "ref", b)) + 1L).toDouble / (refN + DriftNBins).toDouble
+        val pc = (counts((l, "cur", b)) + 1L).toDouble / (curN + DriftNBins).toDouble
+        psi += (pc - pr) * math.log(pc / pr)
+        tvd += math.abs(pc - pr)
+      }
+      l -> (math.round(psi * 1e6), math.round(tvd * 0.5 * 1e6))
+    }.toMap
+    q("pipe_drift_psi").collect().foreach { r =>
+      assert(model(r.getAs[String]("lang")) ==
+        (r.getAs[Long]("psi_micro"), r.getAs[Long]("tvd_micro")),
+        s"lang ${r.getAs[String]("lang")} diverges from the local model")
+    }
   }
 }

@@ -164,4 +164,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(ap.nonEmpty)
   }
+
+  test("margin mining: shape, flag contract, and bit-exact local model") {
+    import graft.queries.SimilarityOps._
+    val rows = SparkEntry.queries("ann_margin_mining")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == BatchQueries * MarginTopK)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to MarginTopK), s"query $q ranks")
+    }
+    rows.foreach { case (_, _, _, _, m, acc) =>
+      assert(acc == (m >= MarginAcceptMicro), "accepted flag contract")
+    }
+    assert(rows.exists(_._6) && rows.exists(!_._6),
+      "the corpus-calibrated threshold must split the mined pairs")
+
+    // Local model with the query's exact fold orders — bit-exact.
+    val emb = Tables.embeddings(spark, SparkTestBase.sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0d)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.indices.foldLeft(0.0d)((s, i) => s + a(i) * a(i)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0d)((s, i) => s + b(i) * b(i)))
+      dot / (na * nb)
+    }
+    val qs = emb.filter(_._1 < BatchQueries)
+    val cp = emb.filter(_._1 >= BatchQueries)
+    val c = cp.map { case (y, v) =>
+      (y, qs.map { case (q, qv) => (q, cos(v, qv)) }) }.toMap
+    // peny: largest k under ascending (cos, qid); fold ascending.
+    val peny = c.map { case (y, qc) =>
+      y -> qc.map { case (q, cv) => (cv, q) }.sorted.takeRight(MarginK)
+        .foldLeft(0.0d)(_ + _._1) / MarginK.toDouble }
+    // penx: top-k by (cos DESC, vec_id ASC); fold ascending (cos, id).
+    val penx = qs.map { case (q, _) =>
+      q -> cp.map { case (y, _) => (c(y).find(_._1 == q).get._2, y) }
+        .sortBy { case (cv, y) => (-cv, y) }.take(MarginK)
+        .sorted.foldLeft(0.0d)(_ + _._1) / MarginK.toDouble }.toMap
+    val model = qs.flatMap { case (q, _) =>
+      cp.map { case (y, _) =>
+        val cv = c(y).find(_._1 == q).get._2
+        (q, y, math.round(cv * 1e6),
+          math.round(cv / ((penx(q) + peny(y)) * 0.5d) * 1e6))
+      }.sortBy { case (_, y, _, m) => (-m, y) }.take(MarginTopK)
+        .zipWithIndex.map { case ((qq, y, cm, m), i) =>
+          (qq, y, i + 1, cm, m, m >= MarginAcceptMicro) }
+    }.toSet
+    assert(rows.toSet == model, "query diverges from the local margin model")
+  }
 }
