@@ -992,7 +992,50 @@ object DedupOps {
         (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
+  /** d16: cross-VIDEO keyframe near-dup — the dedup × video cell (d13's
+    * image discipline lifted to frame granularity): every document's
+    * synthesized video goes through the REAL animated-GIF sequence
+    * round trip ([[MultimodalOps.KeyframeCodec]]), each decoded frame
+    * raster reduces to a 56-bit dHash, and frame pairs from DIFFERENT
+    * videos at Hamming ≤ 3 come out of the same lossless 4 × 14-bit
+    * pigeonhole banding — the "same clip re-uploaded / shared footage"
+    * detector a video corpus dedups on. Scale shape identical to d13:
+    * video bytes never shuffle (one zero-shuffle codec pass near the
+    * data), only (doc_id, frame_idx, hash) rows enter the band explode
+    * and equality join; frames-per-video multiplies the tiny hash table,
+    * not the corpus scan.
+    */
+  private val keyframeNearDup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = Tables.documentsSpread(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(MultimodalOps.KeyframeCodec.frameHashes))
+      .toDF().cutLineage
+    val bands: Seq[Column] = (0 until 4).map { j =>
+      struct(lit(j).as("chunk_idx"),
+        shiftright(col("phash"), j * 14).bitwiseAND(0x3FFFL).as("chunk"))
+    }
+    val chunked = hashes.select(col("doc_id"), col("frame_idx"), col("phash"),
+      explode(array(bands: _*)).as("c"))
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        col("c.chunk_idx"), col("c.chunk"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
+      col("phash").as("ph_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("frame_idx").as("frame_b"),
+      col("phash").as("ph_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "frame_a", "doc_b", "frame_b")
+      .withColumn("hamming", bit_count(expr("ph_a ^ ph_b")))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"),
+        col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d16_keyframe_neardup" -> keyframeNearDup,
     "d11_chunk_dedup" -> chunkDedup,
     "d12_embedding_lsh" -> embeddingLsh,
     "d13_phash_neardup" -> phashNearDup,
@@ -1221,6 +1264,39 @@ object DedupOps {
     "d2_minhash_lsh" -> d2OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d13_phash_neardup" -> d13OracleSql,
+    // d13's closed form with a frame axis: group-keyed frame count
+    // (2 + g%3), the f·13 term in the base texture, per-(doc, frame)
+    // dHash at the same floor-division sample coordinates; banding is
+    // lossless for hamming ≤ 3, so the oracle is all cross-video frame
+    // pairs at hamming ≤ 3 over the same hashes.
+    "d16_keyframe_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |dim AS (SELECT doc_id, g, v,
+        |    CAST(16 + g % 17 AS BIGINT) AS w, CAST(16 + g % 13 AS BIGINT) AS h,
+        |    CAST(2 + g % 3 AS BIGINT) AS nf
+        |  FROM d),
+        |fr AS (SELECT dim.*, fz.f FROM dim, range(0, 4) fz(f) WHERE fz.f < nf),
+        |sv AS (SELECT doc_id, f, cx.i AS cx, cy.j AS cy,
+        |    ((cx.i * w // 8) * 5 + (cy.j * h // 8) * 11 + g * 7 + f * 13
+        |     + (cx.i * w // 8) * (cy.j * h // 8) * (3 + g % 7)) % 120
+        |    + (CASE WHEN v > 0 AND cx.i * w // 8 = 2 * v * w // 8
+        |              AND cy.j * h // 8 = 3 * h // 8
+        |       THEN 100 ELSE 0 END) AS s
+        |  FROM fr, range(0, 8) cx(i), range(0, 8) cy(j)),
+        |hb AS (SELECT a.doc_id, a.f,
+        |    CAST(sum(CASE WHEN b.s > a.s
+        |      THEN 1::BIGINT << CAST(a.cy * 7 + a.cx AS INT) ELSE 0 END)
+        |      AS BIGINT) AS phash
+        |  FROM sv a JOIN sv b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f
+        |      AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 7
+        |  GROUP BY a.doc_id, a.f)
+        |SELECT a.doc_id AS doc_a, CAST(a.f AS INT) AS frame_a,
+        |  b.doc_id AS doc_b, CAST(b.f AS INT) AS frame_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "d14_incremental_minhash" -> d14OracleSql,
     // d10's keeper election over the d13 pair closure: keeper = largest
     // image area (closed-form dims), ties to min doc_id — the same

@@ -717,6 +717,13 @@ object MultimodalOps {
     def encodeScenes(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
       encodeWith(docId, w, h, nFrames, scenePixel)
 
+    /** Sequence-encode an arbitrary per-frame pattern (same lossless
+      * indexed-palette, non-progressive pipeline) — [[KeyframeCodec]]'s
+      * entry into the real GIF writer. */
+    def encodePattern(docId: Long, w: Int, h: Int, nFrames: Int,
+        px: (Long, Int, Int, Int) => Int): Array[Byte] =
+      encodeWith(docId, w, h, nFrames, px)
+
     private def encodeWith(docId: Long, w: Int, h: Int, nFrames: Int,
         px: (Long, Int, Int, Int) => Int): Array[Byte] = {
       init
@@ -808,6 +815,79 @@ object MultimodalOps {
       reader.dispose()
       iis.close()
       out
+    }
+  }
+
+  /** One decoded video keyframe's perceptual hash (the
+    * d16_keyframe_neardup row source). */
+  final case class FramePhash(doc_id: Long, frame_idx: Int, phash: Long)
+
+  /** Keyframe perceptual-hash codec for `d16_keyframe_neardup` — the
+    * dedup × VIDEO cell, composing the two proven codec disciplines:
+    * [[PhashCodec]]'s grouped pattern (four variants per group; variant
+    * v > 0 brightens exactly ONE source pixel per frame, so within-group
+    * same-frame hashes differ in ≤ 2 bits) now carries a FRAME term
+    * (f·13 in the base texture — different frames of the same scene
+    * family differ broadly), and the frames travel through the REAL
+    * animated-GIF sequence writer/reader ([[GifCodec]]'s lossless
+    * indexed-palette, non-progressive pipeline) before each decoded
+    * raster is reduced to the same 56-bit dHash. Group-keyed geometry
+    * (dims and frame count) makes frame f of videos (g, v) and (g, v')
+    * planted near-dups — the "same clip re-uploaded" shape a video
+    * corpus dedups on.
+    */
+  object KeyframeCodec extends Serializable {
+    val Grid = PhashCodec.Grid
+    def groupOf(docId: Long): Long = PhashCodec.groupOf(docId)
+    def variantOf(docId: Long): Int = PhashCodec.variantOf(docId)
+    def widthOf(g: Long): Int = PhashCodec.widthOf(g)
+    def heightOf(g: Long): Int = PhashCodec.heightOf(g)
+    def framesOf(g: Long): Int = 2 + (g % 3).toInt
+
+    /** [[PhashCodec.pixel]]'s mixing texture + the f·13 frame term; max
+      * 119 + 100 ≤ 219 distinct grays — inside the identity palette's
+      * lossless range. */
+    def pixel(docId: Long, f: Int, x: Int, y: Int): Int = {
+      val g = groupOf(docId)
+      val v = variantOf(docId)
+      val w = widthOf(g)
+      val h = heightOf(g)
+      val base = ((x * 5L + y * 11L + g * 7L + f * 13L
+        + x.toLong * y * (3 + g % 7)) % 120L).toInt
+      if (v > 0 && x == 2 * v * w / Grid && y == 3 * h / Grid) base + 100
+      else base
+    }
+
+    def encode(docId: Long): Array[Byte] = {
+      val g = groupOf(docId)
+      GifCodec.encodePattern(docId, widthOf(g), heightOf(g), framesOf(g), pixel)
+    }
+
+    /** [[PhashCodec.dhash56]] over a flat row-major gray raster (the
+      * [[GifCodec.decodeRasters]] output shape). */
+    def dhash56(px: Array[Int], w: Int, h: Int): Long = {
+      val s = Array.tabulate(Grid, Grid)((cy, cx) =>
+        px((cy * h / Grid) * w + cx * w / Grid))
+      var hash = 0L
+      var cy = 0
+      while (cy < Grid) {
+        var cx = 0
+        while (cx < Grid - 1) {
+          if (s(cy)(cx + 1) > s(cy)(cx)) hash |= 1L << (cy * 7 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      hash
+    }
+
+    /** Synthesize → real GIF sequence encode → real decode → per-frame
+      * dHash. */
+    def frameHashes(docId: Long): Iterator[FramePhash] = {
+      val g = groupOf(docId)
+      val (w, h) = (widthOf(g), heightOf(g))
+      GifCodec.decodeRasters(docId, encode(docId)).iterator.zipWithIndex
+        .map { case (px, f) => FramePhash(docId, f, dhash56(px, w, h)) }
     }
   }
 

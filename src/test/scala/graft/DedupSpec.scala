@@ -304,6 +304,53 @@ class DedupSpec extends AnyFunSuite {
       "d13 must generate candidates from band equality, not all pairs")
   }
 
+  test("d16 keyframe near-dup: codec-path result equals the closed-form " +
+       "brute force; planted cross-video frames found; plan never all-pairs") {
+    import graft.queries.MultimodalOps.KeyframeCodec
+    val sf = SparkTestBase.sf
+    // INDEPENDENT local model: per-frame dHash straight from the pattern
+    // math — the engine derives the same bits from a REAL animated-GIF
+    // sequence encode→decode, so set equality proves the multi-frame
+    // round trip (frame count, order, palette) AND the banding.
+    def localHash(id: Long, f: Int): Long = {
+      val g = KeyframeCodec.groupOf(id)
+      val (w, h) = (KeyframeCodec.widthOf(g), KeyframeCodec.heightOf(g))
+      val s = Array.tabulate(8, 8)((cy, cx) =>
+        KeyframeCodec.pixel(id, f, cx * w / 8, cy * h / 8))
+      var hash = 0L
+      for (cy <- 0 until 8; cx <- 0 until 7)
+        if (s(cy)(cx + 1) > s(cy)(cx)) hash |= 1L << (cy * 7 + cx)
+      hash
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    val hs = (for {
+      id <- ids
+      f <- 0 until KeyframeCodec.framesOf(KeyframeCodec.groupOf(id))
+    } yield (id, f) -> localHash(id, f)).toMap
+    val keys = hs.keys.toArray
+    val expected = (for {
+      a <- keys; b <- keys if a._1 < b._1
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 3
+    } yield (a._1, a._2, b._1, b._2, hd)).toSet
+    val df = DedupOps.queries("d16_keyframe_neardup")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // Planted cross-video dups: for every full group, frame f of the
+    // base video and of each variant differ in ≤ 2 bits and must pair.
+    val fullGroups = ids.groupBy(_ / 4).filter(_._2.length == 4).keys
+    assert(fullGroups.nonEmpty)
+    for (g <- fullGroups; v <- 1 to 3; f <- 0 until KeyframeCodec.framesOf(g)) {
+      val (a, b) = (g * 4, g * 4 + v)
+      assert(got.exists(p => p._1 == a && p._2 == f && p._3 == b && p._4 == f),
+        s"planted frame pair (($a, $f), ($b, $f)) missing")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "d16 must generate candidates from band equality, not all pairs")
+  }
+
   test("d14 incremental minhash: equals d2 restricted to batch-endpoint " +
        "pairs; corpus index consumed in its bucket layout, no corpus-side " +
        "exchange") {
