@@ -807,25 +807,41 @@ object PipelineOps {
     * once, projected to two columns, and never shuffled (the aggregate
     * ships partial counts only); the monitor costs a scan, full stop.
     */
+  /** The shared binning expression — ONE definition for the batch
+    * monitor and the streaming ingest twin, so the histogram the stream
+    * maintains can never drift from the batch definition. */
+  def driftBin(text: Column): Column = {
+    val nTok = when(trim(text) === "", lit(0)).otherwise(size(toks(text)))
+    least(floor(nTok.cast("double") / lit(DriftBinWidth.toDouble)),
+      lit((DriftNBins - 1).toDouble)).cast("long")
+  }
+
   def driftPsiOf(docs: DataFrame): DataFrame = {
-    val nTok = when(trim(col("text")) === "", lit(0))
-      .otherwise(size(toks(col("text"))))
     val binned = docs.select(col("lang"),
       when(col("source") === DedupOps.IncomingSource, lit("cur"))
         .otherwise(lit("ref")).as("phase"),
-      least(floor(nTok.cast("double") / lit(DriftBinWidth.toDouble)),
-        lit((DriftNBins - 1).toDouble)).cast("long").as("bin"))
+      driftBin(col("text")).as("bin"))
     val counts = binned.groupBy("lang", "phase", "bin")
       .agg(count(lit(1)).as("cnt"))
-    val axis = binned.select("lang").distinct()
+    driftPsiOfCounts(
+      counts.where(col("phase") === "ref").select("lang", "bin", "cnt"),
+      counts.where(col("phase") === "cur").select("lang", "bin", "cnt"))
+  }
+
+  /** The PSI/TVD finisher over two pre-aggregated (lang, bin, cnt)
+    * histograms — shared by the batch monitor and the streaming parity
+    * spec (the stream maintains the `cur` histogram; this folds it
+    * against the static reference). Inputs are metadata-sized
+    * (|langs| × [[DriftNBins]] rows at most). */
+  def driftPsiOfCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val axis = refCounts.select("lang").union(curCounts.select("lang"))
+      .distinct()
       .select(col("lang"),
         explode(sequence(lit(0L), lit((DriftNBins - 1).toLong))).as("bin"))
     val cells = axis
-      .join(counts.where(col("phase") === "ref")
-        .select(col("lang"), col("bin"), col("cnt").as("ref_cnt")),
+      .join(refCounts.select(col("lang"), col("bin"), col("cnt").as("ref_cnt")),
         Seq("lang", "bin"), "left")
-      .join(counts.where(col("phase") === "cur")
-        .select(col("lang"), col("bin"), col("cnt").as("cur_cnt")),
+      .join(curCounts.select(col("lang"), col("bin"), col("cnt").as("cur_cnt")),
         Seq("lang", "bin"), "left")
       .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
     val tot = cells.groupBy("lang")
@@ -848,8 +864,39 @@ object PipelineOps {
 
   private val driftPsi: Q = (s, d) => driftPsiOf(Tables.documentsSpread(s, d))
 
+  /** k-anonymity floor and the quasi-identifier length-bucket width for
+    * [[kAnonymityOf]]. Shared with the oracle. */
+  val KAnonK = 5L
+  val KAnonCharBin = 100L
+
+  /** k-anonymity release screen — the privacy gate a dataset release
+    * runs beside the tx_pii_scrub content scrub: group the corpus by its
+    * quasi-identifier tuple (lang, source, bucketed length — the
+    * metadata an attacker can join on even after PII is scrubbed from
+    * the text) and flag every group smaller than [[KAnonK]]: a document
+    * alone in its metadata cell is re-identifiable no matter how clean
+    * its text is, and the release either generalizes the cell or drops
+    * it. Output is one row per occupied cell with its population and the
+    * at-risk flag — integer-exact, trivially oracle-mirrored.
+    *
+    * Scale shape: ONE map-side-combinable groupBy; output is bounded by
+    * the quasi-identifier cardinality product, not the corpus. The
+    * corpus is scanned once, projected to three small columns, never
+    * shuffled (partial counts only).
+    */
+  def kAnonymityOf(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        (col("n_chars").cast("double") / lit(KAnonCharBin.toDouble))
+          .cast("long").as("len_bin"))
+      .groupBy("lang", "source", "len_bin")
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", col("group_n") < lit(KAnonK))
+
+  private val kAnonymity: Q = (s, d) => kAnonymityOf(Tables.documentsSpread(s, d))
+
   val queries: Map[String, Q] = Map(
     "pipe_drift_psi" -> driftPsi,
+    "pipe_k_anonymity" -> kAnonymity,
     "pipe_split_leakage" -> splitLeakage,
     "pipe_embed_contamination" -> embedContamination,
     "pipe_data_checks" -> dataChecks,
@@ -902,6 +949,12 @@ object PipelineOps {
        |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipe_k_anonymity" ->
+      s"""SELECT lang, source,
+         |  CAST(n_chars // $KAnonCharBin AS BIGINT) AS len_bin,
+         |  CAST(count(*) AS BIGINT) AS group_n,
+         |  (count(*) < $KAnonK) AS at_risk
+         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
     // Mirrors driftPsiOf stage-for-stage: same binning, same Laplace
     // smoothing, same FIXED bin-order fold, micro-rounded outputs.
     "pipe_drift_psi" -> {

@@ -75,6 +75,24 @@ object DocStreaming {
   def htmlStripStream(stream: DataFrame): DataFrame =
     graft.queries.TextOps.htmlStripOf(stream)
 
+  /** Streaming delivery-drift histogram — the ingest twin of batch
+    * pipe_drift_psi's `cur` side: the arriving stream folds into a
+    * running (lang, bin) token-length histogram via the SHARED
+    * [[PipelineOps.driftBin]] definition (one binning, batch and stream
+    * cannot drift apart). State is the histogram itself — at most
+    * |langs| × DriftNBins rows, CONSTANT in stream length: the canonical
+    * monitoring shape where an unbounded firehose reduces to a bounded
+    * sufficient statistic. Each trigger the sink (or
+    * [[PipelineOps.driftPsiOfCounts]] over the emitted counts against a
+    * static reference histogram) re-scores the PSI — parity with the
+    * batch monitor is asserted in DocStreamingSpec.
+    */
+  def driftHistStream(stream: DataFrame): DataFrame =
+    stream.select(col("lang"),
+        graft.queries.PipelineOps.driftBin(col("text")).as("bin"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming winnowing — fingerprint-select documents AS THEY LAND
     * (the index-build side of a continuously ingested near-dup screen).
     * Reuses TextOps.winnowOf verbatim: the whole operator is per-row HOF

@@ -250,6 +250,39 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift histogram == batch cur side; PSI over it equals " +
+       "batch pipe_drift_psi; state bounded by langs x bins") {
+    import graft.queries.{DedupOps, PipelineOps}
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val cur = docs.where(col("source") === DedupOps.IncomingSource)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    cur.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.driftHistStream(stream), "drift_hist")
+    try {
+      val streamedCur = spark.table("drift_hist").select("lang", "bin", "cnt")
+      // The unbounded stream reduced to a bounded sufficient statistic.
+      val nLangs = docs.select("lang").distinct().count()
+      assert(streamedCur.count() <= nLangs * PipelineOps.DriftNBins,
+        "histogram state must be bounded by langs x bins")
+      // Finishing the streamed histogram against the static reference
+      // reproduces the batch monitor EXACTLY (same integer counts ->
+      // same doubles -> same micros).
+      val ref = docs.where(col("source") =!= DedupOps.IncomingSource)
+        .select(col("lang"), PipelineOps.driftBin(col("text")).as("bin"))
+        .groupBy("lang", "bin").agg(count(lit(1)).as("cnt"))
+      val streamedPsi = PipelineOps.driftPsiOfCounts(ref, streamedCur)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batchPsi = SparkEntry.queries("pipe_drift_psi")(spark, SparkTestBase.sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamedPsi == batchPsi, "stream/batch drift PSI mismatch")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits exactly the batch-distinct hash set") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
       .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))

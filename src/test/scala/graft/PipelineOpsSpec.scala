@@ -506,6 +506,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._7).sum < rows.map(_._8).sum)
   }
 
+  test("k-anonymity: conservation, flag contract, planted singleton flagged") {
+    val rows = q("pipe_k_anonymity").collect()
+    assert(rows.map(_.getAs[Long]("group_n")).sum ==
+      Tables.documents(spark, SparkTestBase.sf).count(),
+      "cells must tile the corpus")
+    rows.foreach(r => assert(r.getAs[Boolean]("at_risk") ==
+      (r.getAs[Long]("group_n") < PipelineOps.KAnonK), "flag contract"))
+    import spark.implicits._
+    val d = (Seq.fill(6)(("en", "srcA", 150L)) :+ (("zz", "srcB", 920L)))
+      .zipWithIndex.map { case ((l, s, n), i) => (i.toLong, l, s, n) }
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = PipelineOps.kAnonymityOf(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("en", "srcA", 1L)) == ((6L, false)),
+      "populated cell must pass")
+    assert(out(("zz", "srcB", 9L)) == ((1L, true)),
+      "singleton cell must be flagged re-identifiable")
+  }
+
   test("drift psi: invariants + conservation on sf0.001") {
     val rows = q("pipe_drift_psi").collect()
     val langs = Tables.documents(spark, SparkTestBase.sf)
