@@ -864,6 +864,97 @@ object PipelineOps {
 
   private val driftPsi: Q = (s, d) => driftPsiOf(Tables.documentsSpread(s, d))
 
+  /** Gradient-descent rounds, integer learning rate, and the bootstrap
+    * label threshold for the in-engine quality-classifier trainer
+    * (lr = 4 over 6 rounds moves training accuracy from the 51% base
+    * rate to 88% on this corpus — the curve the spec pins). Shared with
+    * the oracle. */
+  val QcRounds = 6
+  val QcLr = 4L
+  val QcLabelChars = 300L
+
+  /** The classifier's micro-quantized feature rows — ONE derivation
+    * shared by the Spark trainer and (textually mirrored) the oracle:
+    * bias, token count / 100, and stopword ratio, each as 1e-6
+    * fixed-point BIGINTs so every inter-round quantity is integer-exact.
+    */
+  def qcFeaturesOf(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = when(trim(col("text")) === "", 0).otherwise(size(t))
+    val stopCnt = size(filter(t, x => x.isin(TextOps.StopWords: _*)))
+    docs.select(col("doc_id"),
+      when(col("n_chars") > lit(QcLabelChars), 1L).otherwise(0L).as("y"),
+      lit(1000000L).as("x0"),
+      (nTok.cast("long") * lit(10000L)).as("x1"),
+      when(nTok === 0, 0L).otherwise(
+        round(stopCnt.cast("double") / nTok.cast("double") * lit(1e6))
+          .cast("long")).as("x2"))
+  }
+
+  /** In-engine quality-classifier TRAINING — the bootstrap step of every
+    * pre-training quality filter (fastText/DSIR-style): fit a logistic
+    * regression on cheap per-doc features against a rule-based seed
+    * label (here "long document", [[QcLabelChars]]), full-batch gradient
+    * descent for [[QcRounds]] rounds. The trained filter then scores the
+    * corpus at a z ≥ 0 integer comparison per row — that serving pass
+    * is embarrassingly parallel; this operator is the distributed
+    * TRAINER that produces its weights.
+    *
+    * Determinism discipline (the q_pagerank integer fixed-point applied
+    * to SGD): weights live as 1e-6 fixed-point BIGINTs; each round's
+    * margin z = Σ wⱼ·xⱼ is an EXACT integer product-sum, so accuracy
+    * (z ≥ 0 vs label) involves no float at all; the only transcendental
+    * is the sigmoid, whose per-row output is micro-rounded to an integer
+    * residual IMMEDIATELY (g = round((y − σ)·1e6)), making the gradient
+    * Σ g·xⱼ an ORDER-FREE integer sum (no float accumulation across the
+    * shuffle — arrival order cannot move the result); the weight step
+    * re-enters fixed point through one double division chain in fixed
+    * order (G / n / 1e6, rounded away from zero on both engines). The
+    * oracle unrolls the same [[QcRounds]] rounds as chained CTE stages
+    * (the BPE-oracle discipline) and reproduces weights AND accuracy
+    * exactly.
+    *
+    * Scale shape: the feature frame is computed once and persisted
+    * (narrow — 5 columns); each round is ONE map-side-combinable
+    * aggregate producing 4 numbers; the driver carries only the weight
+    * vector (the x_engine_fixpoint driver-loop discipline — round-trips,
+    * not data volume). At petabyte doc counts the integer gradient sum
+    * approaches BIGINT range — the remedy is a DECIMAL(38) sum or a
+    * per-partition pre-scale, same order-free property.
+    */
+  private val qualityClassifier: Q = (s, d) => {
+    val feat = qcFeaturesOf(Tables.documentsSpread(s, d)).cutLineage
+    feat.persist()
+    try {
+      val n = feat.count()
+      require(n > 0, "empty corpus")
+      // DuckDB/Spark round(): ties away from zero (math.round is NOT —
+      // it rounds half toward +inf, wrong for negative gradients).
+      def rndAway(x: Double): Long =
+        (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      val w = Array(0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+      for (r <- 1 to QcRounds) {
+        val z = lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2")
+        val pred = when(z >= 0L, 1L).otherwise(0L)
+        val p = lit(1.0d) / (lit(1.0d) + exp(-(z.cast("double") / lit(1e12))))
+        val g = round((col("y").cast("double") - p) * lit(1e6)).cast("long")
+        val row = feat.agg(
+          sum(when(pred === col("y"), 1L).otherwise(0L)).as("nc"),
+          sum(g * col("x0")).as("g0"),
+          sum(g * col("x1")).as("g1"),
+          sum(g * col("x2")).as("g2")).head
+        (0 to 2).foreach { j =>
+          w(j) += rndAway((QcLr * row.getLong(j + 1)).toDouble / n.toDouble / 1e6)
+        }
+        out += ((r, w(0), w(1), w(2), row.getLong(0)))
+      }
+      import s.implicits._
+      out.toSeq.toDF("round", "w0_micro", "w1_micro", "w2_micro", "n_correct")
+    } finally { feat.unpersist(); () }
+  }
+
   /** k-anonymity floor and the quasi-identifier length-bucket width for
     * [[kAnonymityOf]]. Shared with the oracle. */
   val KAnonK = 5L
@@ -897,6 +988,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "pipe_drift_psi" -> driftPsi,
     "pipe_k_anonymity" -> kAnonymity,
+    "pipe_quality_classifier" -> qualityClassifier,
     "pipe_split_leakage" -> splitLeakage,
     "pipe_embed_contamination" -> embedContamination,
     "pipe_data_checks" -> dataChecks,
@@ -949,6 +1041,54 @@ object PipelineOps {
        |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Unrolls the QcRounds gradient-descent rounds as chained CTE stages
+    // (the BPE-oracle discipline); every inter-round quantity is a
+    // fixed-point BIGINT, so only the per-row sigmoid is float — and it
+    // micro-rounds to an integer before any aggregation.
+    "pipe_quality_classifier" -> {
+      val stopList = TextOps.StopWords.map("'" + _ + "'").mkString(", ")
+      def roundCtes(j: Int): String = {
+        val prev = if (j == 1) "winit" else s"w${j - 1}"
+        s"""p$j AS (SELECT f.y, f.x0, f.x1, f.x2,
+           |    w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z
+           |  FROM f CROSS JOIN $prev w),
+           |g$j AS (SELECT
+           |    CAST(sum(CASE WHEN (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = y
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |    CAST(sum(gg * x0) AS BIGINT) AS s0,
+           |    CAST(sum(gg * x1) AS BIGINT) AS s1,
+           |    CAST(sum(gg * x2) AS BIGINT) AS s2
+           |  FROM (SELECT y, x0, x1, x2, z,
+           |      CAST(round((CAST(y AS DOUBLE)
+           |        - CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+           |            + exp(-(CAST(z AS DOUBLE) / 1e12)))) * 1e6) AS BIGINT) AS gg
+           |    FROM p$j) q),
+           |w$j AS (SELECT
+           |    w.w0 + CAST(round(CAST($QcLr * g.s0 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w0,
+           |    w.w1 + CAST(round(CAST($QcLr * g.s1 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w1,
+           |    w.w2 + CAST(round(CAST($QcLr * g.s2 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w2,
+           |    g.nc AS nc
+           |  FROM $prev w CROSS JOIN g$j g CROSS JOIN nn)"""
+      }
+      val finals = (1 to QcRounds).map(j =>
+        s"SELECT CAST($j AS INT) AS round, w0 AS w0_micro, " +
+          s"w1 AS w1_micro, w2 AS w2_micro, nc AS n_correct FROM w$j")
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, n_chars, trim(text) = '' AS emp,
+         |    string_split_regex(trim(text), '$Ws+') AS tk FROM documents),
+         |f AS (SELECT doc_id,
+         |    CASE WHEN n_chars > $QcLabelChars THEN 1 ELSE 0 END AS y,
+         |    1000000::BIGINT AS x0,
+         |    CAST((CASE WHEN emp THEN 0 ELSE len(tk) END) * 10000 AS BIGINT) AS x1,
+         |    CAST(CASE WHEN (CASE WHEN emp THEN 0 ELSE len(tk) END) = 0 THEN 0
+         |         ELSE round(CAST(len(list_filter(tk, x -> x IN ($stopList))) AS DOUBLE)
+         |              / CAST(len(tk) AS DOUBLE) * 1e6) END AS BIGINT) AS x2
+         |  FROM t),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |winit AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2),
+         |${(1 to QcRounds).map(roundCtes).mkString(",\n")}
+         |$finals""".stripMargin
+    },
     "pipe_k_anonymity" ->
       s"""SELECT lang, source,
          |  CAST(n_chars // $KAnonCharBin AS BIGINT) AS len_bin,

@@ -89,7 +89,7 @@ object TextOps {
         .otherwise(size(split(trim(col("text")), Ws + "+"))).as("n_tokens"),
       regexp_count(col("text"), lit(BpeishPattern)).as("n_tokens_bpe"))
 
-  private val StopWords = Seq("the", "a", "of", "and", "in", "to")
+  val StopWords = Seq("the", "a", "of", "and", "in", "to")
 
   /** Quality signals: length, token count, punctuation count, stopword
     * count/ratio, mean token length — the usual pre-training filters.

@@ -506,6 +506,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._7).sum < rows.map(_._8).sum)
   }
 
+  test("quality classifier: bit-exact local model, learning curve, determinism") {
+    import PipelineOps.{QcLr, QcRounds}
+    val feats = PipelineOps.qcFeaturesOf(Tables.documents(spark, SparkTestBase.sf))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = feats.length
+    def rnd(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val w = Array(0L, 0L, 0L)
+    val model = (1 to QcRounds).map { r =>
+      var nc = 0L
+      val g = Array(0L, 0L, 0L)
+      feats.foreach { case (y, x0, x1, x2) =>
+        val z = w(0) * x0 + w(1) * x1 + w(2) * x2
+        if ((if (z >= 0L) 1L else 0L) == y) nc += 1L
+        val p = 1.0d / (1.0d + math.exp(-(z.toDouble / 1e12)))
+        val gm = rnd((y.toDouble - p) * 1e6)
+        g(0) += gm * x0; g(1) += gm * x1; g(2) += gm * x2
+      }
+      (0 to 2).foreach(j =>
+        w(j) += rnd((QcLr * g(j)).toDouble / n.toDouble / 1e6))
+      (r, w(0), w(1), w(2), nc)
+    }.toSet
+    def run() = q("pipe_quality_classifier").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val got = run()
+    assert(got == model, "trainer diverges from the local fixed-point model")
+    assert(got == run(), "training must be deterministic")
+    // The filter actually learns: from the all-positive base rate at
+    // round 1 to a real separator by the last round.
+    val byRound = got.toSeq.sortBy(_._1).map(_._5)
+    assert(byRound.last > byRound.head, "accuracy must improve over training")
+    assert(byRound.last * 4 >= n * 3, s"final accuracy ${byRound.last}/$n too low")
+  }
+
   test("k-anonymity: conservation, flag contract, planted singleton flagged") {
     val rows = q("pipe_k_anonymity").collect()
     assert(rows.map(_.getAs[Long]("group_n")).sum ==
