@@ -922,7 +922,10 @@ object PipelineOps {
     * approaches BIGINT range — the remedy is a DECIMAL(38) sum or a
     * per-partition pre-scale, same order-free property.
     */
-  private val qualityClassifier: Q = (s, d) => {
+  private val qualityClassifier: Q = (s, d) =>
+    graft.core.Materialize.once(s, s"qc_train:$d")(qcTrainRounds(s, d))
+
+  private def qcTrainRounds(s: SparkSession, d: String): DataFrame = {
     val feat = qcFeaturesOf(Tables.documentsSpread(s, d)).cutLineage
     feat.persist()
     try {
@@ -953,6 +956,31 @@ object PipelineOps {
       import s.implicits._
       out.toSeq.toDF("round", "w0_micro", "w1_micro", "w2_micro", "n_correct")
     } finally { feat.unpersist(); () }
+  }
+
+  /** The SERVE pass of the trained quality filter — what actually runs
+    * over 100 TB once training converges: score every document with the
+    * final round's weights and keep those at z ≥ 0. The margin is an
+    * EXACT integer product-sum over the micro-quantized features (no
+    * float anywhere in serving), so the keep decision is reproducible to
+    * the bit. Composition discipline: the weights come from the SAME
+    * session-materialized training table the pipe_quality_classifier
+    * query serves ([[graft.core.Materialize.once]] — training runs once
+    * per (session, corpus) no matter how many consumers), and the oracle
+    * composes the trainer's CTE chain verbatim so the two definitions
+    * cannot drift. Serving is one zero-shuffle codegen pass: features →
+    * integer margin → flag.
+    */
+  private val qualityFilter: Q = (s, d) => {
+    val rounds = graft.core.Materialize.once(s, s"qc_train:$d")(qcTrainRounds(s, d))
+    val last = rounds.where(col("round") === QcRounds)
+      .select("w0_micro", "w1_micro", "w2_micro").head
+    val (w0, w1, w2) = (last.getLong(0), last.getLong(1), last.getLong(2))
+    qcFeaturesOf(Tables.documentsSpread(s, d))
+      .select(col("doc_id"),
+        (lit(w0) * col("x0") + lit(w1) * col("x1") + lit(w2) * col("x2"))
+          .as("z"))
+      .withColumn("keep", col("z") >= 0L)
   }
 
   /** k-anonymity floor and the quasi-identifier length-bucket width for
@@ -989,6 +1017,7 @@ object PipelineOps {
     "pipe_drift_psi" -> driftPsi,
     "pipe_k_anonymity" -> kAnonymity,
     "pipe_quality_classifier" -> qualityClassifier,
+    "pipe_quality_filter" -> qualityFilter,
     "pipe_split_leakage" -> splitLeakage,
     "pipe_embed_contamination" -> embedContamination,
     "pipe_data_checks" -> dataChecks,
@@ -1040,55 +1069,69 @@ object PipelineOps {
        |               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 2, 1)) - 1) AS b
        |      FROM c WHERE doc_id IN (SELECT doc_id FROM k))""".stripMargin
 
+  /** The trainer's full CTE chain (features → [[QcRounds]] unrolled
+    * gradient rounds), shared by the pipe_quality_classifier and
+    * pipe_quality_filter oracle entries so training and serving cannot
+    * drift. Pre-stripped — splice with `s"WITH $qcCtesSql\n..."`. */
+  private lazy val qcCtesSql: String = {
+    val stopList = TextOps.StopWords.map("'" + _ + "'").mkString(", ")
+    def roundCtes(j: Int): String = {
+      val prev = if (j == 1) "winit" else s"w${j - 1}"
+      s"""p$j AS (SELECT f.y, f.x0, f.x1, f.x2,
+         |    w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z
+         |  FROM f CROSS JOIN $prev w),
+         |g$j AS (SELECT
+         |    CAST(sum(CASE WHEN (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = y
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |    CAST(sum(gg * x0) AS BIGINT) AS s0,
+         |    CAST(sum(gg * x1) AS BIGINT) AS s1,
+         |    CAST(sum(gg * x2) AS BIGINT) AS s2
+         |  FROM (SELECT y, x0, x1, x2, z,
+         |      CAST(round((CAST(y AS DOUBLE)
+         |        - CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         |            + exp(-(CAST(z AS DOUBLE) / 1e12)))) * 1e6) AS BIGINT) AS gg
+         |    FROM p$j) q),
+         |w$j AS (SELECT
+         |    w.w0 + CAST(round(CAST($QcLr * g.s0 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w0,
+         |    w.w1 + CAST(round(CAST($QcLr * g.s1 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w1,
+         |    w.w2 + CAST(round(CAST($QcLr * g.s2 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w2,
+         |    g.nc AS nc
+         |  FROM $prev w CROSS JOIN g$j g CROSS JOIN nn)"""
+    }
+    s"""t AS (SELECT doc_id, n_chars, trim(text) = '' AS emp,
+       |    string_split_regex(trim(text), '$Ws+') AS tk FROM documents),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN n_chars > $QcLabelChars THEN 1 ELSE 0 END AS y,
+       |    1000000::BIGINT AS x0,
+       |    CAST((CASE WHEN emp THEN 0 ELSE len(tk) END) * 10000 AS BIGINT) AS x1,
+       |    CAST(CASE WHEN (CASE WHEN emp THEN 0 ELSE len(tk) END) = 0 THEN 0
+       |         ELSE round(CAST(len(list_filter(tk, x -> x IN ($stopList))) AS DOUBLE)
+       |              / CAST(len(tk) AS DOUBLE) * 1e6) END AS BIGINT) AS x2
+       |  FROM t),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |winit AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2),
+       |${(1 to QcRounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // Unrolls the QcRounds gradient-descent rounds as chained CTE stages
     // (the BPE-oracle discipline); every inter-round quantity is a
     // fixed-point BIGINT, so only the per-row sigmoid is float — and it
-    // micro-rounds to an integer before any aggregation.
+    // micro-rounds to an integer before any aggregation. The CTE chain
+    // is shared VERBATIM with pipe_quality_filter's serve oracle.
     "pipe_quality_classifier" -> {
-      val stopList = TextOps.StopWords.map("'" + _ + "'").mkString(", ")
-      def roundCtes(j: Int): String = {
-        val prev = if (j == 1) "winit" else s"w${j - 1}"
-        s"""p$j AS (SELECT f.y, f.x0, f.x1, f.x2,
-           |    w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z
-           |  FROM f CROSS JOIN $prev w),
-           |g$j AS (SELECT
-           |    CAST(sum(CASE WHEN (CASE WHEN z >= 0 THEN 1 ELSE 0 END) = y
-           |             THEN 1 ELSE 0 END) AS BIGINT) AS nc,
-           |    CAST(sum(gg * x0) AS BIGINT) AS s0,
-           |    CAST(sum(gg * x1) AS BIGINT) AS s1,
-           |    CAST(sum(gg * x2) AS BIGINT) AS s2
-           |  FROM (SELECT y, x0, x1, x2, z,
-           |      CAST(round((CAST(y AS DOUBLE)
-           |        - CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
-           |            + exp(-(CAST(z AS DOUBLE) / 1e12)))) * 1e6) AS BIGINT) AS gg
-           |    FROM p$j) q),
-           |w$j AS (SELECT
-           |    w.w0 + CAST(round(CAST($QcLr * g.s0 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w0,
-           |    w.w1 + CAST(round(CAST($QcLr * g.s1 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w1,
-           |    w.w2 + CAST(round(CAST($QcLr * g.s2 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e6) AS BIGINT) AS w2,
-           |    g.nc AS nc
-           |  FROM $prev w CROSS JOIN g$j g CROSS JOIN nn)"""
-      }
       val finals = (1 to QcRounds).map(j =>
         s"SELECT CAST($j AS INT) AS round, w0 AS w0_micro, " +
           s"w1 AS w1_micro, w2 AS w2_micro, nc AS n_correct FROM w$j")
         .mkString("\nUNION ALL\n")
-      s"""WITH t AS (SELECT doc_id, n_chars, trim(text) = '' AS emp,
-         |    string_split_regex(trim(text), '$Ws+') AS tk FROM documents),
-         |f AS (SELECT doc_id,
-         |    CASE WHEN n_chars > $QcLabelChars THEN 1 ELSE 0 END AS y,
-         |    1000000::BIGINT AS x0,
-         |    CAST((CASE WHEN emp THEN 0 ELSE len(tk) END) * 10000 AS BIGINT) AS x1,
-         |    CAST(CASE WHEN (CASE WHEN emp THEN 0 ELSE len(tk) END) = 0 THEN 0
-         |         ELSE round(CAST(len(list_filter(tk, x -> x IN ($stopList))) AS DOUBLE)
-         |              / CAST(len(tk) AS DOUBLE) * 1e6) END AS BIGINT) AS x2
-         |  FROM t),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
-         |winit AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2),
-         |${(1 to QcRounds).map(roundCtes).mkString(",\n")}
-         |$finals""".stripMargin
+      s"WITH $qcCtesSql\n$finals"
     },
+    "pipe_quality_filter" ->
+      s"""WITH $qcCtesSql
+         |SELECT f.doc_id,
+         |  w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z,
+         |  (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
+         |FROM f CROSS JOIN w$QcRounds w""".stripMargin,
     "pipe_k_anonymity" ->
       s"""SELECT lang, source,
          |  CAST(n_chars // $KAnonCharBin AS BIGINT) AS len_bin,

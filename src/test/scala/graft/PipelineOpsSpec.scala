@@ -541,6 +541,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byRound.last * 4 >= n * 3, s"final accuracy ${byRound.last}/$n too low")
   }
 
+  test("quality filter: serves the trained weights integer-exactly and splits the corpus") {
+    val rounds = q("pipe_quality_classifier").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (w0, w1, w2) = rounds(PipelineOps.QcRounds)
+    val feats = PipelineOps.qcFeaturesOf(Tables.documents(spark, SparkTestBase.sf))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val out = q("pipe_quality_filter").collect()
+    assert(out.length == feats.size, "every document scored exactly once")
+    out.foreach { r =>
+      val (x0, x1, x2) = feats(r.getLong(0))
+      val z = w0 * x0 + w1 * x1 + w2 * x2
+      assert(r.getLong(1) == z, s"doc ${r.getLong(0)}: margin mismatch")
+      assert(r.getBoolean(2) == (z >= 0L), "keep contract")
+    }
+    assert(out.exists(_.getBoolean(2)) && out.exists(!_.getBoolean(2)),
+      "the trained filter must actually split the corpus")
+  }
+
   test("k-anonymity: conservation, flag contract, planted singleton flagged") {
     val rows = q("pipe_k_anonymity").collect()
     assert(rows.map(_.getAs[Long]("group_n")).sum ==
