@@ -311,8 +311,14 @@ object PipelineOps {
   def cleanedDocs(s: SparkSession, d: String): DataFrame =
     graft.core.Materialize.once(s, s"pipe_cleaned:$d") { cleanedDocsCompute(s, d) }
 
-  private def cleanedDocsCompute(s: SparkSession, d: String): DataFrame = {
-    import graft.core.Lineage.LineageOps
+  /** The per-doc SCORING pass (gate metrics + hashes), MATERIALIZED once
+    * per (session, corpus): the clean pipeline's first stage and the
+    * pipe_drop_reasons attribution query read the same artifact, so the
+    * corpus-wide text pass runs once no matter which face asks. */
+  def scoredDocs(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.once(s, s"pipe_scored:$d")(scoredCompute(s, d))
+
+  private def scoredCompute(s: SparkSession, d: String): DataFrame = {
     val t = toks(col("text"))
     // Gate metrics + hashes computed ONCE, with the expensive subtrees
     // (split, gram transform) STAGED through intermediate columns so each
@@ -320,10 +326,10 @@ object PipelineOps {
     // HOF lambdas leave codegen and every repeated subtree re-evaluates
     // (measured ~25× slower at sf0.1). CollapseProject keeps the stages
     // apart (multi-referenced non-cheap aliases are not inlined), and the
-    // lineage cut fences filter pushdown from substituting the
+    // materialized artifact fences filter pushdown from substituting the
     // expressions back into the scan; text is dropped so the
     // materialized frame is a few scalar columns.
-    val scored = Tables.documentsSpread(s, d)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), col("lang"), col("text"), t.as("__toks"))
       .select(col("doc_id"), col("lang"), col("text"),
         size(col("__toks")).as("n_tok"),
@@ -336,7 +342,10 @@ object PipelineOps {
         md5(col("text")).as("h"),
         conv(substring(md5(concat(col("doc_id").cast("string"),
           lit(":"), col("text"))), 1, 2), 16, 10).cast("int").as("b"))
-      .cutLineage
+  }
+
+  private def cleanedDocsCompute(s: SparkSession, d: String): DataFrame = {
+    val scored = scoredDocs(s, d)
     val clean = scored.where(col("n_tok") >= 20 && col("dup2") < 0.05)
     val keep = clean.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
@@ -958,6 +967,33 @@ object PipelineOps {
     } finally { feat.unpersist(); () }
   }
 
+  /** Per-document DROP ATTRIBUTION over the clean pipeline — the
+    * "why was my document removed?" explain query every curation
+    * platform grows: each doc gets the FIRST gate that dropped it
+    * (short → repetitive → exact_dup, the clean pipeline's own
+    * precedence) or `kept`, with the surviving keeper's id attached to
+    * exact duplicates. Built from the SAME session-materialized scoring
+    * artifact the clean pipeline's first stage reads
+    * ([[scoredDocs]] — the corpus text pass runs once no matter which
+    * face asks) and the SAME gate expressions, textually mirrored in
+    * the oracle, so attribution can never disagree with the pipeline it
+    * explains. Scale shape: one artifact scan + a hash-keyed
+    * min-aggregate join — no text anywhere.
+    */
+  private val dropReasons: Q = (s, d) => {
+    val scored = scoredDocs(s, d)
+    val clean = scored.where(col("n_tok") >= 20 && col("dup2") < 0.05)
+    val keep = clean.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    scored.join(keep, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("n_tok") < 20, "short")
+          .when(col("dup2") >= 0.05, "repetitive")
+          .when(col("doc_id") =!= col("keeper"), "exact_dup")
+          .otherwise(lit("kept")).as("reason"),
+        when(col("n_tok") >= 20 && col("dup2") < 0.05 &&
+          col("doc_id") =!= col("keeper"), col("keeper")).as("dup_of"))
+  }
+
   /** The SERVE pass of the trained quality filter — what actually runs
     * over 100 TB once training converges: score every document with the
     * final round's weights and keep those at z ≥ 0. The margin is an
@@ -1018,6 +1054,7 @@ object PipelineOps {
     "pipe_k_anonymity" -> kAnonymity,
     "pipe_quality_classifier" -> qualityClassifier,
     "pipe_quality_filter" -> qualityFilter,
+    "pipe_drop_reasons" -> dropReasons,
     "pipe_split_leakage" -> splitLeakage,
     "pipe_embed_contamination" -> embedContamination,
     "pipe_data_checks" -> dataChecks,
@@ -1132,6 +1169,27 @@ object PipelineOps {
          |  w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z,
          |  (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
          |FROM f CROSS JOIN w$QcRounds w""".stripMargin,
+    // Mirrors the scored-frame gates with the clean pipeline's own
+    // precedence; the keeper election is cleanedSql's `k` stage keyed to
+    // return the winner per hash.
+    "pipe_drop_reasons" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tok,
+         |      ${gramsSql(2)} AS g2 FROM t),
+         |s AS (SELECT doc_id, n_tok,
+         |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |      / CAST(len(g2) AS DOUBLE) AS dup2,
+         |    md5(text) AS h FROM g),
+         |k AS (SELECT h, min(doc_id) AS keeper FROM s
+         |      WHERE n_tok >= 20 AND dup2 < 0.05 GROUP BY h)
+         |SELECT s.doc_id,
+         |  CASE WHEN s.n_tok < 20 THEN 'short'
+         |       WHEN s.dup2 >= 0.05 THEN 'repetitive'
+         |       WHEN s.doc_id <> k.keeper THEN 'exact_dup'
+         |       ELSE 'kept' END AS reason,
+         |  CASE WHEN s.n_tok >= 20 AND s.dup2 < 0.05 AND s.doc_id <> k.keeper
+         |       THEN k.keeper END AS dup_of
+         |FROM s LEFT JOIN k USING (h)""".stripMargin,
     "pipe_k_anonymity" ->
       s"""SELECT lang, source,
          |  CAST(n_chars // $KAnonCharBin AS BIGINT) AS len_bin,

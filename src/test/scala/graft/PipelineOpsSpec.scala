@@ -655,4 +655,49 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"lang ${r.getAs[String]("lang")} diverges from the local model")
     }
   }
+
+  test("pipe_drop_reasons: attribution agrees with the clean pipeline and " +
+       "reads only the shared scoring artifact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = q("pipe_drop_reasons")
+    val rows = df.collect()
+    // Total coverage: every corpus doc gets exactly one verdict.
+    val corpusN = Tables.documents(spark, SparkTestBase.sf).count()
+    assert(rows.length.toLong == corpusN)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    // The load-bearing claim: docs attributed `kept` are EXACTLY the clean
+    // pipeline's survivors — attribution cannot disagree with the pipeline
+    // it explains.
+    val kept = rows.filter(_.getAs[String]("reason") == "kept")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val cleaned = q("pipe_clean_corpus").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == cleaned, "kept set diverges from pipe_clean_corpus")
+    // dup_of discipline: present iff exact_dup, and always a kept doc.
+    rows.foreach { r =>
+      val dup = if (r.isNullAt(r.fieldIndex("dup_of"))) None
+        else Some(r.getAs[Long]("dup_of"))
+      if (r.getAs[String]("reason") == "exact_dup") {
+        assert(dup.nonEmpty && kept.contains(dup.get),
+          s"exact_dup ${r.getAs[Long]("doc_id")} must point at a kept keeper")
+      } else assert(dup.isEmpty, s"dup_of set on ${r.getAs[String]("reason")}")
+    }
+    // Plan pin: the attribution reads the session-materialized scoring
+    // artifact (pipe_scored), never the corpus — the shared-artifact
+    // discipline means the corpus text pass ran once for both faces.
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case qs: QueryStageExec => expand(qs.plan)
+      case o => o +: o.children.flatMap(expand)
+    }
+    val scans = expand(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val corpusScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains(SparkTestBase.sf)))
+    assert(corpusScans.isEmpty,
+      "drop attribution re-scans the corpus:\n" +
+        corpusScans.flatMap(_.relation.location.rootPaths).mkString("\n"))
+  }
 }
