@@ -591,6 +591,58 @@ object PipelineOps {
       .select(col("doc_id"), col("rank"), col("score_micro"))
   }
 
+  /** Reciprocal-rank-fusion constant (the canonical k=60 from Cormack,
+    * Clarke & Büttner 2009) and the fused output size. Shared with the
+    * oracle. */
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** Hybrid retrieval — the RAG-serving shape: a LEXICAL arm (the BM25
+    * ranking, verbatim [[bm25]]) and a VECTOR arm (exact cosine top-k
+    * for the query embedding, the ann_brute discipline with vec_id ≡
+    * doc_id) fused by reciprocal-rank fusion:
+    * score(d) = Σ_arms 1/(k + rank_arm(d)), k = [[RrfK]]. RRF is the
+    * production fusion precisely because it needs NO score calibration
+    * across arms — only ranks enter, so a BM25 log-scale score and a
+    * [-1,1] cosine fuse without normalization.
+    *
+    * Cross-engine discipline: each reciprocal is the exact INTEGER
+    * division 1e9 div (k + rank) (DuckDB `//`) — no float anywhere in
+    * fusion, so the fused ordering is bit-reproducible; the arm ranks
+    * themselves are already gated (micro-rounded BM25; the proven
+    * exact-cosine ordering). Scale shape: each arm ends as a bounded
+    * k-row ranking (BM25's term-filtered postings aggregate;
+    * TakeOrdered on one corpus scan — at 100 TB the vector arm swaps
+    * for the IVF adaptive serve, same contract), and fusion is a full
+    * outer join of two ≤k-row frames — driver-bounded, effectively
+    * free. Missing-arm docs contribute 0 from that arm, the standard
+    * RRF convention. */
+  private val hybridRrf: Q = (s, d) => {
+    val lex = bm25(s, d).select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        SimilarityOps.vDouble(col("embedding")).as("v"))
+    val q = e.where(col("doc_id") === 0).select(col("v").as("qv"))
+    val vec = e.where(col("doc_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", SimilarityOps.cosineCol(col("v"), col("qv")))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(expr(s"1000000000L div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div ($RrfK + vec_rank)"), lit(0L)))
+          .as("rrf_nano"))
+    fused.orderBy(col("rrf_nano").desc, col("doc_id")).limit(HybridTopK)
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_nano").desc, col("doc_id"))))
+      .select(col("doc_id"), col("fused_rank"), col("rrf_nano"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
   /** Cosine threshold above which two same-cluster vectors are semantic
     * duplicates — matches d5's corpus-calibrated near-dup threshold. */
   val SemDedupTau = 0.3
@@ -1065,6 +1117,7 @@ object PipelineOps {
     "tx_keywords" -> keywords,
     "tx_lm_score" -> lmScore,
     "tx_bm25" -> bm25,
+    "ann_hybrid_rrf" -> hybridRrf,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
     "tx_length_batching" -> lengthBatching,
@@ -1082,6 +1135,41 @@ object PipelineOps {
        |    i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT)+${n - 1}), ' '))""".stripMargin
 
   private val toksSql = s"string_split_regex(trim(text), '$Ws+')"
+
+  /** The BM25 ranking as ONE SQL text ending in (doc_id, rank,
+    * score_micro) — the oracle twin of [[bm25]], shared by the tx_bm25
+    * and ann_hybrid_rrf entries so the lexical-arm definition exists
+    * exactly once on each side. Score fold mirrors the Spark side
+    * token-for-token: same parenthesization, same FIXED term order,
+    * micro-rounded compare. */
+  private lazy val bm25Sql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val fold = Bm25Terms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)").mkString("\n    + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |t2 AS (SELECT doc_id, w FROM tok WHERE w != ''),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t2 WHERE w IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |    ln((CAST((SELECT n FROM st) AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+       |    * ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+       |       / (CAST(tf.tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
+       |          * CAST(dl.dl AS DOUBLE)
+       |          / (CAST((SELECT tot FROM st) AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE))))) AS s
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+       |agg AS (SELECT doc_id,
+       |    $fold AS score
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, CAST(rn AS INT) AS rank, score_micro FROM (
+       |  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS rn
+       |  FROM agg)
+       |WHERE rn <= $Bm25TopK""".stripMargin
+  }
 
   /** The clean→dedup→split stage as ONE SQL text ending in
     * (doc_id, lang, split, n_tok) — the oracle twin of [[cleanedDocs]],
@@ -1353,36 +1441,37 @@ object PipelineOps {
          |                THEN 1 ELSE 0 END) AS BIGINT) AS rare_cnt,
          |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_commonness
          |FROM tok JOIN c USING (token) GROUP BY doc_id""".stripMargin,
-    "tx_bm25" -> {
-      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      // Score fold mirrors the Spark side token-for-token: same
-      // parenthesization, same FIXED term order, micro-rounded compare.
-      val fold = Bm25Terms.map(t =>
-        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)").mkString("\n    + ")
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-         |t2 AS (SELECT doc_id, w FROM tok WHERE w != ''),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-         |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM t2 WHERE w IN ($inList) GROUP BY 1, 2),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id, tf.term,
-         |    ln((CAST((SELECT n FROM st) AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-         |        / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-         |    * ((CAST(tf.tf AS DOUBLE) * ${Bm25K1 + 1.0})
-         |       / (CAST(tf.tf AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B
-         |          * CAST(dl.dl AS DOUBLE)
-         |          / (CAST((SELECT tot FROM st) AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE))))) AS s
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
-         |agg AS (SELECT doc_id,
-         |    $fold AS score
-         |  FROM sc GROUP BY 1)
-         |SELECT doc_id, CAST(rn AS INT) AS rank, score_micro FROM (
-         |  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro,
-         |    row_number() OVER (ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS rn
-         |  FROM agg)
-         |WHERE rn <= $Bm25TopK""".stripMargin
-    },
+    "tx_bm25" -> bm25Sql,
+    // RRF fusion of the two arm rankings: lex = the bm25 SQL VERBATIM
+    // (spliced, so the arms cannot drift), vec = the proven exact-cosine
+    // ordering; each reciprocal is integer division (//) so fusion has
+    // no float at all.
+    "ann_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT * FROM ($bm25Sql)),
+         |e AS (SELECT vec_id AS doc_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT v AS qv FROM e WHERE doc_id = 0),
+         |c AS (SELECT e.doc_id,
+         |  list_reduce(list_transform(generate_series(1, len(e.v)),
+         |      i -> e.v[CAST(i AS INT)] * qv.qv[CAST(i AS INT)]), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(generate_series(1, len(e.v)),
+         |        i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)]), (x, y) -> x + y))
+         |     * sqrt(list_reduce(list_transform(generate_series(1, len(qv.qv)),
+         |        i -> qv.qv[CAST(i AS INT)] * qv.qv[CAST(i AS INT)]), (x, y) -> x + y))) AS cosine
+         |  FROM e, qv WHERE e.doc_id <> 0),
+         |vr AS (SELECT doc_id, CAST(row_number() OVER (
+         |         ORDER BY cosine DESC, doc_id) AS INT) AS vec_rank
+         |       FROM c QUALIFY vec_rank <= $Bm25TopK),
+         |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |        l.rank AS lex_rank, v.vec_rank,
+         |        CAST(coalesce(1000000000 // ($RrfK + l.rank), 0)
+         |           + coalesce(1000000000 // ($RrfK + v.vec_rank), 0) AS BIGINT) AS rrf_nano
+         |      FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY rrf_nano DESC, doc_id) AS INT) AS fused_rank,
+         |  rrf_nano, lex_rank, vec_rank
+         |FROM f QUALIFY fused_rank <= $HybridTopK""".stripMargin,
     "tx_contamination" ->
       s"""WITH g AS (SELECT doc_id, source, list_distinct(${gramsSql(ContamGramWidth)}) AS grams
          |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)),

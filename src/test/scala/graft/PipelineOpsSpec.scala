@@ -656,6 +656,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_hybrid_rrf: fusion equals the local RRF model over the two " +
+       "arm rankings, integer-exact") {
+    import graft.queries.PipelineOps.{Bm25TopK, HybridTopK, RrfK}
+    // Recompute both arms through the registered queries, fuse locally
+    // with exact integer arithmetic, and demand the fused ranking match.
+    val lex = q("tx_bm25").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    assert(lex.size == Bm25TopK)
+    val vec = q("ann_brute_topk").collect().zipWithIndex
+      .map { case (r, i) => r.getAs[Long]("vec_id") -> (i + 1) }.toMap
+    val model = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1000000000L / (RrfK + r)).getOrElse(0L) +
+        vec.get(id).map(r => 1000000000L / (RrfK + r)).getOrElse(0L)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(HybridTopK)
+    val got = q("ann_hybrid_rrf").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("fused_rank"),
+        r.getAs[Long]("rrf_nano")))
+      .sortBy(_._2)
+    assert(got.length == model.length)
+    got.zip(model).foreach { case ((gid, _, gs), (mid, ms)) =>
+      assert(gid == mid && gs == ms,
+        s"fused row ($gid, $gs) != local model ($mid, $ms)")
+    }
+    // The fusion property RRF exists for: a doc ranked by BOTH arms must
+    // outscore a doc holding the same rank in only one arm.
+    val both = got.filter(r => lex.contains(r._1) && vec.contains(r._1))
+    val single = got.filter(r => lex.contains(r._1) ^ vec.contains(r._1))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._3).max > single.map(_._3).min)
+  }
+
   test("pipe_drop_reasons: attribution agrees with the clean pipeline and " +
        "reads only the shared scoring artifact") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
