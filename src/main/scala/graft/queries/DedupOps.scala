@@ -755,6 +755,48 @@ object DedupOps {
 
   private val dupSpans: Q = (s, d) => dupSpansOf(Tables.documentsSpread(s, d))
 
+  /** Duplicated-span REMOVAL (d17) — the repair action d9's detection
+    * signal exists for (Lee et al. 2022 remove the duplicated substring,
+    * not the document): a token position is COVERED when any
+    * [[SpanWindow]]-token window containing it is duplicated corpus-wide
+    * (fingerprint count ≥ 2, [[spanFingerprints]] VERBATIM — one window
+    * definition for detect and repair), and the scrubbed text is the
+    * uncovered tokens rejoined in order.
+    *
+    * Scale shape: beyond d9's own traffic (fingerprints only — window
+    * text never shuffles; one map-side-combinable count aggregate), the
+    * repair adds a per-doc sorted list of duplicated window STARTS
+    * (bounded by windows/doc) and one doc_id-keyed join back to the
+    * text; the coverage test and token rebuild are per-row HOFs — zero
+    * extra shuffle, O(n·|dup starts|) per doc. Exact string output, no
+    * float anywhere. */
+  def spanScrubOf(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val w = docs
+      .select(col("doc_id"), posexplode(spanFingerprints(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val counts = w.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val starts = w.join(counts, Seq("h")).where(col("cnt") > 1)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("starts"))
+    val spanEnd = lit(SpanWindow - 1)
+    docs.join(starts, Seq("doc_id"), "left")
+      // Stage toks/starts as multi-referenced aliases so the split runs
+      // once per row (the scoredDocs staging discipline).
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("st"))
+      .select(col("doc_id"), col("toks"), col("st"),
+        filter(sequence(lit(1), size(col("toks"))),
+          p => !exists(col("st"), s0 => p >= s0 && p <= s0 + spanEnd))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept"),
+          p => element_at(col("toks"), p)), " ").as("scrubbed"))
+  }
+
+  private val spanScrub: Q = (s, d) => spanScrubOf(Tables.documentsSpread(s, d))
+
   /** Cluster dedup with a QUALITY keeper: production pipelines keep the
     * BEST document of a near-dup cluster (longest / highest-scoring), not
     * the smallest id. Composes the d8 components with a per-cluster
@@ -1050,6 +1092,7 @@ object DedupOps {
     "d8_minhash_components" -> minhashComponents,
     "d9_dup_spans" -> dupSpans,
     "d10_keep_best" -> keepBest,
+    "d17_span_scrub" -> spanScrub,
   )
 
   /** Undirected reachability closure over a `pairs(doc_a, doc_b)` CTE →
@@ -1358,6 +1401,27 @@ object DedupOps {
          |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
          |  CAST(floor(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1000000 / count(*)) AS BIGINT) AS dup_frac_e6
          |FROM w JOIN c USING (h) GROUP BY w.doc_id""".stripMargin,
+    // Window/count CTEs mirror d9 token-for-token (same fingerprints, same
+    // cnt > 1 gate); the coverage filter and rebuild mirror the engine HOFs.
+    "d17_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |w AS (SELECT doc_id, CAST(i AS INT) AS i,
+         |        md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + ${SpanWindow - 1}), ' ')) AS h
+         |      FROM t, unnest(generate_series(1, len(toks) - ${SpanWindow - 1})) AS g(i)
+         |      WHERE len(toks) >= $SpanWindow),
+         |c AS (SELECT h, count(*) AS cnt FROM w GROUP BY 1),
+         |s AS (SELECT doc_id, list_sort(list(i)) AS starts
+         |      FROM w JOIN c USING (h) WHERE c.cnt > 1 GROUP BY doc_id),
+         |r AS (SELECT t.doc_id, t.toks, coalesce(s.starts, []) AS st
+         |      FROM t LEFT JOIN s USING (doc_id)),
+         |k AS (SELECT doc_id, toks,
+         |        list_filter(generate_series(1, len(toks)), p ->
+         |          len(list_filter(st, s0 -> p >= s0 AND p <= s0 + ${SpanWindow - 1})) = 0) AS kept
+         |      FROM r)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, p -> toks[CAST(p AS INT)]), ' '), '') AS scrubbed
+         |FROM k""".stripMargin,
     "d7_incremental_dedup" ->
       """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS corpus_dup
         |  FROM documents WHERE source <> 'src19' GROUP BY 1),

@@ -215,6 +215,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L)._1 == 20 - DedupOps.SpanWindow + 1)
   }
 
+  test("d17 span scrub: planted shared window excised from BOTH docs, " +
+       "surrounding tokens intact; unique and short docs unchanged") {
+    import graft.queries.DedupOps
+    val W = DedupOps.SpanWindow
+    val shared = (1 to W).map(i => s"dup$i").mkString(" ")
+    val d = docs(
+      1L -> s"unique one alpha $shared beta gamma unique tail here",
+      2L -> s"other words entirely then $shared and more distinct text",
+      3L -> (1 to 20).map(i => s"solo$i").mkString(" "),
+      4L -> "too short")
+    val out = DedupOps.spanScrubOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // The duplicated window's W tokens vanish from both carriers — and
+    // ONLY those (the overlapping windows differ, so coverage is exactly
+    // the shared run).
+    assert(out(1L)._2 == W && out(2L)._2 == W, s"exactly the shared run: $out")
+    assert(out(1L)._3 == "unique one alpha beta gamma unique tail here")
+    assert(out(2L)._3 == "other words entirely then and more distinct text")
+    // No duplicated window → byte-identical round-trip.
+    assert(out(3L)._2 == 0 && out(3L)._3 == (1 to 20).map(i => s"solo$i").mkString(" "))
+    assert(out(4L)._2 == 0 && out(4L)._3 == "too short",
+      "sub-window docs have no windows and must pass through verbatim")
+    // Repair agrees with d9's detection: a doc loses tokens iff d9
+    // counted a duplicated window in it.
+    val det = DedupOps.dupSpansOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, (_, removed, _)) =>
+      assert((removed > 0) == (det.getOrElse(id, 0L) > 0), s"doc $id drifts from d9")
+    }
+  }
+
   test("d11 chunk dedup: planted shared passage dedups at chunk level; unique docs clean") {
     // A long shared passage (boilerplate) embedded in two otherwise
     // different documents: CDC boundaries inside the passage align, so
