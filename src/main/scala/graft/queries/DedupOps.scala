@@ -679,6 +679,26 @@ object DedupOps {
         .withColumnRenamed("id", "doc_id")
     }
 
+  /** Dedup observability (d18) — the cluster-size histogram every dedup
+    * report leads with: over the d8 component assignment (materialized —
+    * computing this report never re-runs the banding), how many clusters
+    * exist at each size, how many docs they hold, and how many are
+    * REDUNDANT (size − 1 per cluster — what removal would reclaim).
+    * Singletons are real rows (d8 assigns every doc a component), so the
+    * histogram conserves the corpus: Σ n_docs == |documents|, spec-pinned.
+    * Scale shape: two map-side-combinable hash aggregates over the
+    * (doc_id, cluster_rep) assignment — output bounded by the distinct
+    * cluster-size count, integer-exact throughout. */
+  private val clusterStats: Q = (s, d) => {
+    val sizes = minhashComponents(s, d)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+  }
+
   /** Incremental ingest dedup — the arriving batch (one source) checked
     * against the existing corpus by content fingerprint: the "don't
     * re-ingest what's already in the lake" gate that runs on every
@@ -1093,6 +1113,7 @@ object DedupOps {
     "d9_dup_spans" -> dupSpans,
     "d10_keep_best" -> keepBest,
     "d17_span_scrub" -> spanScrub,
+    "d18_cluster_stats" -> clusterStats,
   )
 
   /** Undirected reachability closure over a `pairs(doc_a, doc_b)` CTE →
@@ -1381,6 +1402,17 @@ object DedupOps {
       s"""WITH RECURSIVE pairs AS ($d2OracleSql),
          |$componentsCtes
          |SELECT doc_id, cluster_rep FROM comp""".stripMargin,
+    // Histogram over the d8 component CTEs verbatim — the report cannot
+    // drift from the assignment it reports on.
+    "d18_cluster_stats" ->
+      s"""WITH RECURSIVE pairs AS ($d2OracleSql),
+         |$componentsCtes,
+         |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM comp GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+         |FROM sz GROUP BY cluster_size""".stripMargin,
     "d10_keep_best" ->
       s"""WITH RECURSIVE pairs AS ($d2OracleSql),
          |$componentsCtes,

@@ -247,6 +247,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d18 cluster stats: histogram conserves the corpus and matches the " +
+       "component assignment") {
+    val hist = SparkEntry.queries("d18_cluster_stats")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // Conservation: every corpus doc sits in exactly one cluster.
+    val corpusN = graft.Tables.documents(spark, SparkTestBase.sf).count()
+    assert(hist.values.map(_._2).sum == corpusN)
+    hist.foreach { case (size, (nc, nd, nr)) =>
+      assert(nd == size * nc && nr == (size - 1) * nc, s"size $size arithmetic")
+    }
+    // Cross-check against the assignment directly.
+    val direct = SparkEntry.queries("d8_minhash_components")(spark, SparkTestBase.sf)
+      .collect().groupBy(_.getAs[Long]("cluster_rep")).values
+      .groupBy(_.size).map { case (sz, cs) => sz.toLong -> cs.size.toLong }
+    assert(direct == hist.map { case (sz, (nc, _, _)) => sz -> nc })
+    // The corpus genuinely has near-dup clusters — the report is not a
+    // vacuous all-singletons table.
+    assert(hist.keySet.exists(_ >= 2), s"expected a multi-doc cluster: $hist")
+  }
+
   test("d11 chunk dedup: planted shared passage dedups at chunk level; unique docs clean") {
     // A long shared passage (boilerplate) embedded in two otherwise
     // different documents: CDC boundaries inside the passage align, so
