@@ -1059,16 +1059,30 @@ object PipelineOps {
     * cannot drift. Serving is one zero-shuffle codegen pass: features →
     * integer margin → flag.
     */
-  private val qualityFilter: Q = (s, d) => {
-    val rounds = graft.core.Materialize.once(s, s"qc_train:$d")(qcTrainRounds(s, d))
-    val last = rounds.where(col("round") === QcRounds)
-      .select("w0_micro", "w1_micro", "w2_micro").head
-    val (w0, w1, w2) = (last.getLong(0), last.getLong(1), last.getLong(2))
-    qcFeaturesOf(Tables.documentsSpread(s, d))
+  /** ONE scoring body for the batch serve pass and the streaming twin
+    * ([[graft.streaming.DocStreaming.qualityFilterStream]]): features →
+    * exact integer margin → keep flag. Weights arrive as frozen longs
+    * (micro fixed-point), so the pass is stateless and zero-float. */
+  def qcServeOf(docs: DataFrame, w0: Long, w1: Long, w2: Long): DataFrame =
+    qcFeaturesOf(docs)
       .select(col("doc_id"),
         (lit(w0) * col("x0") + lit(w1) * col("x1") + lit(w2) * col("x2"))
           .as("z"))
       .withColumn("keep", col("z") >= 0L)
+
+  /** The trained weights of the final [[QcRounds]] round, from the
+    * session-materialized training table (training runs once per
+    * (session, corpus) no matter how many consumers). */
+  def qcTrainedWeights(s: SparkSession, d: String): (Long, Long, Long) = {
+    val rounds = graft.core.Materialize.once(s, s"qc_train:$d")(qcTrainRounds(s, d))
+    val last = rounds.where(col("round") === QcRounds)
+      .select("w0_micro", "w1_micro", "w2_micro").head
+    (last.getLong(0), last.getLong(1), last.getLong(2))
+  }
+
+  private val qualityFilter: Q = (s, d) => {
+    val (w0, w1, w2) = qcTrainedWeights(s, d)
+    qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
   }
 
   /** k-anonymity floor and the quasi-identifier length-bucket width for

@@ -93,6 +93,19 @@ object DocStreaming {
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming quality-filter SERVE — the ingest-time twin of batch
+    * pipe_quality_filter: score arriving documents with FROZEN trained
+    * weights (training happened offline — [[graft.queries.PipelineOps
+    * .qcTrainedWeights]]; a stream cannot retrain) through the SAME
+    * serving body ([[graft.queries.PipelineOps.qcServeOf]] — features →
+    * exact integer margin → keep flag), so stream and batch keep
+    * decisions are bit-identical by construction. Stateless per-row
+    * codegen: no watermark, no state store (spec-asserted) — the
+    * landing-zone quality gate in front of ingest.
+    */
+  def qualityFilterStream(stream: DataFrame, w0: Long, w1: Long, w2: Long): DataFrame =
+    graft.queries.PipelineOps.qcServeOf(stream, w0, w1, w2)
+
   /** Streaming winnowing — fingerprint-select documents AS THEY LAND
     * (the index-build side of a continuously ingested near-dup screen).
     * Reuses TextOps.winnowOf verbatim: the whole operator is per-row HOF

@@ -158,6 +158,31 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality-filter serve == batch pipe_quality_filter, " +
+       "stateless frozen-weights plan") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    // Weights frozen from the SAME materialized training the batch serve
+    // reads — stream and batch must agree to the bit.
+    val (w0, w1, w2) =
+      graft.queries.PipelineOps.qcTrainedWeights(spark, SparkTestBase.sf)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.qualityFilterStream(stream, w0, w1, w2),
+      "qc_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "quality-filter stream must not be stateful")
+      val streamed = spark.table("qc_out")
+      val batch = SparkEntry.queries("pipe_quality_filter")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch quality-filter mismatch")
+    } finally q.stop()
+  }
+
   test("streaming CDC chunking == batch tx_cdc_chunk, stateless explode plan") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString
