@@ -224,6 +224,49 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("rate"))
   }
 
+  /** Shard count for [[shardShuffle]] (a real run uses thousands; 16
+    * keeps every shard populated at the test SFs). Shared with the
+    * oracle. */
+  val NShards = 16
+
+  /** Deterministic training-shard assignment + mixing report — the LAST
+    * pipeline stage before training: a trained model wants its data as N
+    * well-MIXED shards (no source or time locality — a shard of
+    * consecutive same-source docs skews every gradient step that reads
+    * it). Assignment is content-independent md5 arithmetic on the doc id
+    * (shard = first hex nibble of md5('shard:'||id); intra-shard order =
+    * md5('pos:'||id) — a deterministic global permutation, so the shard
+    * FILES are byte-reproducible regardless of cluster parallelism:
+    * repartition(shard) + sortWithinPartitions(pos_key) at write time).
+    * The report grades the mix per shard: doc/token mass, distinct
+    * sources, the max single-source share (the mixing failure signal),
+    * and the deterministically-first doc.
+    *
+    * Scale shape: one map-side-combinable (shard, source) count
+    * aggregate (output |shards|·|sources| rows) + one per-shard
+    * aggregate — the corpus is scanned once and only counts shuffle; the
+    * write path itself is THE one unavoidable repartition of a training
+    * run. Integer-exact; the share uses d9's floor-micro form. */
+  private val shardShuffle: Q = (s, d) => {
+    val base = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 1), 16, 10).cast("int").as("shard"),
+        md5(concat(lit("pos:"), col("doc_id").cast("string"))).as("pos_key"))
+    val bySrc = base.groupBy("shard", "source").agg(count(lit(1)).as("c"))
+    val srcStats = bySrc.groupBy("shard")
+      .agg(count(lit(1)).as("n_sources"), max(col("c")).as("max_c"))
+    val main = base.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"),
+      min(struct(col("pos_key"), col("doc_id"))).as("first"))
+    main.join(srcStats, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_tok"), col("n_sources"),
+        floor(col("max_c") * lit(1000000L) / col("n_docs")).cast("long")
+          .as("max_source_share_micro"),
+        col("first").getField("doc_id").as("first_doc"))
+  }
+
   /** Total document budget of [[temperatureMix]] — a query constant (at
     * a real 100 TB curation run this is the target corpus size). */
   val TempMixBudget = 100
@@ -1131,6 +1174,7 @@ object PipelineOps {
     "tx_keywords" -> keywords,
     "tx_lm_score" -> lmScore,
     "tx_bm25" -> bm25,
+    "tx_shard_shuffle" -> shardShuffle,
     "ann_hybrid_rrf" -> hybridRrf,
     "tx_repetition" -> repetition,
     "tx_pack" -> pack,
@@ -1456,6 +1500,28 @@ object PipelineOps {
          |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_commonness
          |FROM tok JOIN c USING (token) GROUP BY doc_id""".stripMargin,
     "tx_bm25" -> bm25Sql,
+    // Shard nibble and pos key mirror the engine's md5 arithmetic; the
+    // first-doc election is arg-min on the (unique) pos key; the share
+    // uses d9's floor-micro form.
+    "tx_shard_shuffle" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(strpos('0123456789abcdef',
+         |      substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+         |    md5('pos:' || CAST(doc_id AS VARCHAR)) AS pos_key
+         |  FROM documents),
+         |s AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+         |      FROM b GROUP BY 1, 2),
+         |ss AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_sources,
+         |       max(c) AS max_c FROM s GROUP BY 1),
+         |m AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |       arg_min(doc_id, pos_key) AS first_doc
+         |      FROM b GROUP BY 1)
+         |SELECT m.shard, m.n_docs, m.n_tok, ss.n_sources,
+         |  CAST(floor(ss.max_c * 1000000 / m.n_docs) AS BIGINT) AS max_source_share_micro,
+         |  m.first_doc
+         |FROM m JOIN ss USING (shard)""".stripMargin,
     // RRF fusion of the two arm rankings: lex = the bm25 SQL VERBATIM
     // (spliced, so the arms cannot drift), vec = the proven exact-cosine
     // ordering; each reciprocal is integer division (//) so fusion has

@@ -656,6 +656,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_shard_shuffle: assignment conserves the corpus, mixes sources, " +
+       "and elects a deterministic first doc") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("tx_shard_shuffle").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"), r.getAs[Long]("max_source_share_micro"),
+        r.getAs[Long]("first_doc")))
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    assert(rows.map(_._2).sum == docs.count(), "shards must conserve the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // Mixing: every populated shard draws from several sources, and no
+    // single source dominates a shard (content-independent md5 spread).
+    val nSources = docs.select(col("source")).distinct().count()
+    rows.filter(_._2 >= 10).foreach { case (sh, n, ns, share, _) =>
+      assert(ns >= 2, s"shard $sh with $n docs drew a single source")
+      assert(share < 1000000L, s"shard $sh fully single-source")
+      assert(ns <= nSources)
+    }
+    // Determinism: same session, same corpus → identical report
+    // (assignment and first-doc election are pure md5 arithmetic).
+    val again = q("tx_shard_shuffle").collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"), r.getAs[Long]("max_source_share_micro"),
+        r.getAs[Long]("first_doc")))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("ann_hybrid_rrf: fusion equals the local RRF model over the two " +
        "arm rankings, integer-exact") {
     import graft.queries.PipelineOps.{Bm25TopK, HybridTopK, RrfK}
