@@ -151,6 +151,70 @@ object SimilarityOps {
     * cosine DESC with qid DESC on ties — while penx selects cosine DESC
     * with vec_id ASC on ties (the batchScoredTopK convention).
     */
+  /** MMR candidate-pool size, selected size, and λ numerators (0.7
+    * relevance / 0.3 diversity as exact double literals on BOTH engines —
+    * no 1−λ subtraction to drift). Shared with the oracle. */
+  val MmrPoolK = 10
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998) —
+    * the diversification pass a RAG serving stack runs on the retrieval
+    * pool: greedily select [[MmrK]] of the top-[[MmrPoolK]] candidates,
+    * each step taking argmax of 0.7·rel(d) − 0.3·max_{s∈S} cos(d, s)
+    * (max over the already-selected set; empty-set max = 0, so pick 1 is
+    * pure relevance), ties to the smaller id.
+    *
+    * Scale shape: the DISTRIBUTED work is the pool build (one corpus
+    * scan, the proven exact-cosine TakeOrdered arm — at 100 TB this arm
+    * is the IVF adaptive serve) and the pool's pairwise cosine matrix
+    * (a [[MmrPoolK]]²-row cross join of broadcast-sized frames, the same
+    * fold expression). The greedy walk itself is inherently sequential
+    * and runs on ≤ PoolK + PoolK² collected rows — the bounded-metadata
+    * budget class (nlist cell ids, 8-shard sketches), NOT a corpus
+    * collect. Cross-engine: rel and pairwise cosines are bit-identical
+    * (ordered folds), the step score is the same two-literal expression,
+    * max over a set is order-free, so selection order matches the
+    * oracle's [[MmrK]] unrolled greedy CTE stages exactly (the BPE
+    * round-unroll discipline); the reported score micro-rounds HALF_UP
+    * on both sides. */
+  private val mmrRerank: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vDouble(col("embedding")).as("v"))
+    val q0 = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    val pool = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .withColumn("rel", cosineCol(col("v"), col("qv")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPoolK)
+      .select(col("vec_id"), col("v"), col("rel"))
+    val x = pool.select(col("vec_id").as("a"), col("v").as("va"))
+    val y = pool.select(col("vec_id").as("b"), col("v").as("vb"))
+    val sim = x.crossJoin(y).where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosineCol(col("va"), col("vb")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rel = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var selected = Vector.empty[(Long, Double)]
+    var remaining = rel.keySet
+    while (selected.size < MmrK && remaining.nonEmpty) {
+      val pick = remaining.toSeq.map { id =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _) => sim((id, sid)) }.max
+        id -> (0.7 * rel(id) - 0.3 * maxSim)
+      }.minBy { case (id, sc) => (-sc, id) }
+      selected :+= pick
+      remaining -= pick._1
+    }
+    selected.zipWithIndex.map { case ((id, sc), i) =>
+      (id, i + 1,
+        java.math.BigDecimal.valueOf(sc * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }.toDF("vec_id", "mmr_rank", "score_micro")
+  }
+
   private val marginMining: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
@@ -804,6 +868,7 @@ object SimilarityOps {
     "ann_filtered_topk" -> filteredTopK,
     "ann_dim_truncation_eval" -> dimTruncationEval,
     "ann_margin_mining" -> marginMining,
+    "ann_mmr_rerank" -> mmrRerank,
   )
 
   /** Mirrors [[graft.functions.GraftFunctions.cosine]] including the
@@ -1134,6 +1199,42 @@ object SimilarityOps {
          |  cos_micro, margin_micro,
          |  (margin_micro >= $MarginAcceptMicro) AS accepted
          |FROM m QUALIFY rank <= $MarginTopK""".stripMargin,
+    // The greedy walk unrolled as MmrK chained CTE stages (the BPE
+    // round-unroll discipline): sel1 = pure-relevance pick; stage k
+    // scores the not-yet-selected candidates against the union of the
+    // previous picks and elects one. rel / pairwise cosines are the
+    // shared ordered folds, the step score the same two-literal
+    // expression, so selection matches the engine's walk bit-for-bit.
+    "ann_mmr_rerank" -> {
+      val steps = (1 to MmrK).map { k =>
+        if (k == 1)
+          s"""sel1 AS (SELECT vec_id, 1 AS mmr_rank, 0.7 * rel AS score FROM cand
+             |         QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1)""".stripMargin
+        else {
+          val selU = (1 until k).map(j => s"SELECT vec_id FROM sel$j")
+            .mkString(" UNION ALL ")
+          s"""st$k AS (SELECT c.vec_id, 0.7 * c.rel - 0.3 * max(s.s) AS score
+             |        FROM cand c JOIN sim s ON s.a = c.vec_id
+             |        WHERE s.b IN ($selU) AND c.vec_id NOT IN ($selU)
+             |        GROUP BY c.vec_id, c.rel),
+             |sel$k AS (SELECT vec_id, $k AS mmr_rank, score FROM st$k
+             |          QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) = 1)""".stripMargin
+        }
+      }
+      val selAll = (1 to MmrK).map(j => s"SELECT * FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.v, ${cosineSql("e.v", "qv.qv")} AS rel
+         |         FROM e, qv WHERE e.vec_id <> 0
+         |         QUALIFY row_number() OVER (ORDER BY rel DESC, e.vec_id) <= $MmrPoolK),
+         |sim AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosineSql("x.v", "y.v")} AS s
+         |        FROM cand x, cand y WHERE x.vec_id <> y.vec_id),
+         |${steps.mkString(",\n")}
+         |SELECT vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
+         |  CAST(round(score * 1000000) AS BIGINT) AS score_micro
+         |FROM ($selAll)""".stripMargin
+    },
   )
 
   /** Empty since the centroid mean became integer-exact (order-free sums,

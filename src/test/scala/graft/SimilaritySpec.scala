@@ -20,6 +20,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("mmr rerank: selection comes from the pool, leads with pure " +
+       "relevance, and winning scores never increase") {
+    import graft.queries.SimilarityOps.{MmrK, MmrPoolK}
+    val brute = SparkEntry.queries("ann_brute_topk")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(brute.length == MmrPoolK)
+    val mmr = SparkEntry.queries("ann_mmr_rerank")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("score_micro")))
+      .sortBy(_._2)
+    assert(mmr.length == MmrK)
+    assert(mmr.map(_._2).toSeq == (1 to MmrK))
+    // Selection ⊆ pool; no repeats.
+    val pool = brute.map(_._1).toSet
+    assert(mmr.forall(m => pool.contains(m._1)))
+    assert(mmr.map(_._1).distinct.length == MmrK)
+    // Pick 1 = the relevance argmax (empty selected set ⇒ pure relevance),
+    // scored 0.7·rel.
+    assert(mmr.head._1 == brute.head._1)
+    assert(mmr.head._3 == math.round(0.7 * brute.head._2 * 1e6))
+    // Greedy argmax over a shrinking candidate set with a growing
+    // penalty: the winning marginal score is non-increasing in rank.
+    mmr.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"MMR scores must not increase: $a -> $b")
+    }
+    // Determinism.
+    val again = SparkEntry.queries("ann_mmr_rerank")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("mmr_rank"),
+        r.getAs[Long]("score_micro"))).sortBy(_._2)
+    assert(again.sameElements(mmr))
+  }
+
   test("brute-force top-k is ordered by cosine desc") {
     val rows = SparkEntry.queries("ann_brute_topk")(spark, SparkTestBase.sf)
       .collect().map(_.getDouble(1))
