@@ -93,6 +93,55 @@ object DocStreaming {
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Online VECTOR SERVING — top-k cosine search for a STREAM of query
+    * embeddings against a frozen index snapshot: the retrieval-serving
+    * shape (a query firehose against last night's index build). The
+    * snapshot is collected ONCE into an array-of-structs literal riding
+    * into every task — the asofStreamStatic broadcast-index discipline,
+    * with the SAME fail-fast size gate before the collect (an index that
+    * doesn't fit the broadcast bound would OOM the driver; past the
+    * bound the serve path is IVF cell routing, not this operator). Each
+    * arriving vector scores the pool with the shared ordered-fold
+    * [[graft.functions.GraftFunctions.cosine]], self-matches and
+    * zero-norm nulls filtered, a comparator array_sort (cosine desc, id
+    * asc — the batchScoredTopK tie-break) takes the top k. Everything is
+    * per-row HOF codegen: NO window, NO state store, NO stream shuffle —
+    * parity with batch ann_batch_topk is exact (DocStreamingSpec).
+    */
+  def annServeStream(spark: SparkSession, stream: DataFrame,
+      corpus: DataFrame, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.queries.SimilarityOps.vDouble
+    val pruned = corpus.select(col("vec_id"), vDouble(col("embedding")).as("v"))
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val bound = if (threshold > 0) threshold else 10L * 1024 * 1024
+    val estBytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(estBytes <= bound,
+      s"annServeStream builds a literal index from the static corpus, but " +
+        s"its estimated size ($estBytes bytes) exceeds $bound bytes " +
+        s"(spark.sql.autoBroadcastJoinThreshold, or the 10 MB default when " +
+        s"disabled). Shrink the snapshot or route through an IVF index.")
+    val pool = typedLit(pruned.as[(Long, Seq[Double])].collect().toSeq)
+    val q = vDouble(col("embedding"))
+    val scored = filter(
+      transform(pool, p =>
+        struct(graft.functions.GraftFunctions.cosine(p.getField("_2"), q).as("c"),
+          p.getField("_1").as("id"))),
+      s0 => s0.getField("c").isNotNull && s0.getField("id") =!= col("vec_id"))
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("c") > r.getField("c"), -1)
+        .when(l.getField("c") < r.getField("c"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0))
+    stream
+      .select(col("vec_id").as("query_id"),
+        posexplode(slice(sorted, 1, k)))
+      .select(col("query_id"), col("col").getField("id").as("vec_id"),
+        col("col").getField("c").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Streaming quality-filter SERVE — the ingest-time twin of batch
     * pipe_quality_filter: score arriving documents with FROZEN trained
     * weights (training happened offline — [[graft.queries.PipelineOps

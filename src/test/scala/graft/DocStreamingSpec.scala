@@ -158,6 +158,40 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serve == batch ann_batch_topk for the batch " +
+       "queries, stateless literal-index plan; oversized index fails fast") {
+    import graft.queries.SimilarityOps.BatchQueries
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    emb.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(emb.schema).parquet(dir)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.annServeStream(spark, stream, emb),
+      "ann_serve_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "ANN serve stream must not be stateful")
+      val streamed = spark.table("ann_serve_out")
+        .where(col("query_id") < BatchQueries)
+      val batch = SparkEntry.queries("ann_batch_topk")(spark, SparkTestBase.sf)
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch ANN serve mismatch")
+    } finally q.stop()
+    // The fail-fast gate: an index estimated past the broadcast bound
+    // must refuse BEFORE collecting.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val e = intercept[IllegalArgumentException] {
+        DocStreaming.annServeStream(spark, stream, emb)
+      }
+      assert(e.getMessage.contains("exceeds"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("streaming quality-filter serve == batch pipe_quality_filter, " +
        "stateless frozen-weights plan") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
