@@ -130,6 +130,36 @@ object BpeOps {
         md5(concat_ws(" ", col("toks"))).as("tok_md5"))
   }
 
+  /** Tokenizer-quality report — the eval every tokenizer build ends with:
+    * per language, how well the learned merges COMPRESS the corpus.
+    * Reports docs, total code points entering the tokenizer, total
+    * tokens out, tokens that are genuine merges (>1 code point — base
+    * symbols are single code points by construction), and the headline
+    * code-points-per-token ratio (d9's floor-micro form). A language the
+    * merges never fire on shows cp_per_token ≈ 1 — the signal that the
+    * vocab was trained on the wrong mix (the tx_temperature_mix use
+    * case). Scale shape: encode is the same one codegen expression as
+    * tx_bpe_apply, the stats are per-row HOF folds, and ONE
+    * map-side-combinable groupBy collapses the corpus to |langs| rows.
+    */
+  private val bpeCoverage: Q = (s, d) => {
+    val merges = trainedMerges(s, d, DefaultMerges).map(m => (m.l, m.r))
+    Tables.documents(s, d)
+      .select(col("lang"), bpe_encode(col("text"), merges).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("nt"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("ncp"),
+        size(filter(col("toks"), t => length(t) > 1)).cast("long").as("nm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ncp")).as("total_cp"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nm")).as("merged_tokens"))
+      .withColumn("cp_per_token_micro",
+        floor(col("total_cp") * lit(1000000L) / col("total_tokens")).cast("long"))
+  }
+
   /** The shippable vocabulary: base code-point symbols (ids 0..B-1 in
     * binary lexicographic order) followed by the K merge outputs (ids
     * B+rank-1 in rank order) — exactly the two-part layout BPE vocab
@@ -163,6 +193,7 @@ object BpeOps {
     "tx_bpe_train" -> bpeTrain,
     "tx_bpe_apply" -> bpeApply,
     "tx_bpe_vocab" -> bpeVocab,
+    "tx_bpe_coverage" -> bpeCoverage,
   )
 
   // ---------------------------------------------------------------------
@@ -241,9 +272,42 @@ object BpeOps {
           s"SELECT CAST((SELECT n FROM nb) + $i - 1 AS INT), (SELECT l || r FROM b$i), 'merge' FROM b$i")
           .mkString("\nUNION ALL\n")}""".stripMargin
 
+  /** The apply chain with lang carried through, aggregated per lang —
+    * the same w0/train stages and the same chr(1) word-boundary
+    * discipline as [[applyOracle]]. */
+  private def coverageOracle(k: Int): String = {
+    val docStages = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT doc_id, lang, replace(s, ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+         |                                  ' ' || (SELECT l || r FROM b$i) || ' ') AS s
+         |  FROM d${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $w0,
+       |${trainStages(k)},
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id, lang, ' ' || array_to_string([array_to_string(string_split(w, ''), '  ') FOR w IN words], ' ' || chr(1) || ' ') || ' ' AS s
+       |  FROM (SELECT doc_id, lang, [w FOR w IN string_split_regex(text, '[ \n\t]+') IF w != ''] AS words FROM documents)
+       |  WHERE list_count(words) > 0),
+       |$docStages,
+       |enc AS (SELECT lang,
+       |          [t FOR t IN string_split_regex(trim(s, ' '), ' +') IF t != '' AND t != chr(1)] AS toks
+       |        FROM d$k),
+       |st AS (SELECT lang, CAST(list_count(toks) AS BIGINT) AS nt,
+       |         CAST(list_reduce(list_transform(toks, t -> len(t)), (a, b) -> a + b) AS BIGINT) AS ncp,
+       |         CAST(len(list_filter(toks, t -> len(t) > 1)) AS BIGINT) AS nm
+       |       FROM enc)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ncp) AS BIGINT) AS total_cp,
+       |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |  CAST(sum(nm) AS BIGINT) AS merged_tokens,
+       |  CAST(floor(sum(ncp) * 1000000 / sum(nt)) AS BIGINT) AS cp_per_token_micro
+       |FROM st GROUP BY lang""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "tx_bpe_train" -> trainOracle(DefaultMerges),
     "tx_bpe_apply" -> applyOracle(DefaultMerges),
     "tx_bpe_vocab" -> vocabOracle(DefaultMerges),
+    "tx_bpe_coverage" -> coverageOracle(DefaultMerges),
   )
 }

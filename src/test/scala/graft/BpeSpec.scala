@@ -128,4 +128,29 @@ class BpeSpec extends AnyFunSuite {
       .head.getSeq[String](0)
     assert(got == Seq("a", "b", "c", "d"))
   }
+
+  test("bpe coverage: per-lang stats agree with tx_bpe_apply and the " +
+       "merges genuinely compress") {
+    val cov = SparkEntry.queries("tx_bpe_coverage")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_cp"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("merged_tokens"),
+          r.getAs[Long]("cp_per_token_micro"))).toMap
+    // Conservation against the apply query: Σ total_tokens == Σ apply
+    // n_tokens (same encode, same empty-doc exclusion).
+    val applyTotal = SparkEntry.queries("tx_bpe_apply")(spark, SparkTestBase.sf)
+      .collect().map(_.getAs[Long]("n_tokens")).sum
+    assert(cov.values.map(_._3).sum == applyTotal)
+    cov.foreach { case (lang, (nd, ncp, nt, nm, cpt)) =>
+      assert(nd > 0 && nt > 0 && ncp >= nt, s"$lang: cp >= tokens")
+      assert(nm <= nt)
+      // cp/token ≥ 1 by construction; > 1 exactly when merges fired.
+      assert(cpt >= 1000000L)
+      if (nm > 0) assert(cpt > 1000000L, s"$lang: merges must compress")
+      assert(cpt == ncp * 1000000L / nt)
+    }
+    // The trained merges fire somewhere on this corpus.
+    assert(cov.values.map(_._4).sum > 0, "no merge ever applied")
+  }
 }
