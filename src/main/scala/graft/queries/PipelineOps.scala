@@ -1128,6 +1128,40 @@ object PipelineOps {
     qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
   }
 
+  /** Default noise seed for [[dpCard]] (override with
+    * `spark.graft.dp.seed`). Fixed by default so the release is
+    * REPLAYABLE and oracle-gated; a production run supplies a secret
+    * seed — the privacy of the Laplace mechanism lives entirely in the
+    * seed's secrecy, the arithmetic is identical. */
+  val DpSeedDefault = "graft-dp-v1"
+
+  /** Differentially-private dataset card — the publishable face of the
+    * release stats: per (lang, split) cell of the cleaned corpus, the
+    * doc count plus Laplace(b = 1/ε) noise at ε = 1. Sensitivity is 1 by
+    * construction (each doc contributes to exactly one cell), so b = 1.
+    * Noise is inverse-CDF sampled — u from the first 13 md5 hex digits
+    * of (seed, cell) as the EXACT dyadic (h + 0.5)/2^52 (never 0/1, no
+    * ln(0)), noise = −sign(u−½)·ln(1−2|u−½|) — every step up to the ln
+    * is exact IEEE arithmetic reproduced verbatim in the oracle (Horner
+    * fold over the hex digits); ln carries the bm25-measured 1-ulp libm
+    * risk, absorbed by the micro-rounded output. Only the noisy value is
+    * published — the true count never leaves the plan. One
+    * map-side-combinable groupBy over the session-materialized cleaned
+    * frame; output is |cells| rows. */
+  private val dpCard: Q = (s, d) => {
+    val seed = s.conf.getOption("spark.graft.dp.seed").getOrElse(DpSeedDefault)
+    val cells = cleanedDocs(s, d).groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+    val h = conv(substring(md5(concat(lit(seed), lit(":"), col("lang"),
+      lit(":"), col("split"))), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(0.5d)) / lit(4503599627370496.0d) // 2^52
+    val c = u - lit(0.5d)
+    val noise = -signum(c) * log(lit(1.0d) - lit(2.0d) * abs(c))
+    cells.select(col("lang"), col("split"),
+      round((col("n").cast("double") + noise) * 1e6).cast("long")
+        .as("noisy_count_micro"))
+  }
+
   /** k-anonymity floor and the quasi-identifier length-bucket width for
     * [[kAnonymityOf]]. Shared with the oracle. */
   val KAnonK = 5L
@@ -1161,6 +1195,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "pipe_drift_psi" -> driftPsi,
     "pipe_k_anonymity" -> kAnonymity,
+    "pipe_dp_card" -> dpCard,
     "pipe_quality_classifier" -> qualityClassifier,
     "pipe_quality_filter" -> qualityFilter,
     "pipe_drop_reasons" -> dropReasons,
@@ -1336,6 +1371,25 @@ object PipelineOps {
          |  CASE WHEN s.n_tok >= 20 AND s.dup2 < 0.05 AND s.doc_id <> k.keeper
          |       THEN k.keeper END AS dup_of
          |FROM s LEFT JOIN k USING (h)""".stripMargin,
+    // Cells from the shared cleaned-stage CTE; u rebuilt as the exact
+    // dyadic (h + 0.5)/2^52 via a Horner fold over the 13 hex digits;
+    // the Laplace inverse-CDF expression mirrors the engine term for
+    // term (ln carries the accepted 1-ulp libm risk under micro-round).
+    "pipe_dp_card" ->
+      s"""WITH cl AS ($cleanedSql),
+         |cells AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+         |          FROM cl GROUP BY 1, 2),
+         |nz AS (SELECT lang, split, n,
+         |  (CAST(list_reduce(list_transform(
+         |     string_split(substr(md5('$DpSeedDefault:' || lang || ':' || split), 1, 13), ''),
+         |     ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT)),
+         |     (a, b) -> a * 16 + b) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+         |  FROM cells)
+         |SELECT lang, split,
+         |  CAST(round((CAST(n AS DOUBLE)
+         |    + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))) * 1000000) AS BIGINT)
+         |    AS noisy_count_micro
+         |FROM nz""".stripMargin,
     "pipe_k_anonymity" ->
       s"""SELECT lang, source,
          |  CAST(n_chars // $KAnonCharBin AS BIGINT) AS len_bin,

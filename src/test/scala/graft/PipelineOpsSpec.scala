@@ -656,6 +656,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_dp_card: noisy counts track the true cells within Laplace " +
+       "tails, are deterministic under the fixed seed, and move under a " +
+       "different seed") {
+    import org.apache.spark.sql.functions.col
+    val noisy = q("pipe_dp_card").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("noisy_count_micro"))
+      .toMap
+    val truth = q("pipe_clean_corpus").groupBy(col("lang"), col("split"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    assert(noisy.keySet == truth.keySet, "one noisy row per occupied cell")
+    noisy.foreach { case (cell, nm) =>
+      val err = math.abs(nm / 1e6 - truth(cell))
+      // Laplace(b=1): P(|noise| > 14) = e^-14 ≈ 8e-7 — across 15 cells a
+      // violation means the mechanism, not luck.
+      assert(err <= 14.0, s"cell $cell noise $err implausible for b=1")
+      assert(nm != truth(cell) * 1000000L, s"cell $cell published exactly")
+    }
+    // Replayable under the fixed seed…
+    assert(q("pipe_dp_card").collect().map(
+      r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("noisy_count_micro"))
+      .toMap == noisy)
+    // …and genuinely seed-dependent (the privacy lives in the seed).
+    spark.conf.set("spark.graft.dp.seed", "spec-other-seed")
+    try {
+      val other = q("pipe_dp_card").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("noisy_count_micro"))
+        .toMap
+      assert(other != noisy, "noise must move with the seed")
+    } finally spark.conf.unset("spark.graft.dp.seed")
+  }
+
   test("tx_shard_shuffle: assignment conserves the corpus, mixes sources, " +
        "and elects a deterministic first doc") {
     import org.apache.spark.sql.functions.col
