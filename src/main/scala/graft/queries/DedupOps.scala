@@ -679,6 +679,47 @@ object DedupOps {
         .withColumnRenamed("id", "doc_id")
     }
 
+  /** LSH recall evaluation (d19) — the dedup twin of ann_recall_eval:
+    * how much of the EXACT near-dup pair set does d2's banded candidate
+    * generation catch, per Jaccard bucket? Ground truth is exact
+    * all-pairs word-shingle Jaccard ≥ 0.5 within language strata (the
+    * d4/d5 same-group restriction that bounds the quadratic side — at
+    * 100 TB the exact arm runs on an eval SAMPLE, never the corpus; the
+    * banded arm is the production path being graded). Caught = the d2
+    * pair graph (verified, so caught ⊆ exact and bucket values agree by
+    * construction) restricted to the same strata. The per-bucket recall
+    * makes the LSH S-curve measurable: recall must rise toward 1 as
+    * Jaccard → 1 — if the 0.9-bucket recall drops, the banding broke.
+    */
+  private val lshRecallEval: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = minhashSignatures(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("shingles"))
+    val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    val exact = verifyJaccard(
+      a.join(b, Seq("lang")).where(col("doc_a") < col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val la = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"))
+    val lb = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"))
+    val caught = minhashPairs(s, d)
+      .join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .where(col("lang_a") === col("lang_b"))
+    def bucket = least(floor(col("jaccard") * 10), lit(9)).cast("int")
+    val ex = exact.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_exact"))
+    val ca = caught.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_caught"))
+    ex.join(ca, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_exact"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        floor(coalesce(col("n_caught"), lit(0L)) * lit(1000000L) / col("n_exact"))
+          .cast("long").as("recall_micro"))
+  }
+
   /** Dedup observability (d18) — the cluster-size histogram every dedup
     * report leads with: over the d8 component assignment (materialized —
     * computing this report never re-runs the banding), how many clusters
@@ -1114,6 +1155,7 @@ object DedupOps {
     "d10_keep_best" -> keepBest,
     "d17_span_scrub" -> spanScrub,
     "d18_cluster_stats" -> clusterStats,
+    "d19_lsh_recall_eval" -> lshRecallEval,
   )
 
   /** Undirected reachability closure over a `pairs(doc_a, doc_b)` CTE →
@@ -1402,6 +1444,30 @@ object DedupOps {
       s"""WITH RECURSIVE pairs AS ($d2OracleSql),
          |$componentsCtes
          |SELECT doc_id, cluster_rep FROM comp""".stripMargin,
+    // Exact arm: all-pairs shingle Jaccard within lang strata (the same
+    // shingle and jac text as d2's oracle); caught arm: the d2 SQL
+    // verbatim, strata-filtered. Bucketing floors the shared double.
+    "d19_lsh_recall_eval" -> {
+      val jac = "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / " +
+        "CAST(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS rtoks FROM documents),
+         |sh AS (SELECT doc_id, lang, ${shinglesSql("rtoks")} AS shingles FROM t),
+         |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard
+         |       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |       WHERE $jac >= 0.5),
+         |ca AS (SELECT p.doc_a, p.doc_b, p.jaccard FROM ($d2OracleSql) p
+         |       JOIN t ta ON ta.doc_id = p.doc_a
+         |       JOIN t tb ON tb.doc_id = p.doc_b
+         |       WHERE ta.lang = tb.lang),
+         |eb AS (SELECT CAST(least(floor(jaccard * 10), 9) AS INT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+         |cb AS (SELECT CAST(least(floor(jaccard * 10), 9) AS INT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_caught FROM ca GROUP BY 1)
+         |SELECT eb.bucket, eb.n_exact,
+         |  CAST(coalesce(cb.n_caught, 0) AS BIGINT) AS n_caught,
+         |  CAST(floor(coalesce(cb.n_caught, 0) * 1000000 / eb.n_exact) AS BIGINT) AS recall_micro
+         |FROM eb LEFT JOIN cb USING (bucket)""".stripMargin
+    },
     // Histogram over the d8 component CTEs verbatim — the report cannot
     // drift from the assignment it reports on.
     "d18_cluster_stats" ->

@@ -269,6 +269,35 @@ class DedupSpec extends AnyFunSuite {
     assert(hist.keySet.exists(_ >= 2), s"expected a multi-doc cluster: $hist")
   }
 
+  test("d19 lsh recall eval: caught never exceeds exact, tallies match the " +
+       "pair queries, and high-jaccard recall is near 1") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("d19_lsh_recall_eval")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_caught"),
+          r.getAs[Long]("recall_micro"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, (ne, nc, rm)) =>
+      assert(b >= 5 && b <= 9, s"jaccard >= 0.5 buckets only, got $b")
+      assert(nc <= ne, s"bucket $b: caught must be a subset of exact")
+      assert(rm == nc * 1000000L / ne)
+    }
+    // Total caught equals the d2 pair graph restricted to same-lang pairs.
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d2SameLang = SparkEntry.queries("d2_minhash_lsh")(spark, SparkTestBase.sf)
+      .collect()
+      .count(r => docs(r.getAs[Long]("doc_a")) == docs(r.getAs[Long]("doc_b")))
+    assert(rows.values.map(_._2).sum == d2SameLang.toLong)
+    // The banding S-curve: at jaccard >= 0.9 the catch probability is
+    // ~0.9998 for these band parameters — demand near-total recall there.
+    rows.get(9).foreach { case (ne, _, rm) =>
+      if (ne >= 3) assert(rm >= 900000L, s"top-bucket recall $rm implausible")
+    }
+  }
+
   test("d11 chunk dedup: planted shared passage dedups at chunk level; unique docs clean") {
     // A long shared passage (boilerplate) embedded in two otherwise
     // different documents: CDC boundaries inside the passage align, so
