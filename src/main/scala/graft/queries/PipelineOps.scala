@@ -597,7 +597,13 @@ object PipelineOps {
     * integer score, the per-term partials fold in a FIXED literal order
     * (no order-nondeterministic float sum()), and the ranking orders by
     * the rounded integer so a sub-micro ulp can never flip a rank. */
-  private val bm25: Q = (s, d) => {
+  /** The ranking is session-MATERIALIZED: tx_bm25 and ann_hybrid_rrf's
+    * lexical arm read the same artifact, so the postings aggregation
+    * runs once no matter which face asks. */
+  private val bm25: Q = (s, d) =>
+    graft.core.Materialize.once(s, s"bm25:$d") { bm25Compute(s, d) }
+
+  private def bm25Compute(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documentsSpread(s, d)
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
