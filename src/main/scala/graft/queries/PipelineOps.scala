@@ -247,13 +247,22 @@ object PipelineOps {
     * aggregate — the corpus is scanned once and only counts shuffle; the
     * write path itself is THE one unavoidable repartition of a training
     * run. Integer-exact; the share uses d9's floor-micro form. */
+  /** The write-time key pair of [[shardShuffle]], shared with the
+    * high-volume reproducibility test: shard = first md5 hex nibble,
+    * intra-shard order = a second md5 key — both pure functions of the
+    * id, so shard contents and order are independent of parallelism. */
+  def shardNibble(id: Column): Column =
+    conv(substring(md5(concat(lit("shard:"), id.cast("string"))), 1, 1),
+      16, 10).cast("int")
+  def shardPosKey(id: Column): Column =
+    md5(concat(lit("pos:"), id.cast("string")))
+
   private val shardShuffle: Q = (s, d) => {
     val base = Tables.documentsSpread(s, d)
       .select(col("doc_id"), col("source"),
         size(toks(col("text"))).cast("long").as("n_tok"),
-        conv(substring(md5(concat(lit("shard:"),
-          col("doc_id").cast("string"))), 1, 1), 16, 10).cast("int").as("shard"),
-        md5(concat(lit("pos:"), col("doc_id").cast("string"))).as("pos_key"))
+        shardNibble(col("doc_id")).as("shard"),
+        shardPosKey(col("doc_id")).as("pos_key"))
     val bySrc = base.groupBy("shard", "source").agg(count(lit(1)).as("c"))
     val srcStats = bySrc.groupBy("shard")
       .agg(count(lit(1)).as("n_sources"), max(col("c")).as("max_c"))

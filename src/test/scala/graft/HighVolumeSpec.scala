@@ -188,6 +188,65 @@ class HighVolumeSpec extends AnyFunSuite {
       .count().agg(sum(col("count"))).head.getLong(0))
   }
 
+  test("shard shuffle at volume: 5M docs, balanced nibble assignment, " +
+       "order fingerprint independent of parallelism") {
+    import graft.queries.PipelineOps.{shardNibble, shardPosKey}
+    import org.apache.spark.sql.expressions.Window
+    val n = 5000000L
+    val assigned = spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id"), shardNibble(col("doc_id")).as("shard"),
+        shardPosKey(col("doc_id")).as("pos_key"))
+    // Balance: md5 uniformity puts every shard within a fraction of a
+    // percent of n/16 at this volume; 2% catches a broken nibble.
+    val counts = assigned.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 16).toSet)
+    assert(counts.values.sum == n)
+    val mean = n.toDouble / 16
+    counts.foreach { case (sh, c) =>
+      assert(math.abs(c - mean) / mean < 0.02, s"shard $sh count $c skewed")
+    }
+    // Byte-reproducibility, the claim that matters at 1000 executors:
+    // the pos_key-ordered doc sequence per shard is a pure function of
+    // the ids — an order-sensitive fingerprint (rank-weighted modular
+    // hash sum; terms < 1e9 so the BIGINT sum can't overflow ANSI mode)
+    // must be identical under different input partitionings.
+    def fp(parallelism: Int): Map[Int, Long] = {
+      val w = Window.partitionBy("shard").orderBy("pos_key")
+      val p = lit(1000000007L)
+      assigned.repartition(parallelism)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("shard")
+        .agg(sum(pmod(col("rn") * pmod(xxhash64(col("doc_id")), p), p)).as("fp"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    assert(fp(32) == fp(7), "shard order must not depend on parallelism")
+  }
+
+  test("span scrub at volume: 1M docs with planted boilerplate, exactly " +
+       "the shared run excised from every carrier") {
+    // Every doc carries unique filler; every 10th doc embeds the SAME
+    // 8-token boilerplate run, which is the only corpus-duplicated
+    // window. Closed form: carriers lose exactly W tokens, others none.
+    val W = graft.queries.DedupOps.SpanWindow
+    val boiler = (1 to W).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(1000000).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) === 0,
+        concat(lit("u"), col("id"), lit("a u"), col("id"), lit("b "),
+          lit(boiler), lit(" u"), col("id"), lit("c")))
+        .otherwise(concat(lit("u"), col("id"), lit("a u"), col("id"),
+          lit("b u"), col("id"), lit("c"))).as("text"))
+    val out = graft.queries.DedupOps.spanScrubOf(docs)
+    val agg = out.agg(
+      sum(when(col("n_removed") === W, 1L).otherwise(0L)),
+      sum(when(col("n_removed") === 0L, 1L).otherwise(0L)),
+      count(lit(1))).head
+    assert(agg.getLong(2) == 1000000L)
+    assert(agg.getLong(0) == 100000L, "every carrier loses exactly W tokens")
+    assert(agg.getLong(1) == 900000L, "non-carriers untouched")
+  }
+
   test("KLL quantile sketches at volume: 10M values across 32 shard " +
        "sketches, merged estimates hold the rank bound") {
     import graft.functions.KllSketch._
