@@ -1177,6 +1177,37 @@ object PipelineOps {
         .as("noisy_count_micro"))
   }
 
+  /** Curriculum phase count for [[curriculumBuckets]]. */
+  val CurriculumPhases = 4
+
+  /** Curriculum ordering — the data-ordering pass of curriculum
+    * learning: rank every document by the TRAINED quality margin z (the
+    * third consumer of the session-materialized training —
+    * [[qcTrainedWeights]]/[[qcServeOf]], so ordering cannot drift from
+    * the filter it extends) and cut the corpus into [[CurriculumPhases]]
+    * equal-population phases, phase 1 = highest quality (train on clean
+    * data first, widen later). Rank-based cuts (ntile over the exact
+    * integer z, ties to doc_id) rather than value interpolation — the
+    * q_kll_quantiles cross-engine interpolation hazard never arises.
+    *
+    * Scale: the un-partitioned ntile is the small-scale exact form (it
+    * serializes one sort task); at 100 TB the cut points come from the
+    * mergeable KLL sketch over z (q_kll_quantiles' machinery) and phase
+    * assignment is a broadcast-threshold scan — same contract, the
+    * d5→d12 exact-vs-scale-path precedent. Output is the per-phase
+    * summary (|phases| rows): population, z range, keep share. */
+  private val curriculumBuckets: Q = (s, d) => {
+    val (w0, w1, w2) = qcTrainedWeights(s, d)
+    val scored = qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
+    val ph = ntile(CurriculumPhases)
+      .over(Window.orderBy(col("z").desc, col("doc_id")))
+    scored.select(col("doc_id"), col("z"), col("keep"), ph.as("phase"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+  }
+
   /** k-anonymity floor and the quasi-identifier length-bucket width for
     * [[kAnonymityOf]]. Shared with the oracle. */
   val KAnonK = 5L
@@ -1211,6 +1242,7 @@ object PipelineOps {
     "pipe_drift_psi" -> driftPsi,
     "pipe_k_anonymity" -> kAnonymity,
     "pipe_dp_card" -> dpCard,
+    "tx_curriculum_buckets" -> curriculumBuckets,
     "pipe_quality_classifier" -> qualityClassifier,
     "pipe_quality_filter" -> qualityFilter,
     "pipe_drop_reasons" -> dropReasons,
@@ -1365,6 +1397,21 @@ object PipelineOps {
          |  w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z,
          |  (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
          |FROM f CROSS JOIN w$QcRounds w""".stripMargin,
+    // The same trainer chain; phases are rank cuts (ntile over the exact
+    // integer z, ties to doc_id) — no value interpolation to drift.
+    "tx_curriculum_buckets" ->
+      s"""WITH $qcCtesSql,
+         |sc AS (SELECT f.doc_id,
+         |         w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z,
+         |         (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
+         |       FROM f CROSS JOIN w$QcRounds w),
+         |ph AS (SELECT doc_id, z, keep,
+         |         CAST(ntile($CurriculumPhases) OVER (ORDER BY z DESC, doc_id) AS INT) AS phase
+         |       FROM sc)
+         |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM ph GROUP BY phase""".stripMargin,
     // Mirrors the scored-frame gates with the clean pipeline's own
     // precedence; the keeper election is cleanedSql's `k` stage keyed to
     // return the winner per hash.

@@ -656,6 +656,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_curriculum_buckets: equal-population phases ordered by " +
+       "quality, keep mass concentrated early") {
+    import graft.queries.PipelineOps.CurriculumPhases
+    val rows = q("tx_curriculum_buckets").collect()
+      .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("z_min"), r.getAs[Long]("z_max"),
+        r.getAs[Long]("n_keep"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to CurriculumPhases))
+    // ntile: populations differ by at most one, conserve the corpus.
+    val total = Tables.documents(spark, SparkTestBase.sf).count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    // Phases descend in quality: phase p's floor >= phase p+1's ceiling
+    // (ties can touch, never invert).
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._4, s"phase ${a._1} floor below phase ${b._1} ceiling")
+    }
+    // The keep decision is z >= 0, so kept docs pack into the earliest
+    // phases: n_keep is non-increasing across phases.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 >= b._5, s"keep mass must not grow later")
+    }
+    assert(rows.head._5 > 0, "phase 1 must hold kept docs")
+  }
+
   test("pipe_dp_card: noisy counts track the true cells within Laplace " +
        "tails, are deterministic under the fixed seed, and move under a " +
        "different seed") {
