@@ -1053,6 +1053,30 @@ object DedupOps {
     // graph discipline applied to the image pairs.
     graft.core.Materialize.once(s, s"d13_pairs:$d")(computePhashPairs(s, d))
 
+  /** ONE 56-bit Hamming-banded pair join shared by the perceptual-hash
+    * dedup family (d13 images, d20 audio): lossless 4 × 14-bit
+    * pigeonhole chunks (any ≤ 3 errors leave one chunk intact), id-only
+    * candidate shuffle, exact popcount verify at hamming ≤ 3. */
+  private def bandedHammingPairs(hashes: DataFrame, hcol: String): DataFrame = {
+    val bands: Seq[Column] = (0 until 4).map { j =>
+      struct(lit(j).as("chunk_idx"),
+        shiftright(col(hcol), j * 14).bitwiseAND(0x3FFFL).as("chunk"))
+    }
+    val chunked = hashes.select(col("doc_id"), col(hcol),
+      explode(array(bands: _*)).as("c"))
+      .select(col("doc_id"), col(hcol), col("c.chunk_idx"), col("c.chunk"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col(hcol).as("h_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col(hcol).as("h_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(expr("h_a ^ h_b")))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   private def computePhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hashes = Tables.documentsSpread(s, d)
@@ -1060,23 +1084,23 @@ object DedupOps {
       .mapPartitions(_.map(id =>
         MultimodalOps.DocPhash(id, MultimodalOps.PhashCodec.phashOf(id))))
       .toDF().cutLineage
-    val bands: Seq[Column] = (0 until 4).map { j =>
-      struct(lit(j).as("chunk_idx"),
-        shiftright(col("phash"), j * 14).bitwiseAND(0x3FFFL).as("chunk"))
-    }
-    val chunked = hashes.select(col("doc_id"), col("phash"),
-      explode(array(bands: _*)).as("c"))
-      .select(col("doc_id"), col("phash"), col("c.chunk_idx"), col("c.chunk"))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_a"), col("phash").as("ph_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_b"), col("phash").as("ph_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(expr("ph_a ^ ph_b")))
-      .where(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    bandedHammingPairs(hashes, "phash")
+  }
+
+  /** Audio near-dup (d20) — the dedup × AUDIO cell, the "same recording
+    * re-uploaded" detector: 56-bit temporal-energy fingerprints over
+    * REALLY decoded PCM ([[MultimodalOps.AudioFpCodec]] — real WAVE
+    * encode→decode on executors, the mm codec discipline), matched by
+    * the SAME lossless pigeonhole banding as d13. Audio bytes never
+    * shuffle — only (doc_id, fingerprint) rows enter the band join. */
+  private val audioNearDup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = Tables.documentsSpread(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MultimodalOps.DocAudioFp(id, MultimodalOps.AudioFpCodec.fpOf(id))))
+      .toDF().cutLineage
+    bandedHammingPairs(hashes, "afp")
   }
 
   /** d15: canonical-image election over the d13 near-dup clusters — d10's
@@ -1169,6 +1193,7 @@ object DedupOps {
     "d17_span_scrub" -> spanScrub,
     "d18_cluster_stats" -> clusterStats,
     "d19_lsh_recall_eval" -> lshRecallEval,
+    "d20_audio_neardup" -> audioNearDup,
   )
 
   /** Undirected reachability closure over a `pairs(doc_a, doc_b)` CTE →
@@ -1383,6 +1408,28 @@ object DedupOps {
     "d2_minhash_lsh" -> d2OracleSql,
     "d3_simhash" -> d3OracleSql,
     "d13_phash_neardup" -> d13OracleSql,
+    // Closed-form frame-energy sums of the group/variant pattern (the
+    // engine reads the same samples back from a REAL WAVE encode→decode;
+    // 8-bit PCM_UNSIGNED round-trips losslessly, proven by
+    // mm_decode_wav); banding is lossless at hamming ≤ 3, so the oracle
+    // is all pairs over the same fingerprints.
+    "d20_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents),
+        |e AS (SELECT doc_id, f.f AS f,
+        |    CAST(sum((o.o * 13 + f.f * 29 + g * 31 + f.f * o.o * (3 + g % 7)) % 200
+        |      + CASE WHEN v > 0 AND f.f = 13 * v THEN 40 ELSE 0 END) AS BIGINT) AS en
+        |  FROM d, range(0, 57) f(f), range(0, 32) o(o)
+        |  GROUP BY doc_id, f.f),
+        |hb AS (SELECT a.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN b.en > a.en
+        |      THEN 1::BIGINT << CAST(a.f AS INT) ELSE 0 END), 0) AS BIGINT) AS afp
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 56
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        |FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
     // d13's closed form with a frame axis: group-keyed frame count
     // (2 + g%3), the f·13 term in the base texture, per-(doc, frame)
     // dHash at the same floor-division sample coordinates; banding is

@@ -383,6 +383,90 @@ object MultimodalOps {
       }
       MmWav(docId, in.getFrameLength, f.getSampleRate.toInt, sum, min, max)
     }
+
+    /** Encode an arbitrary per-sample pattern through the real WAVE
+      * writer — [[AudioFpCodec]]'s entry, like [[GifCodec.encodePattern]]. */
+    def encodePattern(docId: Long, n: Int, f: (Long, Int) => Int): Array[Byte] =
+      encodeWith(docId, n, f)
+
+    /** Decode to the raw unsigned PCM byte stream (format-checked) — for
+      * consumers that need the samples, not just moments. */
+    def decodeBytes(docId: Long, wav: Array[Byte]): Array[Byte] = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"doc $docId: not a decodable audio stream", e)
+      }
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 8 && f.getChannels == 1 &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"doc $docId: unexpected decoded format $f")
+      in.readAllBytes()
+    }
+  }
+
+  /** Per-document audio fingerprint computed from REAL decoded PCM (the
+    * d20_audio_neardup row). */
+  final case class DocAudioFp(doc_id: Long, afp: Long)
+
+  /** Audio fingerprint codec for `d20_audio_neardup` — the dedup × AUDIO
+    * cell, the PhashCodec discipline lifted to sound: GROUPED synthetic
+    * recordings (four variants per group; variant v > 0 boosts every
+    * sample of exactly ONE analysis frame, 13v, by +40 — the one-cell
+    * perturbation that flips ≤ 2 envelope bits, while groups differ
+    * broadly via the nonlinear frame×offset mixing term, the d13
+    * lesson), written through the real WAVE encoder and read back
+    * through the real parser; the fingerprint is a 56-bit TEMPORAL
+    * ENERGY dHash over the DECODED stream: 57 frame-energy sums (32
+    * samples each, integer-exact), bit b set iff energy(b+1) >
+    * energy(b) — the energy-envelope shape, amplitude-offset-robust the
+    * way image dHash is brightness-robust. Every fingerprinted value is
+    * really decoded — a frame-math or sample-width slip diverges from
+    * the closed-form oracle. */
+  object AudioFpCodec extends Serializable {
+    val Frames = 57
+    val Win = 32
+    def groupOf(docId: Long): Long = docId / 4
+    def variantOf(docId: Long): Int = (docId % 4).toInt
+    /** Base < 200 so the +40 variant boost stays a byte. */
+    def sample(docId: Long, i: Int): Int = {
+      val g = groupOf(docId)
+      val v = variantOf(docId)
+      val f = i / Win
+      val o = i % Win
+      val base = ((o * 13L + f * 29L + g * 31L +
+        f.toLong * o * (3 + g % 7)) % 200L).toInt
+      if (v > 0 && f == 13 * v) base + 40 else base
+    }
+
+    /** 56-bit temporal-energy dHash from really decoded PCM. */
+    def fp56(bytes: Array[Byte]): Long = {
+      val e = new Array[Long](Frames)
+      var f = 0
+      while (f < Frames) {
+        var s = 0L
+        var o = 0
+        while (o < Win) { s += (bytes(f * Win + o) & 0xff).toLong; o += 1 }
+        e(f) = s
+        f += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < Frames - 1) {
+        if (e(b + 1) > e(b)) h |= 1L << b
+        b += 1
+      }
+      h
+    }
+
+    /** Synthesize → real WAVE encode → real decode → fingerprint. */
+    def fpOf(docId: Long): Long = {
+      val n = Frames * Win
+      fp56(WavCodec.decodeBytes(docId,
+        WavCodec.encodePattern(docId, n, sample)))
+    }
   }
 
   /** Synthesize → encode (real WAVE writer) → decode (real WAVE parser)

@@ -247,6 +247,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d20 audio neardup: banded pairs equal the closed-form brute force, " +
+       "and every variant matches its group's base recording") {
+    import graft.queries.MultimodalOps.AudioFpCodec._
+    // Local model: energies straight from the closed form (no codec),
+    // brute-force all pairs at hamming <= 3 — the banded join through
+    // the REAL WAVE round-trip must reproduce it exactly.
+    val ids = Tables.documents(spark, SparkTestBase.sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    def fpModel(id: Long): Long = {
+      val en = Array.tabulate(Frames)(f =>
+        (0 until Win).map(o => sample(id, f * Win + o).toLong).sum)
+      (0 until Frames - 1).foldLeft(0L)((h, b) =>
+        if (en(b + 1) > en(b)) h | (1L << b) else h)
+    }
+    val fps = ids.map(id => id -> fpModel(id)).toMap
+    val model = (for {
+      i <- ids; j <- ids if i < j
+      hm = java.lang.Long.bitCount(fps(i) ^ fps(j)) if hm <= 3
+    } yield (i, j, hm)).toSet
+    val got = SparkEntry.queries("d20_audio_neardup")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == model, s"banded pairs diverge from brute force " +
+      s"(got ${got.size}, model ${model.size})")
+    // The planted near-dups: a variant's one boosted frame flips <= 2
+    // envelope bits, so every (base, variant) pair within a full group
+    // must match.
+    ids.groupBy(groupOf).filter(_._2.length == 4).foreach { case (g, ms) =>
+      val base = ms.min
+      ms.filter(_ != base).foreach { v =>
+        assert(got.exists(p => p._1 == base && p._2 == v),
+          s"group $g: variant $v must match its base recording")
+      }
+    }
+  }
+
   test("d18 cluster stats: histogram conserves the corpus and matches the " +
        "component assignment") {
     val hist = SparkEntry.queries("d18_cluster_stats")(spark, SparkTestBase.sf)
