@@ -1205,19 +1205,24 @@ object SimilarityOps {
     // previous picks and elects one. rel / pairwise cosines are the
     // shared ordered folds, the step score the same two-literal
     // expression, so selection matches the engine's walk bit-for-bit.
+    // Every CTE is MATERIALIZED — the BPE-oracle hazard: stage k
+    // references sel1..sel{k-1} twice each, and DuckDB would otherwise
+    // inline the chain into an exponential plan (measured: the inlined
+    // form allocated ~55k memory mappings, enough to exhaust
+    // vm.max_map_count mid-sweep).
     "ann_mmr_rerank" -> {
       val steps = (1 to MmrK).map { k =>
         if (k == 1)
-          s"""sel1 AS (SELECT vec_id, 1 AS mmr_rank, 0.7 * rel AS score FROM cand
+          s"""sel1 AS MATERIALIZED (SELECT vec_id, 1 AS mmr_rank, 0.7 * rel AS score FROM cand
              |         QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1)""".stripMargin
         else {
           val selU = (1 until k).map(j => s"SELECT vec_id FROM sel$j")
             .mkString(" UNION ALL ")
-          s"""st$k AS (SELECT c.vec_id, 0.7 * c.rel - 0.3 * max(s.s) AS score
+          s"""st$k AS MATERIALIZED (SELECT c.vec_id, 0.7 * c.rel - 0.3 * max(s.s) AS score
              |        FROM cand c JOIN sim s ON s.a = c.vec_id
              |        WHERE s.b IN ($selU) AND c.vec_id NOT IN ($selU)
              |        GROUP BY c.vec_id, c.rel),
-             |sel$k AS (SELECT vec_id, $k AS mmr_rank, score FROM st$k
+             |sel$k AS MATERIALIZED (SELECT vec_id, $k AS mmr_rank, score FROM st$k
              |          QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) = 1)""".stripMargin
         }
       }
@@ -1225,10 +1230,10 @@ object SimilarityOps {
         .mkString(" UNION ALL ")
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |cand AS (SELECT e.vec_id, e.v, ${cosineSql("e.v", "qv.qv")} AS rel
+         |cand AS MATERIALIZED (SELECT e.vec_id, e.v, ${cosineSql("e.v", "qv.qv")} AS rel
          |         FROM e, qv WHERE e.vec_id <> 0
          |         QUALIFY row_number() OVER (ORDER BY rel DESC, e.vec_id) <= $MmrPoolK),
-         |sim AS (SELECT x.vec_id AS a, y.vec_id AS b, ${cosineSql("x.v", "y.v")} AS s
+         |sim AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b, ${cosineSql("x.v", "y.v")} AS s
          |        FROM cand x, cand y WHERE x.vec_id <> y.vec_id),
          |${steps.mkString(",\n")}
          |SELECT vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
