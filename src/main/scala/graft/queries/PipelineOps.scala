@@ -612,7 +612,7 @@ object PipelineOps {
   private val bm25: Q = (s, d) =>
     graft.core.Materialize.once(s, s"bm25:$d") { bm25Compute(s, d) }
 
-  private def bm25Compute(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Compute(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documentsSpread(s, d)
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")

@@ -358,7 +358,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("tx_bm25: top-k is TakeOrderedAndProject, not a global sort") {
-    val p = planOf("tx_bm25")
+    // Pin the COMPUTE plan: the registered query serves the session-
+    // materialized ranking (a plain artifact scan), so the shape worth
+    // pinning is the one the materialization runs once.
+    val df = graft.queries.PipelineOps.bm25Compute(spark, sf)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
     assert(countNodes(p, "TakeOrderedAndProject") == 1, p.take(1500))
     // The only Sort allowed is the 10-row window's; a full-width Sort
     // before the limit would mean the top-k shuffled the whole corpus.
