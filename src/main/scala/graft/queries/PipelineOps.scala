@@ -584,6 +584,46 @@ object PipelineOps {
 
   private val lmScore: Q = (s, d) => lmScoreOf(Tables.documentsSpread(s, d))
 
+  /** Bigram language-model scoring — the CCNet-class perplexity-proxy
+    * quality signal tx_lm_score's unigram commonness approximates: train
+    * an add-1-smoothed bigram LM ON the corpus itself (the standard
+    * self-scoring pass: boilerplate and fluent text score high, gibberish
+    * and OCR noise low) and score every document. p(w2|w1) =
+    * (c(w1 w2)+1)/(c(w1·)+V), with c(w1·) the bigram-prefix count and V
+    * the distinct-token vocabulary.
+    *
+    * Cross-engine float discipline: each occurrence's ln p MICRO-ROUNDS
+    * to an integer immediately (one transcendental per term, the
+    * accepted bm25 1-ulp risk), so the per-doc total is an ORDER-FREE
+    * integer sum — partial aggregation is exact and no float-sum order
+    * can move the result (the drift-psi/classifier discipline). Scale
+    * shape: the model IS two hash aggregates (bigram counts + prefix
+    * counts, both Zipf-bounded vocabulary tables), scoring is one join
+    * per table keyed on the gram — only (doc_id, gram) pairs shuffle,
+    * text never does. */
+  private val bigramLm: Q = (s, d) => bigramLmOf(Tables.documentsSpread(s, d))
+
+  def bigramLmOf(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bg"))
+    val c12 = g.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val w1s = g.withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = w1s.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // One corpus scalar (the bm25 nDocs budget class).
+    val v = docs.select(explode(toks(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    val term = round(log(
+      (col("c12").cast("double") + 1.0d) /
+        (col("c1").cast("double") + lit(v.toDouble))) * 1e6).cast("long")
+    w1s.join(c12, Seq("bg")).join(c1, Seq("w1"))
+      .select(col("doc_id"), term.as("term_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term_micro")).as("logp_total_micro"))
+      .withColumn("avg_logp_micro",
+        floor(col("logp_total_micro").cast("double") / col("n_bigrams"))
+          .cast("long"))
+  }
+
   /** BM25 search terms + parameters (Robertson/Sparck Jones k1/b
     * defaults; Lucene's +1 idf smoothing). Shared with the oracle and
     * the ranked output size. */
@@ -1255,6 +1295,7 @@ object PipelineOps {
     "tx_line_dedup" -> lineDedup,
     "tx_keywords" -> keywords,
     "tx_lm_score" -> lmScore,
+    "tx_bigram_lm" -> bigramLm,
     "tx_bm25" -> bm25,
     "tx_shard_shuffle" -> shardShuffle,
     "ann_hybrid_rrf" -> hybridRrf,
@@ -1616,6 +1657,26 @@ object PipelineOps {
          |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_commonness
          |FROM tok JOIN c USING (token) GROUP BY doc_id""".stripMargin,
     "tx_bm25" -> bm25Sql,
+    // Counts/vocab mirror the engine aggregates; each term micro-rounds
+    // before the (order-free) integer sum, so only one ln per occurrence
+    // carries float at all.
+    "tx_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t),
+         |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1),
+         |w1s AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM w1s GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |      FROM (SELECT unnest(toks) AS tok FROM t)),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+         |      / (CAST(c1.c1 AS DOUBLE) + CAST((SELECT v FROM v) AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS term
+         |  FROM w1s JOIN c12 USING (bg) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(term) AS BIGINT) AS logp_total_micro,
+         |  CAST(floor(CAST(sum(term) AS DOUBLE) / count(*)) AS BIGINT) AS avg_logp_micro
+         |FROM sc GROUP BY doc_id""".stripMargin,
     // Shard nibble and pos key mirror the engine's md5 arithmetic; the
     // first-doc election is arg-min on the (unique) pos key; the share
     // uses d9's floor-micro form.

@@ -656,6 +656,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_bigram_lm: fluent (repeated-phrase) docs outscore gibberish; " +
+       "totals are exact integer sums") {
+    import spark.implicits._
+    // Three fluent docs repeat the same phrase (their bigrams are
+    // corpus-common); the gibberish doc's bigrams are singletons.
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val d = Seq(
+      1L -> s"$phrase and $phrase",
+      2L -> s"again $phrase here $phrase",
+      3L -> phrase,
+      4L -> "zq1 xv2 kj3 wp4 mn5 bt6 gh7 rd8 lc9")
+      .toDF("doc_id", "text")
+    val out = PipelineOps.bigramLmOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    out.foreach { case (id, (n, tot, avg)) =>
+      assert(n > 0 && tot < 0, s"doc $id: log-probs must be negative")
+      assert(avg == math.floor(tot.toDouble / n).toLong, s"doc $id arithmetic")
+    }
+    // The quality signal: every phrase-carrying doc outscores gibberish.
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id)._3 > out(4L)._3,
+        s"fluent doc $id must outscore gibberish: ${out(id)._3} vs ${out(4L)._3}")
+    }
+  }
+
   test("tx_curriculum_buckets: equal-population phases ordered by " +
        "quality, keep mass concentrated early") {
     import graft.queries.PipelineOps.CurriculumPhases
