@@ -140,6 +140,23 @@ object TextOps {
       pred.as("lang_pred"))
   }
 
+  /** Language-ID evaluation — the confusion matrix the langid heuristic
+    * is graded by (the eval-family member beside ann_recall_eval and
+    * d19): predicted vs labeled language per cell, with the correct
+    * flag. Composes the registered classifier verbatim (engine and
+    * oracle both), so the eval cannot drift from what it grades; the
+    * systematic behavior is visible in the cells (zh has no keyword
+    * list → every zh doc lands in a non-zh row, mostly 'und'). One
+    * doc_id join + one map-side-combinable groupBy to |langs|² rows. */
+  private val langidEval: Q = (s, d) => {
+    val pred = langid(s, d).select(col("doc_id"), col("lang_pred"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("correct", col("lang") === col("lang_pred"))
+  }
+
   /** Normalized content fingerprint: lowercase → strip non-alnum →
     * collapse whitespace → md5. The dedup key for near-identical docs
     * differing only in case/punctuation/spacing.
@@ -621,6 +638,7 @@ object TextOps {
     "tx_tokens" -> tokens,
     "tx_quality" -> quality,
     "tx_langid" -> langid,
+    "tx_langid_eval" -> langidEval,
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
     "tx_winnow" -> winnow,
@@ -640,6 +658,24 @@ object TextOps {
 
   private val langScoreSqls: Seq[(String, String)] = LangKeywords.map {
     case (lang, kws) => lang -> kws.map(kwCountSql).mkString(" + ")
+  }
+
+  /** The langid classifier as ONE SQL text — shared by the tx_langid and
+    * tx_langid_eval entries so the classifier definition exists exactly
+    * once on the oracle side (the bm25Sql discipline). */
+  private lazy val langidSql: String = {
+    val scores = langScoreSqls.map { case (l, sql) => s"($sql) AS score_$l" }.mkString(",\n  ")
+    """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+      |sc AS (SELECT doc_id,
+      |  SCORES
+      |FROM s)
+      |SELECT doc_id, score_en, score_es, score_de, score_fr,
+      |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+      |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+      |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+      |       WHEN score_fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS lang_pred
+      |FROM sc""".stripMargin.replace("SCORES", scores)
   }
 
   lazy val oracle: Map[String, String] = Map(
@@ -741,20 +777,15 @@ object TextOps {
          |  CAST(len(list_filter(toks, x -> x IN (${StopWords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS stop_ratio
          |FROM t""".stripMargin,
-    "tx_langid" -> {
-      val scores = langScoreSqls.map { case (l, sql) => s"($sql) AS score_$l" }.mkString(",\n  ")
-      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-        |sc AS (SELECT doc_id,
-        |  SCORES
-        |FROM s)
-        |SELECT doc_id, score_en, score_es, score_de, score_fr,
-        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
-        |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
-        |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
-        |       WHEN score_fr > 0 THEN 'fr'
-        |       ELSE 'und' END AS lang_pred
-        |FROM sc""".stripMargin.replace("SCORES", scores)
-    },
+    "tx_langid" -> langidSql,
+    // Confusion matrix over the langid SQL verbatim — the eval cannot
+    // drift from the classifier it grades.
+    "tx_langid_eval" ->
+      s"""WITH p AS (SELECT doc_id, lang_pred FROM ($langidSql))
+         |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,
+         |  (d.lang = p.lang_pred) AS correct
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "tx_fingerprint" ->
       s"SELECT doc_id, $fingerprintSql AS fingerprint FROM documents",
     // Signed-64-bit wraparound (h = h*1000003 + signed_byte) reproduced in

@@ -656,6 +656,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_langid_eval: confusion matrix conserves the corpus, stays in " +
+       "the classifier's label domain, and matches tx_langid directly") {
+    import org.apache.spark.sql.functions.col
+    val cells = q("tx_langid_eval").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("correct"))).toMap
+    val corpusN = Tables.documents(spark, SparkTestBase.sf).count()
+    assert(cells.values.map(_._1).sum == corpusN)
+    val domain = Set("en", "es", "de", "fr", "und")
+    cells.foreach { case ((lang, pred), (n, correct)) =>
+      assert(domain.contains(pred), s"prediction outside the classifier: $pred")
+      assert(correct == (lang == pred))
+      assert(n > 0)
+    }
+    // Cross-check against the classifier's own output.
+    val direct = q("tx_langid").select(col("doc_id"), col("lang_pred"))
+      .join(Tables.documents(spark, SparkTestBase.sf)
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang", "lang_pred").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    assert(direct == cells.map { case (k, (n, _)) => k -> n })
+  }
+
   test("tx_bigram_lm: fluent (repeated-phrase) docs outscore gibberish; " +
        "totals are exact integer sums") {
     import spark.implicits._
