@@ -1342,6 +1342,32 @@ object Relational {
       .unionByName(delta)
   }
 
+  /** Full CDC MERGE — [[srcUpsert]] completed with DELETE semantics:
+    * the change batch carries an op per key (orderkey % 3 == 0 of the
+    * delta keys → delete, else upsert), and the applied snapshot is
+    * base MINUS touched keys UNION the upsert rows — exactly the
+    * `MERGE WHEN MATCHED [AND op='D'] THEN DELETE / WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED THEN INSERT` contract a lakehouse runs
+    * per change batch. Scale shape: the delta's KEYS broadcast into a
+    * map-side anti join (the srcUpsert discipline — the 100 TB base
+    * never shuffles; a window-sort merge would), and the upserts union
+    * back. Deletes cost nothing beyond key membership. */
+  private val srcMergeCdc: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), cents.as("price_cents"), lit(0).as("version"))
+    val delta = Tables.orders(s, d)
+      .where(pmod(col("o_orderkey"), lit(UpsertDeltaMod)) === 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, "D").otherwise("U").as("op"),
+        (cents + 10000).as("price_cents"))
+    val upserts = delta.where(col("op") === "U")
+      .select(col("o_orderkey"), col("price_cents"), lit(1).as("version"))
+    base.join(broadcast(delta.select(col("o_orderkey"))),
+        Seq("o_orderkey"), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** SCD-2 history-preserving merge — [[srcUpsert]]'s sibling for when
     * the warehouse must keep EVERY version: changed keys get their
     * current row CLOSED (valid_to stamped, current=false) and a new
@@ -1597,6 +1623,7 @@ object Relational {
     "a3_skew_agg" -> a3SkewAgg,
     "q4_priority_exists" -> q4Exists,
     "src_upsert_merge" -> srcUpsert,
+    "src_merge_cdc" -> srcMergeCdc,
     "src_scd2_merge" -> srcScd2,
     "src_time_travel" -> timeTravel,
     "src_v2_scan" -> srcV2Scan,
@@ -1937,6 +1964,17 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
+    "src_merge_cdc" ->
+      s"""WITH base AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 0 AS version
+         |  FROM orders),
+         |delta AS (SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) + 10000 AS price_cents
+         |  FROM orders WHERE o_orderkey % $UpsertDeltaMod = 0)
+         |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+         |UNION ALL
+         |SELECT o_orderkey, price_cents, 1 AS version FROM delta WHERE op = 'U'""".stripMargin,
     "src_upsert_merge" ->
       s"""WITH base AS (SELECT o_orderkey,
          |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, 0 AS version

@@ -287,6 +287,13 @@ class PlanSpec extends AnyFunSuite {
       "the 100 TB base must never shuffle for an upsert merge")
   }
 
+  test("src_merge_cdc: base anti-joins the broadcast touched keys — no base shuffle") {
+    val p = planOf("src_merge_cdc")
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the 100 TB base must never shuffle for a CDC merge")
+  }
+
   test("a3_skew_agg: two aggregate levels, salt fans the first exchange out") {
     val p = planOf("a3_skew_agg")
     // partial+final for each of the two groupBys = 4 HashAggregates.

@@ -56,6 +56,28 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0))
   }
 
+  test("src_merge_cdc: deletes vanish, upserts win, untouched rows intact") {
+    val mod = graft.queries.Relational.UpsertDeltaMod
+    val rows = SparkEntry.queries("src_merge_cdc")(spark, SparkTestBase.sf)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[Long]("price_cents"), r.getAs[Int]("version")))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per key")
+    val keys = rows.map(_._1).toSet
+    val allKeys = Tables.orders(spark, SparkTestBase.sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    allKeys.foreach { k =>
+      val touched = k % mod == 0
+      val deleted = touched && k % 3 == 0
+      assert(keys.contains(k) == !deleted, s"key $k presence wrong")
+    }
+    rows.foreach { case (k, _, v) =>
+      assert(v == (if (k % mod == 0) 1 else 0), s"key $k version $v")
+    }
+    // Deletes actually happened and upserts survived.
+    assert(allKeys.exists(k => k % mod == 0 && k % 3 == 0))
+    assert(rows.exists(_._3 == 1))
+  }
+
   test("ev_rate_anomaly: integer flags agree with a double z-score check") {
     val rows = SparkEntry.queries("ev_rate_anomaly")(spark, SparkTestBase.sf)
       .collect().map(r => (r.getAs[String]("event_type"),
