@@ -157,6 +157,35 @@ object TextOps {
       .withColumn("correct", col("lang") === col("lang_pred"))
   }
 
+  /** Code-vs-prose detection — the router signal a code-mixed corpus
+    * needs before language-specific pipelines (code must not feed the
+    * prose quality gates and vice versa): per-row counts of code
+    * markers — structural characters ({}[];=), code keywords via the
+    * replace-length occurrence trick, and indented lines — folded into
+    * an integer score whose density gate is an exact integer
+    * cross-multiplication (score·1000 ≥ chars), so the flag is
+    * reproducible to the bit. Pure per-row codegen, zero shuffle. */
+  private val CodeKeywords = Seq("def ", "class ", "import ", "return ")
+
+  def codeDetectOf(docs: DataFrame): DataFrame = {
+    val structCnt =
+      length(regexp_replace(col("text"), "[^{}\\[\\];=]", "")).cast("long")
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val kwCnt = CodeKeywords.map(kwCount(padded, _)).reduce(_ + _)
+    val indentCnt = size(filter(split(col("text"), "\n"),
+      l => l.startsWith("  "))).cast("long")
+    val score = structCnt * 2L + kwCnt * 3L + indentCnt
+    docs.select(
+      col("doc_id"),
+      structCnt.as("n_struct"),
+      kwCnt.as("n_kw"),
+      indentCnt.as("n_indent"),
+      score.as("code_score"),
+      (score * 1000L >= col("n_chars")).as("is_code"))
+  }
+
+  private val codeDetect: Q = (s, d) => codeDetectOf(Tables.documents(s, d))
+
   /** Normalized content fingerprint: lowercase → strip non-alnum →
     * collapse whitespace → md5. The dedup key for near-identical docs
     * differing only in case/punctuation/spacing.
@@ -639,6 +668,7 @@ object TextOps {
     "tx_quality" -> quality,
     "tx_langid" -> langid,
     "tx_langid_eval" -> langidEval,
+    "tx_code_detect" -> codeDetect,
     "tx_fingerprint" -> fingerprint,
     "tx_rolling_hash" -> rollingHash,
     "tx_winnow" -> winnow,
@@ -780,6 +810,25 @@ object TextOps {
     "tx_langid" -> langidSql,
     // Confusion matrix over the langid SQL verbatim — the eval cannot
     // drift from the classifier it grades.
+    // Marker counts via the same regexp-strip and replace-length tricks;
+    // the density gate is the identical integer cross-multiplication.
+    "tx_code_detect" -> {
+      val kw = CodeKeywords.map(k =>
+        s"CAST((length(p) - length(replace(p, '$k', ''))) // ${k.length} AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, n_chars, text,
+         |    ' ' || lower(text) || ' ' AS p FROM documents),
+         |c AS (SELECT doc_id, n_chars,
+         |    CAST(length(regexp_replace(text, '[^{}\\[\\];=]', '', 'g')) AS BIGINT) AS n_struct,
+         |    ($kw) AS n_kw,
+         |    CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> l LIKE '  %')) AS BIGINT) AS n_indent
+         |  FROM s)
+         |SELECT doc_id, n_struct, n_kw, n_indent,
+         |  n_struct * 2 + n_kw * 3 + n_indent AS code_score,
+         |  ((n_struct * 2 + n_kw * 3 + n_indent) * 1000 >= n_chars) AS is_code
+         |FROM c""".stripMargin
+    },
     "tx_langid_eval" ->
       s"""WITH p AS (SELECT doc_id, lang_pred FROM ($langidSql))
          |SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n,

@@ -656,6 +656,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_code_detect: planted code flags, prose passes, counts exact") {
+    import spark.implicits._
+    val code =
+      """def main(args) {
+        |  x = [1; 2; 3];
+        |  return args;
+        |}""".stripMargin
+    val prose = "This is a perfectly ordinary paragraph of prose with " +
+      "no structural characters at all, just words and words and words."
+    val d = Seq((1L, code, code.length.toLong), (2L, prose, prose.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val out = graft.queries.TextOps.codeDetectOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    // code structural chars: { } on their lines (2), the x-assignment
+    // line's = [ ; ; ] ; (6), the return line's ; (1) = 9 (parens are
+    // NOT counted); keywords: 'def ', 'return '; indented lines: 2.
+    assert(out(1L)._1 == 9, s"struct count: ${out(1L)}")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 2)
+    assert(out(1L)._4 == 9 * 2 + 2 * 3 + 2)
+    assert(out(1L)._5, "planted code must flag")
+    assert(out(2L)._1 == 0 && out(2L)._2 == 0 && !out(2L)._5,
+      s"prose must pass: ${out(2L)}")
+  }
+
   test("tx_langid_eval: confusion matrix conserves the corpus, stays in " +
        "the classifier's label domain, and matches tx_langid directly") {
     import org.apache.spark.sql.functions.col
