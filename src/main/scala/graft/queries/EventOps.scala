@@ -511,7 +511,38 @@ object EventOps {
       .toDF("user_id", "est_n")
   }
 
+  /** Time-weighted average — the right mean for a sampled step signal
+    * (a user's `value` holds until their next event, so a plain AVG
+    * over-weights bursts): per user, twa = Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ dt
+    * over the lead-differenced timeline (the final event opens no
+    * interval). Integer-exact end to end: values as cents, gaps as
+    * epoch-microsecond differences, the weighted sum a BIGINT
+    * Σ cents·dt_us (bounded ≪ 2⁶³ at these scales), and the published
+    * twa_milli = floor(wsum·10 / tsum) — cents·10 = value·10³; the ×10
+    * keeps the numerator safely inside BIGINT (a larger scale could
+    * overflow on a long-horizon user), one floor division, no float
+    * anywhere. One window per user (the
+    * sessionize shuffle) + one hash aggregate. */
+  private val timeWeightedAvg: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dt_us", unix_micros(lead(col("ts"), 1).over(w)) -
+        unix_micros(col("ts")))
+      .where(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents") * col("dt_us")).as("wsum"),
+        sum(col("dt_us")).as("tsum"))
+      .select(col("user_id"), col("n_intervals"),
+        floor(col("wsum") * lit(10L) / col("tsum")).cast("long")
+          .as("twa_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_time_weighted_avg" -> timeWeightedAvg,
     "ev_props_extract" -> propsExtract,
     "ev_variant_extract" -> variantExtract,
     "ev_cms_probe" -> cmsProbe,
@@ -551,6 +582,18 @@ object EventOps {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The same lead-differenced step integral: cents x epoch-us gaps,
+    // BIGINT weighted sum, one floor division.
+    "ev_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |iv AS (SELECT user_id, cents,
+        |    lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) - t_us AS dt_us
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(floor(CAST(sum(cents * dt_us) * 10 AS DOUBLE)
+        |    / CAST(sum(dt_us) AS DOUBLE)) AS BIGINT) AS twa_milli
+        |FROM iv WHERE dt_us IS NOT NULL GROUP BY user_id""".stripMargin,
     // CMS estimates are pinned against TRUE counts: one-sided error with
     // collision-free width at oracle scale makes them exact, including
     // the zero rows for ids the events table never saw.

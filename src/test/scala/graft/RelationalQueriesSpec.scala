@@ -78,6 +78,32 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 1))
   }
 
+  test("ev_time_weighted_avg: twa bounded by the user's value range, " +
+       "single-event users absent") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("ev_time_weighted_avg")(spark, SparkTestBase.sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("twa_milli"))).toMap
+    assert(rows.nonEmpty)
+    val perUser = Tables.events(spark, SparkTestBase.sf)
+      .select(col("user_id"), col("value")).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> (rs.length, rs.map(_.getDouble(1)))
+      }
+    perUser.foreach { case (u, (n, vals)) =>
+      if (n < 2) assert(!rows.contains(u), s"user $u has no interval")
+      else {
+        val (ni, twa) = rows(u)
+        assert(ni == n - 1, s"user $u: ${n - 1} intervals expected, got $ni")
+        // A weighted mean of the non-final values lies inside their range
+        // (cents rounding gives ±5 milli of slack at the edges).
+        val cents = vals.map(v => math.round(v * 100))
+        assert(twa >= cents.min * 10 - 5 && twa <= cents.max * 10 + 5,
+          s"user $u: twa $twa outside [${cents.min * 10}, ${cents.max * 10}]")
+      }
+    }
+  }
+
   test("ev_rate_anomaly: integer flags agree with a double z-score check") {
     val rows = SparkEntry.queries("ev_rate_anomaly")(spark, SparkTestBase.sf)
       .collect().map(r => (r.getAs[String]("event_type"),
