@@ -415,7 +415,7 @@ object ExprUtil {
     */
   def rarePrefix(lang: UTF8String,
       grams: org.apache.spark.sql.catalyst.util.ArrayData,
-      df: java.util.Map[String, java.util.HashMap[String, Long]],
+      df: java.util.Map[String, java.util.HashMap[String, java.lang.Long]],
       tNum: Long, tDen: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = grams.numElements()
     // k = n − ceil(t·n) + 1 in exact integer arithmetic
@@ -1009,7 +1009,7 @@ case class FrameByteSums(child: Expression, frameSize: Int, maxFrames: Int)
   * distributed window path beyond it).
   */
 case class RarePrefixExpr(left: Expression, right: Expression,
-    df: java.util.HashMap[String, java.util.HashMap[String, Long]],
+    df: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]],
     tNum: Long, tDen: Long)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType =
@@ -1188,7 +1188,7 @@ object GraftFunctions {
 
   /** Per-row PPJoin prefix slice against a driver-collected df map. */
   def rare_prefix(lang: Column, grams: Column,
-      df: java.util.HashMap[String, java.util.HashMap[String, Long]],
+      df: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]],
       tNum: Long, tDen: Long): Column =
     GraftSqlShim.column(RarePrefixExpr(
       GraftSqlShim.expression(lang), GraftSqlShim.expression(grams), df, tNum, tDen))

@@ -271,10 +271,10 @@ object DedupOps {
     val pidx =
       if (dfRows.length <= vocabLimit) {
         // Bounded vocabulary: per-row prefix slice, zero shuffles.
-        val byLang = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+        val byLang = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
         dfRows.foreach { r =>
           byLang.computeIfAbsent(r.getString(0),
-            _ => new java.util.HashMap[String, Long]())
+            _ => new java.util.HashMap[String, java.lang.Long]())
             .put(r.getString(1), r.getLong(2))
         }
         g.select(col("lang"), col("doc_id"), size(col("grams")).as("sz"),

@@ -33,9 +33,9 @@ object D4Probe {
         .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
         .collect()
     }
-    val byLang = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    val byLang = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
     dfRows.foreach { r =>
-      byLang.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, Long]())
+      byLang.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, java.lang.Long]())
         .put(r.getString(1), r.getLong(2))
     }
     val pidx = g.select(col("lang"), col("doc_id"), size(col("grams")).as("sz"),
