@@ -224,17 +224,14 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("rate"))
   }
 
-  /** Shard count for [[shardShuffle]] (a real run uses thousands; 16
-    * keeps every shard populated at the test SFs). Shared with the
-    * oracle. */
-  val NShards = 16
-
   /** Deterministic training-shard assignment + mixing report — the LAST
     * pipeline stage before training: a trained model wants its data as N
     * well-MIXED shards (no source or time locality — a shard of
     * consecutive same-source docs skews every gradient step that reads
     * it). Assignment is content-independent md5 arithmetic on the doc id
-    * (shard = first hex nibble of md5('shard:'||id); intra-shard order =
+    * (shard = first hex nibble of md5('shard:'||id) — the nibble IS the
+    * shard count, 16; a real run widens to more hex digits for
+    * thousands of shards; intra-shard order =
     * md5('pos:'||id) — a deterministic global permutation, so the shard
     * FILES are byte-reproducible regardless of cluster parallelism:
     * repartition(shard) + sortWithinPartitions(pos_key) at write time).
