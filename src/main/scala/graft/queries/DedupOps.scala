@@ -1278,7 +1278,7 @@ object DedupOps {
 
   private val d2OracleSql: String = minhashPairsSql("")
 
-  private val d14OracleSql: String = minhashPairsSql(
+  private[queries] val d14OracleSql: String = minhashPairsSql(
     s"\n  AND (a.source = '$IncomingSource' OR b.source = '$IncomingSource')")
 
   private val d3OracleSql: String = {
@@ -1580,19 +1580,24 @@ object DedupOps {
          |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
          |  coalesce(array_to_string(list_transform(kept, p -> toks[CAST(p AS INT)]), ' '), '') AS scrubbed
          |FROM k""".stripMargin,
-    "d7_incremental_dedup" ->
-      """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS corpus_dup
-        |  FROM documents WHERE source <> 'src19' GROUP BY 1),
-        |nw AS (SELECT doc_id, md5(text) AS h,
-        |         min(doc_id) OVER (PARTITION BY md5(text)) AS intra_min
-        |       FROM documents WHERE source = 'src19')
-        |SELECT nw.doc_id,
-        |  coalesce(c.corpus_dup,
-        |    CASE WHEN nw.intra_min < nw.doc_id THEN nw.intra_min END) AS dup_of,
-        |  coalesce(c.corpus_dup,
-        |    CASE WHEN nw.intra_min < nw.doc_id THEN nw.intra_min END) IS NOT NULL AS is_dup
-        |FROM nw LEFT JOIN corpus c USING (h)""".stripMargin,
+    "d7_incremental_dedup" -> d7OracleSql,
   )
+
+  /** d7's SQL as ONE text — shared with the composed ingest gate
+    * (pipe_ingest_gate) so the exact-dup definition exists once per
+    * side. */
+  private[queries] lazy val d7OracleSql: String =
+    """WITH corpus AS (SELECT md5(text) AS h, min(doc_id) AS corpus_dup
+      |  FROM documents WHERE source <> 'src19' GROUP BY 1),
+      |nw AS (SELECT doc_id, md5(text) AS h,
+      |         min(doc_id) OVER (PARTITION BY md5(text)) AS intra_min
+      |       FROM documents WHERE source = 'src19')
+      |SELECT nw.doc_id,
+      |  coalesce(c.corpus_dup,
+      |    CASE WHEN nw.intra_min < nw.doc_id THEN nw.intra_min END) AS dup_of,
+      |  coalesce(c.corpus_dup,
+      |    CASE WHEN nw.intra_min < nw.doc_id THEN nw.intra_min END) IS NOT NULL AS is_dup
+      |FROM nw LEFT JOIN corpus c USING (h)""".stripMargin
 
   val rowsOnly: Set[String] = Set.empty
 }

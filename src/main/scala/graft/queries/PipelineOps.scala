@@ -1214,6 +1214,60 @@ object PipelineOps {
         .as("noisy_count_micro"))
   }
 
+  /** Composed LANDING-ZONE ingest gate — the one query an arriving
+    * delivery actually runs: every src19 document through ALL the
+    * ingest screens in precedence — blocked terms
+    * ([[TextOps.blocklistHits]] verbatim), exact duplicate against the
+    * corpus and within the batch (d7's
+    * [[DedupOps.incrementalDedupOf]]), near-duplicate against the
+    * persisted MinHash index and within the batch (d14's pair output;
+    * a doc is near-dup when it has a CORPUS partner or a SMALLER-ID
+    * batch partner — the d7 intra-batch keeper discipline lifted to
+    * pairs), and the trained quality filter ([[qcServeOf]] with the
+    * frozen [[qcTrainedWeights]]) — emitting one verdict per doc with
+    * the duplicate's keeper attached. The composition discipline is
+    * pipe_corpus_release's: every stage is the REGISTERED definition
+    * (engine) / its SQL text (oracle) verbatim, so the gate can never
+    * disagree with the individual screens, and the shared session
+    * artifacts (d14's bucketed index, the materialized training) mean
+    * no stage re-reads what another already built. Scale shape: all
+    * four screens are batch-sized beyond their own proven costs; the
+    * verdict join is doc_id-keyed over the delivery. */
+  private val ingestGate: Q = (s, d) => {
+    val all = Tables.documents(s, d)
+    val batch = all.where(col("source") === DedupOps.IncomingSource)
+    val (w0, w1, w2) = qcTrainedWeights(s, d)
+    val base = batch.select(col("doc_id"),
+      (TextOps.blocklistHits(col("text")) > 0).as("blocked"))
+    val exact = DedupOps.incrementalDedupOf(all)
+      .select(col("doc_id"), col("is_dup"), col("dup_of").as("exact_dup_of"))
+    val pairs = DedupOps.queries("d14_incremental_minhash")(s, d)
+    val srcOf = all.select(col("doc_id").as("partner"),
+      col("source").as("p_src"))
+    val nd = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner")))
+      .join(broadcast(srcOf), Seq("partner"))
+      .where(col("p_src") =!= DedupOps.IncomingSource ||
+        col("partner") < col("doc_id"))
+      .groupBy("doc_id").agg(min(col("partner")).as("near_dup_of"))
+    val qc = qcServeOf(batch, w0, w1, w2).select(col("doc_id"), col("keep"))
+    base.join(exact, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(qc, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("blocked"), "blocked")
+          .when(col("is_dup"), "exact_dup")
+          .when(col("near_dup_of").isNotNull, "near_dup")
+          .when(!col("keep"), "low_quality")
+          .otherwise(lit("admitted")).as("verdict"),
+        col("is_dup"), col("exact_dup_of"), col("near_dup_of"))
+      .select(col("doc_id"), col("verdict"),
+        when(col("verdict") === "exact_dup", col("exact_dup_of"))
+          .when(col("verdict") === "near_dup", col("near_dup_of"))
+          .as("dup_of"))
+  }
+
   /** Curriculum phase count for [[curriculumBuckets]]. */
   val CurriculumPhases = 4
 
@@ -1280,6 +1334,7 @@ object PipelineOps {
     "pipe_k_anonymity" -> kAnonymity,
     "pipe_dp_card" -> dpCard,
     "tx_curriculum_buckets" -> curriculumBuckets,
+    "pipe_ingest_gate" -> ingestGate,
     "pipe_quality_classifier" -> qualityClassifier,
     "pipe_quality_filter" -> qualityFilter,
     "pipe_drop_reasons" -> dropReasons,
@@ -1435,6 +1490,45 @@ object PipelineOps {
          |  w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z,
          |  (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
          |FROM f CROSS JOIN w$QcRounds w""".stripMargin,
+    // Every screen is its registered SQL verbatim: blocklist hits, d7's
+    // exact-dup text, d14's pair text (both spliced as subqueries — CTE
+    // names stay scoped), the trainer chain for the quality keep.
+    "pipe_ingest_gate" -> {
+      val terms = graft.queries.TextOps.BlocklistTerms
+        .map("'" + _ + "'").mkString(",")
+      s"""WITH $qcCtesSql,
+         |batchd AS (SELECT doc_id, text FROM documents
+         |           WHERE source = '${DedupOps.IncomingSource}'),
+         |bl AS (SELECT doc_id,
+         |    len(list_intersect(string_split(text, ' '), [$terms])) > 0 AS blocked
+         |  FROM batchd),
+         |ex AS (SELECT doc_id, is_dup, dup_of AS exact_dup_of
+         |       FROM (${DedupOps.d7OracleSql})),
+         |ndp0 AS (SELECT doc_a, doc_b FROM (${DedupOps.d14OracleSql})),
+         |srcp AS (SELECT doc_id AS partner, source AS p_src FROM documents),
+         |ndp AS (SELECT u.doc_id, u.partner FROM (
+         |          SELECT doc_a AS doc_id, doc_b AS partner FROM ndp0
+         |          UNION ALL SELECT doc_b, doc_a FROM ndp0) u
+         |        JOIN srcp USING (partner)
+         |        WHERE p_src <> '${DedupOps.IncomingSource}' OR partner < u.doc_id),
+         |nd AS (SELECT doc_id, min(partner) AS near_dup_of FROM ndp GROUP BY 1),
+         |qcv AS (SELECT f.doc_id,
+         |    (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
+         |  FROM f CROSS JOIN w$QcRounds w),
+         |vd AS (SELECT b.doc_id,
+         |    CASE WHEN bl.blocked THEN 'blocked'
+         |         WHEN ex.is_dup THEN 'exact_dup'
+         |         WHEN nd.near_dup_of IS NOT NULL THEN 'near_dup'
+         |         WHEN NOT qcv.keep THEN 'low_quality'
+         |         ELSE 'admitted' END AS verdict,
+         |    ex.exact_dup_of, nd.near_dup_of
+         |  FROM batchd b JOIN bl USING (doc_id) JOIN ex USING (doc_id)
+         |  LEFT JOIN nd USING (doc_id) JOIN qcv USING (doc_id))
+         |SELECT doc_id, verdict,
+         |  CASE WHEN verdict = 'exact_dup' THEN exact_dup_of
+         |       WHEN verdict = 'near_dup' THEN near_dup_of END AS dup_of
+         |FROM vd""".stripMargin
+    },
     // The same trainer chain; phases are rank cuts (ntile over the exact
     // integer z, ties to doc_id) — no value interpolation to drift.
     "tx_curriculum_buckets" ->

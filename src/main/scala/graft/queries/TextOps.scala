@@ -513,9 +513,13 @@ object TextOps {
     * literal for a broadcast join on exploded tokens, which
     * tx_contamination already demonstrates.
     */
+  /** Blocked-term hit count — ONE definition shared by tx_blocklist and
+    * the composed ingest gate. */
+  def blocklistHits(text: Column): Column =
+    size(array_intersect(split(text, " "), typedLit(BlocklistTerms)))
+
   private val blocklist: Q = (s, d) => {
-    val hits = size(array_intersect(
-      split(col("text"), " "), typedLit(BlocklistTerms)))
+    val hits = blocklistHits(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), hits.as("hits"), (hits === 0).as("clean"))
   }

@@ -656,6 +656,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_ingest_gate: verdicts agree with every individual screen " +
+       "under the stated precedence") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.DedupOps
+    val gate = q("pipe_ingest_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of")))).toMap
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val batchIds = docs.where(col("source") === DedupOps.IncomingSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gate.keySet == batchIds, "one verdict per arriving doc")
+    // Recompute each screen from its registered query.
+    val blocked = q("tx_blocklist").collect()
+      .filter(r => !r.getAs[Boolean]("clean"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val exact = q("d7_incremental_dedup").collect()
+      .filter(_.getAs[Boolean]("is_dup"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = q("d14_incremental_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val ndOf = (pairs ++ pairs.map(_.swap))
+      .filter { case (id, p) =>
+        srcOf(p) != DedupOps.IncomingSource || p < id }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).min }
+    val keep = q("pipe_quality_filter").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    batchIds.foreach { id =>
+      val expect =
+        if (blocked(id)) ("blocked", None)
+        else if (exact.contains(id)) ("exact_dup", Some(exact(id)))
+        else if (ndOf.contains(id)) ("near_dup", Some(ndOf(id)))
+        else if (!keep(id)) ("low_quality", None)
+        else ("admitted", None)
+      assert(gate(id) == expect, s"doc $id: gate ${gate(id)} != $expect")
+    }
+  }
+
   test("tx_code_detect: planted code flags, prose passes, counts exact") {
     import spark.implicits._
     val code =
