@@ -20,6 +20,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Marks the session as oracle-gated: queries whose oracle text
+      // interpolates a compile-time default (pipe_dp_card's DP seed)
+      // refuse to run with a conflicting runtime conf instead of
+      // silently diverging from the oracle.
+      .config("spark.graft.oracle.gate", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -710,7 +710,27 @@ object DedupOps {
     // measured 26 s vs ~3 s at sf0.1), and push the LOSSLESS length
     // filter before the merge-intersect: J ≥ 0.5 ⟹ i ≥ (|a|+|b|)/3 and
     // i ≤ min ⟹ max ≤ 2·min — pairs failing it cannot reach the
-    // threshold, so the oracle needs no mirror.
+    // threshold, so the oracle needs no mirror. The broadcast is
+    // guarded like annServeStream's index collect: at 100 TB the exact
+    // arm runs on an evaluation SAMPLE, and an oversized corpus must
+    // fail fast here, not OOM executors mid-broadcast.
+    val bcastBound = {
+      val t = s.sessionState.conf.autoBroadcastJoinThreshold
+      if (t > 0) t else 10L * 1024 * 1024
+    }
+    // `sh` is already materialized (cutLineage), so MEASURE the real
+    // payload with one cheap aggregate instead of trusting plan stats —
+    // post-checkpoint origin stats over-estimate string arrays by ~100x
+    // and would reject corpora that broadcast fine.
+    val actualBytes = sh
+      .select(sum(aggregate(col("shingles"), lit(0L),
+        (acc, x) => acc + length(x) + lit(24L))).as("b"))
+      .head().getLong(0)
+    require(actualBytes <= bcastBound * 8,
+      s"d19_lsh_recall_eval broadcasts the corpus shingle table for its " +
+        s"exact arm, but its measured payload ($actualBytes bytes) exceeds " +
+        s"${bcastBound * 8} bytes (8x spark.sql.autoBroadcastJoinThreshold). " +
+        "Run the eval on a sampled corpus frame instead.")
     val exact = verifyJaccard(
       a.join(broadcast(b), Seq("lang")).where(col("doc_a") < col("doc_b") &&
         size(col("sh_b")) <= size(col("sh_a")) * 2 &&

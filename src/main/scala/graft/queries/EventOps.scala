@@ -515,14 +515,17 @@ object EventOps {
     * (a user's `value` holds until their next event, so a plain AVG
     * over-weights bursts): per user, twa = Σ valueᵢ·(tᵢ₊₁−tᵢ) / Σ dt
     * over the lead-differenced timeline (the final event opens no
-    * interval). Integer-exact end to end: values as cents, gaps as
-    * epoch-microsecond differences, the weighted sum a BIGINT
-    * Σ cents·dt_us (bounded ≪ 2⁶³ at these scales), and the published
-    * twa_milli = floor(wsum·10 / tsum) — cents·10 = value·10³; the ×10
-    * keeps the numerator safely inside BIGINT (a larger scale could
-    * overflow on a long-horizon user), one floor division, no float
-    * anywhere. One window per user (the
-    * sessionize shuffle) + one hash aggregate. */
+    * interval). Exact accumulation, one float division: values as
+    * cents, gaps as epoch-microsecond differences, the weighted sum
+    * Σ cents·dt_us accumulated as DECIMAL(38,0) so a long-horizon user
+    * can never silently wrap a BIGINT (the oracle's HUGEINT widening,
+    * matched on our side explicitly since non-ANSI Spark wraps Long);
+    * the published twa_milli = floor(double(wsum·10) / double(tsum)) —
+    * the ×10 (cents·10 = value·10³) is still exact decimal, and the
+    * ONE double division is mirrored bit-for-bit by the oracle's
+    * HUGEINT→DOUBLE casts (both sides round the same exact integers to
+    * nearest double). One window per user (the sessionize shuffle) +
+    * one hash aggregate. */
   private val timeWeightedAvg: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -534,10 +537,11 @@ object EventOps {
       .where(col("dt_us").isNotNull)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
-        sum(col("cents") * col("dt_us")).as("wsum"),
+        sum(col("cents").cast("decimal(18,0)") * col("dt_us")).as("wsum"),
         sum(col("dt_us")).as("tsum"))
       .select(col("user_id"), col("n_intervals"),
-        floor(col("wsum") * lit(10L) / col("tsum")).cast("long")
+        floor((col("wsum") * lit(10L)).cast("double") /
+            col("tsum").cast("double")).cast("long")
           .as("twa_milli"))
   }
 
@@ -583,7 +587,8 @@ object EventOps {
 
   val oracle: Map[String, String] = Map(
     // The same lead-differenced step integral: cents x epoch-us gaps,
-    // BIGINT weighted sum, one floor division.
+    // exact (HUGEINT here / DECIMAL(38,0) engine-side) weighted sum,
+    // then the one shared double division.
     "ev_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

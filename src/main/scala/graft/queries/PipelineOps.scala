@@ -601,7 +601,12 @@ object PipelineOps {
   private val bigramLm: Q = (s, d) => bigramLmOf(Tables.documentsSpread(s, d))
 
   def bigramLmOf(docs: DataFrame): DataFrame = {
-    val g = docs.select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bg"))
+    // Docs with <2 tokens have NO bigrams → absent row (not a degenerate
+    // one-token "bigram" score): wordGrams' greatest(n-1,1) floor would
+    // otherwise emit the lone token (or '' for blank docs) as a gram.
+    // The vocabulary scalar v stays corpus-wide (all docs).
+    val g = docs.where(size(toks(col("text"))) >= 2)
+      .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bg"))
     val c12 = g.groupBy("bg").agg(count(lit(1)).as("c12"))
     val w1s = g.withColumn("w1", split(col("bg"), " ").getItem(0))
     val c1 = w1s.groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -1202,6 +1207,19 @@ object PipelineOps {
     * frame; output is |cells| rows. */
   private val dpCard: Q = (s, d) => {
     val seed = s.conf.getOption("spark.graft.dp.seed").getOrElse(DpSeedDefault)
+    // The oracle SQL interpolates DpSeedDefault at compile time, so a
+    // session that overrides the seed while the correctness gate is
+    // active would compare two different mechanisms — refuse instead.
+    require(seed == DpSeedDefault ||
+        !s.conf.get("spark.graft.oracle.gate", "false").toBoolean,
+      s"pipe_dp_card: spark.graft.dp.seed='$seed' differs from the oracle's " +
+        s"compiled-in '$DpSeedDefault' while the oracle gate is active; " +
+        "unset the conf (or the gate) so engine and oracle draw the same noise.")
+    if (seed == DpSeedDefault)
+      org.slf4j.LoggerFactory.getLogger("graft.PipelineOps").warn(
+        "pipe_dp_card: using the deterministic default DP seed — the noise " +
+          "is fully recoverable and provides NO real differential privacy; " +
+          "set spark.graft.dp.seed from a secret source for a real release.")
     val cells = cleanedDocs(s, d).groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
     val h = conv(substring(md5(concat(lit(seed), lit(":"), col("lang"),
@@ -1753,7 +1771,8 @@ object PipelineOps {
     // carries float at all.
     "tx_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t),
+         |g AS (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t
+         |      WHERE len(toks) >= 2),
          |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1),
          |w1s AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g),
          |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM w1s GROUP BY 1),

@@ -163,8 +163,10 @@ object TextOps {
     * markers — structural characters ({}[];=), code keywords via the
     * replace-length occurrence trick, and indented lines — folded into
     * an integer score whose density gate is an exact integer
-    * cross-multiplication (score·1000 ≥ chars), so the flag is
-    * reproducible to the bit. Pure per-row codegen, zero shuffle. */
+    * cross-multiplication (score·100 ≥ chars — one weighted marker per
+    * ~50 chars; the earlier ·1000 gate flagged any short prose doc
+    * containing a single '='), so the flag is reproducible to the
+    * bit. Pure per-row codegen, zero shuffle. */
   private val CodeKeywords = Seq("def ", "class ", "import ", "return ")
 
   def codeDetectOf(docs: DataFrame): DataFrame = {
@@ -181,7 +183,7 @@ object TextOps {
       kwCnt.as("n_kw"),
       indentCnt.as("n_indent"),
       score.as("code_score"),
-      (score * 1000L >= col("n_chars")).as("is_code"))
+      (score * 100L >= col("n_chars")).as("is_code"))
   }
 
   private val codeDetect: Q = (s, d) => codeDetectOf(Tables.documents(s, d))
@@ -830,7 +832,7 @@ object TextOps {
          |  FROM s)
          |SELECT doc_id, n_struct, n_kw, n_indent,
          |  n_struct * 2 + n_kw * 3 + n_indent AS code_score,
-         |  ((n_struct * 2 + n_kw * 3 + n_indent) * 1000 >= n_chars) AS is_code
+         |  ((n_struct * 2 + n_kw * 3 + n_indent) * 100 >= n_chars) AS is_code
          |FROM c""".stripMargin
     },
     "tx_langid_eval" ->

@@ -722,6 +722,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"prose must pass: ${out(2L)}")
   }
 
+  test("tx_code_detect: density gate calibration — a long prose doc with " +
+       "one stray '=' must NOT flag; dense short code must") {
+    import spark.implicits._
+    // Before the score*100 calibration, score*1000 flagged any <2000-char
+    // prose doc containing a single marker char (one '=' -> score 2 ->
+    // 2000 >= n_chars). Pin the fixed split on both sides of the gate.
+    val stray = ("word " * 398) + "a = b" // 1995 chars, one '='
+    assert(stray.length == 1995)
+    val dense = "x=1;y=2;{z=[3];}" // 16 chars, struct count 10
+    val d = Seq((1L, stray, stray.length.toLong),
+      (2L, dense, dense.length.toLong)).toDF("doc_id", "text", "n_chars")
+    val out = graft.queries.TextOps.codeDetectOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L)._1 == 2 && !out(1L)._2,
+      s"stray '=' in prose must not flag: ${out(1L)}")
+    assert(out(2L)._2, s"dense code must flag: ${out(2L)}")
+  }
+
   test("tx_langid_eval: confusion matrix conserves the corpus, stays in " +
        "the classifier's label domain, and matches tx_langid directly") {
     import org.apache.spark.sql.functions.col
@@ -755,12 +773,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       1L -> s"$phrase and $phrase",
       2L -> s"again $phrase here $phrase",
       3L -> phrase,
-      4L -> "zq1 xv2 kj3 wp4 mn5 bt6 gh7 rd8 lc9")
+      4L -> "zq1 xv2 kj3 wp4 mn5 bt6 gh7 rd8 lc9",
+      5L -> "loner", // <2 tokens: no bigrams -> absent row, not a
+      6L -> "")      // degenerate one-token score (ADVICE round 8)
       .toDF("doc_id", "text")
     val out = PipelineOps.bigramLmOf(d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out.keySet == Set(1L, 2L, 3L, 4L),
+      s"sub-bigram docs must be absent: ${out.keySet}")
     out.foreach { case (id, (n, tot, avg)) =>
       assert(n > 0 && tot < 0, s"doc $id: log-probs must be negative")
       assert(avg == math.floor(tot.toDouble / n).toLong, s"doc $id arithmetic")
