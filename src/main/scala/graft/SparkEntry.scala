@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.PipelineOps.queries ++
       graft.queries.DedupOps.queries ++
+      graft.queries.SuffixOps.queries ++
       graft.queries.SimilarityOps.queries ++
       graft.queries.EventOps.queries ++
       graft.queries.MultimodalOps.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.PipelineOps.oracle ++
       graft.queries.DedupOps.oracle ++
+      graft.queries.SuffixOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
       graft.queries.EventOps.oracle ++
       graft.queries.MultimodalOps.oracle ++

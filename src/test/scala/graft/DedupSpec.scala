@@ -542,4 +542,90 @@ class DedupSpec extends AnyFunSuite {
       assert(single.nonEmpty, "differential is vacuous on an empty pair set")
     } finally spark.conf.unset(DedupOps.SimhashTwoLevelConf)
   }
+
+  // ---- d21 variable-length suffix dedup ----
+
+  private def suffixDup(d: org.apache.spark.sql.DataFrame) =
+    graft.queries.SuffixOps.suffixDupOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("d21 catches what d9's fixed windows provably miss: a planted " +
+       "1.5W shared span reports its TRUE length; a sub-W span is seen " +
+       "at all") {
+    val W = DedupOps.SpanWindow // 8
+    // Disjoint vocabularies so nothing matches except the plants.
+    val span12 = (1 to (3 * W / 2)).map(i => s"dup$i").mkString(" ") // 12 toks
+    val span6 = (1 to (3 * W / 4)).map(i => s"low$i").mkString(" ")  // 6 toks
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val d = docs(
+      1L -> s"${filler("a", 5)} $span12 ${filler("b", 5)}",
+      2L -> s"${filler("c", 5)} $span12 ${filler("e", 5)}",
+      3L -> s"${filler("f", 5)} $span6 ${filler("g", 5)}",
+      4L -> s"${filler("h", 5)} $span6 ${filler("k", 5)}")
+    val d21 = suffixDup(d)
+    // The 1.5W span: exact length 12, not "some windows duplicated".
+    assert(d21(1L)._1 == 12 && d21(2L)._1 == 12, s"true length: $d21")
+    // Its ge8 position count: starts 0..4 of the 12-token span → 5 —
+    // definitionally d9's n_dup_windows.
+    assert(d21(1L)._2 == 5, s"ge8 positions: ${d21(1L)}")
+    // The 6-token span: d9 reports ZERO dup windows (< W is invisible to
+    // fixed 8-windows); d21 reports the true length 6.
+    assert(d21(3L)._1 == 6 && d21(4L)._1 == 6, s"sub-W span: $d21")
+    assert(d21(3L)._2 == 0)
+    val d9 = DedupOps.dupSpansOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d9(3L) == 0 && d9(4L) == 0,
+      s"d9 must be blind to the sub-W span for the differential to bite: $d9")
+    assert(d9(1L) == 5 && d21(1L)._2 == d9(1L))
+  }
+
+  test("d21 n_dup_pos_ge8 equals d9 n_dup_windows on the corpus (the new " +
+       "operator embeds the old one)") {
+    val sf = SparkTestBase.sf
+    val d21 = graft.queries.SuffixOps.queries("d21_suffix_dup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val d9 = DedupOps.queries("d9_dup_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // d9 emits rows only for docs with >= W tokens; d21 for all docs.
+    d9.foreach { case (id, nw) =>
+      assert(d21(id) == nw, s"doc $id: d21 ge8=${d21(id)} vs d9 windows=$nw")
+    }
+    assert(d9.nonEmpty && d21.values.exists(_ > 0),
+      "cross-check is vacuous without duplicated windows")
+  }
+
+  test("d21 brute-force differential: random corpora match a local " +
+       "longest-repeat model exactly") {
+    val rnd = new scala.util.Random(2109L)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 12).map(i => s"w$i")
+      val corpus = (1L to 8L).map { id =>
+        id -> (1 to (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = suffixDup(docs(corpus: _*))
+      // Local model: dupLen(p) = longest l such that the l-gram at p occurs
+      // at least twice corpus-wide; per doc max + ge8 count.
+      val toks = corpus.toMap.view.mapValues(_.split("\\s+").toSeq).toMap
+      val occ = scala.collection.mutable.Map.empty[Seq[String], Int]
+      for ((_, ts) <- toks; i <- ts.indices; l <- 1 to (ts.size - i))
+        occ.updateWith(ts.slice(i, i + l)) { c => Some(c.getOrElse(0) + 1) }
+      val want = toks.map { case (id, ts) =>
+        val dls = ts.indices.map { i =>
+          (0 +: (1 to (ts.size - i)).filter(l => occ(ts.slice(i, i + l)) >= 2)).max
+        }
+        id -> (dls.max.toLong, dls.count(_ >= 8).toLong)
+      }
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("d21 saturation and degenerate shapes: identical docs report full " +
+       "length; a unique-vocabulary doc reports zero") {
+    val twin = (1 to 30).map(i => s"t$i").mkString(" ")
+    val d = docs(1L -> twin, 2L -> twin, 3L -> (1 to 9).map(i => s"u$i").mkString(" "))
+    val out = suffixDup(d)
+    assert(out(1L) == (30L, 23L), s"identical 30-token docs: $out") // starts 0..22 ge8
+    assert(out(2L) == (30L, 23L))
+    assert(out(3L) == (0L, 0L), s"unique doc must report zero: $out")
+  }
 }
