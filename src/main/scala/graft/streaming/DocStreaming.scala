@@ -370,6 +370,156 @@ object DocStreaming {
         (-col("best.nj")).as("best_jaccard"))
   }
 
+  /** STREAMING INGEST GATE — the landing-zone screen run per DELIVERY:
+    * every arriving document through all four registered screens in
+    * batch [[graft.queries.PipelineOps]] pipe_ingest_gate's precedence
+    * (blocked terms → exact duplicate → near-duplicate → quality), one
+    * verdict row with the duplicate's keeper appended to `outDir` per
+    * micro-batch.
+    *
+    * Architecture: `foreachBatch`, deliberately. The gate is four arms
+    * with THREE different state keys (content hash for exact-dup, band
+    * bucket for near-dup, none for the stateless arms) whose per-doc
+    * verdicts must recombine with immediate emission — as one streaming
+    * DataFrame that is a chain of stateful operators after
+    * flatMapGroupsWithState (unsupported) or append-mode per-doc
+    * aggregations (which would hold every verdict until the watermark
+    * closes). A real lake runs deliveries exactly this way: each
+    * micro-batch is screened against the PERSISTED index and the index
+    * is advanced by the delivery's own fingerprints — the d14
+    * incremental posture, composed from the registered definitions
+    * verbatim ([[graft.queries.TextOps.blocklistHits]], the
+    * incrementalDedupOf hash/keeper rule, [[graft.queries.DedupOps]]
+    * minhashSignatures/bandBuckets/verifyJaccard, qcServeOf with the
+    * frozen trained weights).
+    *
+    * State across deliveries (driver-held handles, executor-held
+    * blocks, lineage-cut per batch): the content-hash keeper table and
+    * the delivery band/signature tables in the d14 index layout —
+    * fingerprints and shingles only, NEVER document text; batch text
+    * stays inside the local micro-batch frame (zero text shuffle, the
+    * d11 discipline). Replaying a corpus delivery in doc_id order —
+    * in one micro-batch or many — reproduces the batch gate's verdicts
+    * exactly (the quotaStream arrival-order contract; asserted in
+    * DocStreamingSpec both ways).
+    */
+  def ingestGateStream(spark: SparkSession, stream: DataFrame, sfDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.queries.{DedupOps, PipelineOps, TextOps}
+    import graft.core.Lineage
+    val (w0, w1, w2) = PipelineOps.qcTrainedWeights(spark, sfDir)
+    // Corpus-side artifacts: the SAME session-materialized index batch
+    // d14 serves from, plus the hash keeper table the d7 rule needs.
+    val corpusSigs = DedupOps.corpusIndexSigs(spark, sfDir)
+    val corpusBands = DedupOps.corpusIndexBands(spark, sfDir)
+    val corpusHash = graft.core.Materialize.once(spark, s"gate_corpus_hash:$sfDir") {
+      graft.Tables.documents(spark, sfDir)
+        .where(col("source") =!= DedupOps.IncomingSource)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("corpus_dup"))
+    }
+    // Cross-delivery state: earlier deliveries' fingerprints.
+    var seenHash: Option[DataFrame] = None   // (h, seen_min)
+    var seenSigs: Option[DataFrame] = None   // (doc_id, shingles, sig)
+    var seenBands: Option[DataFrame] = None  // (bucket, doc_id)
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_gate_ckpt").toString
+    graft.core.Fs.deleteOnExit(checkpoint)
+    // Explicit function value: foreachBatch has an ambiguous Scala/Java
+    // overload pair for Unit-returning lambdas.
+    val perDelivery: (DataFrame, Long) => Unit = (delivery, _) => {
+        val batch = delivery.localCheckpoint(true)
+        // Exact-dup arm: corpus keeper wins attribution, else the
+        // earliest same-hash doc across deliveries and within this one
+        // (incrementalDedupOf's coalesce, with seen state folded in).
+        val intraMin = min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h"))
+        val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+          .withColumn("intra_min", intraMin)
+        val withSeen = seenHash.fold(hashed.withColumn("seen_min",
+          lit(null).cast("long")))(sh => hashed.join(sh, Seq("h"), "left"))
+        val exact = withSeen.join(corpusHash, Seq("h"), "left")
+          .withColumn("all_min",
+            least(coalesce(col("seen_min"), col("intra_min")), col("intra_min")))
+          .select(col("doc_id"),
+            coalesce(col("corpus_dup"),
+              when(col("all_min") < col("doc_id"), col("all_min")))
+              .as("exact_dup_of"))
+          .withColumn("is_dup", col("exact_dup_of").isNotNull)
+        // Near-dup arm: candidates from the persisted index (corpus ∪
+        // earlier deliveries — any partner counts) plus smaller-id
+        // intra-batch pairs; min partner, the batch gate's pick.
+        val batchSigs = Lineage.cut(DedupOps.minhashSignatures(batch))
+        val batchBands = DedupOps.bandBuckets(batchSigs)
+        val cBands = corpusBands.select("bucket", "doc_id")
+        val cSigs = corpusSigs.select("doc_id", "shingles")
+        val idxBands = seenBands.fold(cBands)(s => cBands.unionByName(s))
+        val idxSigs = seenSigs.fold(cSigs)(s => cSigs.unionByName(s))
+        val bc = batchBands.select(col("bucket"), col("doc_id").as("bid"))
+          .join(idxBands.select(col("bucket"), col("doc_id").as("partner")),
+            Seq("bucket"))
+          .select("bid", "partner").dropDuplicates("bid", "partner")
+        val bcv = DedupOps.verifyJaccard(bc
+            .join(batchSigs.select(col("doc_id").as("bid"),
+              col("shingles").as("sh_a")), Seq("bid"))
+            .join(idxSigs.select(col("doc_id").as("partner"),
+              col("shingles").as("sh_b")), Seq("partner")))
+          .select(col("bid").as("doc_id"), col("partner"))
+        val bb = batchBands.select(col("bucket"), col("doc_id").as("bid"))
+          .join(batchBands.select(col("bucket"), col("doc_id").as("partner")),
+            Seq("bucket"))
+          .where(col("partner") < col("bid"))
+          .select("bid", "partner").dropDuplicates("bid", "partner")
+        val bbv = DedupOps.verifyJaccard(bb
+            .join(batchSigs.select(col("doc_id").as("bid"),
+              col("shingles").as("sh_a")), Seq("bid"))
+            .join(batchSigs.select(col("doc_id").as("partner"),
+              col("shingles").as("sh_b")), Seq("partner")))
+          .select(col("bid").as("doc_id"), col("partner"))
+        val nd = bcv.unionByName(bbv)
+          .groupBy("doc_id").agg(min(col("partner")).as("near_dup_of"))
+        // Stateless arms + the batch gate's verdict precedence, verbatim.
+        val base = batch.select(col("doc_id"),
+          (TextOps.blocklistHits(col("text")) > 0).as("blocked"))
+        val qc = PipelineOps.qcServeOf(batch, w0, w1, w2)
+          .select(col("doc_id"), col("keep"))
+        val out = base.join(exact, Seq("doc_id"))
+          .join(nd, Seq("doc_id"), "left")
+          .join(qc, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(col("blocked"), "blocked")
+              .when(col("is_dup"), "exact_dup")
+              .when(col("near_dup_of").isNotNull, "near_dup")
+              .when(!col("keep"), "low_quality")
+              .otherwise(lit("admitted")).as("verdict"),
+            col("is_dup"), col("exact_dup_of"), col("near_dup_of"))
+          .select(col("doc_id"), col("verdict"),
+            when(col("verdict") === "exact_dup", col("exact_dup_of"))
+              .when(col("verdict") === "near_dup", col("near_dup_of"))
+              .as("dup_of"))
+        out.write.mode("append").parquet(outDir)
+        // Advance the index by this delivery's fingerprints (ALL docs —
+        // the one-shot gate lets every smaller-id doc partner, whatever
+        // its own verdict).
+        val batchHash = batch.select(md5(col("text")).as("h"), col("doc_id"))
+          .groupBy("h").agg(min(col("doc_id")).as("seen_min"))
+        seenHash = Some(Lineage.cut(seenHash.fold(batchHash)(
+          _.unionByName(batchHash).groupBy("h")
+            .agg(min(col("seen_min")).as("seen_min")))))
+        seenSigs = Some(Lineage.cut(seenSigs.fold(
+          batchSigs.select("doc_id", "shingles"))(
+          _.unionByName(batchSigs.select("doc_id", "shingles")))))
+        seenBands = Some(Lineage.cut(seenBands.fold(
+          batchBands.select("bucket", "doc_id"))(
+          _.unionByName(batchBands.select("bucket", "doc_id")))))
+        ()
+      }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(perDelivery)
+      .start()
+  }
+
   def assignClusters(stream: DataFrame, model: DataFrame): DataFrame = {
     import graft.queries.SimilarityOps
     val cent = model.select(col("cluster").cast("int"), col("c")).collect()

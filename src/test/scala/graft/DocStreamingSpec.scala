@@ -456,4 +456,100 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), "stream-static join must broadcast")
   }
+
+  // ---- composed streaming ingest gate ----
+
+  private def gateVerdicts(outDir: String): Map[Long, (String, Option[Long])] =
+    spark.read.parquet(outDir).collect().map { r =>
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toMap
+
+  private def batchGateVerdicts(): Map[Long, (String, Option[Long])] =
+    SparkEntry.queries("pipe_ingest_gate")(spark, SparkTestBase.sf)
+      .collect().map { r =>
+        r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }.toMap
+
+  test("streaming ingest gate == batch pipe_ingest_gate: one delivery") {
+    import graft.queries.DedupOps
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val incoming = docs.where(col("source") === DedupOps.IncomingSource)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gate_out").toString + "/v"
+    graft.core.Fs.deleteOnExit(dir)
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val q = DocStreaming.ingestGateStream(spark, stream, SparkTestBase.sf, out)
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val streamed = gateVerdicts(out)
+      val batch = batchGateVerdicts()
+      assert(streamed == batch,
+        s"stream/batch gate mismatch: ${streamed.toSeq.diff(batch.toSeq).take(5)}")
+      // Non-vacuity: the corpus batch must exercise several arms (at
+      // this SF it hits blocked/near_dup/low_quality/admitted; exact
+      // dups are planted in the split-delivery test below).
+      val kinds = batch.values.map(_._1).toSet
+      assert(Set("admitted", "near_dup", "blocked").subsetOf(kinds),
+        s"arms hit: $kinds")
+    } finally q.stop()
+  }
+
+  test("streaming ingest gate: split deliveries == one-shot delivery on a " +
+       "planted batch (cross-delivery exact + near dup state)") {
+    import spark.implicits._
+    import graft.queries.{DedupOps, TextOps}
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    // A clean corpus doc to copy (blocked would pre-empt exact_dup).
+    val corpusRow = docs.where(col("source") =!= DedupOps.IncomingSource)
+      .where(TextOps.blocklistHits(col("text")) === 0)
+      .orderBy("doc_id").limit(1).collect()(0)
+    val (corpusId, corpusText) = (corpusRow.getLong(0), corpusRow.getString(1))
+    val nearA = (1 to 60).map(i => s"zqplant$i").mkString(" ")
+    val nearB = ((1 to 59).map(i => s"zqplant$i") :+ "zqchanged").mkString(" ")
+    val dupText = (1 to 25).map(i => s"zqfresh$i").mkString(" ")
+    val unique = (1 to 25).map(i => s"zqlone$i").mkString(" ")
+    def row(id: Long, text: String) =
+      (id, text, "en", DedupOps.IncomingSource, text.length.toLong)
+    // Delivery 1: ids < 10004; delivery 2: the rest — id-ordered replay.
+    val delivery1 = Seq(row(10001L, corpusText), row(10002L, dupText),
+      row(10003L, nearA))
+    val delivery2 = Seq(row(10005L, dupText), row(10006L, nearB),
+      row(10007L, unique))
+    def runGate(splits: Seq[Seq[(Long, String, String, String, Long)]])
+        : Map[Long, (String, Option[Long])] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gate_pl").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_gate_plo").toString + "/v"
+      graft.core.Fs.deleteOnExit(dir)
+      splits.head.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val stream = DocStreaming.docStream(spark, dir, docs.schema)
+      val q = DocStreaming.ingestGateStream(spark, stream, SparkTestBase.sf, out)
+      try {
+        q.processAllAvailable()
+        splits.tail.foreach { s =>
+          s.toDF("doc_id", "text", "lang", "source", "n_chars")
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+        gateVerdicts(out)
+      } finally q.stop()
+    }
+    val oneShot = runGate(Seq(delivery1 ++ delivery2))
+    val split = runGate(Seq(delivery1, delivery2))
+    assert(split == oneShot,
+      s"split vs one-shot: ${split.toSeq.diff(oneShot.toSeq)}")
+    // Planted cross-delivery verdicts: the second copy of dupText owes
+    // its keeper to delivery 1; the near variant to its delivery-1 twin;
+    // the corpus copy to the corpus index.
+    assert(split(10005L) == ("exact_dup", Some(10002L)), s"got: $split")
+    assert(split(10006L) == ("near_dup", Some(10003L)), s"got: $split")
+    assert(split(10001L)._1 == "exact_dup" &&
+      split(10001L)._2.contains(corpusId), s"got: $split")
+    assert(split(10007L)._2.isEmpty, s"unique doc must not attribute: $split")
+  }
 }
