@@ -852,7 +852,71 @@ object SimilarityOps {
       e, q)
   }
 
+  /** Modulus partitioning [[ivfDelete]]'s CDC delta: residue 3 vectors
+    * are tombstoned, residue 5 vectors are upserted (their embedding
+    * replaced) — ~10% each, the src_merge_cdc regime. */
+  val AnnDeleteMod = 10
+
+  /** IVF index DELETES/UPSERTS — the other half of index maintenance
+    * ([[ivfAppend]] covers inserts): a CDC delta of tombstones and
+    * upserts merges into the SERVING index without re-clustering.
+    * Tombstone ids and upserted ids leave their base cells through ONE
+    * broadcast anti join against the (lineage-cut, id-only) changed-id
+    * table — the base layout is otherwise untouched: no rewrite, no
+    * re-read beyond the serve itself, and NO quantizer retrain (the
+    * session-memoized corpus centroids are reused as-is — one index,
+    * any CDC, the filtered-search discipline). Upserted vectors are
+    * re-assigned to their nearest FIXED centroid by the deterministic
+    * min-struct argmin (ivfAppend's rule), then serving runs the
+    * adaptive EXACT top-k over kept ∪ upserts with per-cell radii
+    * recomputed over the post-CDC membership — so the result EQUALS
+    * brute force over the post-delete corpus by construction, which is
+    * exactly what the oracle states (plus the recomputed upsert cell
+    * assignments, so a drifted quantizer fails the compare). At 100 TB:
+    * the tombstone side is a broadcast-size id list, the anti join
+    * rides the partitioned-by-cell base scan without an extra exchange
+    * (SimilaritySpec pins the plan), and compaction folds tombstones
+    * into the layout on the append schedule.
+    *
+    * Upsert payload: the vector REVERSED — deterministic, expressible
+    * on both engines, and it moves the vector between cells often
+    * enough to exercise re-assignment.
+    */
+  private val ivfDelete: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val live = e.where(col("vec_id") =!= 0)
+    // The arriving CDC delta, as OPAQUE tables (production tombstones
+    // are id lists, not predicates — the cut stops the planner from
+    // fusing the residue test into the base scan, which would fake the
+    // production shape).
+    val tomb = live.where(col("vec_id") % AnnDeleteMod === 3)
+      .select(col("vec_id")).cutLineage
+    val ups = live.where(col("vec_id") % AnnDeleteMod === 5)
+      .select(col("vec_id"), reverse(col("v")).as("v")).cutLineage
+    val cent = centroidsOnce(s, d, e) // frozen quantizer: NO retrain
+    val assigned = ups
+      .crossJoin(broadcast(cent.select(col("label").as("clabel"),
+        col("centroid"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(distSq(col("v"), col("centroid")).as("ds"),
+        col("clabel"), col("v"))).as("b"))
+      .select(col("vec_id"), col("b.clabel").as("label"),
+        col("b.v").as("v"), lit(true).as("is_upsert"))
+    val changed = tomb.unionByName(ups.select(col("vec_id")))
+    val kept = live.join(broadcast(changed), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("v"), lit(false).as("is_upsert"))
+    val index = kept.unionByName(assigned)
+    val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
+    val topk = ivfAdaptiveTopK(
+      index.select(col("vec_id"), col("label"), col("v")), q, cent, 10)._2
+    topk.join(index.select(col("vec_id"), col("is_upsert")), Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("cell"), col("dist_sq"),
+        col("is_upsert"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_ivf_delete" -> ivfDelete,
     "ann_brute_topk" -> bruteForce,
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
@@ -1055,6 +1119,34 @@ object SimilarityOps {
          |        SELECT d.vec_id, a.cell, d.v, TRUE AS is_new
          |        FROM delta d JOIN asg a USING (vec_id))
          |SELECT idx.vec_id, idx.cell, ${distSql("idx.v", "q.qv")} AS dist_sq, idx.is_new
+         |FROM idx, q ORDER BY dist_sq, idx.vec_id LIMIT 10""".stripMargin,
+    // Post-CDC brute force IS the truth (the adaptive stop rule is exact
+    // over kept ∪ upserts); the oracle ALSO recomputes the upsert cell
+    // assignments against the FULL-corpus exact-mean centroids (the
+    // frozen ivf_centroids quantizer — trained before the delta, never
+    // retrained), so a re-clustered or re-assigned index would fail the
+    // compare even when the distances alone still match.
+    "ann_ivf_delete" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |live AS (SELECT * FROM e WHERE vec_id <> 0),
+         |ups AS (SELECT vec_id, list_reverse(v) AS v FROM live
+         |        WHERE vec_id % $AnnDeleteMod = 5),
+         |kept AS (SELECT vec_id, label AS cell, v, FALSE AS is_upsert FROM live
+         |         WHERE vec_id % $AnnDeleteMod NOT IN (3, 5)),
+         |cpx AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
+         |ccm AS (SELECT label, pos, ${exactMeanSql("x")} AS m FROM cpx GROUP BY label, pos),
+         |cc AS (SELECT label, list(m ORDER BY pos) AS centroid FROM ccm GROUP BY label),
+         |asg AS (SELECT vec_id, label AS cell FROM (
+         |    SELECT u.vec_id, c.label,
+         |      row_number() OVER (PARTITION BY u.vec_id
+         |        ORDER BY ${distSql("u.v", "c.centroid")}, c.label) AS rk
+         |    FROM ups u, cc c) WHERE rk = 1),
+         |idx AS (SELECT * FROM kept
+         |        UNION ALL
+         |        SELECT u.vec_id, a.cell, u.v, TRUE AS is_upsert
+         |        FROM ups u JOIN asg a USING (vec_id))
+         |SELECT idx.vec_id, idx.cell, ${distSql("idx.v", "q.qv")} AS dist_sq, idx.is_upsert
          |FROM idx, q ORDER BY dist_sq, idx.vec_id LIMIT 10""".stripMargin,
     // Filtered brute force IS the truth: the engine's adaptive probe is
     // exact over the filtered subset by construction.

@@ -249,4 +249,60 @@ class SimilaritySpec extends AnyFunSuite {
     }.toSet
     assert(rows.toSet == model, "query diverges from the local margin model")
   }
+
+  test("ivf delete: serves exactly the post-CDC brute-force top-k, " +
+       "changes the pre-CDC answer, and never returns a tombstone") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    val sf = SparkTestBase.sf
+    val out = SparkEntry.queries("ann_ivf_delete")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length == 10)
+    // No tombstoned or stale-upsert id can surface.
+    out.foreach { case (id, _, isUp) =>
+      assert(id % SimilarityOps.AnnDeleteMod != 3, s"tombstone served: $id")
+      assert(isUp == (id % SimilarityOps.AnnDeleteMod == 5))
+    }
+    // Ground truth: brute force over kept ∪ reversed-upserts.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), SimilarityOps.vDouble(col("embedding")).as("v"))
+      .where(col("vec_id") =!= 0)
+    val post = e.where(col("vec_id") % SimilarityOps.AnnDeleteMod =!= 3 &&
+        col("vec_id") % SimilarityOps.AnnDeleteMod =!= 5)
+      .unionByName(e.where(col("vec_id") % SimilarityOps.AnnDeleteMod === 5)
+        .select(col("vec_id"), reverse(col("v")).as("v")))
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+      .select(SimilarityOps.vDouble(col("embedding")).as("qv"))
+    val brute = post.crossJoin(broadcast(q))
+      .select(col("vec_id"), SimilarityOps.distSq(col("v"), col("qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(t => (t._1, t._2)).sortBy(_._1).toSeq ==
+      brute.sortBy(_._1).toSeq,
+      "delete-serve must equal post-CDC brute force")
+    // Non-vacuity: the CDC must actually change the served answer.
+    val pre = SparkEntry.queries("ann_ivf_adaptive")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet != pre, "CDC left the top-k unchanged")
+  }
+
+  test("ivf delete plan: base membership changes ride ONE broadcast anti " +
+       "join; the tombstone residue is never pushed into the base scan") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val plan = SparkEntry.queries("ann_ivf_delete")(spark, SparkTestBase.sf)
+      .queryExecution.executedPlan
+    val anti = helper.collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.contains("Anti") => j
+    }
+    assert(anti.nonEmpty, "kept side must anti-join broadcast tombstones:\n" +
+      plan.toString.take(1500))
+    // The opaque-id-table contract: no scan may carry the % residue as a
+    // pushed filter (production tombstones are id lists, not formulas).
+    val scans = plan.toString
+    assert(!scans.contains("% 10) = 3"),
+      "tombstone residue leaked into a pushed scan filter")
+  }
 }
