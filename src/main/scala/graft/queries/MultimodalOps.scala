@@ -96,6 +96,61 @@ object MultimodalOps {
       .toDF()
   }
 
+  /** mm_pair_screen thresholds (shared with the oracle): minimum pixel
+    * count, max aspect ratio, minimum pixel dynamic range, caption token
+    * bounds, and the punctuation-soup cross-multiplication. */
+  val MmPairMinPx = 64L
+  val MmPairAspectMax = 4
+  val MmPairMinRange = 16
+  val MmPairMinTok = 5
+  val MmPairMaxTok = 80
+  val MmPairPunctMul = 5
+
+  /** CROSS-MODAL PAIR SCREEN (LAION-style) — the keep decision for a
+    * paired (image, caption) row, the one curation shape the modality ×
+    * task matrix still lacked: REALLY-DECODED image features (the
+    * [[features]] path — every pixel statistic read back from an
+    * encoded→decoded PNG raster) joined per pair to the caption's
+    * registered text signals (tx_quality's token/punctuation counts,
+    * tx_langid's prediction), folded by an integer-exact precedence
+    * rule: resolution floor → aspect bound → dynamic-range floor (flat
+    * images carry no signal) → known language → caption length window →
+    * punctuation-soup cross-multiplication. Every arm reuses a
+    * REGISTERED definition verbatim (engine: the public query entries;
+    * oracle: their SQL texts composed as CTEs), so the gate cannot
+    * drift from the signals it reads — the pipe_ingest_gate composition
+    * discipline applied across modalities.
+    *
+    * Scale shape: three doc_id-keyed equi joins over per-row computed
+    * signal frames — image bytes never shuffle (decoded on the
+    * partition iterator, only integer features flow), captions never
+    * shuffle (per-row codegen signals). At 100 TB this is one zipped
+    * pass over the pair table.
+    */
+  private val pairScreen: Q = (s, d) => {
+    val img = features(s, d).select(col("doc_id"), col("width"),
+      col("height"), col("n_px"),
+      (col("px_max") - col("px_min")).as("px_range"))
+    val cap = TextOps.queries("tx_quality")(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("punct_cnt"))
+    val lng = TextOps.queries("tx_langid")(s, d)
+      .select(col("doc_id"), col("lang_pred"))
+    img.join(cap, Seq("doc_id")).join(lng, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("n_px") < MmPairMinPx, "img_small")
+          .when(greatest(col("width"), col("height")) >
+            least(col("width"), col("height")) * MmPairAspectMax, "img_aspect")
+          .when(col("px_range") < MmPairMinRange, "img_flat")
+          .when(col("lang_pred") === "und", "cap_lang")
+          .when(col("n_tokens") < MmPairMinTok ||
+            col("n_tokens") > MmPairMaxTok, "cap_len")
+          .when(col("punct_cnt") * MmPairPunctMul > col("n_tokens"), "cap_punct")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n_px"), col("px_range"), col("lang_pred"),
+        col("n_tokens"), col("punct_cnt"),
+        (col("reason") === "kept").as("keep"), col("reason"))
+  }
+
   /** One frame-sample row (video/audio frame-extraction shape). */
   final case class MmFrame(doc_id: Long, frame_idx: Int, frame_bytes: Int, byte_sum: Long)
 
@@ -995,6 +1050,7 @@ object MultimodalOps {
 
   val queries: Map[String, Q] = Map(
     "mm_features" -> features,
+    "mm_pair_screen" -> pairScreen,
     "mm_frames" -> frames,
     "mm_frames_gif" -> framesGif,
     "mm_decode_png" -> decodePng,
@@ -1004,12 +1060,12 @@ object MultimodalOps {
     "mm_scene_detect" -> sceneDetect,
     "mm_resize_png" -> resizePng)
 
-  val oracle: Map[String, String] = Map(
-    // Closed forms of the (3x + 7y + doc_id) mod 251 pattern raster —
-    // the engine reports only values computed from a really
-    // encoded-then-decoded PNG, so equality proves the parse.
-    "mm_features" ->
-      """WITH d AS (SELECT doc_id,
+  /** The mm_features closed form as ONE SQL text — shared by the
+    * mm_features and mm_pair_screen oracle entries so the image-feature
+    * definition exists exactly once on each side (the cleanedSql/bm25Sql
+    * discipline). */
+  private val mmFeaturesSql: String =
+    """WITH d AS (SELECT doc_id,
         |    CAST(1 + doc_id % 31 AS BIGINT) AS w,
         |    CAST(1 + n_chars % 29 AS BIGINT) AS h
         |  FROM documents),
@@ -1025,7 +1081,42 @@ object MultimodalOps {
         |  CAST(w * h AS BIGINT) AS n_px, s AS px_sum, mn AS px_min,
         |  mx AS px_max, CAST(s * 1000 // (w * h) AS BIGINT) AS px_mean_milli,
         |  'gray' AS format
-        |FROM px""".stripMargin,
+        |FROM px""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // Closed form of the (3x + 7y + doc_id) mod 251 pattern raster —
+    // the engine reports only values computed from a really
+    // encoded-then-decoded PNG, so equality proves the parse.
+    "mm_features" -> mmFeaturesSql,
+    // The pair screen composes the REGISTERED definitions verbatim:
+    // image features from mmFeaturesSql, caption signals from the
+    // tx_quality and tx_langid oracle texts — the keep rule is pure
+    // integer/flag arithmetic over their columns, so the gate cannot
+    // drift from the signals it reads.
+    "mm_pair_screen" -> {
+      s"""WITH img AS (SELECT doc_id, width, height, n_px,
+         |        px_max - px_min AS px_range FROM ($mmFeaturesSql)),
+         |cap AS (SELECT doc_id, n_tokens, punct_cnt
+         |        FROM (${TextOps.oracle("tx_quality")})),
+         |lng AS (SELECT doc_id, lang_pred FROM (${TextOps.oracle("tx_langid")})),
+         |j AS (SELECT img.doc_id, img.n_px, img.px_range, lng.lang_pred,
+         |        cap.n_tokens, cap.punct_cnt,
+         |        CASE WHEN img.n_px < $MmPairMinPx THEN 'img_small'
+         |             WHEN greatest(img.width, img.height) >
+         |                  least(img.width, img.height) * $MmPairAspectMax
+         |               THEN 'img_aspect'
+         |             WHEN img.px_range < $MmPairMinRange THEN 'img_flat'
+         |             WHEN lng.lang_pred = 'und' THEN 'cap_lang'
+         |             WHEN cap.n_tokens < $MmPairMinTok
+         |                  OR cap.n_tokens > $MmPairMaxTok THEN 'cap_len'
+         |             WHEN cap.punct_cnt * $MmPairPunctMul > cap.n_tokens
+         |               THEN 'cap_punct'
+         |             ELSE 'kept' END AS reason
+         |      FROM img JOIN cap USING (doc_id) JOIN lng USING (doc_id))
+         |SELECT doc_id, n_px, px_range, lang_pred, n_tokens, punct_cnt,
+         |  (reason = 'kept') AS keep, reason
+         |FROM j""".stripMargin
+    },
     // Text is ASCII in the testdata (byte == codepoint), so the oracle can
     // recompute byte sums with ord(); the Spark side works on raw bytes.
     "mm_frames" ->

@@ -246,4 +246,43 @@ class MultimodalParitySpec extends AnyFunSuite {
     // Docs with ≥3 frames must show both classes.
     assert(diffs.exists(_._6) && diffs.exists(!_._6))
   }
+
+  test("mm_pair_screen: verdicts are self-consistent with the row's own " +
+       "signals, compose the registered queries verbatim, and hit " +
+       "several arms") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.MultimodalOps._
+    val rows = SparkEntry.queries("mm_pair_screen")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6), r.getString(7)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // The keep rule recomputed locally from the row's own signal columns
+    // (including the two arms this corpus never reaches) must agree.
+    val img = SparkEntry.queries("mm_features")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    rows.foreach { case (id, nPx, rng, lang, nTok, punct, keep, reason) =>
+      val (w, h) = img(id)
+      val want =
+        if (nPx < MmPairMinPx) "img_small"
+        else if (math.max(w, h) > math.min(w, h) * MmPairAspectMax) "img_aspect"
+        else if (rng < MmPairMinRange) "img_flat"
+        else if (lang == "und") "cap_lang"
+        else if (nTok < MmPairMinTok || nTok > MmPairMaxTok) "cap_len"
+        else if (punct * MmPairPunctMul > nTok) "cap_punct"
+        else "kept"
+      assert(reason == want && keep == (want == "kept"),
+        s"doc $id: got $reason, rule says $want")
+    }
+    // Signals must BE the registered queries' values (composition check).
+    val q = SparkEntry.queries("tx_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    val lg = SparkEntry.queries("tx_langid")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    rows.foreach { case (id, _, _, lang, nTok, punct, _, _) =>
+      assert((nTok, punct) == q(id) && lang == lg(id),
+        s"doc $id: pair signals drifted from the registered queries")
+    }
+    val arms = rows.map(_._8).toSet
+    assert(arms.size >= 4 && arms.contains("kept"), s"arms hit: $arms")
+  }
 }
