@@ -395,15 +395,38 @@ final class ExtractOperation(
   private var resumePartial: Option[String] = None
   private var resumePass: Int = 0
 
-  def saveState(dir: String): Unit = {
+  /** Run independent checkpoint parquet writes as ONE concurrent wave
+    * (Spark schedules jobs from multiple threads fine) and wait for all
+    * of them. A save used to pay each table's write job sequentially —
+    * scheduler latency × table count per save; the wave pays ~one. The
+    * marker is still written strictly AFTER the wave completes, so the
+    * kill-at-any-byte contract is untouched: a crash mid-wave leaves the
+    * previous marker pointing only at fully-written versions.
+    */
+  private def awaitWrites(writes: Seq[() => Unit]): Unit =
+    if (writes.size <= 1) writes.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = ExtractOperation.saveEc
+      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf): Unit
+    }
+
+  /** Pending row-dir writes for tables completed since the last save
+    * (deferred into the save's write wave; marks them saved). */
+  private def pendingRowWrites(dir: String): Seq[() => Unit] = {
     val done = order.take(stepsCompleted)
-    done.filterNot(savedRowDirs).foreach { t =>
-      extractedRows.get(t).foreach { rows =>
-        rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
+    done.filterNot(savedRowDirs).flatMap { t =>
+      extractedRows.get(t).map { rows =>
         savedRowDirs += t
+        () => rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
       }
     }
-    val reqVers = writeRequired(dir)
+  }
+
+  def saveState(dir: String): Unit = {
+    val (reqVers, reqWrites) = requiredWrites(dir)
+    awaitWrites(pendingRowWrites(dir) ++ reqWrites)
     val errVer = writeErrors(dir)
     writeMarker(dir, markerJson(reqVers, errVer, partial = ""))
     gcStale(dir, reqVers.map(_._2).toSet, errVer, keepPartials = false)
@@ -419,21 +442,17 @@ final class ExtractOperation(
     * moves, so a kill at any byte resumes from the previous marker.
     */
   private def saveStatePartial(dir: String, table: String, pass: Int): Unit = {
-    val done = order.take(stepsCompleted)
-    done.filterNot(savedRowDirs).foreach { t =>
-      extractedRows.get(t).foreach { rows =>
-        rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
-        savedRowDirs += t
-      }
-    }
-    if (partialBuf.nonEmpty) {
-      partialBuf.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dir/partial_p$partialSeq/$table")
-      partialDirs += partialSeq
+    val deltaWrite: Seq[() => Unit] = if (partialBuf.nonEmpty) {
+      val delta = partialBuf.reduce(_ unionByName _)
+      val seq = partialSeq
+      partialDirs += seq
       partialSeq += 1
       partialBuf.clear()
-    }
-    val reqVers = writeRequired(dir)
+      Seq(() => delta.write.mode("overwrite")
+        .parquet(s"$dir/partial_p$seq/$table"))
+    } else Seq.empty
+    val (reqVers, reqWrites) = requiredWrites(dir)
+    awaitWrites(pendingRowWrites(dir) ++ deltaWrite ++ reqWrites)
     val errVer = writeErrors(dir)
     val partial = s""","partial":{"table":"$table","pass":$pass,""" +
       s""""dirs":[${partialDirs.mkString(",")}]}"""
@@ -449,19 +468,25 @@ final class ExtractOperation(
     * table's outstanding required ids. */
   private val reqSaved = mutable.Map.empty[String, (Int, DataFrame)]
 
-  private def writeRequired(dir: String): Seq[(String, Int)] = {
+  /** Version table + deferred writes for the required-id snapshots (the
+    * writes join the save's concurrent wave; bookkeeping happens here on
+    * the caller thread). */
+  private def requiredWrites(dir: String): (Seq[(String, Int)], Seq[() => Unit]) = {
     val ver = saveVersion
     saveVersion += 1
-    requiredIds.keys.toSeq.sorted.map { t =>
+    val writes = Seq.newBuilder[() => Unit]
+    val vers = requiredIds.keys.toSeq.sorted.map { t =>
       val cur = requiredIds(t)
       reqSaved.get(t) match {
         case Some((v, prev)) if prev eq cur => t -> v
         case _ =>
-          cur.write.mode("overwrite").parquet(s"$dir/required_v$ver/$t")
           reqSaved(t) = (ver, cur)
+          writes += (() =>
+            cur.write.mode("overwrite").parquet(s"$dir/required_v$ver/$t"))
           t -> ver
       }
     }
+    (vers, writes.result())
   }
 
   /** Error buffers are PASS STATE too: a mid-fixpoint kill after
@@ -760,4 +785,21 @@ final class ExtractOperation(
 
   def writeCsv(table: String, path: String, mapper: Option[DataMapper] = None): Unit =
     result(table, mapper).write.mode("overwrite").option("header", true).csv(path)
+}
+
+object ExtractOperation {
+  /** Shared pool for checkpoint write waves (daemon threads so a dying
+    * application never hangs on it; sized for the widest realistic save
+    * wave, not for throughput — each task just blocks on a Spark job). */
+  private[operators] lazy val saveEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-save-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
 }
