@@ -56,6 +56,16 @@ import graft.core.Lineage.LineageOps
   * spans longer than the cap report the cap (the corpus fixtures max out
   * at ~100 tokens/doc, so the oracle's uncapped suffix compare agrees at
   * every test SF).
+  *
+  * Perf adjudication (round 9, sf0.1 ≈ 17 s — the library's most
+  * expensive bench line, and the honest price of its only sort-rounds
+  * operator): three structural remedies were measured and all LOST —
+  * AQE off (2× slower; AQE's partition coalescing carries these 276k-row
+  * stages), dropping the per-step LCP cuts (neutral), and RADIX-4
+  * quadrupling (4 sort rounds instead of 7, base-4 greedy walk — 40%
+  * slower: the 3 shift joins + 4-tuple distinct per round cost more than
+  * the rounds saved). A lossless singleton-groups early stop can't fire
+  * on this corpus (exact duplicate docs keep groups alive to level ~7).
   */
 object SuffixOps {
   type Q = (SparkSession, String) => DataFrame

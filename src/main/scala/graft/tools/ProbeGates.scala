@@ -31,7 +31,9 @@ object ProbeGates {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
     }
-    Seq("x_engine_fixpoint", "x_engine_extract_resume").foreach { name =>
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("x_engine_fixpoint", "x_engine_extract_resume")
+    names.foreach { name =>
       jobs.clear()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
