@@ -619,6 +619,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d21 edge shapes: blank twins, lone token, prefix-contained docs, " +
+       "self-repeat within one doc") {
+    val out = suffixDup(docs(
+      1L -> "", // blank: the single empty token
+      2L -> "", // blank twin → the 1-token span is shared
+      3L -> "solo",
+      4L -> "a b c d e f",
+      5L -> "a b c d e f g h", // fully contains doc 4
+      6L -> "x x x x")) // overlapping self-repeat: x-x-x at starts 0 and 1
+    assert(out(1L) == (1L, 0L) && out(2L) == (1L, 0L), s"blank twins: $out")
+    assert(out(3L) == (0L, 0L), s"lone unique token: $out")
+    assert(out(4L) == (6L, 0L) && out(5L) == (6L, 0L),
+      s"prefix containment must report the 6-token span: $out")
+    assert(out(6L) == (3L, 0L), s"self-overlap longest repeat is 3: $out")
+  }
+
   test("d21 saturation and degenerate shapes: identical docs report full " +
        "length; a unique-vocabulary doc reports zero") {
     val twin = (1 to 30).map(i => s"t$i").mkString(" ")
