@@ -396,12 +396,15 @@ final class ExtractOperation(
   private var resumePass: Int = 0
 
   /** Run independent checkpoint parquet writes as ONE concurrent wave
-    * (Spark schedules jobs from multiple threads fine) and wait for all
-    * of them. A save used to pay each table's write job sequentially —
-    * scheduler latency × table count per save; the wave pays ~one. The
-    * marker is still written strictly AFTER the wave completes, so the
-    * kill-at-any-byte contract is untouched: a crash mid-wave leaves the
-    * previous marker pointing only at fully-written versions.
+    * (Spark schedules jobs from multiple threads fine) and wait for ALL
+    * of them — including the siblings of a failed write, so no zombie
+    * write can race a retry's overwrite or gcStale. A save used to pay
+    * each table's write job sequentially — scheduler latency × table
+    * count per save; the wave pays ~one. The marker is still written
+    * strictly AFTER the wave completes, and ALL bookkeeping (savedRowDirs,
+    * reqSaved, partial buffers) mutates only after the wave succeeded, so
+    * a failed save is fully retryable and the previous marker stays the
+    * truth — the kill-at-any-byte contract is untouched.
     */
   private def awaitWrites(writes: Seq[() => Unit]): Unit =
     if (writes.size <= 1) writes.foreach(_.apply())
@@ -409,24 +412,29 @@ final class ExtractOperation(
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec = ExtractOperation.saveEc
-      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf): Unit
+      val settled = Future.sequence(writes.map(w =>
+        Future(w()).transform(scala.util.Success(_))))
+      val results = Await.result(settled, Duration.Inf)
+      results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     }
 
-  /** Pending row-dir writes for tables completed since the last save
-    * (deferred into the save's write wave; marks them saved). */
-  private def pendingRowWrites(dir: String): Seq[() => Unit] = {
-    val done = order.take(stepsCompleted)
-    done.filterNot(savedRowDirs).flatMap { t =>
-      extractedRows.get(t).map { rows =>
-        savedRowDirs += t
-        () => rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
-      }
-    }
+  /** Pending row-dir writes for tables completed since the last save.
+    * Returns (tables, deferred writes); the caller marks the tables saved
+    * only after the wave succeeded. */
+  private def pendingRowWrites(dir: String): (Seq[String], Seq[() => Unit]) = {
+    val pending = order.take(stepsCompleted).filterNot(savedRowDirs)
+      .flatMap(t => extractedRows.get(t).map(t -> _))
+    (pending.map(_._1), pending.map { case (t, rows) =>
+      () => rows.write.mode("overwrite").parquet(s"$dir/rows/$t")
+    })
   }
 
   def saveState(dir: String): Unit = {
-    val (reqVers, reqWrites) = requiredWrites(dir)
-    awaitWrites(pendingRowWrites(dir) ++ reqWrites)
+    val (rowTables, rowWrites) = pendingRowWrites(dir)
+    val (reqVers, reqPending, reqWrites) = requiredWrites(dir)
+    awaitWrites(rowWrites ++ reqWrites)
+    savedRowDirs ++= rowTables
+    reqPending.foreach { case (t, v, cur) => reqSaved(t) = (v, cur) }
     val errVer = writeErrors(dir)
     writeMarker(dir, markerJson(reqVers, errVer, partial = ""))
     gcStale(dir, reqVers.map(_._2).toSet, errVer, keepPartials = false)
@@ -442,17 +450,22 @@ final class ExtractOperation(
     * moves, so a kill at any byte resumes from the previous marker.
     */
   private def saveStatePartial(dir: String, table: String, pass: Int): Unit = {
-    val deltaWrite: Seq[() => Unit] = if (partialBuf.nonEmpty) {
+    val deltaSeq: Option[Int] = if (partialBuf.nonEmpty) Some(partialSeq) else None
+    val deltaWrite: Seq[() => Unit] = deltaSeq.toSeq.map { seq =>
       val delta = partialBuf.reduce(_ unionByName _)
-      val seq = partialSeq
+      () => delta.write.mode("overwrite").parquet(s"$dir/partial_p$seq/$table")
+    }
+    val (rowTables, rowWrites) = pendingRowWrites(dir)
+    val (reqVers, reqPending, reqWrites) = requiredWrites(dir)
+    awaitWrites(rowWrites ++ deltaWrite ++ reqWrites)
+    // Wave succeeded — only now does the in-memory state claim the dirs.
+    savedRowDirs ++= rowTables
+    reqPending.foreach { case (t, v, cur) => reqSaved(t) = (v, cur) }
+    deltaSeq.foreach { seq =>
       partialDirs += seq
       partialSeq += 1
       partialBuf.clear()
-      Seq(() => delta.write.mode("overwrite")
-        .parquet(s"$dir/partial_p$seq/$table"))
-    } else Seq.empty
-    val (reqVers, reqWrites) = requiredWrites(dir)
-    awaitWrites(pendingRowWrites(dir) ++ deltaWrite ++ reqWrites)
+    }
     val errVer = writeErrors(dir)
     val partial = s""","partial":{"table":"$table","pass":$pass,""" +
       s""""dirs":[${partialDirs.mkString(",")}]}"""
@@ -468,25 +481,28 @@ final class ExtractOperation(
     * table's outstanding required ids. */
   private val reqSaved = mutable.Map.empty[String, (Int, DataFrame)]
 
-  /** Version table + deferred writes for the required-id snapshots (the
-    * writes join the save's concurrent wave; bookkeeping happens here on
-    * the caller thread). */
-  private def requiredWrites(dir: String): (Seq[(String, Int)], Seq[() => Unit]) = {
+  /** Version table + pending reqSaved updates + deferred writes for the
+    * required-id snapshots. The writes join the save's concurrent wave;
+    * the caller applies the reqSaved updates only AFTER the wave
+    * succeeded, so a failed save leaves every snapshot re-writable. */
+  private def requiredWrites(dir: String)
+      : (Seq[(String, Int)], Seq[(String, Int, DataFrame)], Seq[() => Unit]) = {
     val ver = saveVersion
     saveVersion += 1
     val writes = Seq.newBuilder[() => Unit]
+    val pending = Seq.newBuilder[(String, Int, DataFrame)]
     val vers = requiredIds.keys.toSeq.sorted.map { t =>
       val cur = requiredIds(t)
       reqSaved.get(t) match {
         case Some((v, prev)) if prev eq cur => t -> v
         case _ =>
-          reqSaved(t) = (ver, cur)
+          pending += ((t, ver, cur))
           writes += (() =>
             cur.write.mode("overwrite").parquet(s"$dir/required_v$ver/$t"))
           t -> ver
       }
     }
-    (vers, writes.result())
+    (vers, pending.result(), writes.result())
   }
 
   /** Error buffers are PASS STATE too: a mid-fixpoint kill after

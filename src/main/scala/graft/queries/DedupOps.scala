@@ -723,8 +723,8 @@ object DedupOps {
     // post-checkpoint origin stats over-estimate string arrays by ~100x
     // and would reject corpora that broadcast fine.
     val actualBytes = sh
-      .select(sum(aggregate(col("shingles"), lit(0L),
-        (acc, x) => acc + length(x) + lit(24L))).as("b"))
+      .select(coalesce(sum(aggregate(col("shingles"), lit(0L),
+        (acc, x) => acc + length(x) + lit(24L))), lit(0L)).as("b"))
       .head().getLong(0)
     require(actualBytes <= bcastBound * 8,
       s"d19_lsh_recall_eval broadcasts the corpus shingle table for its " +

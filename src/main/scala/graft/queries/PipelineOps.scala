@@ -1270,6 +1270,19 @@ object PipelineOps {
         col("partner") < col("doc_id"))
       .groupBy("doc_id").agg(min(col("partner")).as("near_dup_of"))
     val qc = qcServeOf(batch, w0, w1, w2).select(col("doc_id"), col("keep"))
+    gateVerdictOf(base, exact, nd, qc)
+  }
+
+  /** THE ingest-gate verdict fold: precedence + duplicate-keeper
+    * projection over the four screen arms' outputs, shared by the batch
+    * gate and [[graft.streaming.DocStreaming.ingestGateStream]] so the
+    * two faces can never disagree on precedence (the registered-
+    * definition-verbatim discipline applied to the fold itself).
+    * Arm frames: base(doc_id, blocked), exact(doc_id, is_dup,
+    * exact_dup_of), nd(doc_id, near_dup_of) — left-joined, absent rows
+    * mean "no near partner" — and qc(doc_id, keep). */
+  def gateVerdictOf(base: DataFrame, exact: DataFrame, nd: DataFrame,
+      qc: DataFrame): DataFrame =
     base.join(exact, Seq("doc_id"))
       .join(nd, Seq("doc_id"), "left")
       .join(qc, Seq("doc_id"))
@@ -1284,7 +1297,6 @@ object PipelineOps {
         when(col("verdict") === "exact_dup", col("exact_dup_of"))
           .when(col("verdict") === "near_dup", col("near_dup_of"))
           .as("dup_of"))
-  }
 
   /** Curriculum phase count for [[curriculumBuckets]]. */
   val CurriculumPhases = 4

@@ -398,6 +398,20 @@ object SimilarityOps {
     * the src_upsert_merge regime). */
   val AnnDeltaMod = 20
 
+  /** THE fixed-quantizer assignment, shared by [[ivfAppend]] and
+    * [[ivfDelete]] so the two index-maintenance faces can never disagree
+    * on a cell: each (vec_id, v) row to its nearest centroid by the
+    * deterministic min-struct argmin — distance ties break to the
+    * smallest cell label (the assignClusters discipline). Centroids are
+    * nlist-row metadata, broadcast. Returns (vec_id, cell, v). */
+  def assignToCentroids(delta: DataFrame, cent: DataFrame): DataFrame =
+    delta.crossJoin(broadcast(cent.select(col("label").as("clabel"),
+        col("centroid"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(distSq(col("v"), col("centroid")).as("ds"),
+        col("clabel"), col("v"))).as("b"))
+      .select(col("vec_id"), col("b.clabel").as("cell"), col("b.v").as("v"))
+
   /** Incremental IVF index maintenance — the vector member of the
     * incremental family (d7 exact text, d14 near-dup text, here ANN):
     * a delivery of new vectors merges into the SERVING index without
@@ -425,14 +439,8 @@ object SimilarityOps {
     val base = e.where(!isDelta && col("vec_id") =!= 0)
     val cent = graft.core.Materialize.once(
       s, s"ann_append_centroids:$d")(centroids(base))
-    val assigned = e.where(isDelta)
-      .crossJoin(broadcast(cent.select(col("label").as("clabel"),
-        col("centroid"))))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(distSq(col("v"), col("centroid")).as("ds"),
-        col("clabel"), col("v"))).as("b"))
-      .select(col("vec_id"), col("b.clabel").as("cell"),
-        col("b.v").as("v"), lit(true).as("is_new"))
+    val assigned = assignToCentroids(e.where(isDelta), cent)
+      .select(col("vec_id"), col("cell"), col("v"), lit(true).as("is_new"))
     val index = base
       .select(col("vec_id"), col("label").as("cell"), col("v"),
         lit(false).as("is_new"))
@@ -895,14 +903,9 @@ object SimilarityOps {
     val ups = live.where(col("vec_id") % AnnDeleteMod === 5)
       .select(col("vec_id"), reverse(col("v")).as("v")).cutLineage
     val cent = centroidsOnce(s, d, e) // frozen quantizer: NO retrain
-    val assigned = ups
-      .crossJoin(broadcast(cent.select(col("label").as("clabel"),
-        col("centroid"))))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(distSq(col("v"), col("centroid")).as("ds"),
-        col("clabel"), col("v"))).as("b"))
-      .select(col("vec_id"), col("b.clabel").as("label"),
-        col("b.v").as("v"), lit(true).as("is_upsert"))
+    val assigned = assignToCentroids(ups, cent)
+      .select(col("vec_id"), col("cell").as("label"), col("v"),
+        lit(true).as("is_upsert"))
     val changed = tomb.unionByName(ups.select(col("vec_id")))
     val kept = live.join(broadcast(changed), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"), col("v"), lit(false).as("is_upsert"))

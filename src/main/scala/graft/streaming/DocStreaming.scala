@@ -427,7 +427,7 @@ object DocStreaming {
     graft.core.Fs.deleteOnExit(checkpoint)
     // Explicit function value: foreachBatch has an ambiguous Scala/Java
     // overload pair for Unit-returning lambdas.
-    val perDelivery: (DataFrame, Long) => Unit = (delivery, _) => {
+    val perDelivery: (DataFrame, Long) => Unit = (delivery, batchId) => {
         val batch = delivery.localCheckpoint(true)
         // Exact-dup arm: corpus keeper wins attribution, else the
         // earliest same-hash doc across deliveries and within this one
@@ -478,26 +478,23 @@ object DocStreaming {
           .select(col("bid").as("doc_id"), col("partner"))
         val nd = bcv.unionByName(bbv)
           .groupBy("doc_id").agg(min(col("partner")).as("near_dup_of"))
-        // Stateless arms + the batch gate's verdict precedence, verbatim.
+        // Stateless arms + the batch gate's verdict fold — the SHARED
+        // definition (PipelineOps.gateVerdictOf), so stream and batch
+        // precedence cannot drift.
         val base = batch.select(col("doc_id"),
           (TextOps.blocklistHits(col("text")) > 0).as("blocked"))
         val qc = PipelineOps.qcServeOf(batch, w0, w1, w2)
           .select(col("doc_id"), col("keep"))
-        val out = base.join(exact, Seq("doc_id"))
-          .join(nd, Seq("doc_id"), "left")
-          .join(qc, Seq("doc_id"))
-          .select(col("doc_id"),
-            when(col("blocked"), "blocked")
-              .when(col("is_dup"), "exact_dup")
-              .when(col("near_dup_of").isNotNull, "near_dup")
-              .when(!col("keep"), "low_quality")
-              .otherwise(lit("admitted")).as("verdict"),
-            col("is_dup"), col("exact_dup_of"), col("near_dup_of"))
-          .select(col("doc_id"), col("verdict"),
-            when(col("verdict") === "exact_dup", col("exact_dup_of"))
-              .when(col("verdict") === "near_dup", col("near_dup_of"))
-              .as("dup_of"))
-        out.write.mode("append").parquet(outDir)
+        val exactA = exact.select(col("doc_id"), col("is_dup"),
+          col("exact_dup_of"))
+        val out = PipelineOps.gateVerdictOf(base, exactA, nd, qc)
+        // Idempotent per-delivery sink (the asofRefreshing discipline): a
+        // replayed batch rewrites ITS OWN _batch_id partition instead of
+        // appending duplicate verdicts — foreachBatch's at-least-once
+        // delivery demands the batchId key the sink here uses.
+        out.withColumn("_batch_id", lit(batchId))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id").mode("overwrite").parquet(outDir)
         // Advance the index by this delivery's fingerprints (ALL docs —
         // the one-shot gate lets every smaller-id doc partner, whatever
         // its own verdict).

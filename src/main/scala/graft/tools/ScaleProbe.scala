@@ -43,7 +43,10 @@ object ScaleProbe {
           // shingles, so sf1 behaves as 10 independent corpora — the
           // right shape for a LINEAR-scaling measurement.
           regexp_replace(col("text"), "(\\S+)", s"$$1c$k").as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"))
+          // n_chars must describe the SUFFIXED text (the quality arm
+          // labels from it), not the original.
+          .withColumn("n_chars", length(col("text")).cast("long"))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$sf1/documents.parquet")
       (0 until 10).map { k =>
