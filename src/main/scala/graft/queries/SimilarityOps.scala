@@ -890,7 +890,11 @@ object SimilarityOps {
     * on both engines, and it moves the vector between cells often
     * enough to exercise re-assignment.
     */
-  private val ivfDelete: Q = (s, d) => {
+  /** The post-CDC logical index (vec_id, label, v, is_upsert) — THE
+    * shared definition behind [[ivfDelete]] (serves over it) and
+    * [[ivfCompact]] (materializes it), so the two faces cannot disagree
+    * on membership or assignment. */
+  private def postCdcIndex(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
     val live = e.where(col("vec_id") =!= 0)
@@ -909,7 +913,14 @@ object SimilarityOps {
     val changed = tomb.unionByName(ups.select(col("vec_id")))
     val kept = live.join(broadcast(changed), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"), col("v"), lit(false).as("is_upsert"))
-    val index = kept.unionByName(assigned)
+    kept.unionByName(assigned)
+  }
+
+  private val ivfDelete: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val index = postCdcIndex(s, d)
+    val cent = centroidsOnce(s, d, e)
     val q = e.where(col("vec_id") === 0).select(col("v").as("qv")).cutLineage
     val topk = ivfAdaptiveTopK(
       index.select(col("vec_id"), col("label"), col("v")), q, cent, 10)._2
@@ -918,8 +929,38 @@ object SimilarityOps {
         col("is_upsert"))
   }
 
+  /** IVF COMPACTION — the third face of index maintenance (append adds,
+    * delete tombstones, compact FOLDS): the post-CDC logical index is
+    * materialized once per session into a fresh bucketed-by-cell layout
+    * (Materialize.onceBucketed — the d14 persistence shape every other
+    * maintained index here uses), after which serving reads carry no
+    * anti joins and no tombstone state at all; the emitted card is the
+    * compacted layout's per-cell inventory (population, upsert count,
+    * id range — the numbers a compaction job logs). At 100 TB the
+    * rewrite is the scheduled background job that amortizes the delete
+    * path's per-query anti join to zero; per-cell file rewrites touch
+    * only cells with membership changes. Spec asserts serve-over-
+    * compacted equals ann_ivf_delete bit-for-bit and that the compacted
+    * reads are exchange-free.
+    */
+  /** The compacted post-CDC layout (session-materialized, bucketed by
+    * cell) — public so the spec can serve over it directly. */
+  def compactedIndex(s: SparkSession, d: String): DataFrame =
+    graft.core.Materialize.onceBucketed(
+      s, s"ann_compact:$d", 32, "label")(postCdcIndex(s, d))
+
+  private val ivfCompact: Q = (s, d) => {
+    val compacted = compactedIndex(s, d)
+    compacted.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("is_upsert"), 1L).otherwise(0L)).as("n_upserts"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_ivf_delete" -> ivfDelete,
+    "ann_ivf_compact" -> ivfCompact,
     "ann_brute_topk" -> bruteForce,
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
@@ -959,6 +1000,32 @@ object SimilarityOps {
        |      i -> $b[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)
        |  - 2 * list_reduce(list_transform(generate_series(1, len($a)),
        |      i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y))""".stripMargin
+
+  /** The post-CDC index as ONE CTE chain ending in idx(vec_id, cell, v,
+    * is_upsert) (+ the q query-vector CTE) — the oracle twin of
+    * [[postCdcIndex]], shared verbatim by the ann_ivf_delete and
+    * ann_ivf_compact entries so the membership/assignment definition
+    * exists exactly once on each side. */
+  private lazy val postCdcIdxSql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |live AS (SELECT * FROM e WHERE vec_id <> 0),
+       |ups AS (SELECT vec_id, list_reverse(v) AS v FROM live
+       |        WHERE vec_id % $AnnDeleteMod = 5),
+       |kept AS (SELECT vec_id, label AS cell, v, FALSE AS is_upsert FROM live
+       |         WHERE vec_id % $AnnDeleteMod NOT IN (3, 5)),
+       |cpx AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
+       |ccm AS (SELECT label, pos, ${exactMeanSql("x")} AS m FROM cpx GROUP BY label, pos),
+       |cc AS (SELECT label, list(m ORDER BY pos) AS centroid FROM ccm GROUP BY label),
+       |asg AS (SELECT vec_id, label AS cell FROM (
+       |    SELECT u.vec_id, c.label,
+       |      row_number() OVER (PARTITION BY u.vec_id
+       |        ORDER BY ${distSql("u.v", "c.centroid")}, c.label) AS rk
+       |    FROM ups u, cc c) WHERE rk = 1),
+       |idx AS (SELECT * FROM kept
+       |        UNION ALL
+       |        SELECT u.vec_id, a.cell, u.v, TRUE AS is_upsert
+       |        FROM ups u JOIN asg a USING (vec_id))""".stripMargin
 
   /** Shared CTE chain ending in `af` = the final k-means assignment
     * (vec_id, cluster, dist_sq) — used by vq_kmeans and pipe_semdedup.
@@ -1128,29 +1195,21 @@ object SimilarityOps {
     // assignments against the FULL-corpus exact-mean centroids (the
     // frozen ivf_centroids quantizer — trained before the delta, never
     // retrained), so a re-clustered or re-assigned index would fail the
-    // compare even when the distances alone still match.
+    // compare even when the distances alone still match. The CTE chain
+    // is postCdcIdxSql, shared verbatim with ann_ivf_compact.
     "ann_ivf_delete" ->
-      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |live AS (SELECT * FROM e WHERE vec_id <> 0),
-         |ups AS (SELECT vec_id, list_reverse(v) AS v FROM live
-         |        WHERE vec_id % $AnnDeleteMod = 5),
-         |kept AS (SELECT vec_id, label AS cell, v, FALSE AS is_upsert FROM live
-         |         WHERE vec_id % $AnnDeleteMod NOT IN (3, 5)),
-         |cpx AS (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x FROM e),
-         |ccm AS (SELECT label, pos, ${exactMeanSql("x")} AS m FROM cpx GROUP BY label, pos),
-         |cc AS (SELECT label, list(m ORDER BY pos) AS centroid FROM ccm GROUP BY label),
-         |asg AS (SELECT vec_id, label AS cell FROM (
-         |    SELECT u.vec_id, c.label,
-         |      row_number() OVER (PARTITION BY u.vec_id
-         |        ORDER BY ${distSql("u.v", "c.centroid")}, c.label) AS rk
-         |    FROM ups u, cc c) WHERE rk = 1),
-         |idx AS (SELECT * FROM kept
-         |        UNION ALL
-         |        SELECT u.vec_id, a.cell, u.v, TRUE AS is_upsert
-         |        FROM ups u JOIN asg a USING (vec_id))
+      s"""$postCdcIdxSql
          |SELECT idx.vec_id, idx.cell, ${distSql("idx.v", "q.qv")} AS dist_sq, idx.is_upsert
          |FROM idx, q ORDER BY dist_sq, idx.vec_id LIMIT 10""".stripMargin,
+    // Per-cell inventory of the SAME post-CDC index chain (shared
+    // verbatim with the delete oracle) — the compaction card.
+    "ann_ivf_compact" ->
+      s"""$postCdcIdxSql
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(count(CASE WHEN is_upsert THEN 1 END) AS BIGINT) AS n_upserts,
+         |  CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+         |  CAST(max(vec_id) AS BIGINT) AS max_vec_id
+         |FROM idx GROUP BY cell""".stripMargin,
     // Filtered brute force IS the truth: the engine's adaptive probe is
     // exact over the filtered subset by construction.
     "ann_filtered_topk" ->

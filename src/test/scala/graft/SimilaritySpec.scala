@@ -286,6 +286,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_._1).toSet != pre, "CDC left the top-k unchanged")
   }
 
+  test("ivf compact: serve over the compacted layout equals the delete " +
+       "path bit-for-bit, the card conserves the post-CDC corpus, and " +
+       "compacted reads are exchange-free bucketed scans") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityOps
+    val sf = SparkTestBase.sf
+    val card = SparkEntry.queries("ann_ivf_compact")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (n_vectors, n_upserts)
+    val compacted = SimilarityOps.compactedIndex(spark, sf)
+    // Conservation: the card counts the compacted table exactly.
+    assert(card.map(_._1).sum == compacted.count())
+    assert(card.map(_._2).sum ==
+      compacted.where(col("is_upsert")).count())
+    // Serve equality: brute force over the compacted layout == the
+    // delete path's served top-k (same vectors, same fold — bit-equal).
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") === 0)
+      .select(SimilarityOps.vDouble(col("embedding")).as("qv"))
+    val served = compacted.crossJoin(broadcast(q))
+      .select(col("vec_id"), SimilarityOps.distSq(col("v"), col("qv")).as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val deletePath = SparkEntry.queries("ann_ivf_delete")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(served == deletePath,
+      "compacted serve must equal the tombstone-path serve")
+    // No tombstone machinery survives compaction: a cell-filtered read
+    // of the compacted table plans without anti joins or exchanges
+    // below the scan (the d14 bucket-layout discipline).
+    val someCell = compacted.select("label").head().get(0)
+    val plan = compacted.where(col("label") === lit(someCell))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"compacted read must be join-free:\n${plan.take(800)}")
+  }
+
   test("ivf delete plan: base membership changes ride ONE broadcast anti " +
        "join; the tombstone residue is never pushed into the base scan") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
