@@ -943,6 +943,53 @@ object SimilarityOps {
     * compacted equals ann_ivf_delete bit-for-bit and that the compacted
     * reads are exchange-free.
     */
+  /** Population-drift flag threshold for [[indexDrift]]: a cell whose
+    * post-CDC population moved by ≥ 1/DriftFlagDenom of its base
+    * population (integer cross-multiplication) is flagged for the
+    * retrain schedule. Shared with the oracle. */
+  val DriftFlagDenom = 8
+
+  /** INDEX DRIFT MONITOR — the observability pass that SCHEDULES the
+    * quantizer retrain the maintenance faces deliberately avoid
+    * (ivfAppend/ivfDelete/ivfCompact all serve against the FROZEN
+    * centroids; production retrains when the monitor says the geometry
+    * moved): per cell, base population vs post-CDC population and the
+    * post-CDC mean squared distance to the frozen centroid — the
+    * assignment-quality number that grows as upserts drift away from
+    * the centroids they're forced into. Float discipline: each row's
+    * distSq micro-rounds to an integer immediately (the drift-psi /
+    * classifier order-free-sum rule), so per-cell sums are exact and
+    * the published mean is one shared double division; the drift flag
+    * is an exact integer cross-multiplication (|Δn|·8 ≥ n_base). One
+    * broadcast of the nlist-row centroid table + two map-side-combinable
+    * aggregates — the monitor costs a scan, nothing shuffles but
+    * (cell, count, sum) partials. Output is |cells| rows.
+    */
+  private val indexDrift: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vDouble(col("embedding")).as("v"))
+    val live = e.where(col("vec_id") =!= 0)
+    val cent = centroidsOnce(s, d, e) // the frozen quantizer under test
+    val baseCounts = live.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val scored = postCdcIndex(s, d)
+      .join(broadcast(cent.select(col("label"), col("centroid"))), Seq("label"))
+      .select(col("label").as("cell"),
+        round(distSq(col("v"), col("centroid")) * 1e6).cast("long").as("dq"))
+    val now = scored.groupBy("cell")
+      .agg(count(lit(1)).as("n_now"),
+        floor(sum(col("dq")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_dq_micro"))
+    baseCounts.join(now, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("mean_dq_micro"), lit(0L)).as("mean_dq_micro"))
+      .withColumn("pop_drift",
+        abs(col("n_now") - col("n_base")) * lit(DriftFlagDenom.toLong) >=
+          col("n_base"))
+  }
+
   /** The compacted post-CDC layout (session-materialized, bucketed by
     * cell) — public so the spec can serve over it directly. */
   def compactedIndex(s: SparkSession, d: String): DataFrame =
@@ -961,6 +1008,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "ann_ivf_delete" -> ivfDelete,
     "ann_ivf_compact" -> ivfCompact,
+    "ann_index_drift" -> indexDrift,
     "ann_brute_topk" -> bruteForce,
     "ann_batch_topk" -> batchTopK,
     "ann_ivf_topk" -> ivf,
@@ -1201,6 +1249,25 @@ object SimilarityOps {
       s"""$postCdcIdxSql
          |SELECT idx.vec_id, idx.cell, ${distSql("idx.v", "q.qv")} AS dist_sq, idx.is_upsert
          |FROM idx, q ORDER BY dist_sq, idx.vec_id LIMIT 10""".stripMargin,
+    // The drift monitor over the SAME post-CDC chain: cc (the frozen
+    // exact-mean centroids) and idx come from postCdcIdxSql verbatim;
+    // per-row micro-round then integer sum, one shared double division
+    // for the mean, integer cross-multiplication for the flag.
+    "ann_index_drift" ->
+      s"""$postCdcIdxSql,
+         |bc AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS n_base
+         |       FROM live GROUP BY 1),
+         |sc AS (SELECT idx.cell,
+         |         CAST(round(${distSql("idx.v", "c.centroid")} * 1000000) AS BIGINT) AS dq
+         |       FROM idx JOIN cc c ON idx.cell = c.label),
+         |nw AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_now,
+         |         CAST(floor(CAST(sum(dq) AS DOUBLE) / count(*)) AS BIGINT) AS mean_dq_micro
+         |       FROM sc GROUP BY 1)
+         |SELECT cell, coalesce(n_base, 0) AS n_base, coalesce(n_now, 0) AS n_now,
+         |  coalesce(mean_dq_micro, 0) AS mean_dq_micro,
+         |  (abs(coalesce(n_now, 0) - coalesce(n_base, 0)) * $DriftFlagDenom
+         |     >= coalesce(n_base, 0)) AS pop_drift
+         |FROM bc FULL JOIN nw USING (cell)""".stripMargin,
     // Per-cell inventory of the SAME post-CDC index chain (shared
     // verbatim with the delete oracle) — the compaction card.
     "ann_ivf_compact" ->

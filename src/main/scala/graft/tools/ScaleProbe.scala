@@ -59,8 +59,9 @@ object ScaleProbe {
         .repartition(32).write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
     }
 
-    val queries = Seq("d2_minhash_lsh", "d12_embedding_lsh",
-      "d14_incremental_minhash", "ann_ivf_adaptive", "pipe_ingest_gate")
+    val queries = if (args.nonEmpty) args.toSeq
+      else Seq("d2_minhash_lsh", "d12_embedding_lsh",
+        "d14_incremental_minhash", "ann_ivf_adaptive", "pipe_ingest_gate")
     Seq("sf0.1" -> base, "sf1" -> sf1).foreach { case (tag, dir) =>
       queries.foreach { name =>
         graft.core.Lineage.releaseAllStorage(spark)

@@ -321,6 +321,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"compacted read must be join-free:\n${plan.take(800)}")
   }
 
+  test("ann_index_drift: populations reconcile with the compaction card, " +
+       "the flag is the exact cross-multiplication, and both outcomes " +
+       "occur") {
+    import graft.queries.SimilarityOps
+    val sf = SparkTestBase.sf
+    val drift = SparkEntry.queries("ann_index_drift")(spark, sf).collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    // n_now must BE the compaction card's per-cell population — two
+    // faces of one post-CDC index definition.
+    val card = SparkEntry.queries("ann_ivf_compact")(spark, sf).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    card.foreach { case (cell, n) =>
+      assert(drift(cell)._2 == n, s"cell $cell: drift n_now vs card $n")
+    }
+    drift.foreach { case (cell, (nb, nn, mean, flag)) =>
+      assert(flag == (math.abs(nn - nb) * SimilarityOps.DriftFlagDenom >= nb),
+        s"cell $cell flag rule")
+      assert(nb > 0 && nn > 0 && mean > 0)
+    }
+    val flags = drift.values.map(_._4).toSet
+    assert(flags == Set(true, false),
+      s"monitor must discriminate at this corpus: $flags")
+  }
+
   test("ivf delete plan: base membership changes ride ONE broadcast anti " +
        "join; the tombstone residue is never pushed into the base scan") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

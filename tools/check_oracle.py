@@ -25,11 +25,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return s
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     fails = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -64,4 +66,5 @@ def main(sfdir: str, outdir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    # optional extra args: restrict the check to the named queries
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None) else 0)
