@@ -821,6 +821,53 @@ object Relational {
     s.read.schema(sup.schema).orc(out)
   }
 
+  /** Planted malformed-line count for [[srcJsonl]] (shared with the
+    * oracle's '_corrupt' row). */
+  val JsonlCorruptLines = 7
+
+  /** JSONL ingestion with malformed-line tolerance — THE landing format
+    * of scraped LLM corpora (public dumps ship as JSON lines): the
+    * documents table is exported as a JSONL delivery with
+    * [[JsonlCorruptLines]] truncated lines planted (what a killed
+    * uploader actually produces), then ingested back through Spark's
+    * PERMISSIVE json reader — well-formed lines parse to typed columns,
+    * malformed ones land in the corrupt-record column instead of failing
+    * the job (at 100 TB one bad line must never kill a delivery; FAILFAST
+    * is the mode you cannot run). The emitted report is the per-lang
+    * ingest card (docs, total chars, distinct content hashes) plus one
+    * '_corrupt' row counting the quarantined lines. The oracle computes
+    * the same card from the source table directly (the mm_decode_png
+    * closed-form discipline): equality proves the export→parse
+    * round-trip character-for-character, and the planted row proves the
+    * tolerance path genuinely ran. Scale shape: the export is a straight
+    * map, the read is Spark's codegen'd JSON scanner with schema
+    * projection, the card one map-side-combinable groupBy to |langs|+1
+    * rows.
+    */
+  private val srcJsonl: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val out = roundTripDir(s, "jsonl_ingest", d)
+    val good = docs.select(to_json(struct(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"))).as("value"))
+    // Truncated mid-string — invalid JSON, deterministic count.
+    val bad = s.range(JsonlCorruptLines).select(
+      concat(lit("{\"doc_id\": "), col("id"), lit(", \"lang\": \"en")).as("value"))
+    good.unionByName(bad).write.mode("overwrite").text(out)
+    val parsed = s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+    parsed
+      .select(when(col("_corrupt").isNotNull, "_corrupt")
+          .otherwise(col("lang")).as("lang"),
+        col("n_chars"), col("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("n_chars_sum"),
+        count_distinct(md5(col("text"))).as("n_distinct_texts"))
+  }
+
   /** Schema evolution across deliveries — the lakehouse fact of life a
     * long-lived 100 TB corpus store must absorb: delivery 1 lands with
     * the original column set, delivery 2 adds a column (`c_acctbal`),
@@ -1608,6 +1655,7 @@ object Relational {
     "q_percentiles" -> qPercentiles,
     "s5_jsonl_roundtrip" -> s5Jsonl,
     "src_orc_roundtrip" -> srcOrc,
+    "src_jsonl_ingest" -> srcJsonl,
     "src_schema_evolution" -> srcSchemaEvolution,
     "src_delta_diff" -> srcDeltaDiff,
     "src_partitioned_pruning" -> srcPartitioned,
@@ -1805,6 +1853,16 @@ object Relational {
       "SELECT doc_id, lang, n_chars, text FROM documents",
     "src_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // Closed form from the source table: equality proves the JSONL
+    // export→PERMISSIVE-parse round-trip; the constant '_corrupt' row
+    // proves the tolerance path quarantined exactly the planted lines.
+    "src_jsonl_ingest" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT '_corrupt', ${Relational.JsonlCorruptLines}, 0, 0""".stripMargin,
     // Same synthesized snapshots, same full-outer diff; ×2 is exact in
     // IEEE754 so the changed-row compare needs no tolerance.
     "src_delta_diff" ->

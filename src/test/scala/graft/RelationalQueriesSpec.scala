@@ -173,4 +173,33 @@ class RelationalQueriesSpec extends AnyFunSuite {
         s"credit leak on purchase ${r.get(0)}: $r")
     }
   }
+
+  test("src_jsonl_ingest: the corpus survives the JSONL round-trip, the " +
+       "planted lines are quarantined exactly, and FAILFAST genuinely " +
+       "dies on the same landing file") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Relational
+    val sf = SparkTestBase.sf
+    val card = SparkEntry.queries("src_jsonl_ingest")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(card("_corrupt") == (Relational.JsonlCorruptLines.toLong, 0L, 0L),
+      s"quarantine row: ${card.get("_corrupt")}")
+    // Conservation: the parsed card equals the source corpus per lang.
+    val want = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)), sum("n_chars"),
+        count_distinct(md5(col("text")))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(card - "_corrupt" == want, "round-trip card drifted from source")
+    // The tolerance is not vacuous: a FAILFAST read of the SAME landing
+    // file must throw on the planted truncated lines.
+    val landing = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_ingest_" +
+      s"${spark.sparkContext.applicationId}_${Integer.toHexString(sf.hashCode)}"
+    val strict = spark.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+      .option("mode", "FAILFAST").json(landing)
+    val died = intercept[org.apache.spark.SparkException](strict.count())
+    assert(died.getMessage != null)
+  }
 }
