@@ -20,6 +20,24 @@ object DocStreaming {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(docsDir)
 
+  /** Streaming JSONL landing reader — the TRUE entry point of a scraped
+    * corpus (deliveries arrive as JSON-lines files; [[ingestGateStream]]
+    * runs behind it): Spark's file stream over the landing dir with the
+    * PERMISSIVE parser, so a malformed line quarantines into the
+    * `_corrupt` column as a row instead of killing the stream — the
+    * src_jsonl_ingest tolerance contract, unchanged in streaming (the
+    * parser is the same codegen'd scanner per micro-batch, stateless, no
+    * watermark, no state store). Downstream screens filter
+    * `_corrupt IS NULL`; the quarantine rows flow to the reject sink
+    * with the raw line preserved for replay.
+    */
+  def jsonlDocStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(landingDir)
+
   /** Streaming contamination scoring: each arriving document's distinct
     * word-8-grams are LEFT-joined against the static benchmark gram set
     * (stream–static broadcast join: map-side, no stream shuffle), then a

@@ -457,6 +457,37 @@ class DocStreamingSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "stream-static join must broadcast")
   }
 
+  test("streaming JSONL landing reader == batch PERMISSIVE parse: same " +
+       "parsed rows, same quarantined lines, zero state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    val docs = Tables.documents(spark, SparkTestBase.sf).limit(50)
+    val good = docs.select(to_json(struct(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"))).as("value"))
+    val bad = Seq("{\"doc_id\": 1, \"lang\": \"tru", "not json at all")
+      .toDF("value")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(dir)
+    val q = EventStreaming.runToMemory(
+      DocStreaming.jsonlDocStream(spark, dir), "jsonl_stream_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      val streamed = spark.table("jsonl_stream_out")
+      val batch = spark.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt").json(dir)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch JSONL parse mismatch")
+      assert(streamed.where(col("_corrupt").isNotNull).count() == 2,
+        "both planted lines must quarantine as rows")
+      assert(streamed.where(col("_corrupt").isNull).count() == 50)
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty,
+        "the landing reader must be stateless")
+    } finally q.stop()
+  }
+
   // ---- composed streaming ingest gate ----
 
   private def gateVerdicts(outDir: String): Map[Long, (String, Option[Long])] =
