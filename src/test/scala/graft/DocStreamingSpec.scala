@@ -529,6 +529,39 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("END-TO-END landing path: JSONL delivery (with corrupt lines) → " +
+       "streaming parse → quarantine filter → ingest gate == batch gate") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val incoming = docs.where(col("source") === DedupOps.IncomingSource)
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_landing").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_e2e_out").toString + "/v"
+    graft.core.Fs.deleteOnExit(dir)
+    // The delivery as it actually arrives: JSON lines + torn uploads.
+    val good = incoming.select(to_json(struct(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"), col("source"))).as("value"))
+    val bad = Seq("{\"doc_id\": 99", "garbage line").toDF("value")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(dir)
+    val landed = spark.readStream
+      .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING, " +
+        "source STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+    val clean = landed.where(col("_corrupt").isNull).drop("_corrupt")
+    val q = DocStreaming.ingestGateStream(spark, clean, SparkTestBase.sf, out)
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val streamed = gateVerdicts(out)
+      val batch = batchGateVerdicts()
+      assert(streamed == batch,
+        s"landing-path mismatch: ${streamed.toSeq.diff(batch.toSeq).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ingest gate: split deliveries == one-shot delivery on a " +
        "planted batch (cross-delivery exact + near dup state)") {
     import spark.implicits._
