@@ -152,7 +152,7 @@ object Bench {
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calib,"queries":$detail,"reruns":$rerunJson,"sf":${JsonOut.q(sfDir)}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine)
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val wrapper = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calib,"queries":{},"queries_omitted":000,"others_sec":0000.000,"rerun_count":00,"detail":"BENCH_DETAIL.json","sf":${JsonOut.q(sfDir)}}"""
     val budget = 1800 - wrapper.length

@@ -409,13 +409,33 @@ final class ExtractOperation(
   private def awaitWrites(writes: Seq[() => Unit]): Unit =
     if (writes.size <= 1) writes.foreach(_.apply())
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration._
       implicit val ec = ExtractOperation.saveEc
       val settled = Future.sequence(writes.map(w =>
         Future(w()).transform(scala.util.Success(_))))
-      val results = Await.result(settled, Duration.Inf)
-      results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      // A bounded wait, not Duration.Inf: the wave runs on the SHARED
+      // save pool, so one silently hung write would otherwise block
+      // every future save in the JVM with zero diagnostic. Generous by
+      // default (a checkpoint write should take seconds);
+      // spark.graft.save.timeoutSec tunes it for pathological stores.
+      val timeoutSec = spark.conf
+        .getOption("spark.graft.save.timeoutSec").map(_.toLong).getOrElse(3600L)
+      val results = try Await.result(settled, timeoutSec.seconds) catch {
+        case e: TimeoutException => throw new IllegalStateException(
+          s"checkpoint write wave (${writes.size} writes) exceeded " +
+            s"$timeoutSec s — a hung store write is blocking the shared " +
+            "save pool; raise spark.graft.save.timeoutSec if the store " +
+            "is genuinely this slow", e)
+      }
+      // Surface EVERY failed sibling, not just the first: the retry
+      // decision needs to know whether one table or the whole store
+      // misbehaved.
+      val failures = results.collect { case scala.util.Failure(e) => e }
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed)
+        throw first
+      }
     }
 
   /** Pending row-dir writes for tables completed since the last save.

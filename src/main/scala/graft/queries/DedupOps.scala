@@ -722,10 +722,7 @@ object DedupOps {
     // payload with one cheap aggregate instead of trusting plan stats —
     // post-checkpoint origin stats over-estimate string arrays by ~100x
     // and would reject corpora that broadcast fine.
-    val actualBytes = sh
-      .select(coalesce(sum(aggregate(col("shingles"), lit(0L),
-        (acc, x) => acc + length(x) + lit(24L))), lit(0L)).as("b"))
-      .head().getLong(0)
+    val actualBytes = shinglePayloadBytes(sh)
     require(actualBytes <= bcastBound * 8,
       s"d19_lsh_recall_eval broadcasts the corpus shingle table for its " +
         s"exact arm, but its measured payload ($actualBytes bytes) exceeds " +
@@ -966,6 +963,17 @@ object DedupOps {
   val D12Threshold = 0.4
 
   private val embeddingLsh: Q = (s, d) => embeddingPairsLsh(s, d, D12Threshold)
+
+  /** Measured broadcast payload of a shingle frame (column `shingles`:
+    * array<string>) — OCTETS plus ~24 B of JVM array/offset overhead per
+    * element, never characters: a UTF-8 multi-byte corpus carries more
+    * bytes than characters and a char-count guard would under-size what
+    * actually rides the broadcast. Used by d19's exact-arm guard;
+    * exercised at the multi-byte boundary in DedupSpec. */
+  private[graft] def shinglePayloadBytes(sh: DataFrame): Long = sh
+    .select(coalesce(sum(aggregate(col("shingles"), lit(0L),
+      (acc, x) => acc + octet_length(x) + lit(24L))), lit(0L)).as("b"))
+    .head().getLong(0)
 
   /** Exact-Jaccard verification shared by d2's batch path, d14, and the
     * streaming ingest screen: the candidate frame must carry sorted

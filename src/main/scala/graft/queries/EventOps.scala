@@ -299,9 +299,14 @@ object EventOps {
       .groupBy("day").agg(count(lit(1)).as("active_users"))
     active.join(firstSeen, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      // partitionBy(lit(1)): same single-partition execution (the frame
+      // is the ~days-row axis, bounded by construction), but an explicit
+      // partition spec — so the suite log carries no WindowExec
+      // single-partition warning and a REAL unpartitioned window stands
+      // out when one regresses in.
       .withColumn("cum_users",
-        sum(col("new_users")).over(
-          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("new_users")).over(Window.partitionBy(lit(1))
+          .orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("day").cast("string").as("day"), col("active_users"),
         col("new_users"), col("cum_users"))
   }

@@ -1311,12 +1311,13 @@ object PipelineOps {
     * integer z, ties to doc_id) rather than value interpolation — the
     * q_kll_quantiles cross-engine interpolation hazard never arises.
     *
-    * Scale: the un-partitioned ntile is the small-scale exact form (it
-    * serializes one sort task); at 100 TB the cut points come from the
-    * mergeable KLL sketch over z (q_kll_quantiles' machinery) and phase
-    * assignment is a broadcast-threshold scan — same contract, the
-    * d5→d12 exact-vs-scale-path precedent. Output is the per-phase
-    * summary (|phases| rows): population, z range, keep share. */
+    * Scale: the un-partitioned ntile is the small-scale EXACT form (it
+    * serializes one sort task — its WindowExec warning is the honest
+    * signal); the 100 TB path is SHIPPED as the oracle-gated sibling
+    * [[curriculumKll]] (tx_curriculum_kll): KLL-sketch cut points +
+    * broadcast-threshold assignment, the d5→d12 exact-vs-scale-path
+    * precedent. Output is the per-phase summary (|phases| rows):
+    * population, z range, keep share. */
   private val curriculumBuckets: Q = (s, d) => {
     val (w0, w1, w2) = qcTrainedWeights(s, d)
     val scored = qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
@@ -1327,6 +1328,70 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"),
         min(col("z")).as("z_min"), max(col("z")).as("z_max"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+  }
+
+  /** The 100 TB curriculum path (tx_curriculum_kll) — the scale sibling
+    * of [[curriculumBuckets]], shipped as its own oracle-gated query (the
+    * d5→d12 exact-vs-scale-path precedent): phase cut points come from
+    * ONE mergeable KLL sketch over the trained margin z (q_kll_quantiles'
+    * machinery, [[graft.functions.KllSketchAgg]]) and phase assignment is
+    * a broadcast-threshold scan — the plan has NO global-order ntile, so
+    * no single task ever sees the corpus sort at any size. Cost shape:
+    * one map-side-combinable sketch pass + one stateless assignment pass.
+    *
+    * Oracle contract (the q_kll/q_hll discipline — KLL compaction is
+    * randomized, so cut VALUES are run-varying and never gated): the
+    * gated columns are exact-reproducible totals plus PROPERTY booleans
+    * the sketch guarantees — each cut's exact rank interval
+    * [count(z<t)/n, count(z≤t)/n] intersects [p ± [[Relational.KllRankEps]]]
+    * (the tied-value-sound form), cut monotonicity, and phase-population
+    * conservation. The oracle emits literal TRUE; any violated bound
+    * flips the engine boolean and fails the hash compare at any SF.
+    */
+  private val curriculumKll: Q = (s, d) => {
+    import graft.functions.KllSketch._
+    import s.implicits._
+    val eps = Relational.KllRankEps
+    val (w0, w1, w2) = qcTrainedWeights(s, d)
+    val scored = qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
+      .select(col("doc_id"), col("z").cast("double").as("zv"), col("keep"))
+    val cutsRow = scored.agg(kll_sketch_agg(col("zv"), Relational.KllK).as("sk"))
+      .select(kll_quantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .select(col("q")(0).as("t25"), col("q")(1).as("t50"), col("q")(2).as("t75"))
+    // Broadcast-threshold assignment: ties at a cut fall to the
+    // lower-quality side; phase 1 = top quartile by z (the
+    // curriculumBuckets orientation).
+    val assigned = scored.crossJoin(broadcast(cutsRow))
+      .withColumn("phase",
+        when(col("zv") > col("t75"), 1)
+          .when(col("zv") > col("t50"), 2)
+          .when(col("zv") > col("t25"), 3).otherwise(4))
+    // Exact rank-interval endpoints per cut + global totals — one pass.
+    val stats = assigned.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
+      sum(when(col("zv") < col("t25"), 1L).otherwise(0L)).as("lo25"),
+      sum(when(col("zv") <= col("t25"), 1L).otherwise(0L)).as("hi25"),
+      sum(when(col("zv") < col("t50"), 1L).otherwise(0L)).as("lo50"),
+      sum(when(col("zv") <= col("t50"), 1L).otherwise(0L)).as("hi50"),
+      sum(when(col("zv") < col("t75"), 1L).otherwise(0L)).as("lo75"),
+      sum(when(col("zv") <= col("t75"), 1L).otherwise(0L)).as("hi75"))
+    val conserve = assigned.groupBy("phase").agg(count(lit(1)).as("pn"))
+      .agg(sum(col("pn")).as("pn_sum"), count(lit(1)).as("n_phases"))
+    def rankOk(lo: Column, hi: Column, p: Double): Column =
+      lo.cast("double") / col("n").cast("double") <= lit(p + eps) &&
+        hi.cast("double") / col("n").cast("double") >= lit(p - eps)
+    val props = stats.crossJoin(conserve).crossJoin(cutsRow)
+    Seq(25L, 50L, 75L).toDF("cut_pct")
+      .crossJoin(broadcast(props))
+      .select(col("cut_pct"),
+        when(col("cut_pct") === 25L, rankOk(col("lo25"), col("hi25"), 0.25))
+          .when(col("cut_pct") === 50L, rankOk(col("lo50"), col("hi50"), 0.5))
+          .otherwise(rankOk(col("lo75"), col("hi75"), 0.75)).as("rank_ok"),
+        (col("t25") <= col("t50") && col("t50") <= col("t75")).as("mono_ok"),
+        (col("pn_sum") === col("n") && col("n_phases") <= lit(CurriculumPhases))
+          .as("conserve_ok"),
+        col("n").as("n_docs"), col("nk").as("n_keep"))
   }
 
   /** k-anonymity floor and the quasi-identifier length-bucket width for
@@ -1364,6 +1429,7 @@ object PipelineOps {
     "pipe_k_anonymity" -> kAnonymity,
     "pipe_dp_card" -> dpCard,
     "tx_curriculum_buckets" -> curriculumBuckets,
+    "tx_curriculum_kll" -> curriculumKll,
     "pipe_ingest_gate" -> ingestGate,
     "pipe_quality_classifier" -> qualityClassifier,
     "pipe_quality_filter" -> qualityFilter,
@@ -1574,6 +1640,22 @@ object PipelineOps {
          |  CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM ph GROUP BY phase""".stripMargin,
+    // The scale sibling's gate: sketch cut VALUES are run-varying, so
+    // the oracle pins the exact totals and emits literal TRUE for every
+    // property boolean — the engine side computes the properties
+    // exactly against the data (the q_kll_quantiles discipline).
+    "tx_curriculum_kll" ->
+      s"""WITH $qcCtesSql,
+         |sc AS (SELECT f.doc_id,
+         |         w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 AS z,
+         |         (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0) AS keep
+         |       FROM f CROSS JOIN w$QcRounds w),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |        FROM sc)
+         |SELECT CAST(c.cut AS BIGINT) AS cut_pct, TRUE AS rank_ok,
+         |  TRUE AS mono_ok, TRUE AS conserve_ok, tot.n_docs, tot.n_keep
+         |FROM (VALUES (25), (50), (75)) c(cut) CROSS JOIN tot""".stripMargin,
     // Mirrors the scored-frame gates with the clean pipeline's own
     // precedence; the keeper election is cleanedSql's `k` stage keyed to
     // return the winner per hash.

@@ -822,8 +822,18 @@ object Relational {
   }
 
   /** Planted malformed-line count for [[srcJsonl]] (shared with the
-    * oracle's '_corrupt' row). */
+    * oracle's quarantine row). */
   val JsonlCorruptLines = 7
+
+  /** Genuine documents whose `lang` IS the literal string '_corrupt' —
+    * planted into the export (and mirrored as oracle literals) to prove
+    * the quarantine key cannot collide with a real language value: the
+    * card keys on a dedicated `quarantined` boolean, so these land as
+    * ordinary ('_corrupt', false) rows while torn lines land as
+    * (NULL, true). */
+  val JsonlPlantedCorruptLang: Seq[String] = Seq(
+    "quarantine is a flag not a language value one",
+    "quarantine is a flag not a language value two")
 
   /** JSONL ingestion with malformed-line tolerance — THE landing format
     * of scraped LLM corpora (public dumps ship as JSON lines): the
@@ -833,22 +843,31 @@ object Relational {
     * PERMISSIVE json reader — well-formed lines parse to typed columns,
     * malformed ones land in the corrupt-record column instead of failing
     * the job (at 100 TB one bad line must never kill a delivery; FAILFAST
-    * is the mode you cannot run). The emitted report is the per-lang
-    * ingest card (docs, total chars, distinct content hashes) plus one
-    * '_corrupt' row counting the quarantined lines. The oracle computes
-    * the same card from the source table directly (the mm_decode_png
-    * closed-form discipline): equality proves the export→parse
-    * round-trip character-for-character, and the planted row proves the
-    * tolerance path genuinely ran. Scale shape: the export is a straight
-    * map, the read is Spark's codegen'd JSON scanner with schema
-    * projection, the card one map-side-combinable groupBy to |langs|+1
-    * rows.
+    * is the mode you cannot run). The emitted report is the per-(lang,
+    * quarantined) ingest card (docs, total chars, distinct content
+    * hashes); torn lines land under a DEDICATED `quarantined` boolean
+    * key — never a sentinel value smuggled into `lang`, which a genuine
+    * lang value could collide with ([[JsonlPlantedCorruptLang]] plants
+    * exactly that collision to keep the separation honest). The oracle
+    * computes the same card from the source table directly (the
+    * mm_decode_png closed-form discipline): equality proves the
+    * export→parse round-trip character-for-character, and the planted
+    * rows prove both the tolerance path and the collision-freedom
+    * genuinely ran. Scale shape: the export is a straight map, the read
+    * is Spark's codegen'd JSON scanner with schema projection, the card
+    * one map-side-combinable groupBy to |langs|+2 rows.
     */
   private val srcJsonl: Q = (s, d) => {
+    import s.implicits._
     val docs = Tables.documents(s, d)
     val out = roundTripDir(s, "jsonl_ingest", d)
-    val good = docs.select(to_json(struct(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"))).as("value"))
+    val planted = JsonlPlantedCorruptLang.zipWithIndex.map { case (t, i) =>
+      (-(i + 1).toLong, "_corrupt", t.length.toLong, t)
+    }.toDF("doc_id", "lang", "n_chars", "text")
+    val good = docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .unionByName(planted)
+      .select(to_json(struct(col("doc_id"), col("lang"),
+        col("n_chars"), col("text"))).as("value"))
     // Truncated mid-string — invalid JSON, deterministic count.
     val bad = s.range(JsonlCorruptLines).select(
       concat(lit("{\"doc_id\": "), col("id"), lit(", \"lang\": \"en")).as("value"))
@@ -859,10 +878,9 @@ object Relational {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(out)
     parsed
-      .select(when(col("_corrupt").isNotNull, "_corrupt")
-          .otherwise(col("lang")).as("lang"),
+      .select(col("lang"), col("_corrupt").isNotNull.as("quarantined"),
         col("n_chars"), col("text"))
-      .groupBy("lang")
+      .groupBy("lang", "quarantined")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("n_chars"), lit(0L))).as("n_chars_sum"),
         count_distinct(md5(col("text"))).as("n_distinct_texts"))
@@ -1856,13 +1874,24 @@ object Relational {
     // Closed form from the source table: equality proves the JSONL
     // export→PERMISSIVE-parse round-trip; the constant '_corrupt' row
     // proves the tolerance path quarantined exactly the planted lines.
-    "src_jsonl_ingest" ->
-      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    "src_jsonl_ingest" -> {
+      val plantedSql = Relational.JsonlPlantedCorruptLang.map(t =>
+        s"SELECT '_corrupt' AS lang, CAST(${t.length} AS BIGINT) AS n_chars, " +
+          s"'$t' AS text").mkString("\nUNION ALL\n")
+      s"""WITH src AS (
+         |  SELECT lang, n_chars, text FROM documents
+         |  UNION ALL
+         |$plantedSql
+         |)
+         |SELECT lang, FALSE AS quarantined, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
-         |FROM documents GROUP BY lang
+         |FROM src GROUP BY lang
          |UNION ALL
-         |SELECT '_corrupt', ${Relational.JsonlCorruptLines}, 0, 0""".stripMargin,
+         |SELECT CAST(NULL AS VARCHAR), TRUE,
+         |  CAST(${Relational.JsonlCorruptLines} AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin
+    },
     // Same synthesized snapshots, same full-outer diff; ×2 is exact in
     // IEEE754 so the changed-row compare needs no tolerance.
     "src_delta_diff" ->

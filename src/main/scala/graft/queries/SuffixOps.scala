@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -77,6 +76,44 @@ object SuffixOps {
   /** Threshold for the n_dup_pos_ge8 output — d9's window, deliberately. */
   val PosThreshold: Int = DedupOps.SpanWindow
 
+  /** Exclusive prefix sum of (n + 1) in doc_id order — per-doc global
+    * offsets via the RANGE-PARTITIONED TWO-PHASE PREFIX SUM: phase 1
+    * totals one (n+1) sum per range partition (bounded driver metadata,
+    * one long per partition — the zipWithIndex count class), phase 2
+    * streams each partition once, seeding its running sum with the
+    * exclusive scan of the phase-1 totals. Every partition works in
+    * parallel; no single-task cumulative window anywhere — the shape
+    * that holds when the length frame is 10^10 rows, where a global
+    * `Window.orderBy` would drag the whole corpus through one task.
+    * Determinism: both phases re-evaluate the same range-sorted RDD
+    * (RangePartitioner's sampling is seeded by partition index, so
+    * recomputation reproduces identical boundaries — the contract
+    * [[sortedIndex]]'s zipWithIndex already relies on).
+    */
+  private[graft] def prefixOffsets(lens: DataFrame): DataFrame = {
+    val spark = lens.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = lens.select(col("doc_id"), col("n"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single(i -> it.foldLeft(0L)((a, r) => a + r.getLong(1) + 1L))
+    }.collect().toMap
+    val bases = new Array[Long](rdd.getNumPartitions)
+    var acc = 0L
+    for (i <- bases.indices) { bases(i) = acc; acc += totals.getOrElse(i, 0L) }
+    val schema = sorted.schema.add("off", LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bases(i)
+      it.map { r =>
+        val o = run; run += r.getLong(1) + 1L
+        Row(r.getLong(0), r.getLong(1), o)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Global sorted-index assignment: range-sort `df` by `keys`, then label
     * rows with their global sort position (dense rank when the input is
     * distinct). zipWithIndex's extra job collects one count per partition —
@@ -100,14 +137,13 @@ object SuffixOps {
     val docs = docs0.select(col("doc_id"), toks.as("toks"))
 
     // Per-doc global offsets: off(d) = Σ_{d'<d} (n_{d'} + 1) — the +1 is the
-    // sentinel slot. The cumulative window runs over the |docs|-row length
-    // frame (the tx_pack discipline); at extreme doc counts replace with a
-    // range-partitioned two-phase prefix sum — row data never enters it.
-    val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-    val cum = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = lens.withColumn("off",
-      coalesce(sum(col("n") + 1).over(cum), lit(0L)))
+    // sentinel slot. Computed by [[prefixOffsets]]'s range-partitioned
+    // two-phase prefix sum (every partition in parallel; no global-order
+    // window), cut once — offs feeds both the position axis and the
+    // sentinel frame.
+    val lens0 = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    val offs = graft.core.Lineage.cut(prefixOffsets(lens0))
+    val lens = offs.select(col("doc_id"), col("n"))
 
     // Position axis: real token positions (maxl = tokens remaining in doc,
     // capped) + one sentinel per doc with a unique negative level-0 rank.

@@ -420,9 +420,26 @@ object DocStreaming {
     * in one micro-batch or many — reproduces the batch gate's verdicts
     * exactly (the quotaStream arrival-order contract; asserted in
     * DocStreamingSpec both ways).
+    *
+    * RESTART CONTRACT: the cross-delivery index is durable, not
+    * driver-memory-only. Each committed delivery persists its
+    * fingerprints (hash keepers, minhash shingle sets, band buckets —
+    * never text) under `outDir/_index/{hash,sigs,bands}` partitioned by
+    * `_batch_id` with dynamic overwrite, so a replayed batch rewrites
+    * its own index partition exactly like the verdict sink. On start
+    * with a checkpoint that already has committed batches (pass
+    * `checkpointDir` to restart), the seen-state is rebuilt from the
+    * committed `_batch_id` partitions before the first new micro-batch
+    * — a delivery that duplicates a pre-restart delivery is still
+    * caught. Mirrors the reference's resume discipline
+    * (/root/reference/amaxa/loader/state.py:22-32): progress and the
+    * state it implies commit together or not at all. A fresh checkpoint
+    * pointed at an outDir holding verdict partitions from some other
+    * run fails fast instead of mixing lineages.
     */
   def ingestGateStream(spark: SparkSession, stream: DataFrame, sfDir: String,
-      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      outDir: String, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.queries.{DedupOps, PipelineOps, TextOps}
     import graft.core.Lineage
     val (w0, w1, w2) = PipelineOps.qcTrainedWeights(spark, sfDir)
@@ -436,13 +453,54 @@ object DocStreaming {
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("corpus_dup"))
     }
-    // Cross-delivery state: earlier deliveries' fingerprints.
+    // Cross-delivery state: earlier deliveries' fingerprints. Held as
+    // driver handles for the fast path, rebuilt from the durable
+    // `outDir/_index` partitions on restart (see the contract above).
     var seenHash: Option[DataFrame] = None   // (h, seen_min)
-    var seenSigs: Option[DataFrame] = None   // (doc_id, shingles, sig)
+    var seenSigs: Option[DataFrame] = None   // (doc_id, shingles)
     var seenBands: Option[DataFrame] = None  // (bucket, doc_id)
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft_gate_ckpt").toString
-    graft.core.Fs.deleteOnExit(checkpoint)
+    val checkpoint = checkpointDir.getOrElse {
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_gate_ckpt").toString
+      graft.core.Fs.deleteOnExit(t)
+      t
+    }
+    val indexDir = s"$outDir/_index"
+    val committed = loggedBatchIds(spark, checkpoint, "commits")
+    val existing = batchIdPartitions(spark, outDir)
+    // Lineage guard: the only partitions a checkpoint can account for
+    // are its offsets-logged batches — committed ones plus the at-most-
+    // one in-flight batch foreachBatch will replay and overwrite. A
+    // fresh checkpoint accounts for nothing. Anything else is another
+    // run's output — refuse to interleave verdicts from two lineages.
+    val accounted = committed ++ loggedBatchIds(spark, checkpoint, "offsets")
+    val orphans = existing -- accounted
+    if (orphans.nonEmpty) throw new IllegalStateException(
+      s"ingest gate outDir $outDir holds verdict partitions " +
+        s"${orphans.toSeq.sorted.mkString("_batch_id=", ", _batch_id=", "")} " +
+        s"not in checkpoint $checkpoint's lineage (committed: " +
+        s"${committed.toSeq.sorted.mkString("[", ",", "]")}); point the " +
+        "gate at a fresh outDir or the checkpoint that produced this one")
+    if (committed.nonEmpty) {
+      // Restart-with-history: rebuild the seen-fingerprint state from
+      // the committed deliveries' durable index partitions. A history
+      // without an index (output of a pre-index run) cannot be resumed
+      // soundly — fail instead of silently missing cross-delivery dups.
+      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+      val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!idxFs.exists(idxPath)) throw new IllegalStateException(
+        s"checkpoint $checkpoint has ${committed.size} committed " +
+          s"batches but $indexDir is missing — the cross-delivery dedup " +
+          "index cannot be rebuilt; restart is unsound")
+      val inCommitted = col("_batch_id").isInCollection(committed)
+      seenHash = Some(Lineage.cut(spark.read.parquet(s"$indexDir/hash")
+        .where(inCommitted)
+        .groupBy("h").agg(min(col("seen_min")).as("seen_min"))))
+      seenSigs = Some(Lineage.cut(spark.read.parquet(s"$indexDir/sigs")
+        .where(inCommitted).select("doc_id", "shingles")))
+      seenBands = Some(Lineage.cut(spark.read.parquet(s"$indexDir/bands")
+        .where(inCommitted).select("bucket", "doc_id")))
+    }
     // Explicit function value: foreachBatch has an ambiguous Scala/Java
     // overload pair for Unit-returning lambdas.
     val perDelivery: (DataFrame, Long) => Unit = (delivery, batchId) => {
@@ -518,6 +576,18 @@ object DocStreaming {
         // its own verdict).
         val batchHash = batch.select(md5(col("text")).as("h"), col("doc_id"))
           .groupBy("h").agg(min(col("doc_id")).as("seen_min"))
+        // Durable twin of the in-memory advance: the same idempotent
+        // partition-per-batch sink as the verdicts, so the commit file
+        // the checkpoint writes after this function returns vouches for
+        // BOTH the verdict partition and the index partition.
+        def persistIndex(df: DataFrame, sub: String): Unit =
+          df.withColumn("_batch_id", lit(batchId))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id").mode("overwrite")
+            .parquet(s"$indexDir/$sub")
+        persistIndex(batchHash, "hash")
+        persistIndex(batchSigs.select("doc_id", "shingles"), "sigs")
+        persistIndex(batchBands.select("bucket", "doc_id"), "bands")
         seenHash = Some(Lineage.cut(seenHash.fold(batchHash)(
           _.unionByName(batchHash).groupBy("h")
             .agg(min(col("seen_min")).as("seen_min")))))
@@ -533,6 +603,38 @@ object DocStreaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(perDelivery)
       .start()
+  }
+
+  /** Batch ids with a commit file in the checkpoint — the batches a
+    * restarted query will SKIP, so exactly the ones whose fingerprints
+    * must be rebuilt from the durable index.
+    */
+  /** Digit-named entries of one checkpoint metadata log (`commits`,
+    * `offsets`) — the batch ids that log vouches for. Hadoop FS, not
+    * java.io: checkpoints live on the cluster store in production.
+    */
+  private def loggedBatchIds(spark: SparkSession, checkpoint: String,
+      log: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, log)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).toSet
+  }
+
+  /** `_batch_id=N` partition directories already present under a gate
+    * output dir (metadata listing only — nothing is read).
+    */
+  private def batchIdPartitions(spark: SparkSession, outDir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).collect {
+        case n if n.startsWith("_batch_id=") && n.drop(10).forall(_.isDigit) =>
+          n.drop(10).toLong
+      }.toSet
   }
 
   def assignClusters(stream: DataFrame, model: DataFrame): DataFrame = {

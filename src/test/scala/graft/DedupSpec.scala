@@ -579,6 +579,44 @@ class DedupSpec extends AnyFunSuite {
     assert(d9(1L) == 5 && d21(1L)._2 == d9(1L))
   }
 
+  test("d21 offsets come from the range-partitioned two-phase prefix sum: " +
+       "exact against the sequential model, across many partitions, with " +
+       "no window in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(2111L)
+    // Unsorted input, more rows than shuffle partitions, skewed lengths —
+    // the shape that exercises partition boundaries and empty partitions.
+    val lens = rnd.shuffle((1L to 257L).toVector)
+      .map(id => (id, rnd.nextInt(50).toLong))
+    val df = graft.queries.SuffixOps.prefixOffsets(
+      lens.toDF("doc_id", "n"))
+    assert(df.rdd.getNumPartitions > 1, "prefix sum must stay distributed")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "the two-phase prefix sum must not plan a window")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = 0L
+    lens.sortBy(_._1).foreach { case (id, n) =>
+      assert(got(id) == acc, s"doc $id: off=${got(id)}, want $acc")
+      acc += n + 1L
+    }
+  }
+
+  test("d19 broadcast guard sizes shingles in OCTETS: a multi-byte corpus " +
+       "measures its UTF-8 bytes, not its character count") {
+    import spark.implicits._
+    // 3-byte CJK chars: 4 shingles x 10 chars = 40 chars but 120 octets.
+    val multi = Seq(Seq.fill(4)("世" * 10)).toDF("shingles")
+    val ascii = Seq(Seq.fill(4)("a" * 10)).toDF("shingles")
+    val multiBytes = DedupOps.shinglePayloadBytes(multi)
+    val asciiBytes = DedupOps.shinglePayloadBytes(ascii)
+    assert(asciiBytes == 4L * (10 + 24), s"ascii payload: $asciiBytes")
+    assert(multiBytes == 4L * (30 + 24),
+      s"multi-byte payload must count octets: $multiBytes")
+    assert(multiBytes == asciiBytes + 4L * 20,
+      "the guard boundary moves by exactly the extra UTF-8 bytes")
+  }
+
   test("d21 n_dup_pos_ge8 equals d9 n_dup_windows on the corpus (the new " +
        "operator embeds the old one)") {
     val sf = SparkTestBase.sf

@@ -818,6 +818,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head._5 > 0, "phase 1 must hold kept docs")
   }
 
+  test("tx_curriculum_kll: the 100 TB curriculum sibling — sketch cuts " +
+       "honor the exact rank bound, totals match, and the plan carries " +
+       "NO window at all") {
+    val df = q("tx_curriculum_kll")
+    val rows = df.collect().map(r => (r.getAs[Long]("cut_pct"),
+      r.getAs[Boolean]("rank_ok"), r.getAs[Boolean]("mono_ok"),
+      r.getAs[Boolean]("conserve_ok"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_keep")))
+    assert(rows.map(_._1).sorted.toSeq == Seq(25L, 50L, 75L))
+    rows.foreach { r =>
+      assert(r._2, s"KLL rank bound violated at cut ${r._1}")
+      assert(r._3, "cut points must be monotone")
+      assert(r._4, "phase populations must conserve the corpus")
+    }
+    val total = Tables.documents(spark, SparkTestBase.sf).count()
+    assert(rows.forall(_._5 == total), "n_docs must be the corpus size")
+    assert(rows.forall(r => r._6 > 0 && r._6 < total),
+      "keep count must be a proper subset at this SF")
+    // The scale contract the sibling exists for: phase assignment is
+    // sketch + broadcast thresholds — the executed plan must contain no
+    // Window operator of any kind (the exact arm's unpartitioned ntile
+    // is precisely what this path removes).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n${plan.take(800)}")
+  }
+
   test("pipe_dp_card: noisy counts track the true cells within Laplace " +
        "tails, are deterministic under the fixed seed, and move under a " +
        "different seed") {

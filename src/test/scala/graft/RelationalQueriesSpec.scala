@@ -181,17 +181,27 @@ class RelationalQueriesSpec extends AnyFunSuite {
     import graft.queries.Relational
     val sf = SparkTestBase.sf
     val card = SparkEntry.queries("src_jsonl_ingest")(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getBoolean(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    assert(card("_corrupt") == (Relational.JsonlCorruptLines.toLong, 0L, 0L),
-      s"quarantine row: ${card.get("_corrupt")}")
+    // Torn lines land under the DEDICATED quarantine key (NULL lang).
+    assert(card((null, true)) == (Relational.JsonlCorruptLines.toLong, 0L, 0L),
+      s"quarantine row: ${card.get((null, true))}")
+    // The planted GENUINE lang='_corrupt' docs land as ordinary rows —
+    // the collision the old lang-sentinel scheme could not distinguish.
+    val planted = Relational.JsonlPlantedCorruptLang
+    assert(card(("_corrupt", false)) ==
+      (planted.size.toLong, planted.map(_.length.toLong).sum,
+        planted.distinct.size.toLong),
+      s"genuine lang='_corrupt' row: ${card.get(("_corrupt", false))}")
     // Conservation: the parsed card equals the source corpus per lang.
     val want = Tables.documents(spark, sf)
       .groupBy("lang").agg(count(lit(1)), sum("n_chars"),
         count_distinct(md5(col("text")))).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), false) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
-    assert(card - "_corrupt" == want, "round-trip card drifted from source")
+    assert(card - ((null, true)) - (("_corrupt", false)) == want,
+      "round-trip card drifted from source")
     // The tolerance is not vacuous: a FAILFAST read of the SAME landing
     // file must throw on the planted truncated lines.
     val landing = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_ingest_" +
