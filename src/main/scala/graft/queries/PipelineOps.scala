@@ -311,7 +311,10 @@ object PipelineOps {
     val weights = counts.select(col("source"),
       (w0 + when((w0 + 1) * (w0 + 1) <= col("c"), 1L).otherwise(0L)
           - when(w0 * w0 > col("c"), 1L).otherwise(0L)).as("wgt"))
-    val all = Window.partitionBy()
+    // Constant partition spec: the frame is the |sources| row set,
+    // bounded by construction — the explicit spec keeps the WindowExec
+    // single-partition warning out of the log (the EventOps discipline).
+    val all = Window.partitionBy(lit(1))
     // `div`, not `/`: Column./ is DOUBLE division; the quota must be the
     // exact integer floor.
     val q0 = weights.select(col("source"), col("wgt"),
@@ -321,7 +324,8 @@ object PipelineOps {
         expr("n1 div wsum").as("base"), expr("n1 % wsum").as("rem"))
     q0.select(col("source"),
       (col("base") + when(
-        row_number().over(Window.orderBy(col("rem").desc, col("source")))
+        row_number().over(Window.partitionBy(lit(1))
+            .orderBy(col("rem").desc, col("source")))
           <= lit(n) - sum(col("base")).over(all), 1L).otherwise(0L))
         .as("quota"))
   }
@@ -728,8 +732,10 @@ object PipelineOps {
       .withColumn("cosine", SimilarityOps.cosineCol(col("v"), col("qv")))
       .orderBy(col("cosine").desc, col("doc_id"))
       .limit(Bm25TopK)
+      // Constant partition spec: the frame is the ≤k-row shortlist the
+      // limit already selected — explicit spec, no WindowExec warning.
       .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("doc_id"))))
+        Window.partitionBy(lit(1)).orderBy(col("cosine").desc, col("doc_id"))))
       .select(col("doc_id"), col("vec_rank"))
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
@@ -738,7 +744,7 @@ object PipelineOps {
           .as("rrf_nano"))
     fused.orderBy(col("rrf_nano").desc, col("doc_id")).limit(HybridTopK)
       .withColumn("fused_rank", row_number().over(
-        Window.orderBy(col("rrf_nano").desc, col("doc_id"))))
+        Window.partitionBy(lit(1)).orderBy(col("rrf_nano").desc, col("doc_id"))))
       .select(col("doc_id"), col("fused_rank"), col("rrf_nano"),
         col("lex_rank"), col("vec_rank"))
   }

@@ -1617,8 +1617,12 @@ object Relational {
       .select(((col("s_suppkey") * lit(2654435761L)) % lit(1000000L)).as("lo"),
         col("s_suppkey"))
       .groupBy("lo").agg(min(col("s_suppkey")).as("owner"))
+    // Constant partition spec: the boundary axis is ≤1e6 rows by the
+    // modulus — bounded by construction; explicit spec keeps the
+    // WindowExec warning out of the log.
     val ranges = bounds
-      .withColumn("hi", lead(col("lo"), 1).over(Window.orderBy("lo")) - 1)
+      .withColumn("hi",
+        lead(col("lo"), 1).over(Window.partitionBy(lit(1)).orderBy("lo")) - 1)
       .where(col("hi").isNotNull)
     val facts = Tables.orders(s, d)
       .select((round(col("o_totalprice") * 100).cast("long") % lit(1000000L)).as("v"))

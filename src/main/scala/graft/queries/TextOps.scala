@@ -325,9 +325,11 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"), key.as("key_e12"))
       .orderBy(col("key_e12"), col("doc_id"))
       .limit(WeightedSampleK)
-    // Rank window runs over the k already-selected rows only.
+    // Rank window runs over the k already-selected rows only; constant
+    // partition spec so the bounded frame raises no WindowExec warning.
     sampled.withColumn("rank",
-      row_number().over(Window.orderBy(col("key_e12"), col("doc_id"))).cast("int"))
+      row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("key_e12"), col("doc_id"))).cast("int"))
   }
 
   /** Deterministic train/valid/test split — the assignment step of a
