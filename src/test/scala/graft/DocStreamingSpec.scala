@@ -666,6 +666,64 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming ingest gate REPLAY: a delivery whose commit was lost " +
+       "re-runs idempotently — verdicts AND the durable index land " +
+       "identically, the lineage guard accepts the in-flight partition") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dupText = (1 to 25).map(i => s"zqrp$i").mkString(" ")
+    val unique = (1 to 25).map(i => s"zqrpu$i").mkString(" ")
+    def row(id: Long, text: String) =
+      (id, text, "en", DedupOps.IncomingSource, text.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_rp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_rpck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gate_rpo").toString + "/v"
+    graft.core.Fs.deleteOnExit(dir); graft.core.Fs.deleteOnExit(ckpt)
+    def deliver(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+    deliver(Seq(row(40001L, dupText)))
+    val q1 = DocStreaming.ingestGateStream(spark,
+      DocStreaming.docStream(spark, dir, docs.schema), SparkTestBase.sf,
+      out, Some(ckpt))
+    try {
+      q1.processAllAvailable()
+      deliver(Seq(row(40005L, dupText), row(40006L, unique)))
+      q1.processAllAvailable()
+      assert(q1.exception.isEmpty, s"query died: ${q1.exception}")
+    } finally q1.stop()
+    val before = gateVerdicts(out)
+    assert(before(40005L) == ("exact_dup", Some(40001L)), s"got: $before")
+    // Lose batch 1's commit — the at-least-once window foreachBatch
+    // must survive: the verdict partition and all three index
+    // partitions for batch 1 exist on disk but nothing vouches for them.
+    val commit1 = new java.io.File(ckpt, "commits/1")
+    assert(commit1.isFile, "test premise: two committed batches")
+    assert(commit1.delete())
+    // Local-FS artifact: ChecksumFs keeps a .crc sidecar per log file;
+    // losing the commit means losing both (a real cluster store has no
+    // sidecar, and a stale one here blocks the replay's rename).
+    new java.io.File(ckpt, "commits/.1.crc").delete(): Unit
+    val q2 = DocStreaming.ingestGateStream(spark,
+      DocStreaming.docStream(spark, dir, docs.schema), SparkTestBase.sf,
+      out, Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"replay run died: ${q2.exception}")
+      assert(gateVerdicts(out) == before,
+        "replayed batch must overwrite its own partitions, changing nothing")
+      // The durable index holds exactly the two batch partitions — the
+      // replay rewrote, never duplicated.
+      Seq("hash", "sigs", "bands").foreach { sub =>
+        val parts = new java.io.File(s"$out/_index/$sub").listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+        assert(parts == Set("_batch_id=0", "_batch_id=1"),
+          s"index $sub partitions: $parts")
+      }
+    } finally q2.stop()
+  }
+
   test("ingest gate fails fast when outDir holds partitions from another " +
        "checkpoint's lineage") {
     import spark.implicits._
