@@ -1354,6 +1354,29 @@ object PipelineOps {
     * conservation. The oracle emits literal TRUE; any violated bound
     * flips the engine boolean and fails the hash compare at any SF.
     */
+  /** THE curriculum phase-assignment rule, shared by [[curriculumKll]]
+    * and the streaming serve twin
+    * ([[graft.streaming.DocStreaming.curriculumAssignStream]]) so the
+    * two faces cannot drift: ties at a cut fall to the lower-quality
+    * side; phase 1 = top quartile by z. */
+  def phaseOf(zv: Column, t25: Column, t50: Column, t75: Column): Column =
+    when(zv > t75, 1).when(zv > t50, 2).when(zv > t25, 3).otherwise(4)
+
+  /** Frozen curriculum cut points for SERVING: one corpus pass through
+    * the same mergeable KLL sketch [[curriculumKll]] plans inline,
+    * collected as three bounded literals (the qcTrainedWeights
+    * discipline — train/sketch once, serve statelessly). */
+  def curriculumCuts(s: SparkSession, d: String): (Double, Double, Double) = {
+    import graft.functions.KllSketch._
+    val (w0, w1, w2) = qcTrainedWeights(s, d)
+    val r = qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
+      .select(col("z").cast("double").as("zv"))
+      .agg(kll_sketch_agg(col("zv"), Relational.KllK).as("sk"))
+      .select(kll_quantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .head().getSeq[Double](0)
+    (r(0), r(1), r(2))
+  }
+
   private val curriculumKll: Q = (s, d) => {
     import graft.functions.KllSketch._
     import s.implicits._
@@ -1364,14 +1387,10 @@ object PipelineOps {
     val cutsRow = scored.agg(kll_sketch_agg(col("zv"), Relational.KllK).as("sk"))
       .select(kll_quantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
       .select(col("q")(0).as("t25"), col("q")(1).as("t50"), col("q")(2).as("t75"))
-    // Broadcast-threshold assignment: ties at a cut fall to the
-    // lower-quality side; phase 1 = top quartile by z (the
-    // curriculumBuckets orientation).
+    // Broadcast-threshold assignment — the SHARED rule ([[phaseOf]]).
     val assigned = scored.crossJoin(broadcast(cutsRow))
       .withColumn("phase",
-        when(col("zv") > col("t75"), 1)
-          .when(col("zv") > col("t50"), 2)
-          .when(col("zv") > col("t25"), 3).otherwise(4))
+        phaseOf(col("zv"), col("t25"), col("t50"), col("t75")))
     // Exact rank-interval endpoints per cut + global totals — one pass.
     val stats = assigned.agg(
       count(lit(1)).as("n"),

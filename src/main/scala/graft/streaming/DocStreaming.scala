@@ -173,6 +173,25 @@ object DocStreaming {
   def qualityFilterStream(stream: DataFrame, w0: Long, w1: Long, w2: Long): DataFrame =
     graft.queries.PipelineOps.qcServeOf(stream, w0, w1, w2)
 
+  /** Streaming curriculum phase assignment — the serve twin of the
+    * tx_curriculum_kll scale path: weights AND cut points are FROZEN
+    * (trained/sketched once on the corpus, passed as literals —
+    * [[graft.queries.PipelineOps.curriculumCuts]]), so assigning an
+    * arriving document to its training phase is a stateless per-row
+    * margin score + threshold chain. The plan is the batch plan run per
+    * micro-batch: no watermark, no state store (asserted in
+    * DocStreamingSpec), and the scoring body (qcServeOf) and the
+    * assignment rule ([[graft.queries.PipelineOps.phaseOf]]) are the
+    * SAME definitions the batch query executes, so the faces cannot
+    * drift bit-wise.
+    */
+  def curriculumAssignStream(stream: DataFrame, w0: Long, w1: Long, w2: Long,
+      t25: Double, t50: Double, t75: Double): DataFrame =
+    graft.queries.PipelineOps.qcServeOf(stream, w0, w1, w2)
+      .select(col("doc_id"), col("z"),
+        graft.queries.PipelineOps.phaseOf(col("z").cast("double"),
+          lit(t25), lit(t50), lit(t75)).as("phase"))
+
   /** Streaming winnowing — fingerprint-select documents AS THEY LAND
     * (the index-build side of a continuously ingested near-dup screen).
     * Reuses TextOps.winnowOf verbatim: the whole operator is per-row HOF

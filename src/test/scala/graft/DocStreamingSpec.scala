@@ -217,6 +217,43 @@ class DocStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curriculum assignment == batch phase rule under the " +
+       "same frozen cuts, stateless, non-degenerate phases") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.queries.PipelineOps
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curr_stream").toString
+    graft.core.Fs.deleteOnExit(dir)
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = DocStreaming.docStream(spark, dir, docs.schema)
+    val (w0, w1, w2) = PipelineOps.qcTrainedWeights(spark, SparkTestBase.sf)
+    val (t25, t50, t75) = PipelineOps.curriculumCuts(spark, SparkTestBase.sf)
+    assert(t25 <= t50 && t50 <= t75, "sketch cuts must be monotone")
+    val q = EventStreaming.runToMemory(
+      DocStreaming.curriculumAssignStream(stream, w0, w1, w2, t25, t50, t75),
+      "curr_out", org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+        "curriculum serve must not be stateful")
+      val streamed = spark.table("curr_out")
+      // Batch expectation THROUGH THE STREAM-INDEPENDENT path: the same
+      // shared definitions executed as a batch plan on the same rows.
+      val batch = PipelineOps.qcServeOf(docs, w0, w1, w2)
+        .select(col("doc_id"), col("z"),
+          PipelineOps.phaseOf(col("z").cast("double"),
+            lit(t25), lit(t50), lit(t75)).as("phase"))
+      assert(streamed.count() == batch.count(), "row count mismatch")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream/batch curriculum assignment mismatch")
+      // Non-vacuity: the corpus spreads across more than one phase and
+      // every phase label is in range.
+      val phases = streamed.select("phase").distinct().collect()
+        .map(_.getInt(0)).toSet
+      assert(phases.subsetOf(Set(1, 2, 3, 4)) && phases.size >= 2,
+        s"degenerate phase spread: $phases")
+    } finally q.stop()
+  }
+
   test("streaming CDC chunking == batch tx_cdc_chunk, stateless explode plan") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream").toString

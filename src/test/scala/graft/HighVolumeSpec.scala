@@ -271,4 +271,28 @@ class HighVolumeSpec extends AnyFunSuite {
     assert(math.abs(r50 - 0.5) <= 0.03, s"p50 rank $r50")
     assert(math.abs(r99 - 0.99) <= 0.03, s"p99 rank $r99")
   }
+
+  test("two-phase prefix sum at volume: 5M-doc length frame, closed-form " +
+       "offsets at sampled ids, distributed output") {
+    // d21's offsets stage at 50x the sf0.1 doc count: n_i cycles through
+    // the residues of a prime (97), so the exclusive prefix sum has a
+    // closed form — (full cycles) x (0+..+96 + 97) + a 97-entry partial
+    // table — checkable at any id without a sequential pass.
+    val n = 5000000L
+    val c = 2654435761L
+    val lens = spark.range(n).select(col("id").as("doc_id"),
+      pmod(col("id") * c, lit(97L)).as("n"))
+    val offs = graft.queries.SuffixOps.prefixOffsets(lens)
+    assert(offs.rdd.getNumPartitions > 1, "offsets must stay distributed")
+    val cycle = (0 until 97).map(i => (BigInt(i) * c % 97).toLong + 1L)
+    val cyclePrefix = cycle.scanLeft(0L)(_ + _) // exclusive, 98 entries
+    val perCycle = cyclePrefix.last // 4656 + 97
+    def expected(k: Long): Long = (k / 97) * perCycle + cyclePrefix((k % 97).toInt)
+    val probes = Seq(0L, 1L, 96L, 97L, 98L, 12345L, 2499999L, n - 1)
+    val got = offs.where(col("doc_id").isInCollection(probes))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    probes.foreach { k =>
+      assert(got(k) == expected(k), s"doc $k: off=${got(k)}, want ${expected(k)}")
+    }
+  }
 }
