@@ -412,21 +412,41 @@ final class ExtractOperation(
       import scala.concurrent.{Await, Future, TimeoutException}
       import scala.concurrent.duration._
       implicit val ec = ExtractOperation.saveEc
-      val settled = Future.sequence(writes.map(w =>
-        Future(w()).transform(scala.util.Success(_))))
       // A bounded wait, not Duration.Inf: the wave runs on the SHARED
       // save pool, so one silently hung write would otherwise block
       // every future save in the JVM with zero diagnostic. Generous by
       // default (a checkpoint write should take seconds);
       // spark.graft.save.timeoutSec tunes it for pathological stores.
-      val timeoutSec = spark.conf
-        .getOption("spark.graft.save.timeoutSec").map(_.toLong).getOrElse(3600L)
+      val confKey = "spark.graft.save.timeoutSec"
+      val timeoutSec = spark.conf.getOption(confKey).map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$confKey must be a whole number of seconds, got '$v'")
+        }
+      }.getOrElse(3600L)
+      // Each write runs under one cancellable job group so a timeout can
+      // KILL the stragglers before the save is reported failed — a retry
+      // must never race a zombie write to the same checkpoint path (the
+      // invariant this wave exists to guarantee).
+      val group = s"graft-save-wave-${java.util.UUID.randomUUID()}"
+      val sc = spark.sparkContext
+      val settled = Future.sequence(writes.map(w => Future {
+        sc.setJobGroup(group, "graft checkpoint write wave",
+          interruptOnCancel = true)
+        try w() finally sc.clearJobGroup()
+      }.transform(scala.util.Success(_))))
       val results = try Await.result(settled, timeoutSec.seconds) catch {
-        case e: TimeoutException => throw new IllegalStateException(
-          s"checkpoint write wave (${writes.size} writes) exceeded " +
-            s"$timeoutSec s — a hung store write is blocking the shared " +
-            "save pool; raise spark.graft.save.timeoutSec if the store " +
-            "is genuinely this slow", e)
+        case e: TimeoutException =>
+          sc.cancelJobGroup(group)
+          val drained = try { Await.result(settled, 60.seconds); true }
+            catch { case _: TimeoutException => false }
+          throw new IllegalStateException(
+            s"checkpoint write wave (${writes.size} writes) exceeded " +
+              s"$timeoutSec s and was cancelled" +
+              (if (drained) "" else " — and some writes did NOT settle " +
+                "within the 60 s grace period; the shared save pool may " +
+                "be compromised") +
+              s"; raise $confKey if the store is genuinely this slow", e)
       }
       // Surface EVERY failed sibling, not just the first: the retry
       // decision needs to know whether one table or the whole store

@@ -1336,24 +1336,6 @@ object PipelineOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
   }
 
-  /** The 100 TB curriculum path (tx_curriculum_kll) — the scale sibling
-    * of [[curriculumBuckets]], shipped as its own oracle-gated query (the
-    * d5→d12 exact-vs-scale-path precedent): phase cut points come from
-    * ONE mergeable KLL sketch over the trained margin z (q_kll_quantiles'
-    * machinery, [[graft.functions.KllSketchAgg]]) and phase assignment is
-    * a broadcast-threshold scan — the plan has NO global-order ntile, so
-    * no single task ever sees the corpus sort at any size. Cost shape:
-    * one map-side-combinable sketch pass + one stateless assignment pass.
-    *
-    * Oracle contract (the q_kll/q_hll discipline — KLL compaction is
-    * randomized, so cut VALUES are run-varying and never gated): the
-    * gated columns are exact-reproducible totals plus PROPERTY booleans
-    * the sketch guarantees — each cut's exact rank interval
-    * [count(z<t)/n, count(z≤t)/n] intersects [p ± [[Relational.KllRankEps]]]
-    * (the tied-value-sound form), cut monotonicity, and phase-population
-    * conservation. The oracle emits literal TRUE; any violated bound
-    * flips the engine boolean and fails the hash compare at any SF.
-    */
   /** THE curriculum phase-assignment rule, shared by [[curriculumKll]]
     * and the streaming serve twin
     * ([[graft.streaming.DocStreaming.curriculumAssignStream]]) so the
@@ -1362,10 +1344,11 @@ object PipelineOps {
   def phaseOf(zv: Column, t25: Column, t50: Column, t75: Column): Column =
     when(zv > t75, 1).when(zv > t50, 2).when(zv > t25, 3).otherwise(4)
 
-  /** Frozen curriculum cut points for SERVING: one corpus pass through
-    * the same mergeable KLL sketch [[curriculumKll]] plans inline,
-    * collected as three bounded literals (the qcTrainedWeights
-    * discipline — train/sketch once, serve statelessly). */
+  /** Frozen curriculum cut points: ONE corpus pass through the mergeable
+    * KLL sketch over the trained margin z, collected as three bounded
+    * literals (the qcTrainedWeights discipline — train/sketch once,
+    * serve statelessly). Shared by [[curriculumKll]] and the streaming
+    * serve twin. */
   def curriculumCuts(s: SparkSession, d: String): (Double, Double, Double) = {
     import graft.functions.KllSketch._
     val (w0, w1, w2) = qcTrainedWeights(s, d)
@@ -1377,44 +1360,70 @@ object PipelineOps {
     (r(0), r(1), r(2))
   }
 
+  /** The 100 TB curriculum path (tx_curriculum_kll) — the scale sibling
+    * of [[curriculumBuckets]], shipped as its own oracle-gated query (the
+    * d5→d12 exact-vs-scale-path precedent): phase cut points come from
+    * ONE mergeable KLL sketch over the trained margin z (q_kll_quantiles'
+    * machinery, [[graft.functions.KllSketchAgg]], via [[curriculumCuts]]
+    * — three bounded literals, the zipWithIndex metadata class) and
+    * phase assignment is a literal-threshold scan — the plan has NO
+    * global-order ntile, so no single task ever sees the corpus sort at
+    * any size. Cost shape, exactly as executed: pass 1 the sketch
+    * aggregate, pass 2 the assignment folded straight into ONE
+    * map-side-combinable groupBy to |phases| rows carrying every gated
+    * sum — the corpus is scanned twice total, never materialized.
+    *
+    * Oracle contract (the q_kll/q_hll discipline — KLL compaction is
+    * randomized, so cut VALUES are run-varying and never gated): the
+    * gated columns are exact-reproducible totals plus PROPERTY booleans
+    * the sketch guarantees — each cut's exact rank interval
+    * [count(z<t)/n, count(z≤t)/n] intersects [p ± [[Relational.KllRankEps]]]
+    * ([[Relational.kllRankOk]], the tied-value-sound form shared with
+    * q_kll_quantiles), cut monotonicity, and phase-label sanity (every
+    * label in [1, phases]); corpus CONSERVATION is gated by n_docs
+    * hash-matching the oracle's independent count(*). The oracle emits
+    * literal TRUE; any violated bound flips the engine boolean and
+    * fails the compare at any SF.
+    */
   private val curriculumKll: Q = (s, d) => {
-    import graft.functions.KllSketch._
     import s.implicits._
-    val eps = Relational.KllRankEps
     val (w0, w1, w2) = qcTrainedWeights(s, d)
+    val (t25, t50, t75) = curriculumCuts(s, d) // pass 1: the sketch
     val scored = qcServeOf(Tables.documentsSpread(s, d), w0, w1, w2)
-      .select(col("doc_id"), col("z").cast("double").as("zv"), col("keep"))
-    val cutsRow = scored.agg(kll_sketch_agg(col("zv"), Relational.KllK).as("sk"))
-      .select(kll_quantiles(col("sk"), Seq(0.25, 0.5, 0.75)).as("q"))
-      .select(col("q")(0).as("t25"), col("q")(1).as("t50"), col("q")(2).as("t75"))
-    // Broadcast-threshold assignment — the SHARED rule ([[phaseOf]]).
-    val assigned = scored.crossJoin(broadcast(cutsRow))
-      .withColumn("phase",
-        phaseOf(col("zv"), col("t25"), col("t50"), col("t75")))
-    // Exact rank-interval endpoints per cut + global totals — one pass.
-    val stats = assigned.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("keep"), 1L).otherwise(0L)).as("nk"),
-      sum(when(col("zv") < col("t25"), 1L).otherwise(0L)).as("lo25"),
-      sum(when(col("zv") <= col("t25"), 1L).otherwise(0L)).as("hi25"),
-      sum(when(col("zv") < col("t50"), 1L).otherwise(0L)).as("lo50"),
-      sum(when(col("zv") <= col("t50"), 1L).otherwise(0L)).as("hi50"),
-      sum(when(col("zv") < col("t75"), 1L).otherwise(0L)).as("lo75"),
-      sum(when(col("zv") <= col("t75"), 1L).otherwise(0L)).as("hi75"))
-    val conserve = assigned.groupBy("phase").agg(count(lit(1)).as("pn"))
-      .agg(sum(col("pn")).as("pn_sum"), count(lit(1)).as("n_phases"))
-    def rankOk(lo: Column, hi: Column, p: Double): Column =
-      lo.cast("double") / col("n").cast("double") <= lit(p + eps) &&
-        hi.cast("double") / col("n").cast("double") >= lit(p - eps)
-    val props = stats.crossJoin(conserve).crossJoin(cutsRow)
+      .select(col("z").cast("double").as("zv"), col("keep"))
+    // Pass 2: literal-threshold assignment + every gated aggregate in
+    // one scan, grouped to |phases| rows, folded on bounded metadata.
+    val perPhase = scored
+      .withColumn("phase", phaseOf(col("zv"), lit(t25), lit(t50), lit(t75)))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("pn"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("pk"),
+        sum(when(col("zv") < t25, 1L).otherwise(0L)).as("lo25"),
+        sum(when(col("zv") <= t25, 1L).otherwise(0L)).as("hi25"),
+        sum(when(col("zv") < t50, 1L).otherwise(0L)).as("lo50"),
+        sum(when(col("zv") <= t50, 1L).otherwise(0L)).as("hi50"),
+        sum(when(col("zv") < t75, 1L).otherwise(0L)).as("lo75"),
+        sum(when(col("zv") <= t75, 1L).otherwise(0L)).as("hi75"))
+    val props = perPhase.agg(
+      sum(col("pn")).as("n"), sum(col("pk")).as("nk"),
+      sum(col("lo25")).as("lo25"), sum(col("hi25")).as("hi25"),
+      sum(col("lo50")).as("lo50"), sum(col("hi50")).as("hi50"),
+      sum(col("lo75")).as("lo75"), sum(col("hi75")).as("hi75"),
+      count(lit(1)).as("n_phases"),
+      min(col("phase")).as("ph_min"), max(col("phase")).as("ph_max"))
     Seq(25L, 50L, 75L).toDF("cut_pct")
       .crossJoin(broadcast(props))
       .select(col("cut_pct"),
-        when(col("cut_pct") === 25L, rankOk(col("lo25"), col("hi25"), 0.25))
-          .when(col("cut_pct") === 50L, rankOk(col("lo50"), col("hi50"), 0.5))
-          .otherwise(rankOk(col("lo75"), col("hi75"), 0.75)).as("rank_ok"),
-        (col("t25") <= col("t50") && col("t50") <= col("t75")).as("mono_ok"),
-        (col("pn_sum") === col("n") && col("n_phases") <= lit(CurriculumPhases))
+        when(col("cut_pct") === 25L,
+            Relational.kllRankOk(col("lo25"), col("hi25"), col("n"), 0.25))
+          .when(col("cut_pct") === 50L,
+            Relational.kllRankOk(col("lo50"), col("hi50"), col("n"), 0.5))
+          .otherwise(
+            Relational.kllRankOk(col("lo75"), col("hi75"), col("n"), 0.75))
+          .as("rank_ok"),
+        lit(t25 <= t50 && t50 <= t75).as("mono_ok"),
+        (col("n_phases") <= lit(CurriculumPhases) &&
+          col("ph_min") >= 1 && col("ph_max") <= lit(CurriculumPhases))
           .as("conserve_ok"),
         col("n").as("n_docs"), col("nk").as("n_keep"))
   }

@@ -1208,6 +1208,17 @@ object Relational {
   val KllK = 200
   val KllRankEps = 0.05
 
+  /** THE tied-value-sound KLL rank gate, shared by q_kll_quantiles and
+    * tx_curriculum_kll: a probed estimate's exact rank interval
+    * [lo/n, hi/n] (strict-below / inclusive counts) must intersect
+    * [p − [[KllRankEps]], p + [[KllRankEps]]] — gating on the inclusive
+    * endpoint alone would false-fail a perfect sketch whenever one tied
+    * value carries more than ε of the mass at the probed rank. */
+  def kllRankOk(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column =
+    lo.cast("double") / n.cast("double") <= lit(p + KllRankEps) &&
+      hi.cast("double") / n.cast("double") >= lit(p - KllRankEps)
+
   /** Mergeable KLL quantile sketches — completes the sketch family
     * (HLL distinct ✓, count-min ✓, quantiles here). The dashboard/
     * data-quality shape at 100 TB: sketch each delivery shard once,
@@ -1257,9 +1268,7 @@ object Relational {
         sum(when(col("v") < col("e99"), 1L).otherwise(0L)).as("lo99"),
         sum(when(col("v") <= col("e99"), 1L).otherwise(0L)).as("hi99"))
     def ok(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
-        p: Double) =
-      lo.cast("double") / col("n").cast("double") <= lit(p + KllRankEps) &&
-        hi.cast("double") / col("n").cast("double") >= lit(p - KllRankEps)
+        p: Double) = Relational.kllRankOk(lo, hi, col("n"), p)
     // Exact percentiles via the INTEGER closed form of linear
     // interpolation, not `percentile`: values are integral cents and
     // p = k/100, so the interpolated value at exact rational position

@@ -450,7 +450,13 @@ object DocStreaming {
     * `checkpointDir` to restart), the seen-state is rebuilt from the
     * committed `_batch_id` partitions before the first new micro-batch
     * — a delivery that duplicates a pre-restart delivery is still
-    * caught. Mirrors the reference's resume discipline
+    * caught. The committed set is derived as [0, max(commit log)], not
+    * the raw commits listing: micro-batches commit sequentially and
+    * Spark purges log entries older than
+    * spark.sql.streaming.minBatchesToRetain, so a gate that has run
+    * thousands of deliveries still restarts (and the index coverage
+    * check runs against the hash sub, which every non-empty verdict
+    * batch must populate). Mirrors the reference's resume discipline
     * (/root/reference/amaxa/loader/state.py:22-32): progress and the
     * state it implies commit together or not at all. A fresh checkpoint
     * pointed at an outDir holding verdict partitions from some other
@@ -486,39 +492,57 @@ object DocStreaming {
     }
     val indexDir = s"$outDir/_index"
     val committed = loggedBatchIds(spark, checkpoint, "commits")
+    val offsetsLogged = loggedBatchIds(spark, checkpoint, "offsets")
     val existing = batchIdPartitions(spark, outDir)
-    // Lineage guard: the only partitions a checkpoint can account for
-    // are its offsets-logged batches — committed ones plus the at-most-
-    // one in-flight batch foreachBatch will replay and overwrite. A
-    // fresh checkpoint accounts for nothing. Anything else is another
-    // run's output — refuse to interleave verdicts from two lineages.
-    val accounted = committed ++ loggedBatchIds(spark, checkpoint, "offsets")
-    val orphans = existing -- accounted
+    // Micro-batches run sequentially (batch k+1 starts only after k's
+    // commit), and Spark PURGES checkpoint log entries older than
+    // spark.sql.streaming.minBatchesToRetain (default 100) — so the
+    // commits listing alone under-counts a long-running gate's history.
+    // The sound committed set is therefore [0, max(commits)]: everything
+    // at or below the newest commit is committed by sequentiality,
+    // purged or not.
+    val maxCommitted: Option[Long] = committed.reduceOption(_ max _)
+    val isCommitted: Long => Boolean = id => maxCommitted.exists(id <= _)
+    // Lineage guard: a checkpoint accounts for its committed range plus
+    // the at-most-one in-flight offsets-logged batch foreachBatch will
+    // replay and overwrite. A fresh checkpoint accounts for nothing.
+    // Anything else is another run's output — refuse to interleave
+    // verdicts from two lineages.
+    val orphans = existing.filterNot(id => isCommitted(id) || offsetsLogged(id))
     if (orphans.nonEmpty) throw new IllegalStateException(
       s"ingest gate outDir $outDir holds verdict partitions " +
         s"${orphans.toSeq.sorted.mkString("_batch_id=", ", _batch_id=", "")} " +
-        s"not in checkpoint $checkpoint's lineage (committed: " +
-        s"${committed.toSeq.sorted.mkString("[", ",", "]")}); point the " +
-        "gate at a fresh outDir or the checkpoint that produced this one")
-    if (committed.nonEmpty) {
+        s"not in checkpoint $checkpoint's lineage (committed through: " +
+        s"${maxCommitted.getOrElse(-1L)}); point the gate at a fresh " +
+        "outDir or the checkpoint that produced this one")
+    maxCommitted.foreach { maxC =>
       // Restart-with-history: rebuild the seen-fingerprint state from
       // the committed deliveries' durable index partitions. A history
-      // without an index (output of a pre-index run) cannot be resumed
-      // soundly — fail instead of silently missing cross-delivery dups.
-      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-      val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!idxFs.exists(idxPath)) throw new IllegalStateException(
-        s"checkpoint $checkpoint has ${committed.size} committed " +
-          s"batches but $indexDir is missing — the cross-delivery dedup " +
-          "index cannot be rebuilt; restart is unsound")
-      val inCommitted = col("_batch_id").isInCollection(committed)
+      // whose index does not cover every committed verdict batch (e.g.
+      // output of a pre-index binary against the same checkpoint)
+      // cannot be resumed soundly — fail instead of silently missing
+      // cross-delivery dups. Coverage is checked against the hash sub:
+      // every doc carries an md5, so any batch with a verdict partition
+      // must have a hash partition (sigs/bands can be legitimately
+      // empty for sub-shingle-length docs).
+      val hashIds = batchIdPartitions(spark, s"$indexDir/hash")
+      val uncovered = existing.filter(isCommitted) -- hashIds
+      if (uncovered.nonEmpty) throw new IllegalStateException(
+        s"checkpoint $checkpoint commits through batch $maxC but " +
+          s"$indexDir/hash has no partitions for committed batches " +
+          s"${uncovered.toSeq.sorted.mkString("[", ",", "]")} — the " +
+          "cross-delivery dedup index cannot be rebuilt; restart is unsound")
+      val inCommitted = col("_batch_id") <= maxC
       seenHash = Some(Lineage.cut(spark.read.parquet(s"$indexDir/hash")
         .where(inCommitted)
         .groupBy("h").agg(min(col("seen_min")).as("seen_min"))))
-      seenSigs = Some(Lineage.cut(spark.read.parquet(s"$indexDir/sigs")
-        .where(inCommitted).select("doc_id", "shingles")))
-      seenBands = Some(Lineage.cut(spark.read.parquet(s"$indexDir/bands")
-        .where(inCommitted).select("bucket", "doc_id")))
+      def readIfAny(sub: String, cols: Seq[String]): Option[DataFrame] =
+        if (batchIdPartitions(spark, s"$indexDir/$sub").exists(isCommitted))
+          Some(Lineage.cut(spark.read.parquet(s"$indexDir/$sub")
+            .where(inCommitted).select(cols.map(col): _*)))
+        else None
+      seenSigs = readIfAny("sigs", Seq("doc_id", "shingles"))
+      seenBands = readIfAny("bands", Seq("bucket", "doc_id"))
     }
     // Explicit function value: foreachBatch has an ambiguous Scala/Java
     // overload pair for Unit-returning lambdas.

@@ -701,6 +701,30 @@ class DocStreamingSpec extends AnyFunSuite {
       assert(v.contains(20001L) && v.contains(20002L),
         s"pre-restart verdicts must be retained: $v")
     } finally q2.stop()
+    // Stage 3 — simulate spark.sql.streaming.minBatchesToRetain purging
+    // the oldest COMMIT entry (what a >100-delivery production gate
+    // looks like on restart: the commits listing is a recent suffix, so
+    // naive isin(commits) accounting would flag batch 0 as an orphan and
+    // drop its fingerprints). Batches commit sequentially, so
+    // [0, max(commits)] is the sound committed set and batch 0 must
+    // still rebuild from the durable index. The offsets entry stays:
+    // Spark's own restart requires the latest-1 offsets entry, and real
+    // retention (min 2 batches) always preserves it.
+    Seq("commits/0", "commits/.0.crc")
+      .foreach(f => new java.io.File(ckpt, f).delete(): Unit)
+    Seq(row(20009L, dupText))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q3 = DocStreaming.ingestGateStream(spark,
+      DocStreaming.docStream(spark, dir, docs.schema), SparkTestBase.sf,
+      out, Some(ckpt))
+    try {
+      q3.processAllAvailable()
+      assert(q3.exception.isEmpty, s"post-purge restart died: ${q3.exception}")
+      val v3 = gateVerdicts(out)
+      assert(v3(20009L) == ("exact_dup", Some(20001L)),
+        s"purged-log restart must still rebuild batch 0's fingerprints: $v3")
+    } finally q3.stop()
   }
 
   test("streaming ingest gate REPLAY: a delivery whose commit was lost " +
