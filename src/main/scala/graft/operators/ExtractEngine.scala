@@ -419,24 +419,37 @@ final class ExtractOperation(
       // spark.graft.save.timeoutSec tunes it for pathological stores.
       val confKey = "spark.graft.save.timeoutSec"
       val timeoutSec = spark.conf.getOption(confKey).map { v =>
-        try v.toLong catch {
+        val n = try v.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"$confKey must be a whole number of seconds, got '$v'")
         }
+        // Positive and inside FiniteDuration's representable range: 0 or
+        // a negative would fail every healthy save instantly, an
+        // absurdly large value throws from Duration's own range check.
+        if (n <= 0 || n > 10L * 365 * 24 * 3600) throw new IllegalArgumentException(
+          s"$confKey must be in [1, ${10L * 365 * 24 * 3600}] seconds, got $n")
+        n
       }.getOrElse(3600L)
       // Each write runs under one cancellable job group so a timeout can
       // KILL the stragglers before the save is reported failed — a retry
       // must never race a zombie write to the same checkpoint path (the
-      // invariant this wave exists to guarantee).
+      // invariant this wave exists to guarantee). cancelJobGroup is not
+      // sticky (it only kills jobs active at that instant), so a shared
+      // flag ALSO gates each write: a queued future that starts after
+      // the cancel never submits its job at all.
       val group = s"graft-save-wave-${java.util.UUID.randomUUID()}"
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val sc = spark.sparkContext
       val settled = Future.sequence(writes.map(w => Future {
+        if (cancelled.get) throw new IllegalStateException(
+          "write skipped: the save wave was already cancelled")
         sc.setJobGroup(group, "graft checkpoint write wave",
           interruptOnCancel = true)
         try w() finally sc.clearJobGroup()
       }.transform(scala.util.Success(_))))
       val results = try Await.result(settled, timeoutSec.seconds) catch {
         case e: TimeoutException =>
+          cancelled.set(true)
           sc.cancelJobGroup(group)
           val drained = try { Await.result(settled, 60.seconds); true }
             catch { case _: TimeoutException => false }

@@ -532,14 +532,22 @@ object DocStreaming {
           s"$indexDir/hash has no partitions for committed batches " +
           s"${uncovered.toSeq.sorted.mkString("[", ",", "]")} — the " +
           "cross-delivery dedup index cannot be rebuilt; restart is unsound")
+      // Every read is conditional on committed partitions actually
+      // existing for that sub: a history of only-empty deliveries has
+      // nothing to rebuild (and no dirs to read — an unconditional read
+      // would crash on the missing path), and sigs/bands can be
+      // legitimately empty when every doc was below shingle length.
       val inCommitted = col("_batch_id") <= maxC
-      seenHash = Some(Lineage.cut(spark.read.parquet(s"$indexDir/hash")
-        .where(inCommitted)
-        .groupBy("h").agg(min(col("seen_min")).as("seen_min"))))
       def readIfAny(sub: String, cols: Seq[String]): Option[DataFrame] =
         if (batchIdPartitions(spark, s"$indexDir/$sub").exists(isCommitted))
           Some(Lineage.cut(spark.read.parquet(s"$indexDir/$sub")
             .where(inCommitted).select(cols.map(col): _*)))
+        else None
+      seenHash =
+        if (hashIds.exists(isCommitted))
+          Some(Lineage.cut(spark.read.parquet(s"$indexDir/hash")
+            .where(inCommitted)
+            .groupBy("h").agg(min(col("seen_min")).as("seen_min"))))
         else None
       seenSigs = readIfAny("sigs", Seq("doc_id", "shingles"))
       seenBands = readIfAny("bands", Seq("bucket", "doc_id"))

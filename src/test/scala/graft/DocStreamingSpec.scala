@@ -710,8 +710,9 @@ class DocStreamingSpec extends AnyFunSuite {
     // still rebuild from the durable index. The offsets entry stays:
     // Spark's own restart requires the latest-1 offsets entry, and real
     // retention (min 2 batches) always preserves it.
-    Seq("commits/0", "commits/.0.crc")
-      .foreach(f => new java.io.File(ckpt, f).delete(): Unit)
+    assert(new java.io.File(ckpt, "commits/0").delete(),
+      "test premise: batch 0's commit entry must exist to be purged")
+    new java.io.File(ckpt, "commits/.0.crc").delete(): Unit
     Seq(row(20009L, dupText))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("append").parquet(dir)
