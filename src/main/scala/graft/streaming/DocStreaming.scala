@@ -456,7 +456,14 @@ object DocStreaming {
     * spark.sql.streaming.minBatchesToRetain, so a gate that has run
     * thousands of deliveries still restarts (and the index coverage
     * check runs against the hash sub, which every non-empty verdict
-    * batch must populate). Mirrors the reference's resume discipline
+    * batch must populate). Growth posture: the on-disk index gains one
+    * partition per delivery; the restart rebuild folds them into a
+    * single lineage-cut block, and the long-run compaction lever is the
+    * one a lake already has — periodically promote the landing corpus
+    * into the documents table, re-materialize the d14 corpus index
+    * (corpusIndexSigs/corpusIndexBands), and restart the gate against a
+    * fresh outDir with the promoted docs on the corpus side. Mirrors
+    * the reference's resume discipline
     * (/root/reference/amaxa/loader/state.py:22-32): progress and the
     * state it implies commit together or not at all. A fresh checkpoint
     * pointed at an outDir holding verdict partitions from some other
