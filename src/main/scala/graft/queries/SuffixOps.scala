@@ -85,10 +85,15 @@ object SuffixOps {
     * parallel; no single-task cumulative window anywhere — the shape
     * that holds when the length frame is 10^10 rows, where a global
     * `Window.orderBy` would drag the whole corpus through one task.
-    * Determinism: both phases re-evaluate the same range-sorted RDD
-    * (RangePartitioner's sampling is seeded by partition index, so
-    * recomputation reproduces identical boundaries — the contract
-    * [[sortedIndex]]'s zipWithIndex already relies on).
+    * Consistency between the phases: both jobs run over the SAME RDD
+    * instance, so they share one shuffle dependency and the range
+    * shuffle's map outputs are computed once and reused (skipped
+    * stages) — the counts describe exactly the partitions phase 2
+    * streams. This same-RDD reuse is load-bearing: two separate
+    * DataFrame actions would each re-run the range shuffle, and
+    * re-evaluation can sample DIFFERENT boundaries (upstream
+    * intra-partition row order is not stable), desyncing the phases —
+    * measured and caught in the round-11 sortedIndex adjudication.
     */
   private[graft] def prefixOffsets(lens: DataFrame): DataFrame = {
     val spark = lens.sparkSession
@@ -119,6 +124,22 @@ object SuffixOps {
     * distinct). zipWithIndex's extra job collects one count per partition —
     * bounded driver metadata, never row data. This is the only imperative
     * seam in the operator; everything else is declarative.
+    *
+    * Round-11 adjudication — a "pure-codegen" replacement (per-partition
+    * counts + monotonically_increasing_id's low-33-bit ordinal, the
+    * prefixOffsets shape) was measured and LOST TWICE OVER. Without a
+    * lineage cut it is WRONG: the counts aggregate and the ordinal
+    * projection are separate actions, each re-running the range shuffle,
+    * and re-evaluation can sample different boundaries (upstream
+    * intra-partition row order is not stable across evaluations) —
+    * caught by the d21≡d9 corpus cross-check. With the cut it is
+    * correct but 3–4× SLOWER at sf0.1 (~98 s vs ~21–31 s): eagerly
+    * materializing every doubling round's pair table costs far more
+    * than zipWithIndex's Row round-trip, because zipWithIndex's count
+    * job and compute job share one RDD lineage and therefore ONE
+    * range-shuffle execution (map outputs reused across jobs) — the
+    * same-RDD shuffle reuse is load-bearing and a two-action DataFrame
+    * rewrite forfeits it.
     */
   private def sortedIndex(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
     val spark = df.sparkSession
