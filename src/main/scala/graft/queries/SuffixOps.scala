@@ -1,11 +1,10 @@
 package graft.queries
 
-import org.apache.spark.{Partitioner, RangePartitioner}
+import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Tables
 
@@ -19,77 +18,78 @@ import graft.Tables
   * Data Makes Language Models Better") use suffix arrays for precisely this
   * reason.
   *
-  * Engine shape — a DISTRIBUTED SUFFIX ARRAY over the corpus token stream:
+  * Engine shape — a DISTRIBUTED SUFFIX ARRAY over the corpus token stream.
+  * The corpus is laid out as one global position axis (per-doc offsets from
+  * a cumulative length sum; one sentinel position per doc whose level-0
+  * rank −pos−1 is globally unique, so no repeated span can ever cross a
+  * document boundary). The axis is DENSE: every integer in [0, N) is
+  * exactly one real token or one sentinel — and the round-12 design makes
+  * that density carry the whole pipeline:
   *
-  *   1. The corpus is laid out as one global position axis (per-doc offsets
-  *      from a cumulative length sum; one sentinel position per doc whose
-  *      level-0 rank −doc_id−1 is globally unique, so no repeated span can
-  *      ever cross a document boundary — any window containing a sentinel
-  *      is a singleton group by construction). The axis is DENSE: every
-  *      integer in [0, N) is exactly one real token or one sentinel. That
-  *      density is the round-12 optimization lever — "the rank d positions
-  *      ahead" is a co-partitioned neighbour, not a join.
-  *   2. Prefix doubling, [[Levels]] rounds: rank_j(p) is an injective,
-  *      ORDER-NESTED rank of the 2^j-token window at p: rows range-sorted
-  *      by (rank_{j-1}(p), rank_{j-1}(p+2^{j-1})) take the GLOBAL INDEX OF
-  *      THEIR EQUAL-KEY RUN'S FIRST ROW as the new rank. Run-start indices
-  *      are injective on window content and increase with the sort order,
-  *      which is all the adjacency proof needs (density of the rank values
-  *      is NOT required — only that each level's order is lexicographic in
-  *      the previous level's pair). Windows running past the sequence end
-  *      coalesce to a per-position unique below-everything fallback
-  *      (Long.MinValue + pos), keeping every rank level injective. Each
-  *      round is exactly TWO n-row exchanges — the rank range-sort and the
-  *      re-partition back to position order — plus three bounded-metadata
-  *      jobs (partition heads for the dense shift, the RangePartitioner
-  *      sample, per-partition run metadata); never an all-pairs product,
-  *      never O(n²) bytes. Round-12 rework: the previous DataFrame shape
-  *      paid ~6 exchanges/round (shift hash-join both sides, pair distinct,
-  *      range-sort of the distinct pairs, 2-exchange join-back) plus a full
-  *      AQE/codegen replan per round; at sf0.1 the doubling phase measured
-  *      ~21-38 s of d21's 35.6 s. The RDD form shuffles the same rows
-  *      through 2 exchanges with no per-round plan compilation.
-  *   3. Suffix-array adjacency: positions ordered by (rank_Levels, pos) —
-  *      which is exactly the final round's sort order, so the SA is read
-  *      off the round-7 output directly (consecutive real rows per
-  *      partition + one boundary pair per partition seam, bounded driver
-  *      metadata); no extra sort, no self-join. For each adjacent pair the
-  *      common-prefix length is computed by the classic descending-level
-  *      walk (acc += 2^j when rank_j(p+acc) = rank_j(q+acc)). The level-7
-  *      comparison is the pair's own same-run flag (equal rank_7 ⟹ LCP ≥
-  *      2^7 = Cap, frozen at Cap — identical after the output cap); levels
-  *      6..0 probe the position-partitioned round-6 state by sorted
-  *      co-partitioned merge (probes range-partitioned by target position
-  *      and sorted, then zipped against the position-sorted rank state —
-  *      O(1) memory per task, no hash join, no plan). dupLen(p) = max(LCP
-  *      with SA-prev, LCP with SA-next) — exact, because every equal-prefix
-  *      group is contiguous in SA order.
-  *   4. Per-doc aggregate: max dupLen (reported as min(·, [[Cap]])) and the
-  *      ≥ 8 position count.
+  *   - **Chunked primitive columns, not row objects.** Every shuffle moves
+  *     a handful of packed `Array[Long]` batches per (source, target)
+  *     partition pair instead of per-row tuples; every stage's work is a
+  *     linear scan over primitive arrays (guide §4.2: let Spark do
+  *     distribution, hand whole batches to flat native-speed loops). The
+  *     round-11 tuple-RDD form spent ~335 s of executor CPU at sf0.1 — 90%
+  *     of it Java-serializing small tuples and re-merge-sorting them with
+  *     boxed comparators on every read; the batched form moves the same
+  *     information in ~20 MB/round of long words.
+  *   - **No sampling jobs.** Rank values at every level are global
+  *     run-start indices: a row with rank r sits at global sorted index
+  *     [r, r+runLen) — so ranks are themselves densely packed over [0, N)
+  *     and an ARITHMETIC range partitioner is balanced by construction
+  *     (up to one equal-key run straddling a boundary — the same caveat a
+  *     sampled RangePartitioner has, since equal keys cannot be split).
+  *     Level 0 hash-partitions tokens (any injective token order satisfies
+  *     the adjacency proof); round 1 splits the axis piecewise between the
+  *     negative sentinel ranks and the non-negative token ranks.
+  *   - **No driver head lookups.** rank(pos+d) is the row d ahead on the
+  *     dense axis; each position chunk carries the next chunk's first d
+  *     rows as GHOST tail copies (emitted during the chunk shuffle, ≤ d
+  *     rows per seam), so the shift is a pure array offset — no collect,
+  *     no join, no binary search.
+  *   - **Run-start ranks in one exchange.** Rows range-partitioned by the
+  *     previous rank and sorted (in-task primitive index sort) by
+  *     (rank, rank', pos) take base(partition) + local run-start index as
+  *     the new rank — injective and order-nested, which is all the
+  *     adjacency proof needs. Equal previous-ranks colocate, so runs never
+  *     cross partitions and the per-partition metadata is ONE row count
+  *     (read off the block length, O(1)).
+  *   - **Suffix-array adjacency for free.** The final round's sort order
+  *     (rank_6 pair, pos) IS (rank_7, pos) — the suffix array. Adjacent
+  *     pairs are consecutive real rows per chunk plus one seam pair per
+  *     partition boundary (collected with the round-7 counts: bounded
+  *     driver metadata). Equal rank_7 ⟹ LCP ≥ Cap — the pair freezes at
+  *     the cap without walking.
+  *   - **O(1) LCP probes.** The descending-level walk probes rank_j at
+  *     p+acc: probes route to the chunk owning the target position and
+  *     read the rank by DIRECT ARRAY INDEX (position p lives at offset
+  *     p − chunkStart; density again). No sort, no merge, no hash join —
+  *     14 skinny batched exchanges of pair rows.
   *
-  * The ≥ 8 count is definitionally identical to d9's n_dup_windows
-  * (dupLen(p) ≥ 8 ⟺ the 8-gram at p occurs twice corpus-wide), which the
-  * spec asserts — the new operator embeds the old one as a cross-check.
+  * At 100 TB: suffix-array construction is inherently log(Cap) global
+  * rank-partition rounds over the token stream (what Lee et al. shard per
+  * corpus slice); every round here shuffles only packed longs — no token
+  * text after level 0, no quadratic arm anywhere. Driver-side state is
+  * bounded metadata: one row count per partition per round, one seam tuple
+  * per partition. Per-task memory is one position chunk (N/parts rows ×
+  * 5 longs) — size `spark.sql.shuffle.partitions` so chunks land in the
+  * 100 MB–1 GB band, the standard task-memory discipline (guide §2.2/§5);
+  * the whole pipeline is deterministic with NO sampled boundaries, so a
+  * recomputed partition always rebuilds bit-identical state (stronger than
+  * the round-11 same-RDD-reuse argument — the round-11 sortedIndex
+  * adjudication that two-action DataFrame ranking is unsafe no longer
+  * applies because nothing here re-samples).
   *
-  * At 100 TB: suffix-array construction is inherently log(n) global sort
-  * rounds over the token stream (what Lee et al. shard per corpus slice);
-  * every round here shuffles only (pos, rank-history) longs — no token
-  * text after step 1, no quadratic arm anywhere. All driver-side state is
-  * bounded metadata: ≤ 64 (pos, rank) heads per partition for the dense
-  * shift, one (count, first/last key, last-run offset) tuple per partition
-  * for rank assignment, one first/last row per partition for SA seams.
-  * [[Cap]] = 128 bounds the LCP walk; spans longer than the cap report the
-  * cap (the corpus fixtures max out at ~100 tokens/doc, so the oracle's
-  * uncapped suffix compare agrees at every test SF).
-  *
-  * Perf adjudication (round 9, kept for the record): AQE off (2× slower on
-  * the old DataFrame shape), dropping per-step LCP cuts (neutral), RADIX-4
-  * quadrupling (40% slower: 3 shift joins + 4-tuple distinct per round cost
-  * more than the rounds saved). Round 11: replacing zipWithIndex with a
-  * two-action DataFrame rank rewrite was wrong uncut / 3-4× slower cut —
-  * the round-12 RDD form keeps every two-job phase on ONE RDD instance so
-  * the two jobs share a single shuffle execution (the same-RDD reuse that
-  * adjudication proved load-bearing).
+  * Perf adjudication history (kept for the record): round 9 — AQE off 2×
+  * slower on the DataFrame shape; RADIX-4 quadrupling 40% slower. Round 11
+  * — zipWithIndex → two-action DataFrame rank rewrite wrong uncut, 3–4×
+  * slower cut. Round 12 — tuple-RDD rework (2 exchanges/round but generic
+  * tuple rows): 150→34 jobs, 483→134 MB shuffled, ~2× wall; this batched
+  * form removes the remaining per-row serialization and boxed sort CPU
+  * (~335 s → ~40 s stage CPU at sf0.1) and the per-round sampling/heads
+  * jobs (34 → ~12 jobs).
   */
 object SuffixOps {
   type Q = (SparkSession, String) => DataFrame
@@ -119,15 +119,29 @@ object SuffixOps {
     * re-evaluation can sample DIFFERENT boundaries (upstream
     * intra-partition row order is not stable), desyncing the phases —
     * measured and caught in the round-11 sortedIndex adjudication.
+    *
+    * PRECONDITION: doc_id must be unique (it is the range-sort key, so
+    * uniqueness is what makes sortWithinPartitions a total order and the
+    * per-row offsets re-evaluation-stable — the same-RDD argument above
+    * covers the range boundaries, uniqueness covers the within-partition
+    * order).
     */
   private[graft] def prefixOffsets(lens: DataFrame): DataFrame =
-    prefixOffsetsTotal(lens)._1
+    prefixOffsetsFull(lens)._1
 
   /** [[prefixOffsets]] plus the grand total Σ(n+1) — the position-axis
     * length N, already summed on the driver by phase 1; callers that need
     * N (the dense-axis partitioner) read it here instead of paying an
     * extra aggregate job. */
   private[graft] def prefixOffsetsTotal(lens: DataFrame): (DataFrame, Long) = {
+    val (df, total, _) = prefixOffsetsFull(lens)
+    (df, total)
+  }
+
+  /** [[prefixOffsetsTotal]] plus the document count (phase 1 counts rows
+    * per partition anyway — the round-1 rank partitioner sizes its
+    * sentinel segment from it without an extra job). */
+  private[graft] def prefixOffsetsFull(lens: DataFrame): (DataFrame, Long, Long) = {
     val spark = lens.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = lens.select(col("doc_id"), col("n"))
@@ -135,11 +149,18 @@ object SuffixOps {
       .sortWithinPartitions(col("doc_id"))
     val rdd = sorted.rdd
     val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator.single(i -> it.foldLeft(0L)((a, r) => a + r.getLong(1) + 1L))
-    }.collect().toMap
+      var sum = 0L
+      var cnt = 0L
+      it.foreach { r => sum += r.getLong(1) + 1L; cnt += 1L }
+      Iterator.single((i, sum, cnt))
+    }.collect().map(t => t._1 -> (t._2, t._3)).toMap
     val bases = new Array[Long](rdd.getNumPartitions)
     var acc = 0L
-    for (i <- bases.indices) { bases(i) = acc; acc += totals.getOrElse(i, 0L) }
+    var nDocs = 0L
+    for (i <- bases.indices) {
+      bases(i) = acc
+      totals.get(i).foreach { case (s, c) => acc += s; nDocs += c }
+    }
     val schema = sorted.schema.add("off", LongType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var run = bases(i)
@@ -148,318 +169,570 @@ object SuffixOps {
         Row(r.getLong(0), r.getLong(1), o)
       }
     }
-    (spark.createDataFrame(out, schema), acc)
+    (spark.createDataFrame(out, schema), acc, nDocs)
   }
 
-  /** Contiguous-range partitioner over the dense position axis [0, n):
-    * partition i owns positions [i·n/parts, (i+1)·n/parts). Needs no
-    * sampling job (density makes the split exact and balanced), and probe
-    * keys ≥ n clamp into the last partition, where the sorted merge simply
-    * finds no match. */
-  private final class PosPartitioner(parts: Int, n: Long) extends Partitioner {
-    require(parts > 0 && n > 0)
-    override def numPartitions: Int = parts
-    override def getPartition(key: Any): Int = {
-      val p = key.asInstanceOf[Long]
-      if (p < 0L) 0
-      else math.min(parts - 1, (p / math.max(1L, (n + parts - 1) / parts)).toInt)
-    }
+  // ---------------------------------------------------------------------
+  // Dense-axis chunk machinery
+  // ---------------------------------------------------------------------
+
+  /** Arithmetic geometry of the dense position axis: partition i owns
+    * positions [i·step, (i+1)·step) ∩ [0, N). Needs no sampling (density
+    * makes the split exact and balanced). */
+  private final class Axis(val totalN: Long, val parts: Int) extends Serializable {
+    val step: Long = math.max(1L, (totalN + parts - 1) / parts)
+    def owner(p: Long): Int =
+      if (p < 0L) 0 else math.min(parts - 1, (p / step).toInt)
+    def start(i: Int): Long = math.min(totalN, i.toLong * step)
+    def end(i: Int): Long = math.min(totalN, (i + 1).toLong * step)
   }
 
-  /** Per-position state flowing through the doubling rounds:
-    * (doc id, real-token flag payload maxl, rank history rs[0..j]). */
-  private type PosState = (Long, Long, Array[Long])
-  /** One SA-adjacent suffix pair mid-walk: (doc_a, p, doc_b, q, acc). */
-  private type Pair = (Long, Long, Long, Long, Long)
+  /** Pass-through partitioner for pre-routed (targetPartition, batch)
+    * pairs. */
+  private final class IdPart(n: Int) extends Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
 
-  /** Range-sort `keyed` by (key, pos) and tag every row with the GLOBAL
-    * INDEX of its equal-key run's first row — an injective, order-nested
-    * rank over the key space in ONE n-row exchange (no distinct, no
-    * join-back). The per-partition run metadata (count, first/last key,
-    * local offset of the last run's start) is one tuple per partition —
-    * bounded driver metadata — and run chains across partition seams are
-    * resolved on the driver. The metadata job and the assignment run on
-    * the SAME sorted RDD instance, so they share one shuffle execution
-    * (the same-RDD reuse the round-11 sortedIndex adjudication proved
-    * load-bearing). */
-  private def runStartRanks[K, V](keyed: RDD[((K, Long), V)], parts: Int)(
-      implicit ordK: Ordering[K],
-      ctK: scala.reflect.ClassTag[(K, Long)],
-      ctV: scala.reflect.ClassTag[V]): RDD[((K, Long), (V, Long))] = {
-    val sc = keyed.context
-    val rp = new RangePartitioner(parts, keyed)
-    val sorted = keyed.repartitionAndSortWithinPartitions(rp)
-    val meta = sorted.mapPartitionsWithIndex { (i, it) =>
-      var cnt = 0L
-      var firstK: Option[K] = None
-      var lastK: Option[K] = None
-      var lastRunStart = 0L
-      it.foreach { case ((k, _), _) =>
-        if (cnt == 0L) firstK = Some(k)
-        else if (lastK.get != k) lastRunStart = cnt
-        lastK = Some(k)
-        cnt += 1L
+  /** Per-target packed-long batch builder (the shuffle record shape: a
+    * few fat primitive arrays per (source, target) pair, never per-row
+    * objects). */
+  private final class Batcher(parts: Int) {
+    private val bufs = new Array[scala.collection.mutable.ArrayBuilder.ofLong](parts)
+    def acc(t: Int): scala.collection.mutable.ArrayBuilder.ofLong = {
+      var b = bufs(t)
+      if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofLong(); bufs(t) = b }
+      b
+    }
+    def result(): Iterator[(Int, Array[Long])] =
+      Iterator.range(0, parts).filter(bufs(_) != null)
+        .map(t => (t, bufs(t).result()))
+  }
+
+  /** One position chunk: positions [start, start+rk.length), the first
+    * `own` owned by this partition, the tail GHOST copies of the next
+    * chunk's head (read-only lookahead for the dense shift). Density ⟹
+    * position p lives at index (p − start). */
+  private final case class PosBlock(start: Long, own: Int,
+      rk: Array[Long], doc: Array[Long], sent: Array[Boolean])
+
+  /** One rank-sorted chunk: rows sorted by (rk, rk2, pos). */
+  private final case class RankBlock(rk: Array[Long], rk2: Array[Long],
+      pos: Array[Long], doc: Array[Long], sent: Array[Boolean])
+
+  /** In-place index quicksort by (a, b, c) — primitive three-key compare,
+    * no boxing on the hot path (c is unique per row here, so the sort is
+    * total and deterministic regardless of pivot choices). */
+  private def sort3(idx: Array[Int], a: Array[Long], b: Array[Long],
+      c: Array[Long]): Unit = {
+    def lt(x: Int, y: Int): Boolean = {
+      if (a(x) != a(y)) return a(x) < a(y)
+      if (b(x) != b(y)) return b(x) < b(y)
+      c(x) < c(y)
+    }
+    // Quicksort with median-of-three pivot; recurse the smaller side,
+    // loop the larger (O(log n) stack even on adversarial runs); small
+    // ranges finish by insertion sort.
+    def sort(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (hi - lo >= 16) {
+        val mid = lo + (hi - lo) / 2
+        val p = {
+          val x = idx(lo); val y = idx(mid); val z = idx(hi)
+          if (lt(x, y)) { if (lt(y, z)) y else if (lt(x, z)) z else x }
+          else { if (lt(x, z)) x else if (lt(y, z)) z else y }
+        }
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (lt(idx(i), p)) i += 1
+          while (lt(p, idx(j))) j -= 1
+          if (i <= j) { val t = idx(i); idx(i) = idx(j); idx(j) = t; i += 1; j -= 1 }
+        }
+        if (j - lo < hi - i) { if (lo < j) sort(lo, j); lo = i }
+        else { if (i < hi) sort(i, hi); hi = j }
       }
-      Iterator.single((i, cnt, firstK, lastK, lastRunStart))
-    }.collect().sortBy(_._1)
-    val nParts = sorted.getNumPartitions
-    val bases = new Array[Long](nParts)
-    val carried = Array.fill[Long](nParts)(-1L) // -1: leading run starts here
-    var acc = 0L
-    var prevLast: Option[K] = None // last key of the nearest non-empty part
-    var prevG = -1L                // global start of its run
-    meta.foreach { case (i, cnt, firstK, lastK, lastRunStart) =>
-      bases(i) = acc
-      if (cnt > 0L) {
-        val continued = prevLast.isDefined && firstK == prevLast
-        if (continued) carried(i) = prevG
-        prevG =
-          if (lastRunStart > 0L || !continued) bases(i) + lastRunStart
-          else prevG // whole partition is one run continuing from before
-        prevLast = lastK
-        acc += cnt
+      var i = lo + 1
+      while (i <= hi) {
+        val v = idx(i)
+        var j = i - 1
+        while (j >= lo && lt(v, idx(j))) { idx(j + 1) = idx(j); j -= 1 }
+        idx(j + 1) = v
+        i += 1
       }
     }
-    val basesB = sc.broadcast(bases)
-    val carriedB = sc.broadcast(carried)
-    sorted.mapPartitionsWithIndex({ (i, it) =>
-      val base = basesB.value(i)
-      val carry = carriedB.value(i)
-      var idx = 0L
-      var prevK: Option[K] = None
-      var runVal = 0L
-      it.map { case ((k, pos), v) =>
-        if (idx == 0L) runVal = if (carry >= 0L) carry else base
-        else if (prevK.get != k) runVal = base + idx
-        prevK = Some(k)
-        idx += 1L
-        ((k, pos), (v, runVal))
+    sort(0, idx.length - 1)
+  }
+
+  /** Route one stride-4 position row (pos, doc, sentFlag, rank) to its
+    * owner chunk plus every lower chunk whose d-lookahead window covers
+    * it (ghost copies — ≤ ceil(d/step) per row, and only for rows within
+    * d of a chunk boundary). */
+  private def emitPosRow(b: Batcher, axis: Axis, d: Long,
+      pos: Long, doc: Long, sentFlag: Long, rank: Long): Unit = {
+    def put(t: Int): Unit = {
+      val acc = b.acc(t)
+      acc += pos; acc += doc; acc += sentFlag; acc += rank
+    }
+    val o = axis.owner(pos)
+    put(o)
+    var j = o - 1
+    while (j >= 0 && axis.end(j) + d > pos) { put(j); j -= 1 }
+  }
+
+  /** Assemble routed stride-4 batches into dense [[PosBlock]]s — direct
+    * placement at (pos − start), no sort (density). */
+  private def buildPosBlocks(batches: RDD[(Int, Array[Long])], axis: Axis,
+      dNext: Long): RDD[PosBlock] =
+    batches.partitionBy(new IdPart(axis.parts)).mapPartitionsWithIndex({ (i, it) =>
+      val start = axis.start(i)
+      val end = axis.end(i)
+      val ghostEnd = math.min(axis.totalN, end + dNext)
+      val len = (ghostEnd - start).toInt
+      val rk = new Array[Long](len)
+      val doc = new Array[Long](len)
+      val sent = new Array[Boolean](len)
+      var filled = 0L
+      it.foreach { case (_, arr) =>
+        var k = 0
+        while (k < arr.length) {
+          val idx = (arr(k) - start).toInt
+          doc(idx) = arr(k + 1)
+          sent(idx) = arr(k + 2) != 0L
+          rk(idx) = arr(k + 3)
+          filled += 1L
+          k += 4
+        }
       }
+      require(filled == len, s"dense axis gap: chunk $i filled $filled of $len")
+      Iterator.single(PosBlock(start, (end - start).toInt, rk, doc, sent))
     }, preservesPartitioning = true)
-  }
+
+  /** Assemble routed stride-5 batches (rk, rk2, pos, doc, sentFlag) into
+    * (rk, rk2, pos)-sorted [[RankBlock]]s. */
+  private def buildRankBlocks(batches: RDD[(Int, Array[Long])],
+      parts: Int): RDD[RankBlock] =
+    batches.partitionBy(new IdPart(parts)).mapPartitions({ it =>
+      val chunks = it.map(_._2).toArray
+      var n = 0
+      chunks.foreach(c => n += c.length / 5)
+      val rk = new Array[Long](n)
+      val rk2 = new Array[Long](n)
+      val pos = new Array[Long](n)
+      val doc = new Array[Long](n)
+      val sentL = new Array[Long](n)
+      var w = 0
+      chunks.foreach { c =>
+        var k = 0
+        while (k < c.length) {
+          rk(w) = c(k); rk2(w) = c(k + 1); pos(w) = c(k + 2)
+          doc(w) = c(k + 3); sentL(w) = c(k + 4)
+          w += 1; k += 5
+        }
+      }
+      val idx = new Array[Int](n)
+      var i = 0
+      while (i < n) { idx(i) = i; i += 1 }
+      if (n > 1) sort3(idx, rk, rk2, pos)
+      val srk = new Array[Long](n); val srk2 = new Array[Long](n)
+      val spos = new Array[Long](n); val sdoc = new Array[Long](n)
+      val ssent = new Array[Boolean](n)
+      i = 0
+      while (i < n) {
+        val j = idx(i)
+        srk(i) = rk(j); srk2(i) = rk2(j); spos(i) = pos(j)
+        sdoc(i) = doc(j); ssent(i) = sentL(j) != 0L
+        i += 1
+      }
+      Iterator.single(RankBlock(srk, srk2, spos, sdoc, ssent))
+    }, preservesPartitioning = true)
 
   /** (doc_id, max_dup_tokens, n_dup_pos_ge8) per document. */
   def suffixDupOf(docs0: DataFrame): DataFrame = {
     val spark = docs0.sparkSession
     val sc = spark.sparkContext
-    val toks = split(trim(col("text")), "\\s+")
-    val docs = docs0.select(col("doc_id"), toks.as("toks"))
+    val toksC = split(trim(col("text")), "\\s+")
+    val docs = docs0.select(col("doc_id"), toksC.as("toks"))
 
-    // Per-doc global offsets: off(d) = Σ_{d'<d} (n_{d'} + 1) — the +1 is the
-    // sentinel slot. Computed by [[prefixOffsets]]'s range-partitioned
-    // two-phase prefix sum (every partition in parallel; no global-order
-    // window); N (the dense-axis length) falls out of phase 1 for free.
+    // Per-doc global offsets: off(d) = Σ_{d'<d} (n_{d'} + 1) — the +1 is
+    // the sentinel slot. N (the dense-axis length) and the doc count fall
+    // out of phase 1 for free.
     val lens0 = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-    val (offs0, totalN) = prefixOffsetsTotal(lens0)
+    val (offs0, totalN, nDocs) = prefixOffsetsFull(lens0)
     val offs = graft.core.Lineage.cut(offs0)
     val lens = offs.select(col("doc_id"), col("n"))
     val zero: DataFrame = lens.select(col("doc_id"),
       lit(0L).as("max_dup_tokens"), lit(0L).as("n_dup_pos_ge8"))
     if (totalN <= 0L) return zero
 
-    // Position axis: real token positions (maxl = tokens remaining in doc,
-    // capped — used as the real/sentinel discriminator downstream) + one
-    // sentinel per doc with a unique negative level-0 rank.
-    val real = docs.join(offs, Seq("doc_id"))
-      .select(col("doc_id"), col("off"), col("n"), posexplode(col("toks")))
-      .select(col("doc_id"), (col("off") + col("pos")).as("pos"),
-        least(col("n") - col("pos"), lit(Cap.toLong)).as("maxl"),
-        col("col").as("tok"))
     val parts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
       math.max(1L, totalN / 16L).min(Int.MaxValue.toLong).toInt))
-    val posPart = new PosPartitioner(parts, totalN)
+    val axis = new Axis(totalN, parts)
+    val idPart = new IdPart(parts)
 
-    // Level-0 ranks: run-start index over the token-sorted real positions —
-    // injective on token content (Zipf-bounded vocabulary never needs a
-    // distinct pass or a join-back; any injective token order satisfies
-    // the adjacency proof, and the run-start index is the deterministic
-    // lexicographic one). Sentinels join the axis with their unique
-    // negative ranks.
-    val ranked0 = runStartRanks(
-      real.rdd.map(r => ((r.getString(3), r.getLong(1)), (r.getLong(0), r.getLong(2)))),
-      parts)
-    val sentRdd: RDD[(Long, PosState)] = offs.select(col("doc_id"),
-        (col("off") + col("n")).as("pos")).rdd
-      .map(r => (r.getLong(1), (r.getLong(0), 0L, Array(-r.getLong(0) - 1L))))
+    // ------------------------------------------------------------------
+    // Level 0: hash-partition tokens, sort each partition by (token, pos),
+    // rank = base + run-start index — an injective token order (any
+    // injective order satisfies the adjacency proof; this one is
+    // (hash partition, token) lexicographic). Sentinels take the unique
+    // negative rank −pos−1 (below every token rank; unique because
+    // sentinel positions are distinct).
+    // ------------------------------------------------------------------
+    val tokBatches: RDD[(Int, (Array[String], Array[Long]))] =
+      docs.join(offs, Seq("doc_id"))
+        .select(col("doc_id"), col("off"), posexplode(col("toks")))
+        .select(col("doc_id"), (col("off") + col("pos")).as("pos"), col("col").as("tok"))
+        .rdd.mapPartitions { it =>
+          val toks = Array.fill(parts)(
+            new scala.collection.mutable.ArrayBuilder.ofRef[String]())
+          val nums = Array.fill(parts)(
+            new scala.collection.mutable.ArrayBuilder.ofLong())
+          it.foreach { r =>
+            val tok = r.getString(2)
+            val t = math.abs(tok.hashCode % parts)
+            toks(t) += tok
+            nums(t) += r.getLong(1)
+            nums(t) += r.getLong(0)
+          }
+          Iterator.range(0, parts)
+            .map(t => (t, (toks(t).result(), nums(t).result())))
+            .filter(_._2._1.nonEmpty)
+        }
+    val tokSorted = tokBatches
+      .partitionBy(idPart)
+      .mapPartitions({ it =>
+        val chunks = it.map(_._2).toArray
+        var n = 0
+        chunks.foreach(c => n += c._1.length)
+        val tok = new Array[String](n)
+        val pos = new Array[Long](n)
+        val doc = new Array[Long](n)
+        var w = 0
+        chunks.foreach { case (ts, ns) =>
+          var k = 0
+          while (k < ts.length) {
+            tok(w) = ts(k); pos(w) = ns(2 * k); doc(w) = ns(2 * k + 1)
+            w += 1; k += 1
+          }
+        }
+        val idx = new Array[Integer](n)
+        var i = 0
+        while (i < n) { idx(i) = i; i += 1 }
+        java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+          override def compare(x: Integer, y: Integer): Int = {
+            val c = tok(x).compareTo(tok(y))
+            if (c != 0) c else java.lang.Long.compare(pos(x), pos(y))
+          }
+        })
+        val stok = new Array[String](n); val spos = new Array[Long](n)
+        val sdoc = new Array[Long](n)
+        i = 0
+        while (i < n) {
+          val j = idx(i); stok(i) = tok(j); spos(i) = pos(j); sdoc(i) = doc(j)
+          i += 1
+        }
+        Iterator.single((stok, spos, sdoc))
+      }, preservesPartitioning = true)
+    // Phase-1 metadata: one row count per partition (runs never cross
+    // partitions — equal tokens colocate by hash).
+    val tokCounts = tokSorted.mapPartitionsWithIndex((i, it) =>
+      Iterator.single(i -> (if (it.hasNext) it.next()._1.length.toLong else 0L)))
+      .collect().toMap
+    val tokBases = new Array[Long](parts)
+    var accT = 0L
+    for (i <- 0 until parts) { tokBases(i) = accT; accT += tokCounts.getOrElse(i, 0L) }
+    val tokBasesB = sc.broadcast(tokBases)
+    val realRanked: RDD[(Int, Array[Long])] = tokSorted.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val (tok, pos, doc) = it.next()
+        val base = tokBasesB.value(i)
+        val b = new Batcher(parts)
+        var runStart = 0
+        var k = 0
+        while (k < tok.length) {
+          if (k > 0 && tok(k) != tok(k - 1)) runStart = k
+          emitPosRow(b, axis, 1L, pos(k), doc(k), 0L, base + runStart)
+          k += 1
+        }
+        b.result()
+      }
+    }
+    val sentRanked: RDD[(Int, Array[Long])] =
+      offs.select(col("doc_id"), (col("off") + col("n")).as("pos"))
+        .rdd.mapPartitions { it =>
+          val b = new Batcher(parts)
+          it.foreach { r =>
+            val pos = r.getLong(1)
+            emitPosRow(b, axis, 1L, pos, r.getLong(0), 1L, -pos - 1L)
+          }
+          b.result()
+        }
+    var st: RDD[PosBlock] = buildPosBlocks(realRanked.union(sentRanked), axis, 1L)
+    // The walk probes rank_j by position for j = 0..6: record each level's
+    // chunk RDD (the SAME instance the next round consumes, so its shuffle
+    // is executed once and every later evaluation re-reads local shuffle
+    // blocks only).
+    val lookups = new Array[RDD[PosBlock]](Levels)
+    lookups(0) = st
 
-    // State: pos → (doc, maxl, rs[0..j]), range-partitioned and sorted by
-    // the dense position axis.
-    var st: RDD[(Long, PosState)] = ranked0
-      .map { case ((_, pos), ((doc, maxl), rk0)) => (pos, (doc, maxl, Array(rk0))) }
-      .union(sentRdd)
-      .repartitionAndSortWithinPartitions(posPart)
-    // The walk's rank lookup is the round-6 state (levels 0..6); level 7 is
-    // the pair's own same-run flag.
-    var lookup: RDD[(Long, PosState)] = null
-    // Round-7 output in final (rank_7, pos) order — the suffix array.
-    var saOrdered: RDD[(((Long, Long), Long), (PosState, Long))] = null
+    // ------------------------------------------------------------------
+    // Doubling rounds: per round ONE metadata job (block row counts) and
+    // two batched exchanges — the rank sort and the chunk rebuild.
+    // ------------------------------------------------------------------
+    // Round-1 rank domain is piecewise: sentinel ranks −pos−1 ∈ [−N, 0)
+    // (uniform in pos), token ranks ∈ [0, N). Later rounds: run-start
+    // indices over all N rows — dense in [0, N).
+    val sentParts = math.max(1, math.min(parts - 1,
+      ((parts.toLong * nDocs) / math.max(1L, totalN)).toInt))
+    val realParts1 = math.max(1, parts - sentParts)
+    val sentStep = math.max(1L, (totalN + sentParts - 1) / sentParts)
+    val realStep1 = math.max(1L, (totalN + realParts1 - 1) / realParts1)
+    def rankOwner(round: Int, rk: Long): Int =
+      if (round == 1) {
+        if (rk < 0L) {
+          val m = rk + totalN // ascending with rk
+          math.min(sentParts - 1, math.max(0L, m / sentStep).toInt)
+        } else if (parts == 1) 0
+        else sentParts + math.min(realParts1 - 1, (rk / realStep1).toInt)
+      } else axis.owner(rk)
+
+    var saOrdered: RDD[RankBlock] = null
+    var saBases: Array[Long] = null
+    var saSeams: Array[(Int, Option[(Long, Long, Long, Long)], Option[(Long, Long, Long, Long)])] = null
 
     for (j <- 1 to Levels) {
-      if (j == Levels) {
-        lookup = st
-        lookup.persist(StorageLevel.MEMORY_AND_DISK)
-      }
       val d = (1L << (j - 1)).toInt
-      // Dense shift: the rank at pos+d is the row d ahead in position
-      // order — same partition via a length-d lookahead buffer, next
-      // partitions via the collected heads (≤ d rows per partition,
-      // bounded driver metadata; this job also executes the position
-      // shuffle the later jobs of this round reuse).
-      val heads: Array[(Long, Long)] = st.mapPartitions(
-        it => it.take(d).map { case (p, (_, _, rs)) => (p, rs.last) },
-        preservesPartitioning = true).collect()
-      val headsB = sc.broadcast(heads)
-      val n = totalN
-      val keyed: RDD[(((Long, Long), Long), PosState)] = st.mapPartitions { it =>
-        val hs = headsB.value
-        def headRank(t: Long): Long = {
-          var lo = 0; var hi = hs.length - 1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            val hp = hs(mid)._1
-            if (hp == t) return hs(mid)._2
-            else if (hp < t) lo = mid + 1 else hi = mid - 1
+      val round = j
+      val keyed: RDD[(Int, Array[Long])] = st.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val blk = it.next()
+          val len = blk.rk.length
+          val b = new Batcher(parts)
+          var i = 0
+          while (i < blk.own) {
+            val rk1 = blk.rk(i)
+            val rk2 =
+              if (i + d < len) blk.rk(i + d)
+              else Long.MinValue + (blk.start + i) // past the global end
+            val t = rankOwner(round, rk1)
+            val acc = b.acc(t)
+            acc += rk1; acc += rk2; acc += (blk.start + i)
+            acc += blk.doc(i); acc += (if (blk.sent(i)) 1L else 0L)
+            i += 1
           }
-          throw new IllegalStateException(s"dense shift: position $t not in heads")
+          b.result()
         }
-        val q = new java.util.ArrayDeque[(Long, PosState)](d + 1)
-        def emit(h: (Long, PosState), rk2: Long): (((Long, Long), Long), PosState) =
-          (((h._2._3.last, rk2), h._1), h._2)
-        val main = it.flatMap { row =>
-          q.addLast(row)
-          if (q.size > d) {
-            val h = q.pollFirst()
-            Iterator.single(emit(h, row._2._3.last))
-          } else Iterator.empty
-        }
-        def drain(): Iterator[(((Long, Long), Long), PosState)] = {
-          val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(((Long, Long), Long), PosState)]
-          while (!q.isEmpty) {
-            val h = q.pollFirst()
-            val t = h._1 + d
-            // Past the global end: unique below-everything fallback —
-            // keeps the level injective without a real partner.
-            val rk2 = if (t < n) headRank(t) else Long.MinValue + h._1
-            buf += emit(h, rk2)
-          }
-          buf.iterator
-        }
-        main ++ drain()
       }
-      // New rank = global index of the (rank_{j-1}(p), rank_{j-1}(p+d))
-      // run's first row in range order — one n-row exchange per level.
-      val withRanks = runStartRanks(keyed, parts)
-      if (j == Levels) {
-        // Final round: the sort order (rank_6 pair, pos) IS (rank_7, pos) —
-        // the suffix array. Keep it; no further position pass is needed.
-        saOrdered = withRanks
+      val rankSorted = buildRankBlocks(keyed, parts)
+      if (j < Levels) {
+        // Metadata job: one count per partition (this also executes the
+        // round's shuffles; the rebuild below re-reads only local shuffle
+        // blocks). For the final round the same job additionally collects
+        // the seam rows, below.
+        val counts = rankSorted.mapPartitionsWithIndex((i, it) =>
+          Iterator.single(i -> (if (it.hasNext) it.next().rk.length.toLong else 0L)))
+          .collect().toMap
+        val bases = new Array[Long](parts)
+        var acc = 0L
+        for (i <- 0 until parts) { bases(i) = acc; acc += counts.getOrElse(i, 0L) }
+        val basesB = sc.broadcast(bases)
+        val dNext = (1L << j)
+        val rebuilt: RDD[(Int, Array[Long])] = rankSorted.mapPartitionsWithIndex { (i, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val blk = it.next()
+            val base = basesB.value(i)
+            val b = new Batcher(parts)
+            var runStart = 0
+            var k = 0
+            while (k < blk.rk.length) {
+              if (k > 0 && (blk.rk(k) != blk.rk(k - 1) || blk.rk2(k) != blk.rk2(k - 1)))
+                runStart = k
+              emitPosRow(b, axis, dNext, blk.pos(k), blk.doc(k),
+                if (blk.sent(k)) 1L else 0L, base + runStart)
+              k += 1
+            }
+            b.result()
+          }
+        }
+        st = buildPosBlocks(rebuilt, axis, dNext)
+        lookups(j) = st
       } else {
-        st = withRanks
-          .map { case ((_, pos), ((doc, maxl, rs), nrk)) =>
-            (pos, (doc, maxl, rs :+ nrk)) }
-          .repartitionAndSortWithinPartitions(posPart)
-      }
-    }
-
-    // SA adjacency straight off the final order: consecutive REAL rows per
-    // partition + one boundary pair per partition seam (first/last real row
-    // per partition — bounded driver metadata). Equal rank_7 ⟹ the suffixes
-    // agree through the full Cap window ⟹ LCP ≥ Cap: freeze the pair at Cap
-    // (identical to walking it, after the output cap).
-    val seams = saOrdered.mapPartitionsWithIndex { (i, it) =>
-      val reals = it.filter(_._2._1._2 > 0L)
-      var first: (Long, Long, Long) = null // (doc, pos, rk7)
-      var last: (Long, Long, Long) = null
-      reals.foreach { case ((_, pos), ((doc, _, _), rk7)) =>
-        val t = (doc, pos, rk7)
-        if (first == null) first = t
-        last = t
-      }
-      Iterator.single((i, Option(first), Option(last)))
-    }.collect().sortBy(_._1)
-    val boundaryPairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
-    var prevReal: (Long, Long, Long) = null
-    seams.foreach { case (_, firstO, lastO) =>
-      firstO.foreach { f =>
-        if (prevReal != null)
-          boundaryPairs += ((prevReal._1, prevReal._2, f._1, f._2,
-            if (prevReal._3 == f._3) Cap.toLong else 0L))
-      }
-      lastO.foreach(l => prevReal = l)
-    }
-    val localPairs: RDD[Pair] = saOrdered.mapPartitions { it =>
-      val reals = it.filter(_._2._1._2 > 0L)
-      var prev: (Long, Long, Long) = null
-      reals.flatMap { case ((_, pos), ((doc, _, _), rk7)) =>
-        val cur = (doc, pos, rk7)
-        val out =
-          if (prev != null)
-            Iterator.single((prev._1, prev._2, cur._1, cur._2,
-              if (prev._3 == cur._3) Cap.toLong else 0L): Pair)
-          else Iterator.empty
-        prev = cur
-        out
-      }
-    }
-    val allPairs = localPairs.union(sc.parallelize(boundaryPairs.toSeq,
-      math.max(1, math.min(parts, boundaryPairs.size))))
-    val frozen = allPairs.filter(_._5 > 0L)
-
-    // Descending-level LCP walk over the unfrozen pairs: per level, probe
-    // rank_j at p+acc and q+acc by sorted co-partitioned merge against the
-    // position-ordered round-6 state — probes range-partitioned by target
-    // position and sorted in the same shuffle, then streamed against the
-    // lookup iterator (O(1) memory, no hash join). Absent targets (past the
-    // corpus end) never match, mirroring the old left-join + null compare.
-    val Absent = Long.MinValue
-    val lookupRdd = lookup
-    // One probe pass: carry each pair (plus an in-flight long) keyed by its
-    // target position, sorted-merge against the lookup, emit the rank_level
-    // at the target (Absent when the target is past the corpus end — it
-    // then never compares equal, mirroring the old left-join null compare).
-    def probeRank(rdd: RDD[(Pair, Long)], target: Pair => Long, level: Int)
-        : RDD[(Pair, Long, Long)] = {
-      val keyed = rdd.map { case (pr, carried) => ((target(pr), pr, carried), ()) }
-      implicit val ord: Ordering[(Long, Pair, Long)] = Ordering.by(_._1)
-      val sortedProbes = keyed.repartitionAndSortWithinPartitions(
-        new Partitioner {
-          override def numPartitions: Int = parts
-          override def getPartition(key: Any): Int =
-            posPart.getPartition(key.asInstanceOf[(Long, Pair, Long)]._1)
-        })
-      sortedProbes.zipPartitions(lookupRdd) { (itP, itL) =>
-        var cur: (Long, PosState) = null
-        var curValid = false
-        itP.map { case ((t, pr, carried), _) =>
-          while ((!curValid || cur._1 < t) && itL.hasNext) {
-            cur = itL.next(); curValid = true
+        // Final round: the sort order (rank_6 pair, pos) IS (rank_7, pos)
+        // — the suffix array. One job collects counts + seam rows
+        // (first/last REAL row per partition: (rk, rk2, doc, pos) —
+        // bounded driver metadata).
+        val meta = rankSorted.mapPartitionsWithIndex((i, it) => {
+          if (!it.hasNext) Iterator.single((i, 0L, None, None))
+          else {
+            val blk = it.next()
+            var first: Option[(Long, Long, Long, Long)] = None
+            var last: Option[(Long, Long, Long, Long)] = None
+            var k = 0
+            while (k < blk.rk.length) {
+              if (!blk.sent(k)) {
+                val t = (blk.rk(k), blk.rk2(k), blk.doc(k), blk.pos(k))
+                if (first.isEmpty) first = Some(t)
+                last = Some(t)
+              }
+              k += 1
+            }
+            Iterator.single((i, blk.rk.length.toLong, first, last))
           }
-          val r = if (curValid && cur._1 == t) cur._2._3(level) else Absent
-          (pr, carried, r)
+        }).collect().sortBy(_._1)
+        saBases = new Array[Long](parts)
+        var acc = 0L
+        meta.foreach { case (i, n, _, _) => saBases(i) = acc; acc += n }
+        saSeams = meta.map(m => (m._1, m._3, m._4))
+        saOrdered = rankSorted
+      }
+    }
+    // ------------------------------------------------------------------
+    // SA adjacency: consecutive real rows per chunk + one seam pair per
+    // partition boundary. Equal (rank_6, rank_6') ⟹ equal rank_7 ⟹ the
+    // suffixes agree through the full Cap window: freeze at Cap.
+    // ------------------------------------------------------------------
+    val boundaryPairs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    var prevReal: Option[(Long, Long, Long, Long)] = None
+    saSeams.foreach { case (_, firstO, lastO) =>
+      firstO.foreach { f =>
+        prevReal.foreach { pr =>
+          val frozen = if (pr._1 == f._1 && pr._2 == f._2) Cap.toLong else 0L
+          boundaryPairs += Array(pr._3, pr._4, f._3, f._4, frozen)
         }
       }
+      lastO.foreach(l => prevReal = Some(l))
     }
-    var walk: RDD[Pair] = allPairs.filter(_._5 == 0L)
+    // Local pairs, stride 5: (doc_a, p, doc_b, q, acc0).
+    val localPairs: RDD[Array[Long]] = saOrdered.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val blk = it.next()
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong()
+        var pk = -1
+        var k = 0
+        while (k < blk.rk.length) {
+          if (!blk.sent(k)) {
+            if (pk >= 0) {
+              out += blk.doc(pk); out += blk.pos(pk)
+              out += blk.doc(k); out += blk.pos(k)
+              out += (if (blk.rk(pk) == blk.rk(k) && blk.rk2(pk) == blk.rk2(k))
+                Cap.toLong else 0L)
+            }
+            pk = k
+          }
+          k += 1
+        }
+        val arr = out.result()
+        if (arr.isEmpty) Iterator.empty else Iterator.single(arr)
+      }
+    }
+    val allPairs = localPairs.union(
+      sc.parallelize(boundaryPairs.toSeq, 1).mapPartitions { it =>
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong()
+        it.foreach(a => out ++= a)
+        val arr = out.result()
+        if (arr.isEmpty) Iterator.empty else Iterator.single(arr)
+      })
+
+    // ------------------------------------------------------------------
+    // Descending-level LCP walk: probes route to the chunk owning the
+    // target position and read rank_j by direct index. Stride 6 in
+    // flight: (doc_a, p, doc_b, q, acc, carry).
+    // ------------------------------------------------------------------
+    val Absent = Long.MinValue
+    // targetSel: 0 probes p+acc into carry; 1 probes q+acc and combines.
+    def probeStep(pairs: RDD[(Int, Array[Long])], level: Int,
+        second: Boolean, step: Long): RDD[(Int, Array[Long])] = {
+      val lookup = lookups(level)
+      val totalNL = totalN
+      pairs.partitionBy(idPart).zipPartitions(lookup) { (itP, itB) =>
+        val blkO = if (itB.hasNext) Some(itB.next()) else None
+        val b = new Batcher(parts)
+        itP.foreach { case (_, arr) =>
+          var k = 0
+          while (k < arr.length) {
+            val da = arr(k); val p = arr(k + 1); val db = arr(k + 2)
+            val q = arr(k + 3); var accL = arr(k + 4); val carry = arr(k + 5)
+            val t = (if (second) q else p) + accL
+            val r = blkO match {
+              case Some(blk) if t < totalNL && t >= blk.start &&
+                  t - blk.start < blk.rk.length => blk.rk((t - blk.start).toInt)
+              case _ => Absent
+            }
+            if (second) {
+              if (carry != Absent && carry == r) accL += step
+              // route to the next probe's owner (level walk continues; the
+              // final level-0 second probe routes by p — harmless).
+              val nt = axis.owner(p + accL)
+              val acc2 = b.acc(nt)
+              acc2 += da; acc2 += p; acc2 += db; acc2 += q; acc2 += accL; acc2 += Absent
+            } else {
+              val nt = axis.owner(q + accL)
+              val acc2 = b.acc(nt)
+              acc2 += da; acc2 += p; acc2 += db; acc2 += q; acc2 += accL; acc2 += r
+            }
+            k += 6
+          }
+        }
+        b.result()
+      }
+    }
+    // Seed: route unfrozen pairs to the level-6 first-probe owner.
+    var walk: RDD[(Int, Array[Long])] = allPairs.mapPartitions { it =>
+      val b = new Batcher(parts)
+      it.foreach { arr =>
+        var k = 0
+        while (k < arr.length) {
+          if (arr(k + 4) == 0L) {
+            val t = axis.owner(arr(k + 1)) // p + acc, acc = 0
+            val acc = b.acc(t)
+            acc += arr(k); acc += arr(k + 1); acc += arr(k + 2); acc += arr(k + 3)
+            acc += 0L; acc += Absent
+          }
+          k += 5
+        }
+      }
+      b.result()
+    }
     for (j <- (Levels - 1) to 0 by -1) {
       val step = 1L << j
-      val withA = probeRank(walk.map(pr => (pr, Absent)), pr => pr._2 + pr._5, j)
-        .map { case (pr, _, ra) => (pr, ra) }
-      walk = probeRank(withA, pr => pr._4 + pr._5, j)
-        .map { case (pr, ra, rb) =>
-          if (ra != Absent && ra == rb) (pr._1, pr._2, pr._3, pr._4, pr._5 + step)
-          else pr
-        }
+      walk = probeStep(walk, j, second = false, step)
+      walk = probeStep(walk, j, second = true, step)
     }
 
-    // dupLen(p) = max LCP with either SA neighbor; per-doc rollup (docs with
-    // no SA pair at all — a one-position corpus — coalesce to zero).
-    val perPosRdd = walk.union(frozen).flatMap { case (da, p, db, q, acc) =>
-      Iterator((da, p, acc), (db, q, acc))
+    // ------------------------------------------------------------------
+    // dupLen(p) = max LCP with either SA neighbor; per-doc rollup (docs
+    // with no SA pair at all — a one-position corpus — coalesce to zero).
+    // ------------------------------------------------------------------
+    val frozenRows: RDD[Row] = allPairs.mapPartitions { it =>
+      it.flatMap { arr =>
+        Iterator.range(0, arr.length / 5).filter(i => arr(5 * i + 4) > 0L)
+          .flatMap { i =>
+            val k = 5 * i
+            Iterator(Row(arr(k), arr(k + 1), arr(k + 4)),
+              Row(arr(k + 2), arr(k + 3), arr(k + 4)))
+          }
+      }
     }
-    val perPos = spark.createDataFrame(perPosRdd)
-      .toDF("doc_id", "pos", "dl")
+    val walkedRows: RDD[Row] = walk.mapPartitions { it =>
+      it.flatMap { case (_, arr) =>
+        Iterator.range(0, arr.length / 6).flatMap { i =>
+          val k = 6 * i
+          Iterator(Row(arr(k), arr(k + 1), arr(k + 4)),
+            Row(arr(k + 2), arr(k + 3), arr(k + 4)))
+        }
+      }
+    }
+    val perPosSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("dl", LongType, nullable = false)))
+    val perPos = spark.createDataFrame(walkedRows.union(frozenRows), perPosSchema)
       .groupBy(col("doc_id"), col("pos"))
       .agg(max(col("dl")).as("dl"))
     val perDoc = perPos.groupBy("doc_id")
