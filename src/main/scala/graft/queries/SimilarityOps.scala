@@ -279,13 +279,20 @@ object SimilarityOps {
     s"CAST(SUM(CAST(round($x * CAST(10000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE) " +
       s"/ CAST(10000000 AS DOUBLE) / COUNT(*)"
 
+  /** Group rows of (groupCols..., pos, x) into (groupCols..., mean-vector). */
+  private def meanVectorsBy(px: DataFrame, groupCols: Seq[String], out: String): DataFrame =
+    // internal alias `mv`, not `m`: the PQ caller groups by a column
+    // named `m` and the names must not collide in the second groupBy
+    px.groupBy((groupCols :+ "pos").map(col): _*)
+      .agg(exactMean(col("x")).as("mv"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(groupCols.map(col) :+
+        transform(col("pm"), p => p.getField("mv")).as(out): _*)
+
   /** Group rows of (groupCol, pos, x) into (groupCol, mean-vector). */
   private def meanVectors(px: DataFrame, groupCol: String, out: String): DataFrame =
-    px.groupBy(groupCol, "pos")
-      .agg(exactMean(col("x")).as("m"))
-      .groupBy(groupCol)
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col(groupCol), transform(col("pm"), p => p.getField("m")).as(out))
+    meanVectorsBy(px, Seq(groupCol), out)
 
   /** IVF centroids: per-label mean vector (deterministic coarse quantizer
     * standing in for k-means; same shape: nlist cells, assign → probe).
@@ -791,28 +798,51 @@ object SimilarityOps {
     val dim = e.select(size(col("v"))).head.getInt(0)
     val sd = dim / PqM
     def subCol(m: Int) = slice(col("v"), m * sd + 1, sd)
-    val parts = (0 until PqM).map { m =>
-      val sub = e.select(col("vec_id"), subCol(m).as("sv"))
-      def assign(cent: DataFrame): DataFrame =
-        sub.crossJoin(broadcast(cent))
-          .withColumn("dist_sq", distSq(col("sv"), col("c")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist_sq"), col("cluster"))).as("best"))
-          .select(col("vec_id"), col("best.cluster").as("cluster"))
-      val seeds = sub.where(col("vec_id") < PqK)
-        .select(col("vec_id").cast("int").as("cluster"), col("sv").as("c"))
-      val model = meanVectors(
-        assign(seeds).join(sub, Seq("vec_id"))
-          .select(col("cluster"), posexplode(col("sv")).as(Seq("pos", "x"))),
-        "cluster", "c").cutLineage
-      val codes = assign(model).select(col("vec_id"), col("cluster").as(s"code$m"))
-      val dtab = model.crossJoin(broadcast(q.select(subCol(m).as("qs"))))
-        .select(col("cluster").as(s"code$m"), distSq(col("c"), col("qs")).as(s"d$m"))
-      (codes, dtab)
-    }
-    val withCodes = parts.map(_._1).reduceLeft((a, b) => a.join(b, Seq("vec_id")))
-    val scored = parts.map(_._2).zipWithIndex.foldLeft(withCodes) {
-      case (acc, (dtab, m)) => acc.join(broadcast(dtab), Seq(s"code$m"))
+    // ALL M subspaces train in ONE plan: rows (m, vec_id, sv), one
+    // broadcast-joined argmin and one grouped-means pass covering every
+    // subquantizer. The per-subspace loop this replaces compiled and ran
+    // 4 separate Lloyd plans (~58 single-task AQE jobs for the twins —
+    // pure scheduler wall, guide §2.4/§1.2); the fused form computes the
+    // IDENTICAL model: same integer-exact means (grouped by (m, cluster,
+    // pos)), same (dist, cluster) tie-break per (m, vec_id), same ADC
+    // table values — the unrolled per-subspace oracle is unchanged.
+    val subExpr = array((0 until PqM).map(m =>
+      struct(lit(m).as("m"), subCol(m).as("sv"))): _*)
+    val sub = e.select(col("vec_id"), explode(subExpr).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    def assign(cent: DataFrame): DataFrame =
+      sub.join(broadcast(cent), Seq("m"))
+        .withColumn("dist_sq", distSq(col("sv"), col("c")))
+        .groupBy("m", "vec_id")
+        .agg(min(struct(col("dist_sq"), col("cluster"))).as("best"))
+        .select(col("m"), col("vec_id"), col("best.cluster").as("cluster"))
+    val seeds = sub.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cluster"), col("sv").as("c"))
+    // Rename the assignment's group keys before re-joining `sub` (a true
+    // self-join: both sides descend from `sub`, so the raw using-join
+    // keys carry identical attribute ids).
+    val seedAssign = assign(seeds)
+      .select(col("m").as("am"), col("vec_id").as("avid"), col("cluster"))
+    val model = meanVectorsBy(
+      seedAssign.join(sub,
+          col("am") === col("m") && col("avid") === col("vec_id"))
+        .select(col("am").as("m"), col("cluster"),
+          posexplode(col("sv")).as(Seq("pos", "x"))),
+      Seq("m", "cluster"), "c").cutLineage
+    // Wide code row per vector: each (vec_id, m) has exactly one cluster,
+    // so the conditional min IS that value (deterministic pivot).
+    val withCodes = assign(model).groupBy("vec_id")
+      .agg(min(when(col("m") === 0, col("cluster"))).as("code0"),
+        (1 until PqM).map(m =>
+          min(when(col("m") === m, col("cluster"))).as(s"code$m")): _*)
+    val qsub = q.select(explode(subExpr).as("s"))
+      .select(col("s.m").as("m"), col("s.sv").as("qs"))
+    val dtab = model.join(broadcast(qsub), Seq("m"))
+      .select(col("m"), col("cluster"), distSq(col("c"), col("qs")).as("dd"))
+      .cutLineage // M×K rows of model state: the 4 joins below each read it
+    val scored = (0 until PqM).foldLeft(withCodes) { (acc, m) =>
+      acc.join(broadcast(dtab.where(col("m") === m)
+        .select(col("cluster").as(s"code$m"), col("dd").as(s"d$m"))), Seq(s"code$m"))
     }
     val score = (0 until PqM).map(m => col(s"d$m")).reduceLeft(_ + _)
     val withLabel = scored.join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
