@@ -699,12 +699,13 @@ object DedupOps {
     val sh = minhashSignatures(
       docs.repartition(s.sparkContext.defaultParallelism))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("lang"), col("doc_id"), col("shingles"))
+      .select(col("lang"), col("doc_id"), col("shingles"),
+        graft.functions.GraftFunctions.gram_hist64(col("shingles")).as("hist"))
       .cutLineage
     val a = sh.select(col("lang"), col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"))
+      col("shingles").as("sh_a"), col("hist").as("h_a"))
     val b = sh.select(col("lang"), col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"))
+      col("shingles").as("sh_b"), col("hist").as("h_b"))
     // Broadcast the replicated side so the shingle arrays never shuffle
     // (an SMJ on 5 lang groups re-sorts every array ~|group| times —
     // measured 26 s vs ~3 s at sf0.1), and push the LOSSLESS length
@@ -728,10 +729,19 @@ object DedupOps {
         s"exact arm, but its measured payload ($actualBytes bytes) exceeds " +
         s"${bcastBound * 8} bytes (8x spark.sql.autoBroadcastJoinThreshold). " +
         "Run the eval on a sampled corpus frame instead.")
+    // The histogram screen (d4's discipline, same codegen'd kernels):
+    // J ≥ 0.5 ⟺ 3·inter ≥ |a|+|b|, and Σ min(histA, histB) upper-bounds
+    // the intersection, so pairs with 3·minsum < |a|+|b| cannot qualify —
+    // LOSSLESS, the oracle needs no mirror. It runs in the same codegen
+    // stage as the join output and spares the O(|a|+|b|) merge-intersect
+    // for the ~90% of same-lang pairs the cheap bound refutes (the exact
+    // arm was 111 s of executor CPU at sf0.1, the family's worst).
     val exact = verifyJaccard(
       a.join(broadcast(b), Seq("lang")).where(col("doc_a") < col("doc_b") &&
         size(col("sh_b")) <= size(col("sh_a")) * 2 &&
-        size(col("sh_a")) <= size(col("sh_b")) * 2))
+        size(col("sh_a")) <= size(col("sh_b")) * 2 &&
+        graft.functions.GraftFunctions.min_sum64(col("h_a"), col("h_b")) * 3 >=
+          size(col("sh_a")) + size(col("sh_b"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val la = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"))
     val lb = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"))
