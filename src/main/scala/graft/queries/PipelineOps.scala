@@ -659,35 +659,51 @@ object PipelineOps {
     graft.core.Materialize.once(s, s"bm25:$d") { bm25Compute(s, d) }
 
   private[graft] def bm25Compute(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Lineage.LineageOps
     val docs = Tables.documentsSpread(s, d)
     val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
-    val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // Two corpus scalars (1 row) — same budget class as a broadcast.
-    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head
+    // ONE corpus tokenize pass: a wide per-doc aggregate carries dl plus
+    // one tf column per query term (the term list is a small literal).
+    // The previous shape re-ran the explode for each of the stats, tf,
+    // df and dl subplans — four corpus passes for one ranking (guide
+    // §2.3: aggregate before you shuffle; §1.2: fix the pass count
+    // first). Values are unchanged: the same counts feed the same
+    // float formulas in the same fixed term order.
+    val perDoc = tokens.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), Bm25Terms.map(t =>
+        count(when(col("w") === t, 1)).as(s"tf_$t")): _*)
+      .cutLineage
+    // Corpus scalars (1 row): doc count, token total, per-term doc
+    // frequencies — bounded metadata, same budget class as a broadcast.
+    val st = perDoc.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("t") +: Bm25Terms.map(t =>
+        count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t")): _*).head
     val nDocs = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / nDocs.toDouble
-    val tf = tokens.where(col("w").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("w").as("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log(
-      (lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
-        (col("df").cast("double") + 0.5) + 1.0)
-    val tfD = col("tf").cast("double")
-    val sat = (tfD * (Bm25K1 + 1.0)) /
-      (tfD + lit(Bm25K1) * (lit(1.0 - Bm25B) +
-        lit(Bm25B) * col("dl").cast("double") / avgdl))
-    val scored = tf.join(broadcast(df), Seq("term")).join(dl, Seq("doc_id"))
-      .select(col("doc_id"), col("term"), (idf * sat).as("s"))
-    // Fixed-order fold over the pivoted per-term partials: float + is not
+    // idf per term on the driver — identical arithmetic to the previous
+    // executor-side expression (same operation order, same Math.log).
+    val idfT = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      val dfT = st.getLong(2 + i).toDouble
+      t -> math.log((nDocs.toDouble - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }.toMap
+    def sat(t: String) = {
+      val tfD = col(s"tf_$t").cast("double")
+      (tfD * (Bm25K1 + 1.0)) /
+        (tfD + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * col("dl").cast("double") / avgdl))
+    }
+    // Fixed-order fold over the per-term partials: float + is not
     // associative, so a sum() whose arrival order varies would not be
-    // value-stable; term1 + term2 + term3 in literal order is.
-    val perTerm = Bm25Terms.map(t =>
-      coalesce(max(when(col("term") === t, col("s"))), lit(0.0d)))
-    val score = perTerm.reduceLeft(_ + _)
-    scored.groupBy("doc_id")
-      .agg(round(score * 1e6).cast("long").as("score_micro"))
+    // value-stable; term1 + term2 + term3 in literal order is. A term
+    // absent from a doc contributes idf·sat(0) = 0.0 exactly — the same
+    // 0.0 the old coalesce supplied.
+    val score = Bm25Terms.map(t => lit(idfT(t)) * sat(t)).reduceLeft(_ + _)
+    perDoc
+      // Only docs containing ≥1 query term are ranked (the old tf join
+      // had rows only for those docs).
+      .where(Bm25Terms.map(t => col(s"tf_$t") > 0).reduceLeft(_ || _))
+      .select(col("doc_id"), round(score * 1e6).cast("long").as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(Bm25TopK)
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
