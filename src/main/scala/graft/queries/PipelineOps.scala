@@ -605,26 +605,42 @@ object PipelineOps {
   private val bigramLm: Q = (s, d) => bigramLmOf(Tables.documentsSpread(s, d))
 
   def bigramLmOf(docs: DataFrame): DataFrame = {
+    import graft.core.Lineage.LineageOps
     // Docs with <2 tokens have NO bigrams → absent row (not a degenerate
     // one-token "bigram" score): wordGrams' greatest(n-1,1) floor would
     // otherwise emit the lone token (or '' for blank docs) as a gram.
     // The vocabulary scalar v stays corpus-wide (all docs).
-    val g = docs.where(size(toks(col("text"))) >= 2)
+    //
+    // ONE corpus bigram pass: aggregate occurrences to (doc, bigram,
+    // occ) first, then every model table derives from that (and from
+    // each other) at VOCABULARY size — c12 = Σ occ per bigram, and the
+    // prefix count c1 = Σ c12 over bigrams sharing w1, exactly the
+    // occurrence count the old per-occurrence aggregate produced. The
+    // previous shape re-ran the corpus explode for c12, for c1 and for
+    // the scoring join (3 corpus passes + the vocab scan; guide §2.3:
+    // aggregate before you shuffle). Scores are unchanged: same integer
+    // counts into the same micro-rounded term, and the per-doc total
+    // Σ occ·term is the same order-free integer sum.
+    val dgc = docs.where(size(toks(col("text"))) >= 2)
       .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bg"))
-    val c12 = g.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val w1s = g.withColumn("w1", split(col("bg"), " ").getItem(0))
-    val c1 = w1s.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("occ"))
+      .cutLineage
+    val c12 = dgc.groupBy("bg").agg(sum(col("occ")).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .cutLineage // vocabulary-sized; read twice (c1 + the score table)
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     // One corpus scalar (the bm25 nDocs budget class).
     val v = docs.select(explode(toks(col("text"))).as("tok"))
       .agg(countDistinct(col("tok"))).head.getLong(0)
     val term = round(log(
       (col("c12").cast("double") + 1.0d) /
         (col("c1").cast("double") + lit(v.toDouble))) * 1e6).cast("long")
-    w1s.join(c12, Seq("bg")).join(c1, Seq("w1"))
-      .select(col("doc_id"), term.as("term_micro"))
+    val gramTerm = c12.join(c1, Seq("w1"))
+      .select(col("bg"), term.as("term_micro"))
+    dgc.join(gramTerm, Seq("bg"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("term_micro")).as("logp_total_micro"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("term_micro")).as("logp_total_micro"))
       .withColumn("avg_logp_micro",
         floor(col("logp_total_micro").cast("double") / col("n_bigrams"))
           .cast("long"))
