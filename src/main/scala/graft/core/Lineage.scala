@@ -30,6 +30,20 @@ object Lineage {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** [[cut]] LAZILY: the returned frame's blocks materialize as a side
+    * effect of the caller's next action over it — one scheduler
+    * round-trip for cut + action instead of two (the [[cutCounted]]
+    * mechanism with a caller-chosen action). The action MUST compute
+    * every partition (a global aggregate/TakeOrdered does; a `limit`
+    * pushed into the scan does not), otherwise uncomputed partitions
+    * re-execute lineage on the next use. Reliable-checkpoint configs
+    * fall back to the eager cluster-safe form. */
+  def cutLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) cut(df)
+    else df.localCheckpoint(eager = false)
+  }
+
   /** [[cut]] + row count in ONE Spark job where the backend allows it.
     * Iterative engines always need both (materialize the pass result,
     * then branch on emptiness); run separately that is two scheduler

@@ -60,36 +60,47 @@ object BpeOps {
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** Train `k` merges. One pair-count aggregate + one 1-row argmax collect
-    * per round; the evolving word table is lineage-cut each round. */
+  /** Train `k` merges. ONE Spark job per round: the argmax action over
+    * the lazily-cut merged word table also materializes that table's
+    * blocks (Lineage.cutLazy — the cutCounted mechanism with the argmax
+    * as the fused action; TakeOrdered computes every partition, so the
+    * checkpoint is complete). The previous shape paid two jobs per round
+    * (eager cut, then argmax) plus one wasted merge pass after the final
+    * selection. Greedy BPE is inherently sequential in k — the per-round
+    * job is the floor. */
   def train(docs: DataFrame, k: Int): Seq[Merge] = {
-    // code_points, not split(w, ""): the regex split shears astral-plane
-    // chars into surrogate halves the encoder and oracle never produce.
-    var words = graft.core.Lineage.cut(
-      wordFreq(docs).select(code_points(col("w")).as("tk"), col("freq")))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var step = 1
-    var exhausted = false
-    while (step <= k && !exhausted) {
-      // Adjacent pairs: transform-with-index over the first n-1 tokens.
-      // greatest(...) guards the 1-token word (Spark's sequence/slice
-      // would otherwise step BACKWARDS for size-1 arrays).
-      val best = words.select(col("freq"), explode(expr(
+    // Adjacent pairs: transform-with-index over the first n-1 tokens.
+    // greatest(...) guards the 1-token word (Spark's sequence/slice
+    // would otherwise step BACKWARDS for size-1 arrays).
+    def argmax(words: DataFrame): Array[org.apache.spark.sql.Row] =
+      words.select(col("freq"), explode(expr(
           "transform(slice(tk, 1, greatest(size(tk)-1, 0)), " +
             "(x, j) -> struct(x AS l, element_at(tk, j+2) AS r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+    // code_points, not split(w, ""): the regex split shears astral-plane
+    // chars into surrogate halves the encoder and oracle never produce.
+    var words = graft.core.Lineage.cutLazy(
+      wordFreq(docs).select(code_points(col("w")).as("tk"), col("freq")))
+    var best = argmax(words)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(step, l, r, cnt)
-        val prev = words
-        words = graft.core.Lineage.cut(
-          prev.select(bpe_merge_pair(col("tk"), l, r).as("tk"), col("freq")))
-        graft.core.Lineage.release(prev)
         step += 1
+        if (step <= k) {
+          val prev = words
+          words = graft.core.Lineage.cutLazy(
+            prev.select(bpe_merge_pair(col("tk"), l, r).as("tk"), col("freq")))
+          best = argmax(words) // one job: materializes `words` + the argmax
+          graft.core.Lineage.release(prev)
+        }
       }
     }
     graft.core.Lineage.release(words)
