@@ -453,6 +453,12 @@ final class ExtractOperation(
           sc.cancelJobGroup(group)
           val drained = try { Await.result(settled, 60.seconds); true }
             catch { case _: TimeoutException => false }
+          // cancelJobGroup is not sticky: a queued write that passed the
+          // `cancelled` check before the flag was set can submit its
+          // Spark job AFTER the first cancellation fired. Re-issue after
+          // the drain (and once more before throwing) so late-submitted
+          // jobs in the group are also killed (ADVICE r11).
+          sc.cancelJobGroup(group)
           throw new IllegalStateException(
             s"checkpoint write wave (${writes.size} writes) exceeded " +
               s"$timeoutSec s and was cancelled" +

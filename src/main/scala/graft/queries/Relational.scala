@@ -1888,9 +1888,14 @@ object Relational {
     // export→PERMISSIVE-parse round-trip; the constant '_corrupt' row
     // proves the tolerance path quarantined exactly the planted lines.
     "src_jsonl_ingest" -> {
-      val plantedSql = Relational.JsonlPlantedCorruptLang.map(t =>
+      // Escape single quotes so a future planted text containing an
+      // apostrophe breaks neither the oracle SQL nor the compare
+      // (ADVICE r11).
+      val plantedSql = Relational.JsonlPlantedCorruptLang.map { t =>
+        val esc = t.replace("'", "''")
         s"SELECT '_corrupt' AS lang, CAST(${t.length} AS BIGINT) AS n_chars, " +
-          s"'$t' AS text").mkString("\nUNION ALL\n")
+          s"'$esc' AS text"
+      }.mkString("\nUNION ALL\n")
       s"""WITH src AS (
          |  SELECT lang, n_chars, text FROM documents
          |  UNION ALL

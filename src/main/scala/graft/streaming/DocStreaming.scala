@@ -533,6 +533,21 @@ object DocStreaming {
       // must have a hash partition (sigs/bands can be legitimately
       // empty for sub-shingle-length docs).
       val hashIds = batchIdPartitions(spark, s"$indexDir/hash")
+      // A committed history with NO verdict partitions and NO fingerprint
+      // partitions means the outDir was wiped or relocated: every guard
+      // below would pass vacuously and cross-delivery dups against the
+      // pre-wipe deliveries would be silently admitted — the exact
+      // failure class the lineage guard catches in the other direction.
+      // Only a history of exclusively empty deliveries legitimately looks
+      // like this, which is distinguishable solely by operator
+      // attestation — so default to refusing (ADVICE r11).
+      if (existing.isEmpty && hashIds.isEmpty) throw new IllegalStateException(
+        s"checkpoint $checkpoint commits through batch $maxC but outDir " +
+          s"$outDir holds no verdict partitions and $indexDir/hash no " +
+          "fingerprint partitions — the committed history's output was " +
+          "wiped or relocated and the cross-delivery dedup state cannot " +
+          "be rebuilt; restore the outDir this checkpoint produced, or " +
+          "start a fresh checkpoint")
       val uncovered = existing.filter(isCommitted) -- hashIds
       if (uncovered.nonEmpty) throw new IllegalStateException(
         s"checkpoint $checkpoint commits through batch $maxC but " +
@@ -638,6 +653,15 @@ object DocStreaming {
         // partition-per-batch sink as the verdicts, so the commit file
         // the checkpoint writes after this function returns vouches for
         // BOTH the verdict partition and the index partition.
+        // REPLAY CONTRACT (ADVICE r11): dynamic partition overwrite only
+        // rewrites partitions present in the NEW data, so a commit-lost
+        // batch replayed with DIFFERENT rows (possible only for a
+        // non-replayable source) could leave a stale index partition for
+        // a sub that previously had rows. ingestGateStream therefore
+        // requires a REPLAYABLE source (the standard Structured
+        // Streaming exactly-once precondition — the file source used
+        // here satisfies it); the lost-commit-replay spec pins the
+        // replayable case.
         def persistIndex(df: DataFrame, sub: String): Unit =
           df.withColumn("_batch_id", lit(batchId))
             .write.option("partitionOverwriteMode", "dynamic")

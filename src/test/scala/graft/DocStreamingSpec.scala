@@ -814,4 +814,40 @@ class DocStreamingSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("lineage"), ex.getMessage)
   }
+
+  test("ingest gate fails fast when the committed history's outDir was " +
+       "wiped: a restart must not silently admit cross-delivery dups") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    def row(id: Long, text: String) =
+      (id, text, "en", DedupOps.IncomingSource, text.length.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_wipe").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gate_wipeck").toString
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_gate_wipeo").toString
+    val out = outRoot + "/v"
+    graft.core.Fs.deleteOnExit(dir); graft.core.Fs.deleteOnExit(ckpt)
+    Seq(row(31001L, (1 to 25).map(i => s"zqwip$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q1 = DocStreaming.ingestGateStream(spark,
+      DocStreaming.docStream(spark, dir, docs.schema), SparkTestBase.sf,
+      out, Some(ckpt))
+    try {
+      q1.processAllAvailable()
+      assert(q1.exception.isEmpty, s"seed run died: ${q1.exception}")
+    } finally q1.stop()
+    // The checkpoint committed delivery 1, but its output (verdicts AND
+    // the _index fingerprints) disappears — the silent-vacuous-guards
+    // case ADVICE r11 flagged: with no partitions to account for, both
+    // the orphan and coverage checks pass and the seen-state rebuilds
+    // as None, admitting dups against the pre-wipe delivery.
+    graft.core.Fs.deleteRecursively(out)
+    val ex = intercept[IllegalStateException] {
+      DocStreaming.ingestGateStream(spark,
+        DocStreaming.docStream(spark, dir, docs.schema), SparkTestBase.sf,
+        out, Some(ckpt))
+    }
+    assert(ex.getMessage.contains("wiped or relocated"), ex.getMessage)
+  }
 }
