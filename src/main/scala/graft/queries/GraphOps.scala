@@ -88,19 +88,31 @@ object GraphOps {
     // pre-joined at materialization — a per-round constant), so each
     // iteration moves only the node-sized rank frame plus the groupBy(dst)
     // redistribution that IS the algorithm.
+    //
+    // Per-round cuts are LAZY (round-13; guide §2.4, the BPE cutLazy
+    // move): pagerank runs NO mid-loop action — the caller's single final
+    // action is what materializes every round, each round's blocks
+    // persisting as a side effect of the next round's stages — so an
+    // eager per-round checkpoint was one pure-overhead materialization
+    // job per iteration. The mid-loop release(prev) goes with it: a lazy
+    // cut's blocks must not be unpersisted before they materialize
+    // (truncated lineage cannot recompute), and the superseded rounds are
+    // node-sized frames reclaimed right after the query by the harness
+    // (one query per JVM in production; reliable-checkpoint clusters fall
+    // back to eager cuts inside cutLazy, where files — not executor
+    // blocks — hold the state, and release was a no-op there anyway).
     val ewd = edgesOf(s, d)
     val base = PageRankScale * 3 / 20 // (1-d)·scale, exact: 15e10
     var r = ewd.select(col("src").as("node")).distinct()
       .select(col("node"), lit(PageRankScale).as("r"))
     for (_ <- 1 to PageRankIters) {
       val prev = r
-      r = graft.core.Lineage.cut(
+      r = graft.core.Lineage.cutLazy(
         ewd.join(prev, col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst"))
           .agg((lit(base) + expr("(17 * sum(c)) div 20")).as("r"))
           .select(col("dst").as("node"), col("r")))
-      graft.core.Lineage.release(prev)
     }
     r.select(col("node"), col("r").as("rank_e12"))
   }
@@ -133,7 +145,14 @@ object GraphOps {
     // triangle plan (two wedge legs + the closing edge) — without the
     // cuts each consumer would re-run the (supplier, week) self-join, the
     // heaviest stage (same hoist-the-invariant move as pagerank's ewd).
-    val e = graft.core.Lineage.cut(co.toDF("s", "w", "c1")
+    // Both cuts are LAZY (round-13, guide §2.4): the FIRST action this
+    // query runs is BloomPrune's filter-build aggregate below — a global
+    // agg over `closing`, which reads every partition of `oriented` and,
+    // through it, of `e` — so that one already-required job materializes
+    // both frames and the two eager checkpoint jobs disappear. release(e)
+    // moves below the bloom build for the same reason (truncated lineage
+    // cannot recompute unpersisted-before-materialization blocks).
+    val e = graft.core.Lineage.cutLazy(co.toDF("s", "w", "c1")
       .join(co.toDF("s", "w", "c2"), Seq("s", "w"))
       .where(col("c1") < col("c2"))
       .select(col("c1"), col("c2")).distinct())
@@ -141,14 +160,13 @@ object GraphOps {
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val lowerIsC1 = col("dg1") < col("dg2") ||
       (col("dg1") === col("dg2") && col("c1") < col("c2"))
-    val oriented = graft.core.Lineage.cut(e
+    val oriented = graft.core.Lineage.cutLazy(e
       .join(deg.toDF("c1", "dg1"), Seq("c1"))
       .join(deg.toDF("c2", "dg2"), Seq("c2"))
       .select(
         when(lowerIsC1, col("c1")).otherwise(col("c2")).as("u"),
         when(lowerIsC1, col("c2")).otherwise(col("c1")).as("v"),
         when(lowerIsC1, col("dg2")).otherwise(col("dg1")).as("dv")))
-    graft.core.Lineage.release(e)
     // Wedge at the low corner, ordered so (v, w) is itself oriented; the
     // closing join then only needs equality.
     val wedge = oriented.toDF("u", "v", "dv")
@@ -165,6 +183,10 @@ object GraphOps {
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
     val wedgePruned = graft.operators.BloomPrune.filterBy(
       wedge, struct(col("v"), col("w")), closing, struct(col("v"), col("w")))
+    // The bloom build above ran the query's first action — e and oriented
+    // are materialized now; e's blocks are dead weight (every later
+    // reference reads oriented).
+    graft.core.Lineage.release(e)
     val tri = wedgePruned.join(closing, Seq("v", "w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("cust"))
       .groupBy("cust").agg(count(lit(1)).as("n_tri"))
@@ -302,27 +324,40 @@ object GraphOps {
     * that settle in 1-2 rounds halves the family's cost.
     */
   def lpaLabelsWithRounds(edges: DataFrame): (DataFrame, Int) = {
-    var labels = graft.core.Lineage.cut(
+    // Round-13 job fusion (guide §2.4, the cutCounted/cutLazy discipline):
+    // every round that is FOLLOWED by a convergence count cuts LAZILY —
+    // the count job over labels⋈prev computes every partition of the new
+    // label frame, so it doubles as the materializer and the eager
+    // per-round checkpoint job disappears (2 jobs/round → 1). The initial
+    // frame is lazy for the same reason (round 1's count reads it via
+    // prev). Only the FINAL round keeps the eager cut: no count follows
+    // it, and release(prev) below must not run while a still-lazy frame's
+    // lineage references prev's (truncated, hence unrecomputable) blocks.
+    var labels = graft.core.Lineage.cutLazy(
       edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
     var rounds = 0
     var converged = false
     while (rounds < LpaRounds && !converged) {
       val prev = labels
-      labels = graft.core.Lineage.cut(
-        edges.join(prev, col("src") === col("node"))
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          .agg(min(struct((-col("cnt")).as("negcnt"), col("label"))).as("best"))
-          .select(col("dst").as("node"), col("best.label").as("label")))
+      val next = edges.join(prev, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("negcnt"), col("label"))).as("best"))
+        .select(col("dst").as("node"), col("best.label").as("label"))
       rounds += 1
       if (rounds < LpaRounds) {
-        // Both sides are cut (materialized) frames of (node, label):
-        // the diff count replays no round work.
+        labels = graft.core.Lineage.cutLazy(next)
+        // Both sides are cut (materialized) frames of (node, label): the
+        // diff count replays no round work — and it is the action that
+        // materializes this round's lazy cut (and, in round 1, the lazy
+        // initial frame read through prev).
         val changed = labels.as("a")
           .join(prev.as("b"), col("a.node") === col("b.node"))
           .where(col("a.label") =!= col("b.label")).count()
         converged = changed == 0L
+      } else {
+        labels = graft.core.Lineage.cut(next)
       }
       graft.core.Lineage.release(prev)
     }
@@ -407,7 +442,15 @@ object GraphOps {
   def kcoreOf(edgesIn: DataFrame, k: Int,
       materialized: Boolean = false): DataFrame = {
     val edges = if (materialized) edgesIn else graft.core.Lineage.cut(edgesIn)
-    var alive = graft.core.Lineage.cut(
+    // Round-13 job fusion (guide §2.4): the per-round (node, deg) state
+    // cuts LAZILY — the frontier's cutCounted count scans every partition
+    // of it (the deg<k filter is narrow), so that one job materializes
+    // both frames and the eager alive-checkpoint job disappears (2
+    // jobs/round → 1). The superseded alive/frontier releases move BELOW
+    // the count: a lazy cut's blocks must be materialized before the
+    // frames its lineage references are unpersisted (truncated lineage
+    // cannot recompute).
+    var alive = graft.core.Lineage.cutLazy(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg")))
     var (frontier, nFrontier) = graft.core.Lineage.cutCounted(
@@ -418,16 +461,16 @@ object GraphOps {
         .join(frontier.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("dec"))
         .select(col("src").as("node"), col("dec"))
-      val nextAlive = graft.core.Lineage.cut(
+      val nextAlive = graft.core.Lineage.cutLazy(
         alive.join(frontier, Seq("node"), "left_anti")
           .join(dec, Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("dec"), lit(0L))).as("deg")))
+      val (f, n) = graft.core.Lineage.cutCounted(
+        nextAlive.where(col("deg") < k).select("node"))
       graft.core.Lineage.release(alive)
       graft.core.Lineage.release(frontier)
       alive = nextAlive
-      val (f, n) = graft.core.Lineage.cutCounted(
-        alive.where(col("deg") < k).select("node"))
       frontier = f
       nFrontier = n
       round += 1
