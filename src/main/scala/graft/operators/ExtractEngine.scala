@@ -107,6 +107,16 @@ final class ExtractOperation(
     base.select(cols: _*)
   }
 
+  /** The WHERE-less scoped scan, built once per step and reused: the
+    * fixpoint loop re-derives this identical subplan in every lookup and
+    * resolve pass, and each fresh Dataset pays its own Catalyst analysis —
+    * measured ~0.3–0.6 s of pure driver time over a ~12-iteration fixpoint
+    * (graft.tools.EnginePhases). Datasets are immutable, so reuse is free.
+    */
+  private val scopedScans = mutable.Map.empty[String, DataFrame]
+  private def scanScopedCached(step: ExtractStep): DataFrame =
+    scopedScans.getOrElseUpdate(step.sobject, scanScoped(step))
+
   /** Reference add_dependency (amaxa/amaxa.py:569-573): required ∪= ids
     * not already extracted. `ids` must be a single-column "__id" frame.
     */
@@ -273,11 +283,23 @@ final class ExtractOperation(
     // Clear BEFORE the pass: storeResult below may register fresh self
     // dependencies for the next iteration, which must re-mark the table.
     depsDirty -= t
+    // Round-13 adjudication (kept for the record): fusing this pre-count
+    // into the fetch (cutLazy(pre) + skip the early exit, letting AQE
+    // empty-propagate the semi join) was built and A/B'd — jobs fell 6 on
+    // the non-empty-resolve traversals (44→38 / 71→65) but rose 11 on the
+    // fixpoint, whose resolves are almost always EMPTY after the seed
+    // settles (each pass's self-deps are the parents that FOUND the new
+    // children — already extracted), and every wall delta was inside
+    // noise. The count-then-early-exit shape is the better trade: one
+    // cheap metadata job versus a broadcast-build + empty-propagated
+    // count pipeline per drained iteration. Driver REPLAN per pass is
+    // measured NOT the cost (graft.tools.EnginePhases: analysis +
+    // optimization + planning ≈ 0.4 s of a 5.6 s warm fixpoint wall).
     val (pre, preCount) = graft.core.Lineage.cutCounted(getRequiredIds(t))
     requiredIds(t) = pre
     if (preCount == 0) return false
     val idf = catalog(t).idField
-    val fetch = scanScoped(step)
+    val fetch = scanScopedCached(step)
       .join(pre, col(idf).cast("string") === col("__id"), "left_semi")
     // Unresolvable ids are NOT reported here: they stay behind in
     // requiredIds (the fetch drain removes only extracted ids), and
@@ -330,7 +352,7 @@ final class ExtractOperation(
         .map(getExtractedIds)
         .reduceOption(_ unionByName _)
       parents.map { p =>
-        scanScoped(step)
+        scanScopedCached(step)
           .join(p, col(field).cast("string") === col("__id"), "left_semi")
       }
     }

@@ -145,14 +145,15 @@ object GraphOps {
     // triangle plan (two wedge legs + the closing edge) — without the
     // cuts each consumer would re-run the (supplier, week) self-join, the
     // heaviest stage (same hoist-the-invariant move as pagerank's ewd).
-    // Both cuts are LAZY (round-13, guide §2.4): the FIRST action this
-    // query runs is BloomPrune's filter-build aggregate below — a global
-    // agg over `closing`, which reads every partition of `oriented` and,
-    // through it, of `e` — so that one already-required job materializes
-    // both frames and the two eager checkpoint jobs disappear. release(e)
-    // moves below the bloom build for the same reason (truncated lineage
-    // cannot recompute unpersisted-before-materialization blocks).
-    val e = graft.core.Lineage.cutLazy(co.toDF("s", "w", "c1")
+    // `e` cuts via cutCounted: the count job doubles as its materializer
+    // (round-13, guide §2.4 — replacing the eager checkpoint job), and
+    // the edge count it returns SIZES THE BLOOM below. `oriented` cuts
+    // LAZILY: the first action this query runs is BloomPrune's
+    // filter-build aggregate — a global agg over `closing` ⊂ oriented —
+    // so that one already-required job materializes it. release(e) sits
+    // below the bloom build (truncated lineage cannot recompute
+    // unpersisted-before-materialization blocks).
+    val (e, nEdges) = graft.core.Lineage.cutCounted(co.toDF("s", "w", "c1")
       .join(co.toDF("s", "w", "c2"), Seq("s", "w"))
       .where(col("c1") < col("c2"))
       .select(col("c1"), col("c2")).distinct())
@@ -181,8 +182,17 @@ object GraphOps {
     // produced it, and the ~30x-smaller survivor set shuffles into the
     // exact join (superset semantics — the join supplies exactness).
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    // expectedKeys = the EXACT oriented-edge count (|closing| = |e|, known
+    // from e's materializing count — no extra job): the round-13 sf1
+    // ScaleProbe caught the default 1M-key bloom SATURATING at 10× scale
+    // (fpp → 1, wedge shuffle 24× for 10× data instead of ~10×). Sized
+    // from the data, the filter stays at its design ~3% fpp at any SF —
+    // ~7.3 bits/edge, so 10⁸ edges ≈ 91 MB of bloom, inside broadcast
+    // bounds; far beyond that, raise fpp or shard the filter per tenant
+    // (the guide §3.2 sizing trade).
     val wedgePruned = graft.operators.BloomPrune.filterBy(
-      wedge, struct(col("v"), col("w")), closing, struct(col("v"), col("w")))
+      wedge, struct(col("v"), col("w")), closing, struct(col("v"), col("w")),
+      expectedKeys = math.max(nEdges, 1L))
     // The bloom build above ran the query's first action — e and oriented
     // are materialized now; e's blocks are dead weight (every later
     // reference reads oriented).

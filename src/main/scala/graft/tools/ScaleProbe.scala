@@ -32,6 +32,29 @@ object ScaleProbe {
       }
     })
 
+    // Graph-family sf1 arm (round-13, closes VERDICT r12 #1 / r11 #8):
+    // 10 KEY-DISJOINT copies of the sf0.1 relational tables — order,
+    // customer and supplier keys offset per copy, so the trade graph is
+    // 10 independent components of the sf0.1 graph and LINEAR scaling is
+    // the correct expectation for every per-copy-local computation
+    // (the same content-disjoint discipline as the suffixed documents).
+    if (!new java.io.File(s"$sf1/orders.parquet").exists()) {
+      println("[scale] synthesizing sf1 orders/lineitem (10 key-disjoint copies)")
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until 10).map { k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 1000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$sf1/orders.parquet")
+      (0 until 10).map { k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 1000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 1000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
+    }
+
     if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
       println("[scale] synthesizing sf1 corpus (10 disjoint copies of sf0.1)")
       val docs = spark.read.parquet(s"$base/documents.parquet")
