@@ -1187,7 +1187,7 @@ object DedupOps {
     import s.implicits._
     val hashes = Tables.documentsSpread(s, d)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.flatMap(MultimodalOps.KeyframeCodec.frameHashes))
+      .mapPartitions(MultimodalOps.KeyframeCodec.frameHashesPartition)
       .toDF().cutLineage
     val bands: Seq[Column] = (0 until 4).map { j =>
       struct(lit(j).as("chunk_idx"),

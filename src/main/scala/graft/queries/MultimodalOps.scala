@@ -1028,6 +1028,54 @@ object MultimodalOps {
       GifCodec.decodeRasters(docId, encode(docId)).iterator.zipWithIndex
         .map { case (px, f) => FramePhash(docId, f, dhash56(px, w, h)) }
     }
+
+    /** Partition-level [[frameHashes]] (round-13, guide §4.5): ONE GIF
+      * reader serves every document of the task — the per-row form paid
+      * a registry lookup + reader construction + dispose per video —
+      * and the dHash reads its Grid×Grid probe pixels STRAIGHT off the
+      * decoded frame instead of materializing the full w×h raster
+      * first: the hash samples 64 of ~900 pixels, and the per-pixel
+      * `getRGB` palette resolution was the raster path's dominant cost.
+      * Value-identical by construction: the same `getRGB` call at the
+      * same (cx·w/Grid, cy·h/Grid) points feeds the same comparisons
+      * ([[dhash56]] over [[GifCodec.decodeRasters]] reads
+      * px(y·w + x) = getRGB(x, y) & 0xff), so every hash bit is the
+      * same — pinned by the parity property in MultimodalParitySpec.
+      */
+    def frameHashesPartition(docs: Iterator[Long]): Iterator[FramePhash] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no GIF reader in this JDK")
+      val reader = readers.next()
+      docs.flatMap { docId =>
+        val g = groupOf(docId)
+        val (w, h) = (widthOf(g), heightOf(g))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(encode(docId)))
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map { i =>
+          val img = reader.read(i)
+          var hash = 0L
+          var cy = 0
+          while (cy < Grid) {
+            val y = cy * h / Grid
+            var prev = img.getRGB(0, y) & 0xff // cx = 0 probe x is 0·w/Grid = 0
+            var cx = 0
+            while (cx < Grid - 1) {
+              val next = img.getRGB((cx + 1) * w / Grid, y) & 0xff
+              if (next > prev) hash |= 1L << (cy * 7 + cx)
+              prev = next
+              cx += 1
+            }
+            cy += 1
+          }
+          FramePhash(docId, i, hash)
+        }
+        iis.close()
+        out
+      }
+    }
   }
 
   /** Synthesize → encode (real GIF sequence writer) → decode frame-by-

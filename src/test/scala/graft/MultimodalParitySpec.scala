@@ -38,6 +38,20 @@ class MultimodalParitySpec extends AnyFunSuite {
     assert(feat.count() > 0L)
   }
 
+  test("KeyframeCodec: partition-level probe-sampling hash path is " +
+       "bit-identical to the per-doc full-raster path") {
+    import graft.queries.MultimodalOps.KeyframeCodec
+    // Cover every (group geometry, variant, frame) shape plus arbitrary
+    // ids: the two paths must agree on every hash BIT (the partition
+    // form reads 64 probe pixels via getRGB where the raster form
+    // materialized all w×h first — same values at the same points).
+    val ids = ((1L to 64L) ++ Seq(1000L, 12345L, 99991L, 424243L)).toList
+    val viaRaster = ids.flatMap(KeyframeCodec.frameHashes)
+    val viaPartition = KeyframeCodec.frameHashesPartition(ids.iterator).toList
+    assert(viaPartition == viaRaster)
+    assert(viaRaster.nonEmpty)
+  }
+
   test("mm_frames: built-ins plan == mapPartitions codec plan") {
     val expr = rows(SparkEntry.queries("mm_frames")(spark, sf))
     val codec = rows(graft.queries.MultimodalOps.framesViaCodec(spark, sf))
